@@ -1,0 +1,192 @@
+"""Deterministic synthetic web fixtures (FIXTURES.md F1/F2).
+
+Generates the Parquet page table demanded by the driver's ``input_hint``:
+
+    url: string, warc_ts: timestamp[ms], html: binary, text: string, lang: string
+
+- ``text`` is the *golden* extraction: the reference 3-regex pipeline
+  (reference spiders/labels/web.py:47-50) applied to ``html``, so tests can
+  assert our map_batches extractor is byte-identical per url.
+- The embedded ``<a href>`` links realize a seeded graph with one
+  deliberately skewed host (~30% of link targets) to exercise
+  groupby-host salting, plus cycles, duplicate edges, relative links, and
+  canonicalization edge cases (uppercase host, :80 port, #fragment,
+  shuffled query params).
+- ``html`` embeds <style>/<script> blocks and ETH-style entities so the
+  text-extraction and entity-regex stages have nontrivial work.
+
+Everything is a pure function of (n_pages, seed) — no wall clock, no global
+RNG.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.text import extract_text
+from .functions.urls import url_hash64
+
+LANGS = ["en", "zh", "de", ""]
+EPOCH = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("ms")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+_ZH = "区块链蜘蛛网络爬虫测试页面数据"
+
+
+def page_url(i: int, n_hosts: int, skew_host_share: float = 0.3) -> str:
+    """Canonical url of page i. Host 0 holds ~skew_host_share of pages."""
+    if (i * 2654435761 % 1000) < int(skew_host_share * 1000):
+        h = 0
+    else:
+        h = 1 + (i * 40503 % (n_hosts - 1)) if n_hosts > 1 else 0
+    return f"http://host{h}.example/p/{i}"
+
+
+def _eth_addr(i: int) -> str:
+    d = hashlib.md5(str(i).encode()).hexdigest()
+    return "0x" + d + d[:8]
+
+
+def _href_variant(target_url: str, variant: int) -> str:
+    """Non-canonical spellings of a canonical target (canonicalizer work)."""
+    if variant == 0:
+        return target_url
+    if variant == 1:  # uppercase host
+        return target_url.replace("http://host", "http://HOST", 1)
+    if variant == 2:  # explicit default port
+        return target_url.replace(".example/", ".example:80/", 1)
+    if variant == 3:  # fragment
+        return target_url + "#frag"
+    if variant == 4:  # query params in non-sorted order
+        return target_url + "?z=1&a=2"
+    return target_url
+
+
+def _out_degree(i: int, max_deg: int = 8) -> int:
+    # deterministic power-law-ish: many 1-2, few up to max_deg
+    x = (i * 11400714819323198485) % 100
+    if x < 50:
+        return 1
+    if x < 80:
+        return 2
+    if x < 95:
+        return 4
+    return max_deg
+
+
+def generate_pages(
+    n_pages: int = 1000,
+    seed: int = 42,
+    n_hosts: int = 20,
+    skew_host_share: float = 0.3,
+) -> pa.Table:
+    """Build the deterministic synthetic web as an Arrow table."""
+    rng = np.random.default_rng(seed)
+    urls = [page_url(i, n_hosts, skew_host_share) for i in range(n_pages)]
+    # pre-draw all link targets in one vectorized call
+    degs = np.array([_out_degree(i) for i in range(n_pages)], dtype=np.int64)
+    all_targets = rng.integers(0, n_pages, size=int(degs.sum()))
+    ts_ms = (int(EPOCH.timestamp() * 1000) + np.arange(n_pages, dtype=np.int64) * 1000)
+
+    htmls: List[bytes] = []
+    texts: List[str] = []
+    off = 0
+    for i in range(n_pages):
+        deg = int(degs[i])
+        targets = all_targets[off : off + deg]
+        off += deg
+        anchors = []
+        for k, t in enumerate(targets):
+            href = _href_variant(urls[int(t)], (i + k) % 5)
+            anchors.append(f'<a href="{href}">link {int(t)} from {i}</a>')
+        # a relative link and a cycle link back to a neighbour page
+        anchors.append(f'<a href="/p/{(i + 1) % n_pages}">rel next</a>')
+        # a non-http link the follower must drop (web.py:78-79 semantics)
+        anchors.append('<a href="mailto:x@example.com">mail</a>')
+        script_src = f'<script src="http://host{i % n_hosts}.example/static/app{i % 7}.js"></script>'
+        html = (
+            "<!DOCTYPE html><html><head>"
+            f"<title>Page {i}</title>"
+            "<style>body { color: #333; } .x>span { display:none; }</style>"
+            "</head><body>"
+            f"<h1>Page {i} on host</h1>"
+            f"<p>Deterministic page body {i} with unicode {_ZH[i % len(_ZH)]} text "
+            f"and an address {_eth_addr(i)} plus hash "
+            f"0x{hashlib.sha256(str(i).encode()).hexdigest()} inline.</p>"
+            + "".join(anchors)
+            + script_src
+            + f'<script type="text/javascript">var seed={seed}; var addr="{_eth_addr(i + 7)}";</script>'
+            "</body></html>"
+        )
+        htmls.append(html.encode("utf-8"))
+        texts.append(extract_text(html))
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts_ms, pa.timestamp("ms")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_pages)], pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def write_pages_store(
+    table: pa.Table,
+    store_dir: str,
+    num_partitions: int = 16,
+    rows_per_file_hint: Optional[int] = None,
+) -> str:
+    """Write a page table hash-partitioned by url_hash64 % num_partitions.
+
+    Layout: <store_dir>/part=<k>/pages.parquet.  At 100 TB this is the layout
+    that lets a frontier round read only the partitions its URLs hash into
+    (partition-pruned lookup join) instead of scanning the web.
+    """
+    store = Path(store_dir)
+    store.mkdir(parents=True, exist_ok=True)
+    h = url_hash64(table.column("url").to_pylist())
+    part = (h % np.uint64(num_partitions)).astype(np.int64)
+    for k in range(num_partitions):
+        sub = table.filter(pa.array(part == k))
+        d = store / f"part={k}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(sub, d / "pages.parquet")
+    (store / "_MANIFEST").write_text(
+        f"num_partitions={num_partitions}\nrows={table.num_rows}\nkey=url_hash64%%{num_partitions}\n"
+    )
+    return str(store)
+
+
+def ensure_pages_store(
+    store_dir: str,
+    n_pages: int = 1000,
+    seed: int = 42,
+    n_hosts: int = 20,
+    num_partitions: int = 16,
+) -> str:
+    """Idempotently generate + write the fixture store (used by tests/bench)."""
+    store = Path(store_dir)
+    manifest = store / "_MANIFEST"
+    if manifest.exists():
+        return str(store)
+    t = generate_pages(n_pages=n_pages, seed=seed, n_hosts=n_hosts)
+    return write_pages_store(t, store_dir, num_partitions=num_partitions)

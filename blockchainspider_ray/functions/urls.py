@@ -1,0 +1,105 @@
+"""URL canonicalization, host extraction, and 64-bit URL keying.
+
+The reference's only URL normalizer is the ipfs:// gateway rewrite + regex
+validation (reference middlewares/trans/metadata.py:87-92) and its link
+follower does ``urljoin`` + an http-scheme filter (reference
+spiders/labels/web.py:76-79).  Our engine needs a full canonicalizer so the
+URL-seen set treats equivalent URLs as one; the rules below are the usual
+crawl-engine set (lowercase scheme/host, strip fragment, drop default port,
+empty path -> '/', stable query-param sort).
+
+``url_hash64`` is the engine-wide routing key: it shards the cuckoo seen
+filter, partitions the page store, and salts hot hosts.  It is computed
+vectorized via polars' xxhash-based ``Series.hash`` (seed pinned to 0 so a
+checkpointed run resumes with identical routing on the same library
+version); a pure-python blake2b fallback keeps the key deterministic when
+polars is unavailable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import urllib.parse
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+try:  # vectorized path
+    import polars as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443}
+_RE_HTTP_SCHEME = re.compile(r"^https?$", re.IGNORECASE)
+
+HASH_SEED = 0
+
+
+def canonicalize_url(url: str, base: Optional[str] = None) -> Optional[str]:
+    """Return the canonical form of ``url`` (resolved against ``base`` when
+    relative), or None when the result is not an http(s) URL.
+
+    Rules: resolve relative refs; lowercase scheme + host; strip fragment;
+    drop default port; empty path -> '/'; sort query parameters
+    (stable sort, duplicates preserved in order).
+    """
+    if url is None:
+        return None
+    url = url.strip()
+    if base:
+        url = urllib.parse.urljoin(base, url)
+    try:
+        parts = urllib.parse.urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if not _RE_HTTP_SCHEME.match(scheme):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    port = parts.port
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    query = parts.query
+    if query:
+        pairs = urllib.parse.parse_qsl(query, keep_blank_values=True)
+        pairs.sort(key=lambda kv: kv[0])
+        query = urllib.parse.urlencode(pairs)
+    return urllib.parse.urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_batch(urls: Iterable[Optional[str]], base: Optional[str] = None) -> List[Optional[str]]:
+    return [canonicalize_url(u, base) for u in urls]
+
+
+def host_of(url: str) -> str:
+    """Lowercased host of a (canonical) URL; '' when unparseable."""
+    try:
+        return (urllib.parse.urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def hosts_of_batch(urls: Sequence[str]) -> List[str]:
+    return [host_of(u) for u in urls]
+
+
+def _blake2b64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def url_hash64(urls: Sequence[Optional[str]]) -> np.ndarray:
+    """Vectorized 64-bit key for a batch of canonical URLs -> uint64 array."""
+    if pl is not None:
+        return (
+            pl.Series("u", list(urls), dtype=pl.String)
+            .fill_null("")
+            .hash(seed=HASH_SEED)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+    return np.array([_blake2b64(u or "") for u in urls], dtype=np.uint64)
