@@ -1,0 +1,369 @@
+"""The BSP crawl round engine.
+
+One round reproduces the reference crawl cycle Expand→Push→Rank→Pop
+(reference docs/docs/advance/transaction_tracing.md:17-24 and the spider
+drive loop spiders/txs/blockscan.py:138-168), re-expressed as a streaming
+pipeline per SURVEY.md §4.2:
+
+    pops (strategy) + carry-over
+      → robots / scope filter
+      → per-host politeness admission (budget, carry-over)
+      → URL-seen filter (sharded cuckoo actors)
+      → fetch: partition-pruned lookup join against the page store
+      → parse: extract_text (byte-identical) + extract_links
+      → push link edges into the strategy; write text/edges/ranks
+      → checkpoint {strategy, seen shards, deferred, metrics}
+
+``pop_k=1`` with no budget reproduces the reference's exact sequential
+crawl ordering (conformance mode); ``pop_k>1`` is the documented
+throughput mode (BSP batching).  The control plane (popped candidates per
+round) is bounded by pop_k + politeness budget — small by design — while
+fetch/parse of large rounds run as Ray Data stages; `parse_threshold`
+picks the crossover.
+
+Scale notes: strategy state lives driver-side in v1 with the sharded-rank
+actor pool as the scale path (additive residual merges, SURVEY.md §2.4);
+the seen set and fetch/parse are already distributed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Set, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.links import decode_html, extract_hrefs, extract_script_srcs
+from ..functions.text import extract_text
+from ..functions.urls import canonicalize_url, host_of, url_hash64
+from ..stages.fetch import PageStore
+from ..stages.parse import extract_links_stage, extract_text_stage
+from ..stages.politeness import Candidate, admit_per_host
+from ..stages.robots import RobotsCache
+from ..state.checkpoint import CheckpointManager
+from ..state.seen import SeenSet
+from ..strategies import extract_mass, load_strategy, restore_mass
+
+
+@dataclass
+class CrawlConfig:
+    strategy: str = "bfs"
+    strategy_kwargs: Dict[str, Any] = field(default_factory=dict)
+    pop_k: int = 1  # 1 = reference-ordering conformance; >1 = BSP throughput
+    host_budget: int = 0  # max fetches per host per round; <=0 unlimited
+    obey_robots: bool = False
+    allowed_hosts: Optional[Set[str]] = None
+    max_rounds: int = 1000
+    max_fetches: Optional[int] = None
+    include_scripts: bool = True
+    seen_shards: int = 4
+    seen_capacity: int = 1 << 20
+    seen_backend: str = "cuckoo"
+    seen_use_ray: bool = True
+    checkpoint_dir: Optional[str] = None
+    out_dir: Optional[str] = None
+    batch_size: int = 128  # html-bearing batches stay small (SURVEY §7.5#5)
+    parse_threshold: int = 256  # rounds larger than this parse via Ray Data
+
+
+@dataclass
+class CrawlResult:
+    crawl_order: List[dict]
+    rounds: int
+    fetched: int
+    metrics: List[dict]
+    ranks: Dict[str, float]
+
+
+class CrawlEngine:
+    def __init__(self, store: "PageStore | str", seeds: List[str], config: CrawlConfig):
+        self.store = store if isinstance(store, PageStore) else PageStore(store)
+        self.config = config
+        self.seeds = [u for u in (canonicalize_url(s) for s in seeds) if u]
+        self.strategy = None
+        self.seen: Optional[SeenSet] = None
+        self.deferred: List[Candidate] = []
+        self.crawl_order: List[dict] = []
+        self.metrics: List[dict] = []
+        self.round_no = 0
+        self.fetched = 0
+        self._arrival = 0
+        self._pending_seeds: List[str] = list(self.seeds)
+        self.robots = RobotsCache(self.store, obey=config.obey_robots)
+        self.ckpt = CheckpointManager(config.checkpoint_dir) if config.checkpoint_dir else None
+
+    # -- lifecycle --------------------------------------------------------
+    def _init_state(self) -> None:
+        c = self.config
+        self.strategy = load_strategy(c.strategy, source=self.seeds[0], **c.strategy_kwargs)
+        self.seen = SeenSet(
+            num_shards=c.seen_shards,
+            capacity=c.seen_capacity,
+            backend=c.seen_backend,
+            use_ray=c.seen_use_ray,
+        )
+
+    def resume(self) -> bool:
+        """Restore from the latest complete checkpoint. True if resumed."""
+        if self.ckpt is None:
+            return False
+        latest = self.ckpt.latest_complete()
+        if latest is None:
+            return False
+        state = self.ckpt.load_round(latest)
+        c = self.config
+        self.strategy = state["strategy"]
+        self.seen = SeenSet(
+            num_shards=len(state["seen_blobs"]),
+            capacity=c.seen_capacity,
+            backend=c.seen_backend,
+            use_ray=c.seen_use_ray,
+        )
+        self.seen.restore(state["seen_blobs"])
+        self.deferred = list(state["deferred"])
+        prog = state["progress"]
+        self.round_no = state["manifest"]["round"] + 1
+        self.fetched = prog["fetched"]
+        self._arrival = prog["arrival"]
+        self._pending_seeds = prog["pending_seeds"]
+        self.crawl_order = prog["crawl_order"]
+        self.metrics = prog.get("all_metrics", [])
+        return True
+
+    # -- helpers ----------------------------------------------------------
+    def _priority_of(self, ctx: dict) -> float:
+        for key in ("residual", "weight"):
+            if key in ctx:
+                return float(ctx[key])
+        # FIFO strategies (BFS/Poison): earlier pops outrank later ones
+        return -float(self._arrival)
+
+    def _pop_candidates(self) -> List[Candidate]:
+        cands: List[Candidate] = []
+        while self._pending_seeds and len(cands) < self.config.pop_k:
+            u = self._pending_seeds.pop(0)
+            cands.append(
+                Candidate(url=u, host=host_of(u), priority=float("inf"),
+                          ctx={}, arrival=self._arrival)
+            )
+            self._arrival += 1
+        while len(cands) < self.config.pop_k:
+            node, ctx = self.strategy.pop()
+            if node is None:
+                break
+            c = Candidate(url=node, host=host_of(node),
+                          priority=self._priority_of(ctx), ctx=dict(ctx),
+                          arrival=self._arrival)
+            # batched pop: park the node's mass on the candidate so the next
+            # pop returns a *different* argmax; restored just before push
+            c.mass = extract_mass(self.strategy, node)
+            cands.append(c)
+            self._arrival += 1
+        return cands
+
+    def _edges_of_pages(self, pages: pa.Table) -> Dict[str, List[dict]]:
+        """Per fetched page: its out-link edges mapped onto the strategy edge
+        shape (from/to/value/timeStamp/symbol/hash; cf. reference
+        middlewares/txs/push_pop.py:10-41)."""
+        out: Dict[str, List[dict]] = {}
+        urls = pages.column("url").to_pylist()
+        htmls = pages.column("html").to_pylist()
+        ts = pages.column("warc_ts").to_pylist() if "warc_ts" in pages.column_names else [None] * len(urls)
+        for u, h, t in zip(urls, htmls, ts):
+            html = decode_html(h)
+            tstamp = int(t.timestamp()) if t is not None else 0
+            edges = []
+            refs = list(extract_hrefs(html))
+            if self.config.include_scripts:
+                refs += list(extract_script_srcs(html))
+            for i, href in enumerate(refs):
+                dst = canonicalize_url(href, base=u)
+                if dst is None:
+                    continue
+                edges.append(
+                    {
+                        "from": u,
+                        "to": dst,
+                        "value": 1.0,
+                        "timeStamp": tstamp,
+                        "symbol": "",
+                        "hash": f"{u}#{i}",
+                    }
+                )
+            out[u] = edges
+        return out
+
+    def _fetch_and_parse(self, urls: List[str]) -> Tuple[pa.Table, pa.Table, pa.Table]:
+        """Returns (pages, text_table, edges_table) for the admitted urls.
+
+        Small rounds take the direct Arrow path (no task overhead); large
+        rounds stream through Ray Data map_batches stages."""
+        if len(urls) <= self.config.parse_threshold:
+            pages = self.store.lookup_table(urls)
+            texts = pa.table(
+                {
+                    "url": pages.column("url"),
+                    "text_extracted": pa.array(
+                        [extract_text(decode_html(h)) for h in pages.column("html").to_pylist()],
+                        pa.string(),
+                    ),
+                }
+            )
+            edges = extract_links_stage(pages, include_scripts=self.config.include_scripts)
+            return pages, texts, edges
+        ds = self.store.lookup(urls)
+        text_ds = ds.map_batches(
+            extract_text_stage, batch_format="pyarrow", batch_size=self.config.batch_size
+        )
+        edge_ds = ds.map_batches(
+            lambda b: extract_links_stage(b, include_scripts=self.config.include_scripts),
+            batch_format="pyarrow",
+            batch_size=self.config.batch_size,
+        )
+        # materialize pages once (needed for the push step's adjacency)
+        pages = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+        texts = pa.concat_tables(
+            [pa.table(b) for b in text_ds.iter_batches(batch_format="pyarrow", batch_size=8192)]
+        )
+        edges = pa.concat_tables(
+            [pa.table(b) for b in edge_ds.iter_batches(batch_format="pyarrow", batch_size=8192)]
+        )
+        return pages, texts, edges
+
+    def _write_round_outputs(self, texts: pa.Table, edges: pa.Table) -> None:
+        if not self.config.out_dir:
+            return
+        out = Path(self.config.out_dir)
+        for sub, table in (("text", texts), ("edges", edges)):
+            d = out / sub
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(table, d / f"round={self.round_no:04d}.parquet")
+        ranks = self.strategy.get_node_rank()
+        if ranks:
+            items = sorted(ranks.items(), key=lambda kv: kv[1], reverse=True)
+            rt = pa.table(
+                {
+                    "node": pa.array([k for k, _ in items], pa.string()),
+                    "score": pa.array([float(v) for _, v in items], pa.float64()),
+                }
+            )
+            d = out / "ranks"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(rt, d / f"round={self.round_no:04d}.parquet")
+
+    def _checkpoint(self, round_metrics: dict) -> None:
+        if self.ckpt is None:
+            return
+        self.ckpt.save_round(
+            self.round_no,
+            strategy=self.strategy,
+            seen_blobs=self.seen.snapshot(),
+            deferred=list(self.deferred),
+            progress={
+                "fetched": self.fetched,
+                "arrival": self._arrival,
+                "pending_seeds": self._pending_seeds,
+                "crawl_order": self.crawl_order,
+                "all_metrics": self.metrics,
+            },
+            metrics=round_metrics,
+            input_digest=str(self.store.store_dir),
+        )
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> CrawlResult:
+        if self.strategy is None and not self.resume():
+            self._init_state()
+        c = self.config
+        while self.round_no < c.max_rounds:
+            if c.max_fetches is not None and self.fetched >= c.max_fetches:
+                break
+            t0 = time.perf_counter()
+            m: Dict[str, Any] = {"round": self.round_no}
+
+            cands = self.deferred + self._pop_candidates()
+            self.deferred = []
+            m["candidates"] = len(cands)
+            if not cands:
+                break
+
+            if c.allowed_hosts is not None:
+                cands = [x for x in cands if x.host in c.allowed_hosts]
+            if c.obey_robots:
+                before = len(cands)
+                cands = [x for x in cands if self.robots.allowed(x.url)]
+                m["robots_dropped"] = before - len(cands)
+
+            admitted, self.deferred = admit_per_host(cands, c.host_budget)
+            m["admitted"], m["deferred"] = len(admitted), len(self.deferred)
+
+            # URL-seen gate.  A re-popped url (weight strategies legitimately
+            # re-expand a node when pushes re-accumulate its residual — the
+            # reference zeroes r only inside push, strategies/txs/appr.py:27-31)
+            # is still fetched+pushed so its residual drains, but it is NOT
+            # re-emitted to crawl order / text outputs and doesn't recount.
+            new_of: Dict[str, bool] = {}
+            if admitted:
+                new_mask = self.seen.filter_new(url_hash64([x.url for x in admitted]))
+                for x, n in zip(admitted, new_mask):
+                    new_of[x.url] = new_of.get(x.url, False) or bool(n)
+                m["already_seen"] = int(sum(1 for n in new_mask if not n))
+
+            if not admitted:
+                m["fetched"] = 0
+                m["elapsed_s"] = time.perf_counter() - t0
+                self.metrics.append(m)
+                self._checkpoint(m)
+                self.round_no += 1
+                continue  # next round pops again; loop exits when cands dry up
+
+            urls = [x.url for x in admitted]
+            pages, texts, edges = self._fetch_and_parse(urls)
+            found = set(pages.column("url").to_pylist())
+            new_found = [u for u in dict.fromkeys(urls) if u in found and new_of.get(u, True)]
+            m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)
+            m["edges"] = edges.num_rows
+
+            adjacency = self._edges_of_pages(pages)
+            emitted = set()
+            for cand in admitted:
+                if new_of.get(cand.url, True) and cand.url not in emitted:
+                    emitted.add(cand.url)
+                    self.crawl_order.append(
+                        {
+                            "round": self.round_no,
+                            "pop_index": cand.arrival,
+                            "url": cand.url,
+                            "priority": cand.priority,
+                            "found": cand.url in found,
+                        }
+                    )
+                # push even when the page is missing (empty expansion), the
+                # way a reference errback closes a sync window with no items
+                restore_mass(self.strategy, cand.url, getattr(cand, "mass", None))
+                self.strategy.push(cand.url, adjacency.get(cand.url, []), **cand.ctx)
+            self.fetched += len(new_found)
+
+            if new_found:
+                keep = pc.is_in(texts.column("url"), value_set=pa.array(new_found))
+                self._write_round_outputs(texts.filter(keep), edges)
+            else:
+                self._write_round_outputs(texts.slice(0, 0), edges)
+            m["elapsed_s"] = time.perf_counter() - t0
+            self.metrics.append(m)
+            self._checkpoint(m)
+            self.round_no += 1
+
+        ranks = dict(self.strategy.get_node_rank()) if self.strategy else {}
+        return CrawlResult(
+            crawl_order=self.crawl_order,
+            rounds=self.round_no,
+            fetched=self.fetched,
+            metrics=self.metrics,
+            ranks=ranks,
+        )

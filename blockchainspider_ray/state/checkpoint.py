@@ -1,0 +1,112 @@
+"""Per-round crawl checkpoints with lineage.
+
+The reference has NO checkpointing for its frontier crawls — a kill loses
+the crawl (SURVEY.md §4.1 "Checkpoint / resume"; only labels.web gets a
+crash-survivable request queue via PickleFifoDiskQueue, reference
+spiders/labels/web.py:19).  The north rule requires better: per-round,
+per-partition state with lineage + metrics so a killed run resumes exactly.
+
+Layout:
+
+    <ckpt_dir>/round=NNNN/
+        strategy.pkl      — full frontier-strategy state
+        seen/shard-K.bin  — deterministic cuckoo/exact shard snapshots
+        deferred.pkl      — politeness carry-over candidates (incl. parked
+                            strategy mass, see strategies.extract_mass)
+        progress.json     — crawl cursor (pop counter, fetch count, ...)
+        metrics.json      — per-stage metrics for this round
+        manifest.json     — written LAST; its presence marks the round
+                            complete (atomic-rename), and it records
+                            lineage: parent round + input digest
+
+Resume = load the highest round with a complete manifest.  Snapshots are
+deterministic (cuckoo tables serialize byte-stably), so a resumed run makes
+identical admit/deny decisions and produces byte-identical outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str):
+        self.dir = Path(ckpt_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _round_dir(self, round_no: int) -> Path:
+        return self.dir / f"round={round_no:04d}"
+
+    def save_round(
+        self,
+        round_no: int,
+        strategy: Any,
+        seen_blobs: Dict[int, bytes],
+        deferred: List[Any],
+        progress: Dict[str, Any],
+        metrics: Dict[str, Any],
+        input_digest: str = "",
+    ) -> None:
+        rd = self._round_dir(round_no)
+        tmp = rd.with_suffix(".tmp")
+        if tmp.exists():
+            import shutil
+
+            shutil.rmtree(tmp)
+        (tmp / "seen").mkdir(parents=True)
+        with open(tmp / "strategy.pkl", "wb") as f:
+            pickle.dump(strategy, f)
+        for k, blob in seen_blobs.items():
+            (tmp / "seen" / f"shard-{k}.bin").write_bytes(blob)
+        with open(tmp / "deferred.pkl", "wb") as f:
+            pickle.dump(deferred, f)
+        (tmp / "progress.json").write_text(json.dumps(progress))
+        (tmp / "metrics.json").write_text(json.dumps(metrics))
+        manifest = {
+            "round": round_no,
+            "parent_round": round_no - 1 if round_no > 0 else None,
+            "input_digest": input_digest,
+            "num_seen_shards": len(seen_blobs),
+            "num_deferred": len(deferred),
+            "complete": True,
+        }
+        (tmp / "manifest.json").write_text(json.dumps(manifest))
+        if rd.exists():
+            import shutil
+
+            shutil.rmtree(rd)
+        os.rename(tmp, rd)  # manifest inside; rename is the commit point
+
+    def latest_complete(self) -> Optional[int]:
+        best = None
+        for p in self.dir.glob("round=*"):
+            if not (p / "manifest.json").exists():
+                continue
+            try:
+                rn = int(p.name.split("=")[1])
+            except ValueError:
+                continue
+            best = rn if best is None else max(best, rn)
+        return best
+
+    def load_round(self, round_no: int) -> Dict[str, Any]:
+        rd = self._round_dir(round_no)
+        manifest = json.loads((rd / "manifest.json").read_text())
+        with open(rd / "strategy.pkl", "rb") as f:
+            strategy = pickle.load(f)
+        seen_blobs = {}
+        for p in (rd / "seen").glob("shard-*.bin"):
+            k = int(p.stem.split("-")[1])
+            seen_blobs[k] = p.read_bytes()
+        return {
+            "manifest": manifest,
+            "strategy": strategy,
+            "seen_blobs": seen_blobs,
+            "deferred": pickle.load(open(rd / "deferred.pkl", "rb")),
+            "progress": json.loads((rd / "progress.json").read_text()),
+            "metrics": json.loads((rd / "metrics.json").read_text()),
+        }

@@ -68,6 +68,58 @@ def load_strategy(name: str, source: str, **kwargs: Any) -> FrontierStrategy:
     return reg[key](source=source, **kwargs)
 
 
+def extract_mass(strategy: FrontierStrategy, node):
+    """Remove and return ``node``'s residual/weight mass from the strategy.
+
+    Used by the engine's batched pop (pop_k>1): the reference interleaves
+    pop/push 1:1 and clears mass only inside ``push`` (e.g. appr.py:27-31,
+    haricut.py:25-26), so popping k nodes without this would return the same
+    argmax k times.  Zeroing at pop + restoring just before push is
+    mathematically identical at k=1 and gives distinct top-k argmaxes at
+    k>1 (standard batched push-PPR).  Returns None for FIFO strategies."""
+    from .appr import APPR
+    from .haircut import Haircut
+    from .ttr import TTRAggregate, TTRBase, TTRTime, TTRWeight
+
+    if isinstance(strategy, Haircut):
+        mass = strategy.weight_map.get(node, 0)
+        strategy.weight_map[node] = 0
+        return ("haircut", mass)
+    if isinstance(strategy, (APPR, TTRBase, TTRWeight)):
+        mass = strategy.r.get(node, 0)
+        strategy.r[node] = 0
+        return ("scalar", mass)
+    if isinstance(strategy, TTRTime):
+        mass = strategy.r.get(node, {})
+        strategy.r[node] = {}
+        return ("chips_dict", mass)
+    if isinstance(strategy, TTRAggregate):
+        mass = strategy.r.get(node, [])
+        strategy.r[node] = []
+        return ("chips_list", mass)
+    return None  # BFS / Poison: pop already consumes the queue entry
+
+
+def restore_mass(strategy: FrontierStrategy, node, mass) -> None:
+    """Put back mass extracted by :func:`extract_mass` (immediately before
+    the node's push, so push sees the state the reference would)."""
+    if mass is None:
+        return
+    kind, value = mass
+    if kind == "haircut":
+        strategy.weight_map[node] = strategy.weight_map.get(node, 0) + value
+    elif kind == "scalar":
+        strategy.r[node] = strategy.r.get(node, 0) + value
+    elif kind == "chips_dict":
+        cur = strategy.r.get(node) or {}
+        for t, v in value.items():
+            cur[t] = cur.get(t, 0) + v
+        strategy.r[node] = cur
+    elif kind == "chips_list":
+        cur = strategy.r.get(node) or []
+        strategy.r[node] = cur + list(value)
+
+
 STRATEGY_NAMES = (
     "bfs",
     "poison",

@@ -1,0 +1,215 @@
+"""Crawl-engine tests: ordering conformance vs a driver-side oracle,
+politeness carry-over, robots, and kill/resume byte-identity."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
+from blockchainspider_ray.functions.links import decode_html, extract_hrefs, extract_script_srcs
+from blockchainspider_ray.functions.urls import canonicalize_url
+from blockchainspider_ray.stages.fetch import PageStore
+from blockchainspider_ray.strategies import load_strategy
+
+
+def _oracle_crawl(pages_table, seed, strategy_name="bfs", max_fetches=30, **kw):
+    """Sequential reference-loop crawl over the fixture web: pop 1, fetch,
+    push out-links — the semantics CrawlEngine must reproduce in k=1 mode."""
+    html_by_url = {
+        u: decode_html(h)
+        for u, h in zip(
+            pages_table.column("url").to_pylist(), pages_table.column("html").to_pylist()
+        )
+    }
+    ts_by_url = {
+        u: int(t.timestamp())
+        for u, t in zip(
+            pages_table.column("url").to_pylist(), pages_table.column("warc_ts").to_pylist()
+        )
+    }
+    strat = load_strategy(strategy_name, source=seed, **kw)
+    order = []
+    node = seed
+    while node is not None and len(order) < max_fetches:
+        order.append(node)
+        html = html_by_url.get(node, "")
+        edges = []
+        refs = list(extract_hrefs(html)) + list(extract_script_srcs(html))
+        for i, href in enumerate(refs):
+            dst = canonicalize_url(href, base=node)
+            if dst is None:
+                continue
+            edges.append(
+                {"from": node, "to": dst, "value": 1.0,
+                 "timeStamp": ts_by_url.get(node, 0), "symbol": "",
+                 "hash": f"{node}#{i}"}
+            )
+        strat.push(node, edges, **ctx if (ctx := {}) else {})
+        node, _ctx = strat.pop()
+    # weight strategies legitimately re-pop a node whose residual
+    # re-accumulated; the engine fetches+pushes those again but records a
+    # url once in crawl_order — compare against first occurrences
+    return list(dict.fromkeys(order))
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "poison", "haircut", "appr", "ttr_base"])
+def test_engine_k1_matches_oracle_order(pages_store, pages_table, strategy):
+    seed = pages_table.column("url")[0].as_py()
+    kw = {"depth": 2} if strategy in ("bfs", "poison") else {}
+    engine = CrawlEngine(
+        PageStore(pages_store),
+        seeds=[seed],
+        config=CrawlConfig(
+            strategy=strategy,
+            strategy_kwargs=kw,
+            pop_k=1,
+            max_fetches=25,
+            max_rounds=100,
+            seen_use_ray=False,
+            seen_backend="exact",
+        ),
+    )
+    res = engine.run()
+    got = [r["url"] for r in res.crawl_order]
+    want = _oracle_crawl(pages_table, seed, strategy, max_fetches=80, **kw)
+    assert got == want[: len(got)]
+    assert res.fetched > 0
+
+
+def test_engine_politeness_budget_respected(pages_store, pages_table):
+    seed = pages_table.column("url")[0].as_py()
+    budget = 1
+    engine = CrawlEngine(
+        PageStore(pages_store),
+        seeds=[seed],
+        config=CrawlConfig(
+            strategy="bfs",
+            strategy_kwargs={"depth": 2},
+            pop_k=8,
+            host_budget=budget,
+            max_fetches=40,
+            max_rounds=50,
+            seen_use_ray=False,
+        ),
+    )
+    res = engine.run()
+    # no (host, round) exceeds the budget
+    from collections import Counter
+
+    per_round_host = Counter()
+    for r in res.crawl_order:
+        host = r["url"].split("/")[2]
+        per_round_host[(r["round"], host)] += 1
+    assert max(per_round_host.values()) <= budget
+    # deferral happened at least once (the skewed host guarantees pressure)
+    assert any(m.get("deferred", 0) > 0 for m in res.metrics)
+    # and deferred urls were not lost: all crawl_order urls unique
+    urls = [r["url"] for r in res.crawl_order]
+    assert len(urls) == len(set(urls))
+
+
+def test_engine_outputs_and_ranks(pages_store, pages_table, tmp_path):
+    seed = pages_table.column("url")[0].as_py()
+    out = tmp_path / "out"
+    engine = CrawlEngine(
+        PageStore(pages_store),
+        seeds=[seed],
+        config=CrawlConfig(
+            strategy="haircut",
+            pop_k=4,
+            max_fetches=12,
+            max_rounds=20,
+            seen_use_ray=False,
+            out_dir=str(out),
+        ),
+    )
+    engine.run()
+    text_files = sorted((out / "text").glob("*.parquet"))
+    assert text_files
+    t = pq.read_table(text_files[0])
+    assert set(t.column_names) == {"url", "text_extracted"}
+    # text output matches the golden text column byte-for-byte
+    golden = dict(
+        zip(pages_table.column("url").to_pylist(), pages_table.column("text").to_pylist())
+    )
+    for u, txt in zip(t.column("url").to_pylist(), t.column("text_extracted").to_pylist()):
+        assert golden[u] == txt
+    rank_files = sorted((out / "ranks").glob("*.parquet"))
+    assert rank_files
+    rt = pq.read_table(rank_files[-1])
+    scores = rt.column("score").to_pylist()
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_engine_kill_and_resume_identical(pages_store, pages_table, tmp_path):
+    seed = pages_table.column("url")[0].as_py()
+
+    def mk(ckpt, max_fetches):
+        return CrawlEngine(
+            PageStore(pages_store),
+            seeds=[seed],
+            config=CrawlConfig(
+                strategy="bfs",
+                strategy_kwargs={"depth": 2},
+                pop_k=4,
+                host_budget=2,
+                max_fetches=max_fetches,
+                max_rounds=60,
+                seen_use_ray=False,
+                checkpoint_dir=ckpt,
+            ),
+        )
+
+    # uninterrupted run
+    full = mk(str(tmp_path / "ckpt_a"), 30).run()
+
+    # killed run: stop early, then resume from checkpoint in a NEW engine
+    mk(str(tmp_path / "ckpt_b"), 12).run()
+    resumed_engine = mk(str(tmp_path / "ckpt_b"), 30)
+    assert resumed_engine.resume()
+    resumed = resumed_engine.run()
+
+    assert [r["url"] for r in resumed.crawl_order] == [r["url"] for r in full.crawl_order]
+    assert [r["round"] for r in resumed.crawl_order] == [r["round"] for r in full.crawl_order]
+    assert resumed.ranks == full.ranks
+
+
+def test_engine_robots(pages_table, tmp_path):
+    """A host whose robots.txt disallows /p/ must not be fetched beyond
+    robots.txt itself."""
+    import pyarrow as pa
+
+    from blockchainspider_ray.fixtures import PAGES_SCHEMA, write_pages_store
+
+    # take the fixture and add a robots.txt for host of the seed
+    seed = pages_table.column("url")[0].as_py()
+    host = seed.split("/")[2]
+    robots_row = pa.table(
+        {
+            "url": [f"http://{host}/robots.txt"],
+            "warc_ts": pa.array([pages_table.column("warc_ts")[0].as_py()], pa.timestamp("ms")),
+            "html": [b"User-agent: *\nDisallow: /p/\n"],
+            "text": [""],
+            "lang": [""],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    table = pa.concat_tables([pages_table, robots_row])
+    store_dir = write_pages_store(table, str(tmp_path / "robots_store"), num_partitions=4)
+
+    engine = CrawlEngine(
+        PageStore(store_dir),
+        seeds=[seed],
+        config=CrawlConfig(
+            strategy="bfs",
+            strategy_kwargs={"depth": 2},
+            pop_k=4,
+            obey_robots=True,
+            max_fetches=20,
+            max_rounds=20,
+            seen_use_ray=False,
+        ),
+    )
+    res = engine.run()
+    fetched_on_host = [r for r in res.crawl_order if r["url"].startswith(f"http://{host}/p/")]
+    assert not fetched_on_host
+    assert any(m.get("robots_dropped", 0) > 0 for m in res.metrics)
