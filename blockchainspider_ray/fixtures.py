@@ -176,6 +176,45 @@ def write_pages_store(
     return str(store)
 
 
+def doc_html(doc_id: int, text: str) -> str:
+    """Deterministic HTML page for a `documents` row.
+
+    Used by the correctness-gate queries: the SAME template is mirrored as a
+    DuckDB SQL expression (pipelines/queries.py DOC_HTML_SQL) so Ray and the
+    SQL oracle compute from identical inputs.  Keep the two in lockstep."""
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        "<style>p{margin:0}</style></head><body>"
+        f"<p>{text}</p>"
+        f'<a href="http://site{doc_id % 10}.example/d/{(doc_id * 7) % 500}?b=2&a=1#frag">next {doc_id}</a>'
+        f'<script src="http://cdn{doc_id % 3}.example/app.js"></script>'
+        f'<script>var addr="0x{h}{h[:8]}";</script>'
+        "</body></html>"
+    )
+
+
+def pages_from_documents(documents: pa.Table) -> pa.Table:
+    """Derive a deterministic page table (input_hint schema) from the driver's
+    `documents` table — html via :func:`doc_html`, url keyed by doc_id."""
+    doc_ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    langs = documents.column("lang").to_pylist()
+    urls = [f"http://site{d % 10}.example/d/{d}" for d in doc_ids]
+    htmls = [doc_html(d, t).encode("utf-8") for d, t in zip(doc_ids, texts)]
+    ts_ms = [int(EPOCH.timestamp() * 1000) + int(d) * 1000 for d in doc_ids]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts_ms, pa.timestamp("ms")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([extract_text(h.decode()) for h in htmls], pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
 def ensure_pages_store(
     store_dir: str,
     n_pages: int = 1000,

@@ -1,0 +1,179 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Generalizes the reference's dedup machinery (exact id-set dedup
+pipelines/subgraph.py:9-27, bloom dedups middlewares/trans/metadata.py:21-25
+and pipelines/trans.py:31-40) into the near-dup operators a training-data
+pipeline needs at 100 TB:
+
+- exact:   content-hash -> hash-partitioned groupby, keep min id;
+- MinHash: word-shingle -> n-permutation signature -> banded LSH buckets ->
+  candidate pairs via groupby(band, bucket) — the shuffle moves only
+  (band_key, doc_id) pairs, never documents;
+- SimHash: 64-bit fingerprint, near-dup when hamming distance <= t;
+- Jaccard: exact verification on candidate pairs only.
+
+All hashing is deterministic (blake2b-derived), no RNG at call time: the
+permutation coefficients come from a seeded generator so signatures are
+stable across runs/workers — required for resumable dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_RE_TOKEN = re.compile(r"\S+")
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_h64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def tokens_of(text: str) -> List[str]:
+    return _RE_TOKEN.findall(text or "")
+
+
+def shingles_of(text: str, k: int = 3) -> List[str]:
+    toks = tokens_of(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over word k-shingles.
+
+    Stateless math, but constructed once per actor (coefficients + compiled
+    regex) — use as a callable class in map_batches."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42):
+        self.num_perm = num_perm
+        self.k = k
+        self.a, self.b = _perm_coeffs(num_perm, seed)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingles_of(text, self.k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = np.array([_stable_h64(s) for s in sh], dtype=np.uint64) % _MERSENNE
+        # (n_shingle, num_perm) universal hash, min over shingles
+        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "signature": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+
+class MinHashBands:
+    """signature -> one row per band with a stable bucket key.
+
+    Emitting (doc_id, band_id, bucket) rows makes the LSH grouping a plain
+    ``groupby(['band_id','bucket'])`` shuffle of tiny rows."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16):
+        assert num_perm % bands == 0
+        self.bands = bands
+        self.rows = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = batch.column("signature").to_pylist()
+        out_id, out_band, out_bucket = [], [], []
+        for i, sig in zip(ids, sigs):
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                bucket = _stable_h64("|".join(str(x) for x in chunk))
+                out_id.append(i)
+                out_band.append(b)
+                out_bucket.append(bucket)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.uint64()),
+            }
+        )
+
+
+def candidate_pairs_from_bands(bands_table: pa.Table) -> pa.Table:
+    """(band_id, bucket) groups -> unique candidate (doc_a < doc_b) pairs.
+    Runs inside map_groups after the LSH shuffle."""
+    import polars as pl
+
+    df = pl.from_arrow(bands_table)
+    pairs = set()
+    for (_, _), grp in df.group_by(["band_id", "bucket"]):
+        ids = sorted(grp["doc_id"].to_list())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    pairs = sorted(pairs)
+    return pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
+class SimHasher:
+    """64-bit SimHash over tokens; near-dup iff hamming(sim_a, sim_b) <= t."""
+
+    def __init__(self):
+        self._cache = {}
+
+    def simhash64(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in tokens_of(text):
+            h = self._cache.get(tok)
+            if h is None:
+                h = _stable_h64(tok)
+                if len(self._cache) < (1 << 20):
+                    self._cache[tok] = h
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(
+                    [f"{self.simhash64(t):016x}" for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard_tokens(a: str, b: str) -> float:
+    sa, sb = set(tokens_of(a)), set(tokens_of(b))
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0

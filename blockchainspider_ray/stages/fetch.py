@@ -74,9 +74,9 @@ class PageStore:
         urls = list(urls)
         if not urls:
             # empty dataset with the store schema
-            return ray.data.read_parquet(self._partition_paths([0])).limit(0)
+            return ray.data.read_parquet(self._partition_files([0])).limit(0)
         parts = self.partitions_for(urls)
-        paths = self._partition_paths(parts.tolist())
+        paths = self._partition_files(parts.tolist())
         flt = pc.field("url").isin(urls)
         return ray.data.read_parquet(
             paths,

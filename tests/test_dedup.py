@@ -1,0 +1,68 @@
+import numpy as np
+import pyarrow as pa
+
+from blockchainspider_ray.stages.dedup import (
+    MinHashBands,
+    MinHasher,
+    SimHasher,
+    candidate_pairs_from_bands,
+    hamming64,
+    jaccard_tokens,
+    shingles_of,
+)
+
+
+def test_shingles():
+    assert shingles_of("a b c d", 3) == ["a b c", "b c d"]
+    assert shingles_of("a b", 3) == ["a b"]
+    assert shingles_of("", 3) == []
+
+
+def test_minhash_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different words entirely unrelated content here now ok fine"
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > 0.5
+    assert sim_ac < 0.2
+    # identical text -> identical signature (determinism)
+    assert (mh.signature(a) == sa).all()
+
+
+def test_minhash_deterministic_across_instances():
+    s1 = MinHasher(num_perm=64).signature("hello world foo bar baz")
+    s2 = MinHasher(num_perm=64).signature("hello world foo bar baz")
+    assert (s1 == s2).all()
+
+
+def test_lsh_finds_exact_dups():
+    mh = MinHasher(num_perm=64)
+    texts = [f"doc number {i} with shared vocabulary tokens alpha beta gamma" for i in range(10)]
+    # docs 3 and 7 duplicated as ids 103, 107
+    ids = list(range(10)) + [103, 107]
+    all_texts = texts + [texts[3], texts[7]]
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": all_texts})
+    sigs = mh(batch)
+    bands = MinHashBands(num_perm=64, bands=16)(sigs)
+    pairs = candidate_pairs_from_bands(bands)
+    got = set(zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()))
+    assert (3, 103) in got
+    assert (7, 107) in got
+
+
+def test_simhash_near_and_far():
+    sh = SimHasher()
+    a = sh.simhash64("the quick brown fox jumps over the lazy dog many times daily")
+    b = sh.simhash64("the quick brown fox jumps over the lazy dog many times weekly")
+    c = sh.simhash64("zzz completely different qqq unrelated www content eee")
+    assert hamming64(a, b) < hamming64(a, c)
+    assert hamming64(a, a) == 0
+
+
+def test_jaccard_tokens():
+    assert jaccard_tokens("a b c", "a b c") == 1.0
+    assert jaccard_tokens("a b", "c d") == 0.0
+    assert jaccard_tokens("a b c", "b c d") == 0.5

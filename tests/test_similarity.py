@@ -1,0 +1,62 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from blockchainspider_ray.stages.similarity import IVFIndex, brute_force_topk, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(5)
+    # 3 well-separated clusters so IVF recall is meaningful
+    centers = rng.normal(size=(3, 32)) * 4
+    vecs = np.concatenate(
+        [centers[i % 3] + rng.normal(size=32) for i in range(300)]
+    ).reshape(300, 32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    return ray.data.from_arrow(t), vecs
+
+
+def test_brute_force_topk_exact(emb_ds):
+    ds, vecs = emb_ds
+    q_ids = np.array([0, 1])
+    res = brute_force_topk(ds, q_ids, vecs[:2], k=5).to_pandas()
+    assert set(res["query_id"]) == {0, 1}
+    assert (res.groupby("query_id").size() == 5).all()
+    # verify against plain numpy
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in (0, 1):
+        sims = v @ v[q]
+        sims[q] = -np.inf
+        want = set(np.argsort(-sims)[:5].tolist())
+        got = set(res[res["query_id"] == q]["neighbor_id"].tolist())
+        assert got == want
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(100, 8))
+    c1 = kmeans_fit(v, 4)
+    c2 = kmeans_fit(v, 4)
+    assert np.allclose(c1, c2)
+
+
+def test_ivf_recall(emb_ds):
+    ds, vecs = emb_ds
+    q_ids = np.arange(5)
+    exact = brute_force_topk(ds, q_ids, vecs[:5], k=5).to_pandas()
+    idx = IVFIndex(n_clusters=6, nprobe=2).build(ds)
+    approx = idx.search(q_ids, vecs[:5], k=5).to_pandas()
+    recalls = []
+    for q in q_ids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.8

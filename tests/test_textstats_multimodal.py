@@ -1,0 +1,87 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from blockchainspider_ray.stages.multimodal import (
+    DecodeImageStage,
+    FrameSampleStage,
+    ImageFeatureStage,
+    make_fake_image,
+)
+from blockchainspider_ray.stages.textstats import (
+    FingerprintStage,
+    LangIdStage,
+    predict_lang,
+    rolling_fingerprints,
+)
+
+
+def test_predict_lang():
+    assert predict_lang("the cat is in the house and it is lazy for now") == "en"
+    assert predict_lang("der hund ist nicht mit der katze und das ist gut") == "de"
+    assert predict_lang("这是一个中文测试页面内容很多") == "zh"
+    assert predict_lang("") == ""
+
+
+def test_rolling_fingerprints_deterministic_and_shift_invariant_tail():
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    a = rolling_fingerprints(t)
+    b = rolling_fingerprints(t)
+    assert a == b and len(a) == 4
+    assert rolling_fingerprints("short text") == rolling_fingerprints("short text")
+    assert rolling_fingerprints("") == []
+
+
+def test_stages_over_ray():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the cat is in the house and it is big", "der hund ist nicht hier und das"],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    langs = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=1).take_all()
+    assert [r["lang_pred"] for r in sorted(langs, key=lambda r: r["doc_id"])] == ["en", "de"]
+    fps = ds.map_batches(FingerprintStage, batch_format="pyarrow", concurrency=1).take_all()
+    assert all(len(r["fingerprints"]) >= 1 for r in fps)
+
+
+def test_decode_image_stub_raises():
+    t = pa.table({"image_id": [1], "image": [make_fake_image(4, 4)]})
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(codec="stub")(t)
+
+
+def test_decode_image_fake_pipeline():
+    imgs = pa.table(
+        {
+            "image_id": pa.array([1, 2, 3], pa.int64()),
+            "image": pa.array(
+                [make_fake_image(8, 6, 3, seed=i) for i in range(3)], pa.binary()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(imgs)
+    out = ds.map_batches(
+        DecodeImageStage(codec="fake"), batch_format="pyarrow", batch_size=2
+    ).take_all()
+    assert len(out) == 3
+    for r in out:
+        assert (r["width"], r["height"], r["channels"]) == (8, 6, 3)
+        assert 0 <= r["mean_luma"] <= 255
+        assert "image" not in r  # payload dropped
+
+    feats = ds.map_batches(
+        ImageFeatureStage(codec="fake"), batch_format="pyarrow", batch_size=2
+    ).take_all()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_frame_sampling():
+    video = b"".join(make_fake_image(4, 4, 3, seed=i) for i in range(6))
+    t = pa.table({"video_id": pa.array([7], pa.int64()), "video": pa.array([video], pa.binary())})
+    out = FrameSampleStage(codec="fake", every=2)(t)
+    assert out.column("frame_index").to_pylist() == [0, 2, 4]
+    assert out.column("video_id").to_pylist() == [7, 7, 7]
