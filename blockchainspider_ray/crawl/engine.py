@@ -50,6 +50,16 @@ from ..state.seen import SeenSet
 from ..strategies import extract_mass, load_strategy, restore_mass
 
 
+def _concat_blocks(tables: List[pa.Table]) -> pa.Table:
+    """Concat Dataset blocks, tolerating the zero-column empty blocks that
+    fully-filtered parquet read tasks emit (their schema can't unify)."""
+    parts = [t for t in tables if t.num_columns > 0]
+    if not parts:
+        return pa.table({})
+    nonempty = [t for t in parts if t.num_rows > 0]
+    return pa.concat_tables(nonempty) if nonempty else parts[0].slice(0, 0)
+
+
 @dataclass
 class CrawlConfig:
     strategy: str = "bfs"
@@ -216,7 +226,9 @@ class CrawlEngine:
             )
             edges = extract_links_stage(pages, include_scripts=self.config.include_scripts)
             return pages, texts, edges
-        ds = self.store.lookup(urls)
+        # materialize the lookup once: parse stages then reuse the object-store
+        # blocks instead of re-running the parquet scan per derived dataset
+        ds = self.store.lookup(urls).materialize()
         text_ds = ds.map_batches(
             extract_text_stage, batch_format="pyarrow", batch_size=self.config.batch_size
         )
@@ -225,12 +237,11 @@ class CrawlEngine:
             batch_format="pyarrow",
             batch_size=self.config.batch_size,
         )
-        # materialize pages once (needed for the push step's adjacency)
-        pages = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
-        texts = pa.concat_tables(
+        pages = _concat_blocks([ray.get(r) for r in ds.to_arrow_refs()])
+        texts = _concat_blocks(
             [pa.table(b) for b in text_ds.iter_batches(batch_format="pyarrow", batch_size=8192)]
         )
-        edges = pa.concat_tables(
+        edges = _concat_blocks(
             [pa.table(b) for b in edge_ds.iter_batches(batch_format="pyarrow", batch_size=8192)]
         )
         return pages, texts, edges

@@ -78,10 +78,14 @@ class PageStore:
         parts = self.partitions_for(urls)
         paths = self._partition_files(parts.tolist())
         flt = pc.field("url").isin(urls)
+        # partitioning=None: the part=<k>/ layout is a physical bucketing key,
+        # not a logical hive column — inferring it would bolt a `part` column
+        # onto some blocks and break schema unification downstream.
         return ray.data.read_parquet(
             paths,
             filter=flt,
             columns=columns,
+            partitioning=None,
             override_num_blocks=None if parallelism <= 0 else parallelism,
         )
 

@@ -1,0 +1,150 @@
+"""Join operators Ray Data lacks natively: broadcast as-of and range joins.
+
+The reference has no range/as-of joins (SURVEY.md §2.5 — its closest is a
+timestamp-window predicate, middlewares/txs/tronscan/trx_trc10.py:134-136),
+but a training-data pipeline needs them, so they are first-class here.
+
+Both are **broadcast** implementations: the small (dimension) side ships
+once via ``ray.put`` and every map_batches task probes it vectorized
+(np.searchsorted per key group) — no all-to-all shuffle.  The documented
+partitioning assumption: the right side fits in one worker heap
+(dimension-table-sized, ≤ a few GB).  For two large sides, pre-bucket both
+by key hash and run this same kernel per bucket pair.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+class AsofJoinIndex:
+    """Right side of an as-of join: per-key sorted timestamps + payloads.
+
+    ``lookup(keys, times)`` returns, per row, the index of the latest right
+    row with ``right_time <= time`` for the same key (-1 when none) —
+    backward as-of semantics.
+    """
+
+    def __init__(self, keys: np.ndarray, times: np.ndarray, payload: Dict[str, np.ndarray]):
+        order = np.lexsort((times, keys))
+        self.keys = keys[order]
+        self.times = times[order]
+        self.payload = {c: v[order] for c, v in payload.items()}
+        # key -> slice bounds in the sorted arrays
+        uniq, starts = np.unique(self.keys, return_index=True)
+        self.bounds: Dict[int, tuple] = {}
+        for i, k in enumerate(uniq):
+            end = starts[i + 1] if i + 1 < len(starts) else len(self.keys)
+            self.bounds[int(k)] = (int(starts[i]), int(end))
+
+    def lookup(self, keys: np.ndarray, times: np.ndarray) -> np.ndarray:
+        out = np.full(len(keys), -1, dtype=np.int64)
+        for i, (k, t) in enumerate(zip(keys, times)):
+            b = self.bounds.get(int(k))
+            if b is None:
+                continue
+            lo, hi = b
+            j = int(np.searchsorted(self.times[lo:hi], t, side="right"))
+            if j > 0:
+                out[i] = lo + j - 1
+        return out
+
+
+def asof_join_broadcast(
+    left: "ray.data.Dataset",
+    right: pa.Table,
+    left_key: str,
+    left_time: str,
+    right_key: str,
+    right_time: str,
+    right_value_cols: list,
+    suffix: str = "",
+) -> "ray.data.Dataset":
+    """left rows + columns of the latest right row with
+    ``right_time <= left_time`` per key (nulls when no match)."""
+    idx = AsofJoinIndex(
+        right.column(right_key).to_numpy().astype(np.int64),
+        right.column(right_time).to_numpy().astype("datetime64[us]").astype(np.int64),
+        {c: right.column(c).to_numpy(zero_copy_only=False) for c in [right_time] + right_value_cols},
+    )
+    idx_ref = ray.put(idx)
+    out_time_col = f"{right_time}{suffix}"
+
+    class Probe:
+        def __init__(self):
+            self.idx: AsofJoinIndex = ray.get(idx_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column(left_key).to_numpy().astype(np.int64)
+            times = b.column(left_time).to_numpy().astype("datetime64[us]").astype(np.int64)
+            pos = self.idx.lookup(keys, times)
+            hit = pos >= 0
+            safe = np.where(hit, pos, 0)
+            matched_t = self.idx.payload[right_time][safe].astype("datetime64[us]")
+            b = b.append_column(
+                out_time_col,
+                pa.array(
+                    [t if h else None for t, h in zip(matched_t.tolist(), hit)],
+                    pa.timestamp("us"),
+                ),
+            )
+            for c in right_value_cols:
+                vals = self.idx.payload[c][safe]
+                b = b.append_column(
+                    f"{c}{suffix}",
+                    pa.array([v if h else None for v, h in zip(vals.tolist(), hit)]),
+                )
+            return b
+
+    return left.map_batches(Probe, batch_format="pyarrow", concurrency=1)
+
+
+def range_join_count(
+    left: "ray.data.Dataset",
+    right: pa.Table,
+    key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    window_days: int,
+    out_col: str = "n_in_range",
+) -> "ray.data.Dataset":
+    """Per left row: count right rows with the same key whose time falls in
+    ``[left_time, left_time + window_days)`` — an equi-key + range-predicate
+    join (broadcast small right side, searchsorted per batch)."""
+    r_keys = right.column(right_key).to_numpy().astype(np.int64)
+    r_times = right.column(right_time).to_numpy().astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((r_times, r_keys))
+    r_keys, r_times = r_keys[order], r_times[order]
+    uniq, starts = np.unique(r_keys, return_index=True)
+    bounds = {
+        int(k): (int(starts[i]), int(starts[i + 1]) if i + 1 < len(starts) else len(r_keys))
+        for i, k in enumerate(uniq)
+    }
+    ref = ray.put((r_times, bounds))
+    window_us = np.int64(window_days) * 86_400_000_000
+
+    class Probe:
+        def __init__(self):
+            self.r_times, self.bounds = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column(key).to_numpy().astype(np.int64)
+            times = b.column(left_time).to_numpy().astype("datetime64[us]").astype(np.int64)
+            counts = np.zeros(len(keys), dtype=np.int64)
+            for i, (k, t) in enumerate(zip(keys, times)):
+                bd = self.bounds.get(int(k))
+                if bd is None:
+                    continue
+                lo, hi = bd
+                seg = self.r_times[lo:hi]
+                counts[i] = np.searchsorted(seg, t + window_us, side="left") - np.searchsorted(
+                    seg, t, side="left"
+                )
+            return b.append_column(out_col, pa.array(counts, pa.int64()))
+
+    return left.map_batches(Probe, batch_format="pyarrow", concurrency=1)
