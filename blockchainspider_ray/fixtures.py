@@ -194,14 +194,42 @@ def doc_html(doc_id: int, text: str) -> str:
     )
 
 
+def crawl_doc_url(d: int) -> str:
+    """Canonical crawl-store url of document d."""
+    return f"http://site{d % 10}.example/d/{d}"
+
+
+def crawl_doc_html(d: int, n_docs: int, text: str) -> str:
+    """Deterministic crawl-store page for document d: every in-corpus link
+    resolves to the target's canonical host (unlike :func:`doc_html`, whose
+    SQL-mirrored template is pinned by DOC_HTML_SQL), giving the crawl
+    engine a connected graph: multiplicative + successor links cover the
+    corpus from any seed."""
+    h = hashlib.md5(str(d).encode()).hexdigest()
+    t1, t2, t3 = (d * 7 + 1) % n_docs, (d * 13 + 3) % n_docs, (d + 1) % n_docs
+    return (
+        f"<html><head><title>Doc {d}</title>"
+        "<style>p{margin:0}</style></head><body>"
+        f"<p>{text}</p>"
+        f'<a href="{crawl_doc_url(t1)}">n1</a>'
+        f'<a href="{crawl_doc_url(t2)}?b=2&a=1#frag">n2</a>'
+        f'<a href="/d/{t3}">rel</a>'
+        f'<a href="http://dangling{d % 5}.example/x/{d}">off-corpus</a>'
+        f'<script src="http://cdn{d % 3}.example/app.js"></script>'
+        f'<script>var addr="0x{h}{h[:8]}";</script>'
+        "</body></html>"
+    )
+
+
 def pages_from_documents(documents: pa.Table) -> pa.Table:
     """Derive a deterministic page table (input_hint schema) from the driver's
-    `documents` table — html via :func:`doc_html`, url keyed by doc_id."""
+    `documents` table — html via :func:`crawl_doc_html`, url keyed by doc_id."""
     doc_ids = documents.column("doc_id").to_pylist()
     texts = documents.column("text").to_pylist()
     langs = documents.column("lang").to_pylist()
-    urls = [f"http://site{d % 10}.example/d/{d}" for d in doc_ids]
-    htmls = [doc_html(d, t).encode("utf-8") for d, t in zip(doc_ids, texts)]
+    n_docs = len(doc_ids)
+    urls = [crawl_doc_url(d) for d in doc_ids]
+    htmls = [crawl_doc_html(d, n_docs, t).encode("utf-8") for d, t in zip(doc_ids, texts)]
     ts_ms = [int(EPOCH.timestamp() * 1000) + int(d) * 1000 for d in doc_ids]
     return pa.table(
         {

@@ -186,7 +186,7 @@ def flatten_traces_batch(batch: pa.Table) -> pa.Table:
                 "from_addr": pa.array([], pa.string()),
                 "to_addr": pa.array([], pa.string()),
                 "value": pa.array([], pa.int64()),
-                "depth": pa.array([], pa.int32()),
+                "depth": pa.array([], pa.int64()),
             }
         )
     return pa.table(
@@ -197,7 +197,7 @@ def flatten_traces_batch(batch: pa.Table) -> pa.Table:
             "from_addr": pa.array([r["from_addr"] for r in rows], pa.string()),
             "to_addr": pa.array([r["to_addr"] for r in rows], pa.string()),
             "value": pa.array([r["value"] for r in rows], pa.int64()),
-            "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+            "depth": pa.array([r["depth"] for r in rows], pa.int64()),
         }
     )
 

@@ -586,6 +586,363 @@ def q_embedding_norms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# scheduler / window / join operator family
+# ---------------------------------------------------------------------------
+
+def q_politeness_admission(sf_dir: str):
+    """Per-host politeness admission (budget 5/host): the groupby(host)
+    shuffle + within-host rank that gates every crawl round (reference rate
+    limiter semantics utils/bucket.py:122-152, generalized per SURVEY.md
+    §4.1).  Distributed as groupby(host).map_groups — a host's decisions
+    need only that host's rows."""
+    from ..stages.politeness import admit_per_host_table
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def frontier(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": pa.array([f"site{i % 10}.example" for i in ids], pa.string()),
+                "priority": pa.array((ids * 37) % 997, pa.int64()),
+            }
+        )
+
+    def admit(group: pa.Table) -> pa.Table:
+        group = group.sort_by("doc_id")  # arrival order: stable tie-break
+        admitted, _ = admit_per_host_table(group, budget=5)
+        return admitted
+
+    out = (
+        docs.map_batches(frontier, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(admit, batch_format="pyarrow")
+    )
+    return out.sort(["host", "priority", "doc_id"], descending=[False, True, False]).select_columns(
+        ["host", "doc_id", "priority"]
+    )
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day window aggregate per event_type (streaming-window
+    operator; the reference's per-key sync windows SURVEY.md §2.10 become
+    time buckets + groupby in BSP form)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.string()),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow").sort(
+        ["day", "event_type"]
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event picks the latest order of its user
+    with o_orderdate <= ts (broadcast right side + per-key searchsorted;
+    operator Ray Data lacks, stages/joins.py)."""
+    from ..stages.joins import asof_join_broadcast
+
+    orders = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .to_pandas()
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array(orders["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderdate": pa.array(orders["o_orderdate"], pa.timestamp("us")),
+        }
+    )
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    joined = asof_join_broadcast(
+        events,
+        right,
+        left_key="user_id",
+        left_time="ts",
+        right_key="o_custkey",
+        right_time="o_orderdate",
+        right_value_cols=[],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "last_order_date": b.column("o_orderdate"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def q_range_join(sf_dir: str):
+    """Equi-key + time-range join: per order, count its lineitems shipped
+    within [o_orderdate, o_orderdate + 60d) (stages/joins.py broadcast
+    kernel; the reference's closest op is the timestamp-window predicate,
+    trx_trc10.py:134-136)."""
+    from ..stages.joins import range_join_count
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    right = pa.table(
+        {
+            "l_orderkey": pa.array(line["l_orderkey"].to_numpy(), pa.int64()),
+            "l_shipdate": pa.array(line["l_shipdate"], pa.timestamp("us")),
+        }
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    out = range_join_count(
+        orders,
+        right,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        window_days=60,
+    )
+    return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# blockchain-ETL normalizer family over synthetic records
+# ---------------------------------------------------------------------------
+
+def q_transfer_normalize(sf_dir: str):
+    """The etherscan-transfer normalizer (reference external.py:121-148):
+    lowercase parties, zero-address fill, md5 identity id."""
+    from ..functions.etl import normalize_transfers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def raw(b: pa.Table) -> pa.Table:
+        eids = b.column("event_id").to_numpy()
+        uids = b.column("user_id").to_numpy()
+        vals = b.column("value").to_numpy()
+        return pa.table(
+            {
+                "from": pa.array(
+                    [None if u % 7 == 0 else f"0xUSER{u}" for u in uids], pa.string()
+                ),
+                "to": pa.array([f"0xPeer{(u * 13 + e) % 50}" for u, e in zip(uids, eids)], pa.string()),
+                "value": pa.array([f"{v:.2f}" for v in vals], pa.string()),
+                "hash": pa.array([f"TX{e}" for e in eids], pa.string()),
+            }
+        )
+
+    return ds.map_batches(raw, batch_format="pyarrow").map_batches(
+        normalize_transfers, batch_format="pyarrow"
+    ).sort("id")
+
+
+def q_token_decode(sf_dir: str):
+    """Token-event decoding: dispatch on topics[0], word->address, hex->dec
+    (reference middlewares/trans/token.py:35-236, utils/web3.py:74-102)."""
+    from ..functions.etl import (
+        TOPIC_APPROVAL,
+        TOPIC_TRANSFER,
+        decode_token_events,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def synth_logs(b: pa.Table) -> pa.Table:
+        eids = b.column("event_id").to_numpy()
+        uids = b.column("user_id").to_numpy()
+        topics, datas, hashes, lis = [], [], [], []
+        for e, u in zip(eids, uids):
+            a_from = hashlib.md5(str(u).encode()).hexdigest()
+            a_to = hashlib.md5(str((u * 13 + e) % 50).encode()).hexdigest()
+            t0 = (
+                TOPIC_TRANSFER
+                if e % 3 == 0
+                else TOPIC_APPROVAL
+                if e % 3 == 1
+                else "0x" + "de" * 32
+            )
+            topics.append(
+                [
+                    t0,
+                    "0x" + "0" * 24 + a_from + a_from[:8],
+                    "0x" + "0" * 24 + a_to + a_to[:8],
+                ]
+            )
+            datas.append(f"0x{e * 3 + 5:x}")
+            hashes.append(f"TX{e}")
+            lis.append(int(e))
+        return pa.table(
+            {
+                "hash": pa.array(hashes, pa.string()),
+                "log_index": pa.array(lis, pa.int64()),
+                "topics": pa.array(topics, pa.list_(pa.string())),
+                "data": pa.array(datas, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth_logs, batch_format="pyarrow")
+        .map_batches(decode_token_events, batch_format="pyarrow")
+        .sort("log_index")
+    )
+
+
+def q_trace_flatten(sf_dir: str):
+    """Trace-tree flattening: recursive callTracer JSON -> rows with
+    trace_id='depth_order' (reference middlewares/trans/trace.py:62-125)."""
+    import json as _json
+
+    from ..functions.etl import flatten_traces_batch
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+
+    def synth_traces(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy()
+        hashes, jsons = [], []
+        for k in keys:
+            k = int(k)
+            trace = {
+                "type": "CALL",
+                "from": f"0xfrom{k}",
+                "to": f"0xto{k}",
+                "value": f"0x{k * 2:x}",
+                "calls": [
+                    {
+                        "type": "STATICCALL",
+                        "from": f"0xto{k}",
+                        "to": f"0xc1{k}",
+                        "value": f"0x{k * 3:x}",
+                        "calls": [
+                            {
+                                "type": "DELEGATECALL",
+                                "from": f"0xc1{k}",
+                                "to": f"0xg{k}",
+                                "value": f"0x{k * 5:x}",
+                            }
+                        ],
+                    },
+                    {
+                        "type": "CALL",
+                        "from": f"0xto{k}",
+                        "to": f"0xc2{k}",
+                        "value": f"0x{k * 7:x}",
+                    },
+                ],
+            }
+            hashes.append(f"T{k}")
+            jsons.append(_json.dumps(trace))
+        return pa.table(
+            {"hash": pa.array(hashes, pa.string()), "trace_json": pa.array(jsons, pa.string())}
+        )
+
+    return (
+        ds.map_batches(synth_traces, batch_format="pyarrow")
+        .map_batches(flatten_traces_batch, batch_format="pyarrow")
+        .sort(["transaction_hash", "trace_id"])
+    )
+
+
+def q_parse_props(sf_dir: str):
+    """JSON side-band parse + aggregate (reference json payload parsing,
+    external.py:115; nested JSON columns SURVEY.md §1.2)."""
+    from ..functions.etl import parse_json_props
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    agg = (
+        ds.map_batches(parse_json_props, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Mean("props_k", alias_name="mean_k"), Count(alias_name="n"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "mean_k", 4), batch_format="pyarrow").sort(
+        "event_type"
+    )
+
+
+def q_binary_meta(sf_dir: str):
+    """Multimodal plumbing over an opaque binary column: byte length, md5
+    digest, 256-byte chunk count — payload dropped as soon as metadata is
+    derived (stages/multimodal.py scale rule)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in b.column("text").to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    def meta(b: pa.Table) -> pa.Table:
+        payloads = [bytes(p) for p in b.column("payload").to_pylist()]
+        n_bytes = [len(p) for p in payloads]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "digest": pa.array([hashlib.md5(p).hexdigest() for p in payloads], pa.string()),
+                "n_chunks": pa.array([(n + 255) // 256 for n in n_bytes], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(to_binary, batch_format="pyarrow", batch_size=256)
+        .map_batches(meta, batch_format="pyarrow", batch_size=256)
+        .sort("doc_id")
+    )
+
+
+def q_embedding_knn(sf_dir: str):
+    """Embedding-cosine nearest neighbour (top-1) for vec_id < 100 — the
+    embedding near-dup primitive: broadcast normalized corpus, per-batch
+    matmul + argmax."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    corpus = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    c_ids = corpus["vec_id"].to_numpy()
+    c_mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    ref = ray.put((c_ids, c_mat))
+
+    class NN:
+        def __init__(self):
+            self.c_ids, self.c = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy()
+            m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ self.c.T  # (batch, corpus)
+            # mask self-matches, then first-max = smallest nn_id tie-break
+            for r, vid in enumerate(ids):
+                self_pos = np.searchsorted(self.c_ids, vid)
+                if self_pos < len(self.c_ids) and self.c_ids[self_pos] == vid:
+                    sims[r, self_pos] = -np.inf
+            best = sims.argmax(axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "nn_id": pa.array(self.c_ids[best], pa.int64()),
+                    "sim": pa.array(sims[np.arange(len(ids)), best], pa.float64()),
+                }
+            )
+
+    out = emb.filter(expr="vec_id < 100").map_batches(NN, batch_format="pyarrow", concurrency=1)
+    return out.map_batches(lambda b: _round_col(b, "sim", 4), batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL mirrors
 # ---------------------------------------------------------------------------
 
@@ -747,6 +1104,123 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) AS n_vecs
         FROM embeddings GROUP BY label ORDER BY label
     """,
+    "politeness_admission": """
+        WITH f AS (
+            SELECT doc_id,
+                   'site' || (doc_id % 10) || '.example' AS host,
+                   (doc_id * 37) % 997                   AS priority
+            FROM documents
+        )
+        SELECT host, doc_id, priority FROM f
+        QUALIFY row_number() OVER (PARTITION BY host
+                                   ORDER BY priority DESC, doc_id) <= 5
+        ORDER BY host, priority DESC, doc_id
+    """,
+    "events_window": """
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               event_type,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    "asof_join": """
+        SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+    "range_join": """
+        SELECT o.o_orderkey, count(l.l_orderkey) AS n_in_range
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+    "transfer_normalize": """
+        WITH raw AS (
+            SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                        ELSE '0xUSER' || user_id END          AS from_raw,
+                   '0xPeer' || ((user_id * 13 + event_id) % 50) AS to_raw,
+                   printf('%.2f', value)                       AS value_s,
+                   'TX' || event_id                            AS hash
+            FROM events
+        ), norm AS (
+            SELECT lower(coalesce(from_raw,
+                     '0x0000000000000000000000000000000000000000')) AS from_addr,
+                   lower(to_raw)                                    AS to_addr,
+                   value_s, hash
+            FROM raw
+        )
+        SELECT md5(concat_ws('_', from_addr, to_addr, value_s, hash)) AS id,
+               from_addr, to_addr,
+               CAST(value_s AS DOUBLE) AS value, hash
+        FROM norm ORDER BY id
+    """,
+    "token_decode": """
+        WITH a AS (
+            SELECT event_id, user_id,
+                   md5(CAST(user_id AS VARCHAR))                        AS h_from,
+                   md5(CAST((user_id * 13 + event_id) % 50 AS VARCHAR)) AS h_to
+            FROM events WHERE event_id % 3 < 2
+        )
+        SELECT 'TX' || event_id AS hash,
+               event_id         AS log_index,
+               CASE WHEN event_id % 3 = 0 THEN 'transfer' ELSE 'approval' END AS action,
+               '0x' || h_from || substr(h_from, 1, 8) AS from_addr,
+               '0x' || h_to   || substr(h_to, 1, 8)   AS to_addr,
+               event_id * 3 + 5 AS value
+        FROM a ORDER BY log_index
+    """,
+    "trace_flatten": """
+        WITH t AS (
+            SELECT 'T' || o_orderkey AS transaction_hash, '0_0' AS trace_id,
+                   'CALL' AS trace_type, '0xfrom' || o_orderkey AS from_addr,
+                   '0xto' || o_orderkey AS to_addr, o_orderkey * 2 AS value,
+                   0 AS depth
+            FROM orders
+            UNION ALL
+            SELECT 'T' || o_orderkey, '1_1', 'STATICCALL', '0xto' || o_orderkey,
+                   '0xc1' || o_orderkey, o_orderkey * 3, 1 FROM orders
+            UNION ALL
+            SELECT 'T' || o_orderkey, '2_2', 'DELEGATECALL', '0xc1' || o_orderkey,
+                   '0xg' || o_orderkey, o_orderkey * 5, 2 FROM orders
+            UNION ALL
+            SELECT 'T' || o_orderkey, '1_3', 'CALL', '0xto' || o_orderkey,
+                   '0xc2' || o_orderkey, o_orderkey * 7, 1 FROM orders
+        )
+        SELECT * FROM t ORDER BY transaction_hash, trace_id
+    """,
+    "parse_props": """
+        SELECT event_type,
+               round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS mean_k,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "binary_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text)                  AS digest,
+               CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+        FROM documents ORDER BY doc_id
+    """,
+    "embedding_knn": """
+        WITH q AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 100
+        ),
+        scored AS (
+            SELECT q.vec_id AS vec_id, e.vec_id AS nn_id,
+                   list_cosine_similarity(q.v, CAST(e.embedding AS DOUBLE[])) AS sim
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.vec_id
+        )
+        SELECT vec_id, nn_id, round(sim, 4) AS sim FROM scored
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1
+        ORDER BY vec_id
+    """,
 }
 
 
@@ -772,6 +1246,16 @@ SQL_QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
     "embedding_norms": q_embedding_norms,
+    "politeness_admission": q_politeness_admission,
+    "events_window": q_events_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "transfer_normalize": q_transfer_normalize,
+    "token_decode": q_token_decode,
+    "trace_flatten": q_trace_flatten,
+    "parse_props": q_parse_props,
+    "binary_meta": q_binary_meta,
+    "embedding_knn": q_embedding_knn,
 }
 
 
@@ -892,7 +1376,7 @@ def _crawl_store_for(sf_dir: str) -> str:
     from ..fixtures import pages_from_documents, write_pages_store
     import pyarrow.parquet as _pq
 
-    key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    key = _hl.md5(f"{sf_dir}|v2".encode()).hexdigest()[:10]  # v-tag busts stale /tmp caches
     store = f"/tmp/bcs_ray_pages_{key}"
     if not (Path(store) / "_MANIFEST").exists():
         docs = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
@@ -933,11 +1417,21 @@ def _run_crawl(sf_dir: str, strategy: str, **strategy_kwargs):
 def q_crawl_bfs(sf_dir: str):
     """Flagship: BFS web crawl over the documents-derived page store with
     politeness budget 4/host/round and a sharded cuckoo seen set."""
-    return _run_crawl(sf_dir, "bfs", depth=3)
+    return _run_crawl(sf_dir, "bfs", depth=8)
 
 
 def q_crawl_haircut(sf_dir: str):
     return _run_crawl(sf_dir, "haircut", min_weight=1e-4)
+
+
+def q_crawl_appr(sf_dir: str):
+    """Push-based personalized-PageRank frontier (reference appr.py)."""
+    return _run_crawl(sf_dir, "appr", alpha=0.15, epsilon=1e-5)
+
+
+def q_crawl_ttr_weight(sf_dir: str):
+    """TTR weight-ranked frontier (reference ttr.py:102-161)."""
+    return _run_crawl(sf_dir, "ttr_weight", alpha=0.15, beta=0.8, epsilon=1e-4)
 
 
 NOSQL_QUERIES = {
@@ -949,4 +1443,6 @@ NOSQL_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "crawl_bfs": q_crawl_bfs,
     "crawl_haircut": q_crawl_haircut,
+    "crawl_appr": q_crawl_appr,
+    "crawl_ttr_weight": q_crawl_ttr_weight,
 }

@@ -1,0 +1,148 @@
+"""Unit tests for the ETL normalizer family and broadcast as-of/range joins."""
+
+import numpy as np
+import pyarrow as pa
+
+from blockchainspider_ray.functions.etl import (
+    TOPIC_TRANSFER,
+    ZERO_ADDRESS,
+    decode_token_events,
+    flatten_trace_tree,
+    hex_to_dec,
+    normalize_transfers,
+    parse_json_props,
+    split_to_words,
+    synth_transfer_id,
+    word_to_address,
+)
+
+
+def test_scalar_converters():
+    assert hex_to_dec("0x1a") == 26
+    assert hex_to_dec("1a") == 26
+    assert hex_to_dec(None) == 0 and hex_to_dec("") == 0
+    word = "0x" + "0" * 24 + "AB" * 20
+    assert word_to_address(word) == "0x" + "ab" * 20
+    assert word_to_address(None) == ZERO_ADDRESS
+    assert split_to_words("0x" + "11" * 32 + "22" * 32) == [
+        "0x" + "11" * 32,
+        "0x" + "22" * 32,
+    ]
+    assert split_to_words(None) == []
+
+
+def test_normalize_transfers_zero_fill_and_id():
+    batch = pa.table(
+        {
+            "from": pa.array([None, "0xABC"], pa.string()),
+            "to": pa.array(["0xDeF", "0xghi"], pa.string()),
+            "value": pa.array(["1.50", "2.25"], pa.string()),
+            "hash": pa.array(["h1", "h2"], pa.string()),
+        }
+    )
+    out = normalize_transfers(batch)
+    assert out.column("from_addr").to_pylist() == [ZERO_ADDRESS, "0xabc"]
+    assert out.column("to_addr").to_pylist() == ["0xdef", "0xghi"]
+    # id synthesized from the NORMALIZED fields, deterministic
+    assert out.column("id")[0].as_py() == synth_transfer_id(ZERO_ADDRESS, "0xdef", "1.50", "h1")
+    assert out.column("value").to_pylist() == [1.5, 2.25]
+
+
+def test_decode_token_events_dispatch():
+    addr_word = "0x" + "0" * 24 + "aa" * 20
+    batch = pa.table(
+        {
+            "hash": pa.array(["t1", "t2"], pa.string()),
+            "log_index": pa.array([0, 1], pa.int64()),
+            "topics": pa.array(
+                [[TOPIC_TRANSFER, addr_word, addr_word], ["0x" + "de" * 32, addr_word, addr_word]],
+                pa.list_(pa.string()),
+            ),
+            "data": pa.array(["0xff", "0x01"], pa.string()),
+        }
+    )
+    out = decode_token_events(batch)
+    # unknown topic dropped, transfer decoded
+    assert out.num_rows == 1
+    assert out.column("action")[0].as_py() == "transfer"
+    assert out.column("value")[0].as_py() == 255
+    assert out.column("from_addr")[0].as_py() == "0x" + "aa" * 20
+
+
+def test_flatten_trace_tree_depth_order_ids():
+    trace = {
+        "type": "CALL",
+        "from": "0xA",
+        "to": "0xB",
+        "value": "0x2",
+        "calls": [
+            {"type": "STATICCALL", "value": "0x3", "calls": [{"type": "DELEGATECALL", "value": "0x5"}]},
+            {"type": "CALL", "value": "0x7"},
+        ],
+    }
+    rows = flatten_trace_tree("tx", trace)
+    assert [(r["trace_id"], r["trace_type"], r["value"]) for r in rows] == [
+        ("0_0", "CALL", 2),
+        ("1_1", "STATICCALL", 3),
+        ("2_2", "DELEGATECALL", 5),
+        ("1_3", "CALL", 7),
+    ]
+    assert rows[0]["from_addr"] == "0xa"  # lowercased
+    assert rows[1]["from_addr"] == ZERO_ADDRESS  # missing party zero-filled
+
+
+def test_parse_json_props_malformed_is_null():
+    batch = pa.table({"props": pa.array(['{"k": 7}', "not json", None], pa.string())})
+    out = parse_json_props(batch)
+    assert out.column("props_k").to_pylist() == [7, None, None]
+
+
+def test_asof_join_index_backward_semantics():
+    from blockchainspider_ray.stages.joins import AsofJoinIndex
+
+    keys = np.array([1, 1, 2], dtype=np.int64)
+    times = np.array([10, 20, 15], dtype=np.int64)
+    idx = AsofJoinIndex(keys, times, {"v": np.array([100, 200, 300])})
+    pos = idx.lookup(
+        np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        np.array([9, 10, 25, 14, 99], dtype=np.int64),
+    )
+    got = [int(idx.payload["v"][p]) if p >= 0 else None for p in pos]
+    # t=9: before everything -> None; t=10: inclusive match -> 100;
+    # t=25: latest is 20 -> 200; key 2 t=14: before 15 -> None; key 3: absent
+    assert got == [None, 100, 200, None, None]
+
+
+def test_range_join_count_dataset(ray_session):
+    import ray.data
+
+    from blockchainspider_ray.stages.joins import range_join_count
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "t": pa.array(
+                    [np.datetime64("2024-01-01", "us"), np.datetime64("2024-01-01", "us")],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "t": pa.array(
+                [
+                    np.datetime64("2024-01-01", "us"),  # in [t, t+2d)
+                    np.datetime64("2024-01-02", "us"),  # in
+                    np.datetime64("2024-01-03", "us"),  # out (exclusive end)
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = range_join_count(
+        left, right, key="k", right_key="k", left_time="t", right_time="t", window_days=2
+    ).to_pandas()
+    assert out.sort_values("k")["n_in_range"].tolist() == [2, 0]
