@@ -32,8 +32,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "150000"))
-STORE = f"/tmp/bcs_bench_store_{BENCH_PAGES}"
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
+# Common-Crawl-like page weight: ~8KB html (1KB toy pages measure scheduler
+# overhead, not parse throughput — see BASELINE.md scaling protocol)
+BENCH_PAGE_BYTES = int(os.environ.get("BENCH_PAGE_BYTES", "8192"))
+STORE = f"/tmp/bcs_bench_store_{BENCH_PAGES}_{BENCH_PAGE_BYTES}"
 
 
 def _warmup() -> None:
@@ -61,7 +64,14 @@ def _ensure_store() -> str:
     from blockchainspider_ray.fixtures import ensure_pages_store
 
     t0 = time.perf_counter()
-    ensure_pages_store(STORE, n_pages=BENCH_PAGES, seed=42, n_hosts=64, num_partitions=32)
+    ensure_pages_store(
+        STORE,
+        n_pages=BENCH_PAGES,
+        seed=42,
+        n_hosts=64,
+        num_partitions=32,
+        pad_to_bytes=BENCH_PAGE_BYTES,
+    )
     _log(f"store ready in {time.perf_counter() - t0:.1f}s: {STORE}")
     return STORE
 
@@ -70,25 +80,18 @@ def bulk_fetch_parse(store: str, out_dir: str) -> dict:
     """The headline: full-store fetch+parse round, streaming end to end."""
     import ray
 
-    from blockchainspider_ray.stages.parse import (
-        canonicalize_stage,
-        extract_links_stage,
-        extract_text_stage,
-    )
+    from blockchainspider_ray.stages.parse import extract_links_stage, parse_page_stage
 
     t0 = time.perf_counter()
     pages = ray.data.read_parquet(store)
     n_urls = pages.count()
 
-    # rows here are ~1 KB; 2048-row batches keep task count ~rows/2048 while a
-    # real multi-MB-html store would drop this to 64-256 (SURVEY.md §7.5#5)
-    text = (
-        pages.map_batches(canonicalize_stage, batch_format="pyarrow", batch_size=2048)
-        .map_batches(extract_text_stage, batch_format="pyarrow", batch_size=2048)
-    )
+    # ~8KB html rows -> 512-row batches (~4MB); a multi-MB-html store would
+    # drop this to 64-256 (SURVEY.md §7.5#5)
+    text = pages.map_batches(parse_page_stage, batch_format="pyarrow", batch_size=512)
     text.write_parquet(f"{out_dir}/text")
 
-    edges = pages.map_batches(extract_links_stage, batch_format="pyarrow", batch_size=256)
+    edges = pages.map_batches(extract_links_stage, batch_format="pyarrow", batch_size=512)
     n_edges = edges.count()
     wall = time.perf_counter() - t0
     return {

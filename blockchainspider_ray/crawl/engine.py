@@ -38,7 +38,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
-from ..functions.links import decode_html, extract_hrefs, extract_script_srcs
+from ..functions.links import decode_html
 from ..functions.text import extract_text
 from ..functions.urls import canonicalize_url, host_of, url_hash64
 from ..stages.fetch import PageStore
@@ -48,6 +48,22 @@ from ..stages.robots import RobotsCache
 from ..state.checkpoint import CheckpointManager
 from ..state.seen import SeenSet
 from ..strategies import extract_mass, load_strategy, restore_mass
+
+
+@ray.remote(num_cpus=1)
+def _parse_slice(pages: pa.Table, include_scripts: bool):
+    """Parse one slice of a round's pages (text + link edges) as a Ray task."""
+    texts = pa.table(
+        {
+            "url": pages.column("url"),
+            "text_extracted": pa.array(
+                [extract_text(decode_html(h)) for h in pages.column("html").to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+    edges = extract_links_stage(pages, include_scripts=include_scripts)
+    return texts, edges
 
 
 def _concat_blocks(tables: List[pa.Table]) -> pa.Table:
@@ -75,10 +91,12 @@ class CrawlConfig:
     seen_capacity: int = 1 << 20
     seen_backend: str = "cuckoo"
     seen_use_ray: bool = True
+    fetch_actors: int = 8  # persistent fetch-shard actors; 0 = task-per-round
     checkpoint_dir: Optional[str] = None
     out_dir: Optional[str] = None
     batch_size: int = 128  # html-bearing batches stay small (SURVEY §7.5#5)
     parse_threshold: int = 256  # rounds larger than this parse via Ray Data
+    stream_threshold: int = 100_000  # rounds larger than this stream from parquet
 
 
 @dataclass
@@ -106,6 +124,14 @@ class CrawlEngine:
         self._pending_seeds: List[str] = list(self.seeds)
         self.robots = RobotsCache(self.store, obey=config.obey_robots)
         self.ckpt = CheckpointManager(config.checkpoint_dir) if config.checkpoint_dir else None
+        self._fetch_pool = None
+
+    def _get_fetch_pool(self):
+        if self._fetch_pool is None and self.config.fetch_actors > 0 and ray.is_initialized():
+            from ..stages.fetch import FetchPool
+
+            self._fetch_pool = FetchPool(self.store, k=self.config.fetch_actors)
+        return self._fetch_pool
 
     # -- lifecycle --------------------------------------------------------
     def _init_state(self) -> None:
@@ -176,37 +202,40 @@ class CrawlEngine:
             self._arrival += 1
         return cands
 
-    def _edges_of_pages(self, pages: pa.Table) -> Dict[str, List[dict]]:
+    def _edges_of_pages(self, pages: pa.Table, edges: pa.Table) -> Dict[str, List[dict]]:
         """Per fetched page: its out-link edges mapped onto the strategy edge
         shape (from/to/value/timeStamp/symbol/hash; cf. reference
-        middlewares/txs/push_pop.py:10-41)."""
-        out: Dict[str, List[dict]] = {}
-        urls = pages.column("url").to_pylist()
-        htmls = pages.column("html").to_pylist()
-        ts = pages.column("warc_ts").to_pylist() if "warc_ts" in pages.column_names else [None] * len(urls)
-        for u, h, t in zip(urls, htmls, ts):
-            html = decode_html(h)
-            tstamp = int(t.timestamp()) if t is not None else 0
-            edges = []
-            refs = list(extract_hrefs(html))
-            if self.config.include_scripts:
-                refs += list(extract_script_srcs(html))
-            for i, href in enumerate(refs):
-                dst = canonicalize_url(href, base=u)
-                if dst is None:
-                    continue
-                edges.append(
-                    {
-                        "from": u,
-                        "to": dst,
-                        "value": 1.0,
-                        "timeStamp": tstamp,
-                        "symbol": "",
-                        "hash": f"{u}#{i}",
-                    }
-                )
-            out[u] = edges
+        middlewares/txs/push_pop.py:10-41).  Built from the already-parsed
+        ``edges`` table (src order = extraction order), not by re-parsing
+        html on the driver."""
+        ts_of: Dict[str, int] = {}
+        if "warc_ts" in pages.column_names:
+            for u, t in zip(pages.column("url").to_pylist(), pages.column("warc_ts").to_pylist()):
+                ts_of[u] = int(t.timestamp()) if t is not None else 0
+        out: Dict[str, List[dict]] = {u: [] for u in pages.column("url").to_pylist()}
+        counter: Dict[str, int] = {}
+        for src, dst in zip(edges.column("src_url").to_pylist(), edges.column("dst_url").to_pylist()):
+            i = counter.get(src, 0)
+            counter[src] = i + 1
+            out.setdefault(src, []).append(
+                {
+                    "from": src,
+                    "to": dst,
+                    "value": 1.0,
+                    "timeStamp": ts_of.get(src, 0),
+                    "symbol": "",
+                    "hash": f"{src}#{i}",
+                }
+            )
         return out
+
+    def _lookup(self, urls: List[str]) -> pa.Table:
+        if not ray.is_initialized() or len(urls) <= 8:
+            return self.store.lookup_table(urls)
+        pool = self._get_fetch_pool()
+        if pool is not None:
+            return pool.lookup(urls)
+        return self.store.lookup_parallel(urls)
 
     def _fetch_and_parse(self, urls: List[str]) -> Tuple[pa.Table, pa.Table, pa.Table]:
         """Returns (pages, text_table, edges_table) for the admitted urls.
@@ -214,7 +243,8 @@ class CrawlEngine:
         Small rounds take the direct Arrow path (no task overhead); large
         rounds stream through Ray Data map_batches stages."""
         if len(urls) <= self.config.parse_threshold:
-            pages = self.store.lookup_table(urls)
+            # small round: actor-pool / parallel lookup, inline parse
+            pages = self._lookup(urls)
             texts = pa.table(
                 {
                     "url": pages.column("url"),
@@ -226,8 +256,22 @@ class CrawlEngine:
             )
             edges = extract_links_stage(pages, include_scripts=self.config.include_scripts)
             return pages, texts, edges
-        # materialize the lookup once: parse stages then reuse the object-store
-        # blocks instead of re-running the parquet scan per derived dataset
+        if len(urls) <= self.config.stream_threshold:
+            # mid-size round: actor-pool lookup + per-slice parse tasks
+            # (plain Ray tasks — a Ray Data job per round would cost more in
+            # scheduling than the parse itself at this size)
+            pages = self._lookup(urls)
+            n = pages.num_rows
+            slice_rows = max(self.config.batch_size, 256)
+            refs = [
+                _parse_slice.remote(pages.slice(o, slice_rows), self.config.include_scripts)
+                for o in range(0, n, slice_rows)
+            ]
+            parts = ray.get(refs)
+            texts = _concat_blocks([t for t, _ in parts])
+            edges = _concat_blocks([e for _, e in parts])
+            return pages, texts, edges
+        # huge round: stream from the partition-pruned parquet scan
         ds = self.store.lookup(urls).materialize()
         text_ds = ds.map_batches(
             extract_text_stage, batch_format="pyarrow", batch_size=self.config.batch_size
@@ -340,7 +384,7 @@ class CrawlEngine:
             m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)
             m["edges"] = edges.num_rows
 
-            adjacency = self._edges_of_pages(pages)
+            adjacency = self._edges_of_pages(pages, edges)
             emitted = set()
             for cand in admitted:
                 if new_of.get(cand.url, True) and cand.url not in emitted:

@@ -95,31 +95,52 @@ def generate_pages(
     seed: int = 42,
     n_hosts: int = 20,
     skew_host_share: float = 0.3,
+    pad_to_bytes: int = 0,
+    start: int = 0,
+    end: Optional[int] = None,
 ) -> pa.Table:
-    """Build the deterministic synthetic web as an Arrow table."""
-    rng = np.random.default_rng(seed)
-    urls = [page_url(i, n_hosts, skew_host_share) for i in range(n_pages)]
-    # pre-draw all link targets in one vectorized call
-    degs = np.array([_out_degree(i) for i in range(n_pages)], dtype=np.int64)
-    all_targets = rng.integers(0, n_pages, size=int(degs.sum()))
-    ts_ms = (int(EPOCH.timestamp() * 1000) + np.arange(n_pages, dtype=np.int64) * 1000)
+    """Build (a slice of) the deterministic synthetic web as an Arrow table.
+
+    Every page is a pure function of (i, n_pages, seed) — link targets come
+    from a per-page hash, not a shared RNG stream — so ``[start, end)``
+    slices generated in parallel Ray tasks concatenate to exactly the
+    serial output.
+
+    ``pad_to_bytes`` > 0 pads each page's body with deterministic filler
+    sentences to roughly that html size — Common-Crawl pages are tens of
+    KB, and benchmarks on 1 KB toy pages measure scheduler overhead, not
+    parse throughput."""
+    if end is None:
+        end = n_pages
+    ts_ms = (int(EPOCH.timestamp() * 1000) + np.arange(start, end, dtype=np.int64) * 1000)
 
     htmls: List[bytes] = []
     texts: List[str] = []
-    off = 0
-    for i in range(n_pages):
-        deg = int(degs[i])
-        targets = all_targets[off : off + deg]
-        off += deg
+    urls: List[str] = []
+    for i in range(start, end):
+        urls.append(page_url(i, n_hosts, skew_host_share))
+        deg = _out_degree(i)
+        # per-page deterministic targets (no shared RNG stream)
+        targets = [
+            (i * 2654435761 + k * 40503 + seed * 97) % n_pages for k in range(deg)
+        ]
         anchors = []
         for k, t in enumerate(targets):
-            href = _href_variant(urls[int(t)], (i + k) % 5)
+            href = _href_variant(page_url(int(t), n_hosts, skew_host_share), (i + k) % 5)
             anchors.append(f'<a href="{href}">link {int(t)} from {i}</a>')
         # a relative link and a cycle link back to a neighbour page
         anchors.append(f'<a href="/p/{(i + 1) % n_pages}">rel next</a>')
         # a non-http link the follower must drop (web.py:78-79 semantics)
         anchors.append('<a href="mailto:x@example.com">mail</a>')
         script_src = f'<script src="http://host{i % n_hosts}.example/static/app{i % 7}.js"></script>'
+        filler = ""
+        if pad_to_bytes > 0:
+            unit = (
+                f"<p>Filler paragraph {i} sentence with tokens alpha beta gamma "
+                f"delta {_ZH[i % len(_ZH)]} and value {(i * 131) % 9973} plus "
+                f"marker 0x{hashlib.md5(f'{i}-pad'.encode()).hexdigest()} end.</p>"
+            )
+            filler = unit * max(1, pad_to_bytes // len(unit))
         html = (
             "<!DOCTYPE html><html><head>"
             f"<title>Page {i}</title>"
@@ -129,6 +150,7 @@ def generate_pages(
             f"<p>Deterministic page body {i} with unicode {_ZH[i % len(_ZH)]} text "
             f"and an address {_eth_addr(i)} plus hash "
             f"0x{hashlib.sha256(str(i).encode()).hexdigest()} inline.</p>"
+            + filler
             + "".join(anchors)
             + script_src
             + f'<script type="text/javascript">var seed={seed}; var addr="{_eth_addr(i + 7)}";</script>'
@@ -143,7 +165,7 @@ def generate_pages(
             "warc_ts": pa.array(ts_ms, pa.timestamp("ms")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n_pages)], pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(start, end)], pa.string()),
         },
         schema=PAGES_SCHEMA,
     )
@@ -165,11 +187,30 @@ def write_pages_store(
     store.mkdir(parents=True, exist_ok=True)
     h = url_hash64(table.column("url").to_pylist())
     part = (h % np.uint64(num_partitions)).astype(np.int64)
-    for k in range(num_partitions):
-        sub = table.filter(pa.array(part == k))
-        d = store / f"part={k}"
-        d.mkdir(parents=True, exist_ok=True)
-        pq.write_table(sub, d / "pages.parquet")
+    import ray
+
+    if ray.is_initialized() and table.num_rows >= 100_000:
+        tref = ray.put(table)
+        pref = ray.put(part)
+
+        @ray.remote(num_cpus=1)
+        def _write_part(t, p, k, d):
+            sub = t.filter(pa.array(p == k))
+            Path(d).mkdir(parents=True, exist_ok=True)
+            pq.write_table(sub, Path(d) / "pages.parquet")
+
+        ray.get(
+            [
+                _write_part.remote(tref, pref, k, str(store / f"part={k}"))
+                for k in range(num_partitions)
+            ]
+        )
+    else:
+        for k in range(num_partitions):
+            sub = table.filter(pa.array(part == k))
+            d = store / f"part={k}"
+            d.mkdir(parents=True, exist_ok=True)
+            pq.write_table(sub, d / "pages.parquet")
     (store / "_MANIFEST").write_text(
         f"num_partitions={num_partitions}\nrows={table.num_rows}\nkey=url_hash64%%{num_partitions}\n"
     )
@@ -243,17 +284,42 @@ def pages_from_documents(documents: pa.Table) -> pa.Table:
     )
 
 
+_GEN_CHUNK = 25_000  # fixed so parallel chunking is deterministic
+
+
 def ensure_pages_store(
     store_dir: str,
     n_pages: int = 1000,
     seed: int = 42,
     n_hosts: int = 20,
     num_partitions: int = 16,
+    pad_to_bytes: int = 0,
 ) -> str:
-    """Idempotently generate + write the fixture store (used by tests/bench)."""
+    """Idempotently generate + write the fixture store (used by tests/bench).
+
+    Large stores generate in parallel Ray tasks (one per _GEN_CHUNK slice;
+    pages are per-index deterministic so the parallel result is identical
+    to the serial one) and write partitions in parallel."""
     store = Path(store_dir)
     manifest = store / "_MANIFEST"
     if manifest.exists():
         return str(store)
-    t = generate_pages(n_pages=n_pages, seed=seed, n_hosts=n_hosts)
+    import ray
+
+    if ray.is_initialized() and n_pages >= 2 * _GEN_CHUNK:
+        gen = ray.remote(num_cpus=1)(generate_pages)
+        refs = [
+            gen.remote(
+                n_pages=n_pages,
+                seed=seed,
+                n_hosts=n_hosts,
+                pad_to_bytes=pad_to_bytes,
+                start=s,
+                end=min(s + _GEN_CHUNK, n_pages),
+            )
+            for s in range(0, n_pages, _GEN_CHUNK)
+        ]
+        t = pa.concat_tables(ray.get(refs))
+    else:
+        t = generate_pages(n_pages=n_pages, seed=seed, n_hosts=n_hosts, pad_to_bytes=pad_to_bytes)
     return write_pages_store(t, store_dir, num_partitions=num_partitions)

@@ -476,40 +476,60 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """Token-set Jaccard for consecutive doc pairs (doc_id, doc_id+1) —
-    the n-gram-Jaccard near-dup primitive."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    docs = docs.sort_values("doc_id").reset_index(drop=True)
-    token_sets = {int(r.doc_id): set(re.findall(r"\S+", r.text)) for r in docs.itertuples()}
-    ref = ray.put(token_sets)
+    """Token-set Jaccard for consecutive doc pairs (doc_id, doc_id+1) — the
+    n-gram-Jaccard near-dup primitive, as a distributed pair-shuffle: each
+    doc emits (pair_id=own, role=a) and (pair_id=own-1, role=b) rows of
+    distinct tokens; groupby(pair_id) co-locates exactly the two docs of a
+    pair, so no worker ever holds the corpus."""
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
 
-    class Jac:
-        def __init__(self):
-            self.sets = ray.get(ref)
+    def emit_roles(b: pa.Table) -> pa.Table:
+        pair_ids, roles, toks = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            distinct = sorted(set(re.findall(r"\S+", t)))
+            if i + 1 < n_docs:  # pair (i, i+1)
+                pair_ids.append(i)
+                roles.append("a")
+                toks.append(distinct)
+            if i - 1 >= 0:  # pair (i-1, i)
+                pair_ids.append(i - 1)
+                roles.append("b")
+                toks.append(distinct)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_ids, pa.int64()),
+                "role": pa.array(roles, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = [int(i) for i in b.column("doc_id").to_pylist()]
-            a_id, b_id, sims = [], [], []
-            for i in ids:
-                j = i + 1
-                if j not in self.sets:
-                    continue
-                s1, s2 = self.sets[i], self.sets[j]
-                u = len(s1 | s2)
-                sims.append(float(_r(len(s1 & s2) / u, 4)) if u else 0.0)
-                a_id.append(i)
-                b_id.append(j)
+    def jaccard_of_pair(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:  # corpus edge: only one side present
             return pa.table(
                 {
-                    "doc_a": pa.array(a_id, pa.int64()),
-                    "doc_b": pa.array(b_id, pa.int64()),
-                    "jaccard": pa.array(sims, pa.float64()),
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
+        pid = int(group.column("pair_id")[0].as_py())
+        by_role = dict(zip(group.column("role").to_pylist(), group.column("tokens").to_pylist()))
+        s1, s2 = set(by_role["a"]), set(by_role["b"])
+        u = len(s1 | s2)
+        sim = float(_r(len(s1 & s2) / u, 4)) if u else 0.0
+        return pa.table(
+            {
+                "doc_a": pa.array([pid], pa.int64()),
+                "doc_b": pa.array([pid + 1], pa.int64()),
+                "jaccard": pa.array([sim], pa.float64()),
+            }
+        )
 
     return (
-        _read(sf_dir, "documents", columns=["doc_id"])
-        .map_batches(Jac, batch_format="pyarrow", concurrency=1)
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(emit_roles, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(jaccard_of_pair, batch_format="pyarrow")
         .sort("doc_a")
     )
 
@@ -538,13 +558,20 @@ def q_ann_bruteforce(sf_dir: str):
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ self.q.T  # (batch, n_queries)
             out_q, out_n, out_s = [], [], []
+            k = 5
             for qi, qid in enumerate(self.q_ids):
-                for ni, nid in enumerate(ids):
-                    if int(nid) == int(qid):
-                        continue
+                col = sims[:, qi]
+                mask = ids != qid
+                cand = np.flatnonzero(mask)
+                # per-batch partial top-k: only k rows per query leave the
+                # task, so the tail merge is O(k * n_blocks), not O(corpus)
+                if len(cand) > k:
+                    order = np.lexsort((ids[cand], -col[cand]))[:k]
+                    cand = cand[order]
+                for ni in cand:
                     out_q.append(int(qid))
-                    out_n.append(int(nid))
-                    out_s.append(float(sims[ni, qi]))
+                    out_n.append(int(ids[ni]))
+                    out_s.append(float(col[ni]))
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),
@@ -554,7 +581,7 @@ def q_ann_bruteforce(sf_dir: str):
             )
 
     scored = emb.map_batches(Score, batch_format="pyarrow", concurrency=1)
-    # per-query top-5: small k × small q — groupby in pandas at the tail
+    # merge of per-block top-5s: k x n_blocks rows — tiny by construction
     df = scored.to_pandas()
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     top = df.groupby("query_id").head(5).reset_index(drop=True)
@@ -942,6 +969,143 @@ def q_embedding_knn(sf_dir: str):
     return out.map_batches(lambda b: _round_col(b, "sim", 4), batch_format="pyarrow").sort("vec_id")
 
 
+def q_salted_host_agg(sf_dir: str):
+    """Hot-key-safe aggregation: count per host via salted two-phase groupby
+    (stages/skew.py; the explicit skew handling the north rule demands —
+    host0 in the fixture store holds ~30% of pages).  Result must equal the
+    plain groupby, which the SQL oracle computes directly."""
+    from ..stages.skew import salted_count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hosts(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        # skewed: doc_id % 3 == 0 (a third of rows) all land on host0
+        return pa.table(
+            {
+                "host": pa.array(
+                    ["host0.example" if i % 3 == 0 else f"host{i % 7 + 1}.example" for i in ids],
+                    pa.string(),
+                )
+            }
+        )
+
+    return salted_count(
+        docs.map_batches(hosts, batch_format="pyarrow"), "host", n_salts=8, out_col="n_pages"
+    ).sort("host")
+
+
+def q_enrich_3way(sf_dir: str):
+    """Dimension-chain broadcast enrichment: lineitem -> supplier -> nation
+    -> region, revenue per region (the token-property enrichment pattern,
+    reference token.py:322-342: small sides ship once, fact side streams)."""
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    s2region = {
+        int(s): r2name[n2r[int(n)]] for s, n in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    ref = ray.put(s2region)
+
+    class Enrich:
+        def __init__(self):
+            self.s2r = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b.column("l_suppkey").to_numpy()
+            return b.append_column(
+                "region", pa.array([self.s2r.get(int(k)) for k in keys], pa.string())
+            )
+
+    joined = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"]).map_batches(
+        Enrich, batch_format="pyarrow", concurrency=2
+    )
+    agg = joined.groupby("region").aggregate(
+        Sum("l_extendedprice", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow").sort(
+        "region"
+    )
+
+
+def q_keywords_summary(sf_dir: str):
+    """Keyworder/summarizer (reference labels.web TextRank keywords+summary,
+    spiders/labels/web.py:125,132 — here the deterministic stand-in: top
+    frequent token >= 4 chars, first-20-token summary)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kw(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        summaries, keywords = [], []
+        for t in b.column("text").to_pylist():
+            toks = re.findall(r"\S+", t)
+            summaries.append(" ".join(toks[:20]))
+            freq: Dict[str, int] = {}
+            for w in toks:
+                if len(w) >= 4:
+                    freq[w] = freq.get(w, 0) + 1
+            keywords.append(min(freq, key=lambda w: (-freq[w], w)) if freq else None)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "summary": pa.array(summaries, pa.string()),
+                "top_keyword": pa.array(keywords, pa.string()),
+            }
+        )
+
+    return docs.map_batches(kw, batch_format="pyarrow").sort("doc_id")
+
+
+def q_xml_labels(sf_dir: str):
+    """OFAC-style XML entry parse: xml payload -> one row per (uid, name,
+    program) (reference spiders/labels/ofac.py:22-78 xpath walk; here
+    ElementTree over a synthesized sdnEntry payload)."""
+    import xml.etree.ElementTree as ET
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth_xml(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        xmls = [
+            (
+                f"<sdnEntry><uid>{d}</uid><firstName>F{d}</firstName>"
+                f"<lastName>L{d}</lastName><programList>"
+                f"<program>P{d % 4}</program><program>Q{d % 3}</program>"
+                "</programList></sdnEntry>"
+            )
+            for d in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "xml": pa.array(xmls, pa.string())}
+        )
+
+    def parse_xml(b: pa.Table) -> pa.Table:
+        uids, names, progs = [], [], []
+        for x in b.column("xml").to_pylist():
+            root = ET.fromstring(x)
+            uid = int(root.findtext("uid"))
+            name = f"{root.findtext('firstName')} {root.findtext('lastName')}"
+            for p in root.find("programList").findall("program"):
+                uids.append(uid)
+                names.append(name)
+                progs.append(p.text)
+        return pa.table(
+            {
+                "uid": pa.array(uids, pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "program": pa.array(progs, pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(synth_xml, batch_format="pyarrow")
+        .map_batches(parse_xml, batch_format="pyarrow")
+        .sort(["uid", "program"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL mirrors
 # ---------------------------------------------------------------------------
@@ -1206,6 +1370,54 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
         FROM documents ORDER BY doc_id
     """,
+    "salted_host_agg": """
+        WITH h AS (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'host0.example'
+                        ELSE 'host' || (doc_id % 7 + 1) || '.example' END AS host
+            FROM documents
+        )
+        SELECT host, count(*) AS n_pages FROM h GROUP BY host ORDER BY host
+    """,
+    "enrich_3way": """
+        SELECT r.r_name AS region,
+               round(sum(l.l_extendedprice), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY region
+    """,
+    "keywords_summary": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        f AS (
+            SELECT doc_id, w, count(*) AS c FROM u WHERE len(w) >= 4
+            GROUP BY doc_id, w
+        ),
+        k AS (
+            SELECT doc_id, w AS top_keyword FROM f
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) = 1
+        )
+        SELECT t.doc_id,
+               array_to_string(t.toks[1:20], ' ') AS summary,
+               k.top_keyword
+        FROM t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id
+    """,
+    "xml_labels": """
+        WITH p AS (
+            SELECT doc_id, 'P' || (doc_id % 4) AS program FROM documents
+            UNION ALL
+            SELECT doc_id, 'Q' || (doc_id % 3) AS program FROM documents
+        )
+        SELECT doc_id AS uid,
+               'F' || doc_id || ' ' || 'L' || doc_id AS name,
+               program
+        FROM p ORDER BY uid, program
+    """,
     "embedding_knn": """
         WITH q AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1256,6 +1468,10 @@ SQL_QUERIES = {
     "parse_props": q_parse_props,
     "binary_meta": q_binary_meta,
     "embedding_knn": q_embedding_knn,
+    "salted_host_agg": q_salted_host_agg,
+    "enrich_3way": q_enrich_3way,
+    "keywords_summary": q_keywords_summary,
+    "xml_labels": q_xml_labels,
 }
 
 
@@ -1296,7 +1512,7 @@ def q_minhash_dedup_pairs(sf_dir: str):
     """LSH candidate pairs: doubled corpus (exact dups) -> shingle -> minhash
     -> band buckets -> groupby -> pairs.  Every injected duplicate pair must
     surface (tested in tests/test_dedup.py)."""
-    from ..stages.dedup import MinHashBands, MinHasher, candidate_pairs_from_bands
+    from ..stages.dedup import MinHashBands, MinHasher
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1315,11 +1531,31 @@ def q_minhash_dedup_pairs(sf_dir: str):
         .map_batches(_cached_stage(MinHasher), batch_format="pyarrow")
         .map_batches(_cached_stage(MinHashBands), batch_format="pyarrow")
     )
-    # LSH grouping: only (doc_id, band, bucket) rows shuffle
-    table = pa.concat_tables(
-        [pa.table(b) for b in bands.iter_batches(batch_format="pyarrow", batch_size=65536)]
+
+    # LSH grouping: only (doc_id, band, bucket) rows shuffle; each bucket's
+    # pairs are emitted inside its group, distinct-ed by a second groupby —
+    # fully distributed, no driver-side corpus materialization
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+        )
+
+    distinct = (
+        bands.groupby(["band_id", "bucket"])
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
     )
-    return candidate_pairs_from_bands(table)
+    return pa.concat_tables(
+        [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    )
 
 
 def q_simhash(sf_dir: str):

@@ -15,7 +15,7 @@ min(H, P) partitions in parallel Ray read tasks.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import pyarrow.compute as pc
@@ -23,6 +23,80 @@ import pyarrow.dataset as pads
 import ray
 
 from ..functions.urls import url_hash64
+
+
+@ray.remote(num_cpus=1)
+def _lookup_partition(files: List[str], urls: List[str], columns: Optional[List[str]]):
+    """One partition's slice of a batched url lookup (runs as a Ray task)."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    ds = _pads.dataset(files)
+    return ds.to_table(filter=_pc.field("url").isin(urls), columns=columns)
+
+
+@ray.remote(num_cpus=0.25)  # IO-bound: fractional so a pool can't starve parse tasks
+class _FetchShard:
+    """One shard of the fetch actor pool: owns partitions ``p % k == i`` and
+    keeps their ``pyarrow.dataset`` handles (file/row-group metadata) cached
+    across rounds — repeated crawl-round lookups skip dataset re-open and
+    per-call task setup.  Only metadata is cached; page bytes stream from
+    storage per request, so memory stays O(partitions/k), not O(data)."""
+
+    def __init__(self):
+        self._datasets = {}
+
+    def lookup(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]], columns):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pads
+
+        out = []
+        for part, urls in part_urls.items():
+            ds = self._datasets.get(part)
+            if ds is None:
+                ds = self._datasets[part] = _pads.dataset(part_files[part])
+            t = ds.to_table(filter=_pc.field("url").isin(urls), columns=columns)
+            if t.num_rows:
+                out.append(t)
+        if not out:
+            return None
+        return _pa.concat_tables(out)
+
+
+class FetchPool:
+    """K persistent fetch actors sharded by ``partition % k`` (the stateful
+    actor-pool form of :meth:`PageStore.lookup_parallel`; reference fetch =
+    per-provider HTTP clients, our fetch = partition-owned parquet scans)."""
+
+    def __init__(self, store: "PageStore", k: int = 8):
+        self.store = store
+        self.k = k
+        self.actors = [_FetchShard.remote() for _ in range(k)]
+
+    def lookup(self, urls: Sequence[str], columns: Optional[List[str]] = None):
+        import pyarrow as pa
+
+        urls = list(urls)
+        if not urls:
+            return self.store.lookup_table([])
+        parts = self.store.partitions_for(urls)
+        by_part: Dict[int, List[str]] = {}
+        for u, p in zip(urls, parts.tolist()):
+            by_part.setdefault(int(p), []).append(u)
+        per_actor: Dict[int, Dict[int, List[str]]] = {}
+        for p, us in by_part.items():
+            per_actor.setdefault(p % self.k, {})[p] = us
+        refs = [
+            self.actors[a].lookup.remote(
+                {p: self.store._partition_files([p]) for p in pu}, pu, columns
+            )
+            for a, pu in sorted(per_actor.items())
+        ]
+        tables = [t for t in ray.get(refs) if t is not None]
+        if not tables:
+            return self.store.lookup_table([])
+        return pa.concat_tables(tables)
 
 
 class PageStore:
@@ -88,6 +162,34 @@ class PageStore:
             partitioning=None,
             override_num_blocks=None if parallelism <= 0 else parallelism,
         )
+
+    def lookup_parallel(self, urls: Sequence[str], columns: Optional[List[str]] = None):
+        """Arrow-table lookup fanned out as one Ray task per hash partition.
+
+        Each task opens ONLY its partition's files and filters for ONLY the
+        urls that hash into it, so a round touching H urls costs
+        min(H, P) parallel partition scans — the distributed form of
+        :meth:`lookup_table` (which scans serially on the driver)."""
+        urls = list(urls)
+        if not urls:
+            ds = pads.dataset(self._partition_files([0]))
+            return ds.schema.empty_table()
+        parts = self.partitions_for(urls)
+        by_part = {}
+        for u, p in zip(urls, parts.tolist()):
+            by_part.setdefault(p, []).append(u)
+        refs = [
+            _lookup_partition.remote(self._partition_files([p]), us, columns)
+            for p, us in sorted(by_part.items())
+        ]
+        tables = ray.get(refs)
+        tables = [t for t in tables if t.num_rows > 0]
+        if not tables:
+            ds = pads.dataset(self._partition_files([0]))
+            return ds.to_table(columns=columns).slice(0, 0)
+        import pyarrow as pa
+
+        return pa.concat_tables(tables)
 
     def lookup_table(self, urls: Sequence[str], columns: Optional[List[str]] = None):
         """Driver-side Arrow table lookup for small control-plane rounds

@@ -101,6 +101,36 @@ def extract_entities_stage(batch: pa.Table) -> pa.Table:
     )
 
 
+_RE_WS_TOKEN = __import__("re").compile(r"\S+")
+
+
+def parse_page_stage(batch: pa.Table) -> pa.Table:
+    """The full per-page parse of a crawl round in one pass (reference
+    labels.web parse, spiders/labels/web.py:46-114: text strip + entity
+    regexes + token stats): html -> canonical_url/host/url_hash +
+    byte-identical text + entity/token counts.  Drops html on output."""
+    urls = batch.column("url").to_pylist()
+    canon = [canonicalize_url(u) for u in urls]
+    hashes = url_hash64(canon)
+    hosts = [host_of(c) if c else "" for c in canon]
+    texts, n_ents, n_toks = [], [], []
+    for h in batch.column("html").to_pylist():
+        t = extract_text(decode_html(h))
+        texts.append(t)
+        n_ents.append(len(find_eth_addresses(t)) + len(find_eth_tx_hashes(t)))
+        n_toks.append(len(_RE_WS_TOKEN.findall(t)))
+    keep = [c for c in batch.column_names if c != "html"]
+    out = batch.select(keep)
+    return (
+        out.append_column("canonical_url", pa.array(canon, pa.string()))
+        .append_column("host", pa.array(hosts, pa.string()))
+        .append_column("url_hash", pa.array(hashes, pa.uint64()))
+        .append_column("text_extracted", pa.array(texts, pa.string()))
+        .append_column("n_entities", pa.array(n_ents, pa.int64()))
+        .append_column("n_tokens", pa.array(n_toks, pa.int64()))
+    )
+
+
 def canonicalize_stage(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """+canonical_url, +host, +url_hash columns for a url-bearing batch."""
     urls = batch.column(url_col).to_pylist()
