@@ -340,10 +340,19 @@ class CrawlEngine:
                 break
             t0 = time.perf_counter()
             m: Dict[str, Any] = {"round": self.round_no}
+            stage_s: Dict[str, float] = {}
+            t_mark = t0
+
+            def _lap(stage: str) -> None:
+                nonlocal t_mark
+                now = time.perf_counter()
+                stage_s[stage] = round(now - t_mark, 6)
+                t_mark = now
 
             cands = self.deferred + self._pop_candidates()
             self.deferred = []
             m["candidates"] = len(cands)
+            _lap("pop")
             if not cands:
                 break
 
@@ -356,6 +365,7 @@ class CrawlEngine:
 
             admitted, self.deferred = admit_per_host(cands, c.host_budget)
             m["admitted"], m["deferred"] = len(admitted), len(self.deferred)
+            _lap("admit")
 
             # URL-seen gate.  A re-popped url (weight strategies legitimately
             # re-expand a node when pushes re-accumulate its residual — the
@@ -368,6 +378,7 @@ class CrawlEngine:
                 for x, n in zip(admitted, new_mask):
                     new_of[x.url] = new_of.get(x.url, False) or bool(n)
                 m["already_seen"] = int(sum(1 for n in new_mask if not n))
+            _lap("seen")
 
             if not admitted:
                 m["fetched"] = 0
@@ -379,6 +390,7 @@ class CrawlEngine:
 
             urls = [x.url for x in admitted]
             pages, texts, edges = self._fetch_and_parse(urls)
+            _lap("fetch_parse")
             found = set(pages.column("url").to_pylist())
             new_found = [u for u in dict.fromkeys(urls) if u in found and new_of.get(u, True)]
             m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)
@@ -403,12 +415,15 @@ class CrawlEngine:
                 restore_mass(self.strategy, cand.url, getattr(cand, "mass", None))
                 self.strategy.push(cand.url, adjacency.get(cand.url, []), **cand.ctx)
             self.fetched += len(new_found)
+            _lap("push")
 
             if new_found:
                 keep = pc.is_in(texts.column("url"), value_set=pa.array(new_found))
                 self._write_round_outputs(texts.filter(keep), edges)
             else:
                 self._write_round_outputs(texts.slice(0, 0), edges)
+            _lap("write")
+            m["stage_s"] = stage_s
             m["elapsed_s"] = time.perf_counter() - t0
             self.metrics.append(m)
             self._checkpoint(m)

@@ -171,6 +171,10 @@ def generate_pages(
     )
 
 
+ROW_GROUP_SIZE = 2048  # small row groups: units for fused read+parse tasks
+# and min/max pruning for point lookups
+
+
 def write_pages_store(
     table: pa.Table,
     store_dir: str,
@@ -197,7 +201,7 @@ def write_pages_store(
         def _write_part(t, p, k, d):
             sub = t.filter(pa.array(p == k))
             Path(d).mkdir(parents=True, exist_ok=True)
-            pq.write_table(sub, Path(d) / "pages.parquet")
+            pq.write_table(sub, Path(d) / "pages.parquet", row_group_size=ROW_GROUP_SIZE)
 
         ray.get(
             [
@@ -210,7 +214,7 @@ def write_pages_store(
             sub = table.filter(pa.array(part == k))
             d = store / f"part={k}"
             d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(sub, d / "pages.parquet")
+            pq.write_table(sub, d / "pages.parquet", row_group_size=ROW_GROUP_SIZE)
     (store / "_MANIFEST").write_text(
         f"num_partitions={num_partitions}\nrows={table.num_rows}\nkey=url_hash64%%{num_partitions}\n"
     )

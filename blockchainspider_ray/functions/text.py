@@ -40,6 +40,24 @@ def extract_text(html: str) -> str:
     return content
 
 
+def extract_text_arrow(htmls):
+    """Vectorized form of :func:`extract_text` over an Arrow string array —
+    the same 3 regex passes as RE2 kernels (C, GIL-free).  Byte-parity with
+    the Python path is pinned by tests/test_text.py."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring_regex(htmls, pattern=r"<style[\s\S]*?</style>", replacement=" ")
+    out = pc.replace_substring_regex(out, pattern=r"<script[\s\S]*?</script>", replacement=" ")
+    return pc.replace_substring_regex(out, pattern="<(.*?)>", replacement=" ")
+
+
+def count_pattern_arrow(texts, pattern: str):
+    """Vectorized per-row regex match count (RE2) -> int64 array."""
+    import pyarrow.compute as pc
+
+    return pc.count_substring_regex(texts, pattern=pattern)
+
+
 def extract_text_batch(htmls) -> List[str]:
     """Apply :func:`extract_text` to a sequence of html strings/bytes."""
     out = []

@@ -36,6 +36,12 @@ _RE_HTTP_SCHEME = re.compile(r"^https?$", re.IGNORECASE)
 HASH_SEED = 0
 
 
+# Fast path: absolute http(s) url, lowercase host, no port/query/fragment/
+# userinfo, non-empty path -> already canonical (16us urlsplit round-trip
+# skipped; parity with the slow path pinned in tests/test_urls.py)
+_RE_ALREADY_CANONICAL = re.compile(r"^https?://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(/[^?#\s]*)?$")
+
+
 def canonicalize_url(url: str, base: Optional[str] = None) -> Optional[str]:
     """Return the canonical form of ``url`` (resolved against ``base`` when
     relative), or None when the result is not an http(s) URL.
@@ -47,6 +53,11 @@ def canonicalize_url(url: str, base: Optional[str] = None) -> Optional[str]:
     if url is None:
         return None
     url = url.strip()
+    # urljoin(base, absolute-url) is the identity, so the fast path applies
+    # with or without a base
+    m = _RE_ALREADY_CANONICAL.match(url)
+    if m:
+        return url if m.group(1) else url + "/"
     if base:
         url = urllib.parse.urljoin(base, url)
     try:

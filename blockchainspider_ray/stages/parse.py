@@ -105,29 +105,52 @@ _RE_WS_TOKEN = __import__("re").compile(r"\S+")
 
 
 def parse_page_stage(batch: pa.Table) -> pa.Table:
-    """The full per-page parse of a crawl round in one pass (reference
+    """The full per-page parse of a crawl round in ONE pass (reference
     labels.web parse, spiders/labels/web.py:46-114: text strip + entity
-    regexes + token stats): html -> canonical_url/host/url_hash +
-    byte-identical text + entity/token counts.  Drops html on output."""
+    regexes + link follow + token stats): html -> canonical_url/host/
+    url_hash + byte-identical text + canonical out-links (nested list) +
+    entity/token counts.  Drops html on output; one html decode serves
+    text, entities, and links (two separate passes would double both the
+    decode CPU and the Ray task count)."""
+    import pyarrow.compute as pc
+
     urls = batch.column("url").to_pylist()
     canon = [canonicalize_url(u) for u in urls]
     hashes = url_hash64(canon)
     hosts = [host_of(c) if c else "" for c in canon]
-    texts, n_ents, n_toks = [], [], []
-    for h in batch.column("html").to_pylist():
-        t = extract_text(decode_html(h))
-        texts.append(t)
-        n_ents.append(len(find_eth_addresses(t)) + len(find_eth_tx_hashes(t)))
-        n_toks.append(len(_RE_WS_TOKEN.findall(t)))
+    texts, links_col = [], []
+    for u, h in zip(urls, batch.column("html").to_pylist()):
+        html = decode_html(h)
+        texts.append(extract_text(html))
+        links = []
+        for href in extract_hrefs(html):
+            c = canonicalize_url(href, base=u)
+            if c is not None:
+                links.append(c)
+        for src in extract_script_srcs(html):
+            c = canonicalize_url(src, base=u)
+            if c is not None:
+                links.append(c)
+        links_col.append(links)
+    text_arr = pa.array(texts, pa.string())
+    # entity/token stats as RE2 kernels (C, GIL-free; parity with the
+    # Python regexes pinned in tests/test_text.py)
+    n_ents = pc.add(
+        pc.count_substring_regex(text_arr, pattern=r"(?i)\W0x[0-9a-f]{40}"),
+        pc.count_substring_regex(text_arr, pattern=r"(?i)\W0x[0-9a-f]{64}"),
+    )
+    n_toks = pc.count_substring_regex(text_arr, pattern=r"\S+")
     keep = [c for c in batch.column_names if c != "html"]
     out = batch.select(keep)
     return (
         out.append_column("canonical_url", pa.array(canon, pa.string()))
         .append_column("host", pa.array(hosts, pa.string()))
         .append_column("url_hash", pa.array(hashes, pa.uint64()))
-        .append_column("text_extracted", pa.array(texts, pa.string()))
-        .append_column("n_entities", pa.array(n_ents, pa.int64()))
-        .append_column("n_tokens", pa.array(n_toks, pa.int64()))
+        .append_column("text_extracted", text_arr)
+        .append_column("links", pa.array(links_col, pa.list_(pa.string())))
+        .append_column("n_links", pa.array([len(l) for l in links_col], pa.int64()))
+        .append_column("n_entities", pc.cast(n_ents, pa.int64()))
+        .append_column("n_tokens", pc.cast(n_toks, pa.int64()))
     )
 
 

@@ -61,3 +61,37 @@ def test_entity_regexes():
     assert find_eth_tx_hashes(t) == ["0x" + "cd" * 32]
     # no leading \W -> no match (reference pattern requires it)
     assert find_eth_addresses("0x" + "ab" * 20) == []
+
+
+def test_arrow_kernels_match_python_regexes():
+    """RE2 kernel parity with the Python reference regexes: byte-identical
+    text strip; identical entity and token counts (incl. unicode)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from blockchainspider_ray.functions.text import (
+        RE_ETH_ADDRESS,
+        RE_ETH_TX_HASH,
+        extract_text,
+        extract_text_arrow,
+    )
+
+    docs = [
+        "<html><style>a{}</style><script>x<y</script><p>hi 0xAbCdEf0123456789"
+        + "a" * 34 + " 中文 <b>bold</b></p></html>",
+        "no tags at all 0x" + "f" * 64 + " tail",
+        "<a href='x'>ä</a><style>s</style>",
+        "",
+    ]
+    arr = pa.array(docs, pa.string())
+    assert extract_text_arrow(arr).to_pylist() == [extract_text(d) for d in docs]
+    texts = [extract_text(d) for d in docs]
+    tarr = pa.array(texts, pa.string())
+    got_addr = pc.count_substring_regex(tarr, pattern=r"(?i)\W0x[0-9a-f]{40}").to_pylist()
+    assert got_addr == [len(RE_ETH_ADDRESS.findall(t)) for t in texts]
+    got_tx = pc.count_substring_regex(tarr, pattern=r"(?i)\W0x[0-9a-f]{64}").to_pylist()
+    assert got_tx == [len(RE_ETH_TX_HASH.findall(t)) for t in texts]
+    got_tok = pc.count_substring_regex(tarr, pattern=r"\S+").to_pylist()
+    assert got_tok == [len(re.findall(r"\S+", t)) for t in texts]

@@ -49,3 +49,33 @@ def test_hash_deterministic_across_calls():
 def test_host_of():
     assert host_of("http://Host3.Example:8080/p?x=1") == "host3.example"
     assert host_of("not a url") == ""
+
+
+def test_fast_path_matches_slow_path():
+    """The already-canonical fast path must agree with the full urlsplit
+    path for every spelling (absolute/relative/ports/fragments/userinfo)."""
+    import re
+
+    from blockchainspider_ray.functions import urls as U
+
+    cases = [
+        "http://a.example/x", "https://b.example", "http://a.example/x?b=2&a=1",
+        "HTTP://A.example/x", "http://a.example:80/x", "http://a.example/x#f",
+        "/rel/x", "mailto:x@y", "http://a-b.example/p/q%20r", "http://a.example/",
+        "http://user:pw@h.example/x", "ftp://a/b", "http://a.example//double//slash",
+        "http://a.example:8080/x", "https://a.example:443/x", "  http://a.example/x ",
+    ]
+
+    def slow(u, base=None):
+        save = U._RE_ALREADY_CANONICAL
+        U._RE_ALREADY_CANONICAL = re.compile(r"$^")  # disable fast path
+        try:
+            return U.canonicalize_url(u, base)
+        finally:
+            U._RE_ALREADY_CANONICAL = save
+
+    for u in cases:
+        assert U.canonicalize_url(u) == slow(u), u
+        assert U.canonicalize_url(u, base="http://base.example/d/") == slow(
+            u, "http://base.example/d/"
+        ), u
