@@ -1106,6 +1106,109 @@ def q_xml_labels(sf_dir: str):
     )
 
 
+def q_block_parse(sf_dir: str):
+    """EVM-style block ETL: nested block JSON -> one row per transaction
+    (reference spiders/trans/evm/blocks.py:200-241 parse).  Blocks are
+    synthesized from orders (one block per 10 orderkeys)."""
+    import json as _json
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def synth_blocks(b: pa.Table) -> pa.Table:
+        rows = {}
+        for k, c, p in zip(
+            b.column("o_orderkey").to_pylist(),
+            b.column("o_custkey").to_pylist(),
+            b.column("o_totalprice").to_pylist(),
+        ):
+            blk = int(k) // 10
+            rows.setdefault(blk, []).append(
+                {
+                    "hash": f"0xtx{k}",
+                    "from": f"0xa{c}",
+                    "to": f"0xb{(c * 7) % 1500}",
+                    "value": hex(int(p * 100)),
+                    "index": int(k) % 10,
+                }
+            )
+        blks = sorted(rows)
+        return pa.table(
+            {
+                "block_number": pa.array(blks, pa.int64()),
+                "block_json": pa.array(
+                    [
+                        _json.dumps({"number": hex(blk), "transactions": rows[blk]})
+                        for blk in blks
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def parse_block(b: pa.Table) -> pa.Table:
+        from ..functions.etl import hex_to_dec
+
+        out = {k: [] for k in ("block_number", "tx_hash", "tx_index", "from_addr", "to_addr", "value")}
+        for bj in b.column("block_json").to_pylist():
+            blk = _json.loads(bj)
+            num = hex_to_dec(blk["number"])
+            for tx in blk["transactions"]:
+                out["block_number"].append(num)
+                out["tx_hash"].append(tx["hash"])
+                out["tx_index"].append(tx["index"])
+                out["from_addr"].append(tx["from"].lower())
+                out["to_addr"].append(tx["to"].lower())
+                out["value"].append(hex_to_dec(tx["value"]))
+        return pa.table(
+            {
+                "block_number": pa.array(out["block_number"], pa.int64()),
+                "tx_hash": pa.array(out["tx_hash"], pa.string()),
+                "tx_index": pa.array(out["tx_index"], pa.int64()),
+                "from_addr": pa.array(out["from_addr"], pa.string()),
+                "to_addr": pa.array(out["to_addr"], pa.string()),
+                "value": pa.array(out["value"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth_blocks, batch_format="pyarrow")
+        .map_batches(parse_block, batch_format="pyarrow")
+        .sort(["block_number", "tx_index"])
+    )
+
+
+def q_utxo_edges(sf_dir: str):
+    """UTXO input/output edge fan-out: one synthetic tx per event, inputs
+    and outputs emitted as signed edge rows (reference blockchaininfo
+    TransactionMiddleware.parse_transaction, transaction.py:69-112)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        tx, addr, direction, val = [], [], [], []
+        for e, u, v in zip(
+            b.column("event_id").to_pylist(),
+            b.column("user_id").to_pylist(),
+            b.column("value").to_pylist(),
+        ):
+            t = f"utx{e}"
+            # one input from the user, two outputs (payee + change);
+            # _r = DuckDB ROUND semantics (half away from zero)
+            tx.append(t); addr.append(f"addr{u}"); direction.append("in"); val.append(float(_r(v, 2)))
+            tx.append(t); addr.append(f"addr{(u * 13 + e) % 50}"); direction.append("out"); val.append(float(_r(v * 0.6, 2)))
+            tx.append(t); addr.append(f"addr{u}"); direction.append("out"); val.append(float(_r(v * 0.4, 2)))
+        return pa.table(
+            {
+                "tx": pa.array(tx, pa.string()),
+                "addr": pa.array(addr, pa.string()),
+                "direction": pa.array(direction, pa.string()),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fan_out, batch_format="pyarrow").sort(["tx", "direction", "addr", "value"])
+
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL mirrors
 # ---------------------------------------------------------------------------
@@ -1418,6 +1521,28 @@ ORACLE_SQL: Dict[str, str] = {
                program
         FROM p ORDER BY uid, program
     """,
+    "block_parse": """
+        SELECT o_orderkey // 10                            AS block_number,
+               '0xtx' || o_orderkey                        AS tx_hash,
+               o_orderkey % 10                             AS tx_index,
+               lower('0xa' || o_custkey)                   AS from_addr,
+               lower('0xb' || ((o_custkey * 7) % 1500))    AS to_addr,
+               CAST(floor(o_totalprice * 100) AS BIGINT)   AS value
+        FROM orders ORDER BY block_number, tx_index
+    """,
+    "utxo_edges": """
+        WITH u AS (
+            SELECT 'utx' || event_id AS tx, 'addr' || user_id AS addr,
+                   'in' AS direction, round(value, 2) AS value FROM events
+            UNION ALL
+            SELECT 'utx' || event_id, 'addr' || ((user_id * 13 + event_id) % 50),
+                   'out', round(value * 0.6, 2) FROM events
+            UNION ALL
+            SELECT 'utx' || event_id, 'addr' || user_id,
+                   'out', round(value * 0.4, 2) FROM events
+        )
+        SELECT * FROM u ORDER BY tx, direction, addr, value
+    """,
     "embedding_knn": """
         WITH q AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1472,6 +1597,8 @@ SQL_QUERIES = {
     "enrich_3way": q_enrich_3way,
     "keywords_summary": q_keywords_summary,
     "xml_labels": q_xml_labels,
+    "block_parse": q_block_parse,
+    "utxo_edges": q_utxo_edges,
 }
 
 
@@ -1603,6 +1730,72 @@ def q_ann_ivf(sf_dir: str):
     return out
 
 
+def q_image_decode(sf_dir: str):
+    """Multimodal decode plumbing: synthetic FAKEIMG payloads (binary col)
+    -> width/height/channels/mean_luma via the actor-pool decode stage
+    (stages/multimodal.py, codec='fake'; real codecs stay stubbed)."""
+    from ..stages.multimodal import DecodeImageStage, make_fake_image
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "image": pa.array(
+                    [make_fake_image(8 + int(d) % 8, 6 + int(d) % 5, 3, seed=int(d)) for d in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
+        .map_batches(
+            DecodeImageStage,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+            fn_constructor_kwargs={"codec": "fake"},
+        )
+        .sort("doc_id")
+    )
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling plumbing: concatenated fake frames -> one row
+    per sampled frame (1->N explosion, stages/multimodal.py)."""
+    from ..stages.multimodal import FrameSampleStage, make_fake_image
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        vids = []
+        for d in ids:
+            n_frames = 2 + int(d) % 4
+            vids.append(b"".join(make_fake_image(4, 4, 3, seed=int(d) * 10 + f) for f in range(n_frames)))
+        return pa.table(
+            {
+                "video_id": pa.array(ids, pa.int64()),
+                "video": pa.array(vids, pa.binary()),
+            }
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=64)
+        .map_batches(
+            FrameSampleStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+            fn_constructor_kwargs={"codec": "fake", "every": 2},
+        )
+        .sort(["video_id", "frame_index"])
+    )
+
+
 def _crawl_store_for(sf_dir: str) -> str:
     """Idempotently materialize the documents-derived page store under /tmp
     (hash-partitioned), keyed by sf_dir."""
@@ -1681,4 +1874,6 @@ NOSQL_QUERIES = {
     "crawl_haircut": q_crawl_haircut,
     "crawl_appr": q_crawl_appr,
     "crawl_ttr_weight": q_crawl_ttr_weight,
+    "image_decode": q_image_decode,
+    "frame_sample": q_frame_sample,
 }
