@@ -37,7 +37,7 @@ BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
 # Common-Crawl-like page weight: ~8KB html (1KB toy pages measure scheduler
 # overhead, not parse throughput — see BASELINE.md scaling protocol)
 BENCH_PAGE_BYTES = int(os.environ.get("BENCH_PAGE_BYTES", "8192"))
-STORE = f"/tmp/bcs_bench_store_{BENCH_PAGES}_{BENCH_PAGE_BYTES}_rg"
+STORE = f"/tmp/bcs_bench_store_{BENCH_PAGES}_{BENCH_PAGE_BYTES}_rg256s"
 
 
 def _warmup() -> None:
@@ -77,7 +77,7 @@ def _ensure_store() -> str:
     return STORE
 
 
-def _parse_units(store: str, rgs_per_unit: int = 1):
+def _parse_units(store: str, rgs_per_unit: int = 8):
     """(file, row-group range) work units — the shard list of one crawl
     round.  Row groups are written small (fixtures.ROW_GROUP_SIZE) so units
     are uniform and a failed unit reruns cheaply."""
@@ -171,9 +171,9 @@ def engine_crawl(store: str) -> dict:
         config=CrawlConfig(
             strategy="bfs",
             strategy_kwargs={"depth": 16},
-            pop_k=512,
-            host_budget=64,
-            max_fetches=4000,
+            pop_k=2048,
+            host_budget=256,
+            max_fetches=12000,
             max_rounds=60,
             seen_shards=8,
             seen_use_ray=True,

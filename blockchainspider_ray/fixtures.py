@@ -171,8 +171,10 @@ def generate_pages(
     )
 
 
-ROW_GROUP_SIZE = 2048  # small row groups: units for fused read+parse tasks
-# and min/max pruning for point lookups
+ROW_GROUP_SIZE = 256  # the point-lookup quantum: a crawl fetch reads only
+# the row groups its urls fall in (FetchShard's hash->rowgroup index), so
+# cost/url ~= ROW_GROUP_SIZE x row_bytes; bulk scans group several row
+# groups per task (bench._parse_units) so sequential throughput is unhurt
 
 
 def write_pages_store(
@@ -199,7 +201,7 @@ def write_pages_store(
 
         @ray.remote(num_cpus=1)
         def _write_part(t, p, k, d):
-            sub = t.filter(pa.array(p == k))
+            sub = t.filter(pa.array(p == k)).sort_by("url")
             Path(d).mkdir(parents=True, exist_ok=True)
             pq.write_table(sub, Path(d) / "pages.parquet", row_group_size=ROW_GROUP_SIZE)
 
@@ -211,7 +213,7 @@ def write_pages_store(
         )
     else:
         for k in range(num_partitions):
-            sub = table.filter(pa.array(part == k))
+            sub = table.filter(pa.array(part == k)).sort_by("url")
             d = store / f"part={k}"
             d.mkdir(parents=True, exist_ok=True)
             pq.write_table(sub, d / "pages.parquet", row_group_size=ROW_GROUP_SIZE)

@@ -44,21 +44,66 @@ class _FetchShard:
     storage per request, so memory stays O(partitions/k), not O(data)."""
 
     def __init__(self):
-        self._datasets = {}
+        self._files = {}  # part -> [pq.ParquetFile]
+        self._index = {}  # part -> (sorted url_hash64 array, (file_idx, rg_idx) arrays)
+
+    def _open(self, part: int, paths: List[str]):
+        import pyarrow.parquet as _pq
+
+        entry = self._files.get(part)
+        if entry is None:
+            entry = self._files[part] = [_pq.ParquetFile(p) for p in paths]
+        return entry
+
+    def _rg_index(self, part: int, paths: List[str]):
+        """Per-partition hash(url) -> (file, row_group) map, built once from
+        the url column only (~8 bytes/url in memory).  Point lookups then
+        decode just the row groups their urls live in, not the partition."""
+        idx = self._index.get(part)
+        if idx is None:
+            from ..functions.urls import url_hash64
+
+            hashes, fis, rgs = [], [], []
+            for fi, f in enumerate(self._open(part, paths)):
+                for rg in range(f.num_row_groups):
+                    urls = f.read_row_group(rg, columns=["url"]).column("url").to_pylist()
+                    h = url_hash64(urls)
+                    hashes.append(h)
+                    fis.append(np.full(len(h), fi, dtype=np.int32))
+                    rgs.append(np.full(len(h), rg, dtype=np.int32))
+            h_all = np.concatenate(hashes) if hashes else np.array([], dtype=np.uint64)
+            fi_all = np.concatenate(fis) if fis else np.array([], dtype=np.int32)
+            rg_all = np.concatenate(rgs) if rgs else np.array([], dtype=np.int32)
+            order = np.argsort(h_all)
+            idx = self._index[part] = (h_all[order], fi_all[order], rg_all[order])
+        return idx
 
     def lookup(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]], columns):
         import pyarrow as _pa
         import pyarrow.compute as _pc
-        import pyarrow.dataset as _pads
+
+        from ..functions.urls import url_hash64
 
         out = []
         for part, urls in part_urls.items():
-            ds = self._datasets.get(part)
-            if ds is None:
-                ds = self._datasets[part] = _pads.dataset(part_files[part])
-            t = ds.to_table(filter=_pc.field("url").isin(urls), columns=columns)
-            if t.num_rows:
-                out.append(t)
+            paths = part_files[part]
+            files = self._open(part, paths)
+            h_sorted, fi_sorted, rg_sorted = self._rg_index(part, paths)
+            want = url_hash64(urls)
+            pos = np.searchsorted(h_sorted, want)
+            targets = {}
+            n = len(h_sorted)
+            for w, p in zip(want, pos):
+                while p < n and h_sorted[p] == w:  # all rgs sharing this hash
+                    targets[(int(fi_sorted[p]), int(rg_sorted[p]))] = True
+                    p += 1
+            if not targets:
+                continue
+            for fi, rg in sorted(targets):
+                t = files[fi].read_row_group(rg, columns=columns)
+                t = t.filter(_pc.is_in(t.column("url"), value_set=_pa.array(urls)))
+                if t.num_rows:
+                    out.append(t)
         if not out:
             return None
         return _pa.concat_tables(out)
