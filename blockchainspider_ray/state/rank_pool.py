@@ -1,0 +1,188 @@
+"""Sharded rank-state actor pool — the scale path for weight strategies.
+
+The reference keeps Haircut/APPR state in one process dict (SURVEY.md §2.4);
+at 10^10 nodes that state must shard.  Residual/weight updates are ADDITIVE
+(reference appr.py:50-51, haricut.py:41), so each shard can merge deltas
+independently; a global pop is a per-shard top-k merged driver-side
+(SURVEY.md §2.6 "residual accumulation", §2.7 "pop = top-1 by score").
+
+Reproducing the reference's tie-break ("first strict max in dict insertion
+order", haricut.py:35-39) across shards: every node carries the arrival
+index of its FIRST weight delta; merged candidates order by
+(weight desc, arrival asc), which equals insertion-order-first-max because
+the driver issues deltas in the same sequence the reference would.
+
+``use_ray=False`` runs the same shard code in-process (tests, small runs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import ray
+
+from ..functions.urls import url_hash64
+
+
+class _RankShardCore:
+    """One shard: node -> (value, arrival, visited)."""
+
+    def __init__(self):
+        self.value: Dict[Any, float] = {}
+        self.arrival: Dict[Any, int] = {}
+        self.visited: set = set()
+
+    def apply_deltas(self, nodes: List[Any], deltas: List[float], arrivals: List[int]) -> None:
+        for n, d, a in zip(nodes, deltas, arrivals):
+            self.value[n] = self.value.get(n, 0.0) + d
+            if n not in self.arrival:
+                self.arrival[n] = a
+
+    def take(self, node: Any) -> float:
+        """Return current value and zero it (the push-consumes-mass step)."""
+        v = self.value.get(node, 0.0)
+        if node in self.value:
+            self.value[node] = 0.0
+        return v
+
+    def mark_visited(self, node: Any) -> None:
+        self.visited.add(node)
+
+    def top_candidates(self, k: int, min_value: float, skip_visited: bool) -> List[Tuple[Any, float, int]]:
+        cands = [
+            (n, v, self.arrival.get(n, 0))
+            for n, v in self.value.items()
+            if v >= min_value and not (skip_visited and n in self.visited)
+        ]
+        cands.sort(key=lambda t: (-t[1], t[2]))
+        return cands[:k]
+
+    def ranks(self) -> Dict[Any, float]:
+        return dict(self.value)
+
+    def snapshot(self) -> dict:
+        return {
+            "value": dict(self.value),
+            "arrival": dict(self.arrival),
+            "visited": list(self.visited),
+        }
+
+    def restore(self, state: dict) -> None:
+        self.value = dict(state["value"])
+        self.arrival = dict(state["arrival"])
+        self.visited = set(state["visited"])
+
+
+@ray.remote(num_cpus=0.25)
+class RankShard:
+    def __init__(self):
+        self.core = _RankShardCore()
+
+    def apply_deltas(self, nodes, deltas, arrivals):
+        return self.core.apply_deltas(nodes, deltas, arrivals)
+
+    def take(self, node):
+        return self.core.take(node)
+
+    def mark_visited(self, node):
+        return self.core.mark_visited(node)
+
+    def top_candidates(self, k, min_value, skip_visited):
+        return self.core.top_candidates(k, min_value, skip_visited)
+
+    def ranks(self):
+        return self.core.ranks()
+
+    def snapshot(self):
+        return self.core.snapshot()
+
+    def restore(self, state):
+        return self.core.restore(state)
+
+
+class RankPool:
+    """Facade over K rank shards, routing by xxhash64(node) % K."""
+
+    def __init__(self, num_shards: int = 4, use_ray: bool = True):
+        self.num_shards = num_shards
+        self.use_ray = use_ray
+        if use_ray:
+            self.shards = [RankShard.remote() for _ in range(num_shards)]
+        else:
+            self.shards = [_RankShardCore() for _ in range(num_shards)]
+
+    def _shard_of(self, node: Any) -> int:
+        return int(url_hash64([str(node)])[0] % np.uint64(self.num_shards))
+
+    def _call(self, shard: int, method: str, *args):
+        target = self.shards[shard]
+        if self.use_ray:
+            return ray.get(getattr(target, method).remote(*args))
+        return getattr(target, method)(*args)
+
+    def apply_deltas(self, deltas: List[Tuple[Any, float, int]]) -> None:
+        """deltas: [(node, delta, arrival)] — scattered to shards, applied
+        concurrently (one batched call per shard)."""
+        per_shard: Dict[int, Tuple[list, list, list]] = {}
+        for node, d, a in deltas:
+            b = per_shard.setdefault(self._shard_of(node), ([], [], []))
+            b[0].append(node)
+            b[1].append(d)
+            b[2].append(a)
+        if self.use_ray:
+            ray.get(
+                [
+                    self.shards[s].apply_deltas.remote(*b)
+                    for s, b in per_shard.items()
+                ]
+            )
+        else:
+            for s, b in per_shard.items():
+                self.shards[s].apply_deltas(*b)
+
+    def take(self, node: Any) -> float:
+        return self._call(self._shard_of(node), "take", node)
+
+    def mark_visited(self, node: Any) -> None:
+        self._call(self._shard_of(node), "mark_visited", node)
+
+    def top_candidate(
+        self, min_value: float, skip_visited: bool
+    ) -> Optional[Tuple[Any, float, int]]:
+        """Global argmax: per-shard top-1 gathered concurrently, merged by
+        (value desc, arrival asc)."""
+        if self.use_ray:
+            tops = ray.get(
+                [s.top_candidates.remote(1, min_value, skip_visited) for s in self.shards]
+            )
+        else:
+            tops = [s.top_candidates(1, min_value, skip_visited) for s in self.shards]
+        merged = [t for shard_tops in tops for t in shard_tops]
+        if not merged:
+            return None
+        merged.sort(key=lambda t: (-t[1], t[2]))
+        return merged[0]
+
+    def ranks(self) -> Dict[Any, float]:
+        if self.use_ray:
+            parts = ray.get([s.ranks.remote() for s in self.shards])
+        else:
+            parts = [s.ranks() for s in self.shards]
+        out: Dict[Any, float] = {}
+        for p in parts:
+            out.update(p)
+        return out
+
+    def snapshot(self) -> List[dict]:
+        if self.use_ray:
+            return ray.get([s.snapshot.remote() for s in self.shards])
+        return [s.snapshot() for s in self.shards]
+
+    def restore(self, states: List[dict]) -> None:
+        assert len(states) == self.num_shards
+        if self.use_ray:
+            ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        else:
+            for s, st in zip(self.shards, states):
+                s.restore(st)

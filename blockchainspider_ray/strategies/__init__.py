@@ -46,6 +46,7 @@ def _registry():
     from .bfs import BFS, Poison
     from .haircut import Haircut
     from .appr import APPR
+    from .sharded import ShardedAPPR, ShardedHaircut
     from .ttr import TTRAggregate, TTRBase, TTRTime, TTRWeight
 
     return {
@@ -57,6 +58,9 @@ def _registry():
         "ttr_weight": TTRWeight,
         "ttr_time": TTRTime,
         "ttr_redirect": TTRAggregate,
+        # actor-sharded scale path (state/rank_pool.py)
+        "haircut_sharded": ShardedHaircut,
+        "appr_sharded": ShardedAPPR,
     }
 
 
@@ -81,6 +85,8 @@ def extract_mass(strategy: FrontierStrategy, node):
     from .haircut import Haircut
     from .ttr import TTRAggregate, TTRBase, TTRTime, TTRWeight
 
+    if hasattr(strategy, "extract_mass"):  # sharded strategies own the hook
+        return strategy.extract_mass(node)
     if isinstance(strategy, Haircut):
         mass = strategy.weight_map.get(node, 0)
         strategy.weight_map[node] = 0
@@ -104,6 +110,9 @@ def restore_mass(strategy: FrontierStrategy, node, mass) -> None:
     """Put back mass extracted by :func:`extract_mass` (immediately before
     the node's push, so push sees the state the reference would)."""
     if mass is None:
+        return
+    if hasattr(strategy, "restore_mass"):
+        strategy.restore_mass(node, mass)
         return
     kind, value = mass
     if kind == "haircut":
@@ -129,4 +138,6 @@ STRATEGY_NAMES = (
     "ttr_weight",
     "ttr_time",
     "ttr_redirect",
+    "haircut_sharded",
+    "appr_sharded",
 )

@@ -1,0 +1,191 @@
+"""Distributed (actor-sharded) weight strategies — the 10^10-node scale
+path for the reference's Haircut and APPR frontiers.
+
+- ``ShardedHaircut`` reproduces the reference pop sequence EXACTLY
+  (tests pin sharded == local on crawls): weight flow is a linear scatter
+  of additive deltas, and the insertion-order tie-break is carried by
+  per-node arrival indices (state/rank_pool.py).
+- ``ShardedAPPR`` is the batched-drain variant: residual pushes are the
+  same linear operations (reference appr.py:58-81) applied through the
+  pool; the cached-distribution drain loop runs in sweeps until no shard
+  holds a drainable residual.  Push-based PPR is a Gauss-Seidel solve of a
+  linear system, so the converged mass vector matches the reference within
+  float tolerance regardless of drain order (asserted in tests); the pop
+  *set* matches, the exact inter-pop order may differ on ties.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+from . import FrontierStrategy
+from ..state.rank_pool import RankPool
+
+
+class ShardedHaircut(FrontierStrategy):
+    """Reference haircut semantics (strategies/haircut.py here;
+    reference strategies/txs/haricut.py:6-54) over a RankPool."""
+
+    def __init__(
+        self,
+        source: str,
+        min_weight: float = 1e-3,
+        num_shards: int = 4,
+        use_ray: bool = True,
+        **kwargs: Any,
+    ):
+        super().__init__(source)
+        self.min_weight = float(min_weight)
+        assert 0 < self.min_weight < 1
+        self.pool = RankPool(num_shards, use_ray=use_ray)
+        self._arrival = 0
+        self.pool.apply_deltas([(source, 1.0, self._next_arrival())])
+        self.pool.mark_visited(source)
+
+    def _next_arrival(self) -> int:
+        a = self._arrival
+        self._arrival += 1
+        return a
+
+    def push(self, node, edges: list, **kwargs: Any) -> None:
+        out_sum = 0.0
+        out_edges = []
+        for e in edges:
+            if e.get("from") == node:
+                out_sum += float(e.get("value", 0))
+                out_edges.append(e)
+        if out_sum == 0:
+            return  # zero out-value keeps its weight (reference early return)
+        node_weight = self.pool.take(node)
+        deltas = []
+        for oe in out_edges:
+            deltas.append(
+                (oe.get("to"), node_weight * float(oe.get("value")) / out_sum, self._next_arrival())
+            )
+        self.pool.apply_deltas(deltas)
+
+    def pop(self) -> Tuple[Any, Dict]:
+        top = self.pool.top_candidate(self.min_weight, skip_visited=True)
+        if top is None:
+            return None, {}
+        node, weight, _ = top
+        self.pool.mark_visited(node)
+        return node, {"weight": weight}
+
+    # engine batched-pop (pop_k>1) mass parking hooks
+    def extract_mass(self, node):
+        return ("haircut", self.pool.take(node))
+
+    def restore_mass(self, node, mass) -> None:
+        if mass is None:
+            return
+        _, value = mass
+        self.pool.apply_deltas([(node, value, self._next_arrival())])
+
+    def get_context_snapshot(self) -> Dict:
+        return {
+            "source": self.source,
+            "min_weight": self.min_weight,
+            "shards": self.pool.snapshot(),
+            "arrival": self._arrival,
+        }
+
+    def get_node_rank(self) -> Dict:
+        return self.pool.ranks()
+
+
+class ShardedAPPR(FrontierStrategy):
+    """Push-based PPR over a RankPool with batched distribution drains."""
+
+    def __init__(
+        self,
+        source: str,
+        alpha: float = 0.15,
+        epsilon: float = 1e-5,
+        num_shards: int = 4,
+        use_ray: bool = True,
+        **kwargs: Any,
+    ):
+        super().__init__(source)
+        self.alpha = float(alpha)
+        self.epsilon = float(epsilon)
+        self.pool = RankPool(num_shards, use_ray=use_ray)  # residuals
+        self.p: Dict[Any, float] = {}  # credited mass (pop-count-bounded)
+        self.dists: Dict[Any, Dict[Any, float]] = {}  # node -> neighbour distribution
+        self._arrival = 0
+        self.pool.apply_deltas([(source, 1.0, self._next_arrival())])
+
+    def _next_arrival(self) -> int:
+        a = self._arrival
+        self._arrival += 1
+        return a
+
+    def _credit_and_spread(self, node, r_node: float, dist: Dict[Any, float]) -> None:
+        self.p[node] = self.p.get(node, 0.0) + r_node * self.alpha
+        self.pool.apply_deltas(
+            [(v, d * r_node, self._next_arrival()) for v, d in dist.items()]
+        )
+
+    def push(self, node, edges: list, **kwargs: Any) -> None:
+        r_node = self.pool.take(node)
+        if r_node == 0:
+            return
+        dist = self.dists.get(node)
+        if dist is None:
+            neighbours = set()
+            for e in edges:
+                neighbours.add(e.get("from"))
+                neighbours.add(e.get("to"))
+            neighbours.discard(node)
+            n = len(neighbours)
+            dist = {nb: (1 - self.alpha) / n for nb in neighbours} if n else {}
+            self.dists[node] = dist
+        self._credit_and_spread(node, r_node, dist)
+
+    def _drain(self) -> None:
+        """Sweep: zero every drainable residual (known distribution,
+        r > epsilon) until none remain — the distributed form of the
+        reference's pop-time drain loop (appr.py:84-97)."""
+        while True:
+            ranks = self.pool.ranks()
+            drainable = [
+                (n, r) for n, r in ranks.items() if r > self.epsilon and n in self.dists
+            ]
+            if not drainable:
+                return
+            for n, _ in drainable:
+                r_node = self.pool.take(n)
+                if r_node > 0:
+                    self._credit_and_spread(n, r_node, self.dists[n])
+
+    def pop(self) -> Tuple[Any, Dict]:
+        self._drain()
+        top = self.pool.top_candidate(self.epsilon, skip_visited=False)
+        if top is None:
+            return None, {}
+        node, r, _ = top
+        if r <= self.epsilon:
+            return None, {}
+        return node, {"residual": r}
+
+    def extract_mass(self, node):
+        return ("scalar", self.pool.take(node))
+
+    def restore_mass(self, node, mass) -> None:
+        if mass is None:
+            return
+        _, value = mass
+        self.pool.apply_deltas([(node, value, self._next_arrival())])
+
+    def get_context_snapshot(self) -> Dict:
+        return {
+            "source": self.source,
+            "alpha": self.alpha,
+            "epsilon": self.epsilon,
+            "p": dict(self.p),
+            "shards": self.pool.snapshot(),
+            "arrival": self._arrival,
+        }
+
+    def get_node_rank(self) -> Dict:
+        return dict(self.p)

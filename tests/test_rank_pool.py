@@ -1,0 +1,133 @@
+"""Sharded rank pool + distributed strategies vs their local counterparts."""
+
+import pytest
+
+from blockchainspider_ray.strategies import load_strategy
+from blockchainspider_ray.strategies.appr import APPR
+from blockchainspider_ray.strategies.haircut import Haircut
+from blockchainspider_ray.strategies.sharded import ShardedAPPR, ShardedHaircut
+
+
+def _adjacency(n=40, seed=3):
+    """Deterministic weighted digraph as {node: [edge dicts]}."""
+    adj = {}
+    for i in range(n):
+        node = f"n{i}"
+        edges = []
+        for k in range(1 + (i * 7) % 3):
+            j = (i * 13 + k * 5 + seed) % n
+            if j == i:
+                continue
+            edges.append(
+                {
+                    "from": node,
+                    "to": f"n{j}",
+                    "value": float(1 + (i + k) % 5),
+                    "timeStamp": i,
+                    "symbol": "",
+                    "hash": f"e{i}_{k}",
+                }
+            )
+        adj[node] = edges
+    return adj
+
+
+def _drive(strategy, adj, max_pops=60):
+    order = []
+    for _ in range(max_pops):
+        node, ctx = strategy.pop()
+        if node is None:
+            break
+        order.append((node, round(list(ctx.values())[0], 12) if ctx else None))
+        strategy.push(node, adj.get(node, []))
+    return order
+
+
+def test_sharded_haircut_matches_local_exactly():
+    adj = _adjacency()
+    local = Haircut(source="n0", min_weight=1e-4)
+    sharded = ShardedHaircut(source="n0", min_weight=1e-4, num_shards=3, use_ray=False)
+    assert _drive(local, adj) == _drive(sharded, adj)
+    lr = local.get_node_rank()
+    sr = sharded.get_node_rank()
+    for k in set(lr) | set(sr):
+        assert abs(lr.get(k, 0) - sr.get(k, 0)) < 1e-12, k
+
+
+def test_sharded_haircut_matches_local_with_ray_actors(ray_session):
+    adj = _adjacency(n=25, seed=9)
+    local = Haircut(source="n0", min_weight=1e-4)
+    sharded = ShardedHaircut(source="n0", min_weight=1e-4, num_shards=2, use_ray=True)
+    assert _drive(local, adj, max_pops=25) == _drive(sharded, adj, max_pops=25)
+
+
+def test_sharded_appr_same_pop_set_and_mass():
+    adj = _adjacency()
+    local = APPR(source="n0", alpha=0.15, epsilon=1e-4)
+    sharded = ShardedAPPR(source="n0", alpha=0.15, epsilon=1e-4, num_shards=3, use_ray=False)
+    lo = _drive(local, adj)
+    so = _drive(sharded, adj)
+    assert {n for n, _ in lo} == {n for n, _ in so}
+    lp, sp = local.get_node_rank(), sharded.get_node_rank()
+    # both solvers stop pushing at residual <= epsilon, so credited mass can
+    # differ by O(epsilon) depending on drain order — never more
+    eps = 1e-4
+    for k in set(lp) | set(sp):
+        assert abs(lp.get(k, 0) - sp.get(k, 0)) < 5 * eps, k
+
+
+def test_rank_pool_snapshot_restore_roundtrip():
+    from blockchainspider_ray.state.rank_pool import RankPool
+
+    pool = RankPool(num_shards=3, use_ray=False)
+    pool.apply_deltas([("a", 0.5, 0), ("b", 0.25, 1), ("c", 0.25, 2)])
+    pool.mark_visited("a")
+    snap = pool.snapshot()
+    pool2 = RankPool(num_shards=3, use_ray=False)
+    pool2.restore(snap)
+    assert pool2.ranks() == pool.ranks()
+    assert pool2.top_candidate(0.0, skip_visited=True) == pool.top_candidate(0.0, skip_visited=True)
+
+
+def test_registry_exposes_sharded_strategies():
+    s = load_strategy("haircut_sharded", source="n0", use_ray=False)
+    assert isinstance(s, ShardedHaircut)
+    s = load_strategy("appr_sharded", source="n0", use_ray=False)
+    assert isinstance(s, ShardedAPPR)
+
+
+def test_engine_crawl_identical_local_vs_sharded(ray_session, pages_store):
+    import pyarrow.dataset as pads
+
+    from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from blockchainspider_ray.stages.fetch import PageStore
+
+    seed_url = (
+        pads.dataset(f"{pages_store}/part=0", partitioning=None)
+        .to_table(columns=["url"])
+        .column("url")[0]
+        .as_py()
+    )
+
+    def crawl(strategy, kwargs):
+        eng = CrawlEngine(
+            PageStore(pages_store),
+            seeds=[seed_url],
+            config=CrawlConfig(
+                strategy=strategy,
+                strategy_kwargs=kwargs,
+                pop_k=4,
+                host_budget=3,
+                max_fetches=60,
+                max_rounds=40,
+                seen_use_ray=False,
+            ),
+        )
+        res = eng.run()
+        return [(r["round"], r["url"]) for r in res.crawl_order]
+
+    local = crawl("haircut", {"min_weight": 1e-4})
+    sharded = crawl(
+        "haircut_sharded", {"min_weight": 1e-4, "num_shards": 2, "use_ray": False}
+    )
+    assert local == sharded and len(local) > 5
