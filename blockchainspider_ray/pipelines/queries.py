@@ -969,6 +969,25 @@ def q_embedding_knn(sf_dir: str):
     return out.map_batches(lambda b: _round_col(b, "sim", 4), batch_format="pyarrow").sort("vec_id")
 
 
+def q_wedge_count(sf_dir: str):
+    """Per-node wedge (2-path) motif count — the simplest of the MoTS
+    higher-order motif aggregations (reference plugins/mots/highorder.py
+    counts 16-dim motif vectors per group; here wedges_v = d_v*(d_v-1)/2
+    over the distinct undirected neighbour set)."""
+    deg = q_node_degree(sf_dir)
+
+    def wedges(b: pa.Table) -> pa.Table:
+        d = b.column("degree").to_numpy()
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "wedges": pa.array(d * (d - 1) // 2, pa.int64()),
+            }
+        )
+
+    return deg.map_batches(wedges, batch_format="pyarrow").sort("node")
+
+
 def q_salted_host_agg(sf_dir: str):
     """Hot-key-safe aggregation: count per host via salted two-phase groupby
     (stages/skew.py; the explicit skew handling the north rule demands —
@@ -1521,6 +1540,21 @@ ORACLE_SQL: Dict[str, str] = {
                program
         FROM p ORDER BY uid, program
     """,
+    "wedge_count": """
+        WITH e AS (
+            SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+            FROM events
+        ),
+        und AS (
+            SELECT src AS node, dst AS neighbor FROM e WHERE src <> dst
+            UNION ALL
+            SELECT dst AS node, src AS neighbor FROM e WHERE src <> dst
+        ),
+        deg AS (
+            SELECT node, count(DISTINCT neighbor) AS d FROM und GROUP BY node
+        )
+        SELECT node, d * (d - 1) // 2 AS wedges FROM deg ORDER BY node
+    """,
     "block_parse": """
         SELECT o_orderkey // 10                            AS block_number,
                '0xtx' || o_orderkey                        AS tx_hash,
@@ -1599,6 +1633,7 @@ SQL_QUERIES = {
     "xml_labels": q_xml_labels,
     "block_parse": q_block_parse,
     "utxo_edges": q_utxo_edges,
+    "wedge_count": q_wedge_count,
 }
 
 
@@ -1863,6 +1898,12 @@ def q_crawl_ttr_weight(sf_dir: str):
     return _run_crawl(sf_dir, "ttr_weight", alpha=0.15, beta=0.8, epsilon=1e-4)
 
 
+def q_crawl_haircut_sharded(sf_dir: str):
+    """Haircut over the actor-sharded rank pool (scale path) — must match
+    q_crawl_haircut row-for-row (asserted in tests/test_rank_pool.py)."""
+    return _run_crawl(sf_dir, "haircut_sharded", min_weight=1e-4, num_shards=4, use_ray=True)
+
+
 NOSQL_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1874,6 +1915,7 @@ NOSQL_QUERIES = {
     "crawl_haircut": q_crawl_haircut,
     "crawl_appr": q_crawl_appr,
     "crawl_ttr_weight": q_crawl_ttr_weight,
+    "crawl_haircut_sharded": q_crawl_haircut_sharded,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
 }
