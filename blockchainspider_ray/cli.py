@@ -1,0 +1,158 @@
+"""Command-line entry points — the `scrapy crawl <spider> -a k=v` UX of the
+reference (README.md:36-87) mapped onto the Ray-Data engine:
+
+    python -m blockchainspider_ray crawl --store DIR --seeds URL [URL...]
+        --strategy bfs --pop-k 64 --host-budget 8 --out OUT --checkpoint CKPT
+    python -m blockchainspider_ray bulk-parse --store DIR --out OUT
+    python -m blockchainspider_ray gen-store --out DIR --pages 10000
+
+Owns its Ray session (the library never calls ray.init; the driver-facing
+``__ray_entry__`` contract stays session-free).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "log_to_driver": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .crawl.engine import CrawlConfig, CrawlEngine
+    from .stages.fetch import PageStore
+
+    kwargs = dict(kv.split("=", 1) for kv in args.strategy_arg or [])
+    for k, v in list(kwargs.items()):  # numeric coercion for -a style args
+        try:
+            kwargs[k] = int(v)
+        except ValueError:
+            try:
+                kwargs[k] = float(v)
+            except ValueError:
+                pass
+    engine = CrawlEngine(
+        PageStore(args.store),
+        seeds=args.seeds,
+        config=CrawlConfig(
+            strategy=args.strategy,
+            strategy_kwargs=kwargs,
+            pop_k=args.pop_k,
+            host_budget=args.host_budget,
+            obey_robots=args.obey_robots,
+            max_rounds=args.max_rounds,
+            max_fetches=args.max_fetches,
+            seen_shards=args.seen_shards,
+            checkpoint_dir=args.checkpoint,
+            out_dir=args.out,
+        ),
+    )
+    if args.resume and engine.resume():
+        print(f"resumed from round {engine.round_no}", file=sys.stderr)
+    res = engine.run()
+    print(
+        json.dumps(
+            {
+                "fetched": res.fetched,
+                "rounds": res.rounds,
+                "crawl_order_len": len(res.crawl_order),
+                "top_ranks": sorted(res.ranks.items(), key=lambda kv: -kv[1])[:10],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_bulk_parse(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .stages.parse import parse_page_stage
+
+    pages = ray.data.read_parquet(args.store, partitioning=None)
+    parsed = pages.map_batches(parse_page_stage, batch_format="pyarrow", batch_size=args.batch_size)
+    parsed.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_gen_store(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .fixtures import ensure_pages_store
+
+    path = ensure_pages_store(
+        args.out,
+        n_pages=args.pages,
+        seed=args.seed,
+        n_hosts=args.hosts,
+        num_partitions=args.partitions,
+        pad_to_bytes=args.page_bytes,
+    )
+    print(json.dumps({"store": path, "pages": args.pages}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="blockchainspider_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a frontier crawl against a page store")
+    c.add_argument("--store", required=True)
+    c.add_argument("--seeds", nargs="+", required=True)
+    c.add_argument("--strategy", default="bfs")
+    c.add_argument(
+        "-a", "--strategy-arg", action="append", metavar="K=V",
+        help="strategy kwarg (reference -a style), e.g. -a depth=4",
+    )
+    c.add_argument("--pop-k", type=int, default=64)
+    c.add_argument("--host-budget", type=int, default=8)
+    c.add_argument("--obey-robots", action="store_true")
+    c.add_argument("--max-rounds", type=int, default=1000)
+    c.add_argument("--max-fetches", type=int, default=None)
+    c.add_argument("--seen-shards", type=int, default=4)
+    c.add_argument("--checkpoint", default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--out", default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    b = sub.add_parser("bulk-parse", help="fetch+parse a whole page store")
+    b.add_argument("--store", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--batch-size", type=int, default=512)
+    b.set_defaults(fn=cmd_bulk_parse)
+
+    g = sub.add_parser("gen-store", help="generate the deterministic synthetic page store")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=10000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hosts", type=int, default=20)
+    g.add_argument("--partitions", type=int, default=16)
+    g.add_argument("--page-bytes", type=int, default=0)
+    g.set_defaults(fn=cmd_gen_store)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,6 +34,18 @@ def _stable_h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
+def _hash_strings64(strings) -> np.ndarray:
+    """Vectorized 64-bit hash of a string list (polars xxhash, seed pinned —
+    same determinism contract as functions.urls.url_hash64); blake2b
+    fallback when polars is unavailable."""
+    try:
+        import polars as pl
+
+        return pl.Series(strings, dtype=pl.String).hash(seed=0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        return np.array([_stable_h64(s) for s in strings], dtype=np.uint64)
+
+
 def tokens_of(text: str) -> List[str]:
     return _RE_TOKEN.findall(text or "")
 
@@ -67,7 +79,7 @@ class MinHasher:
         sh = shingles_of(text, self.k)
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = np.array([_stable_h64(s) for s in sh], dtype=np.uint64) % _MERSENNE
+        h = _hash_strings64(sh) % _MERSENNE
         # (n_shingle, num_perm) universal hash, min over shingles
         vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
