@@ -969,6 +969,82 @@ def q_embedding_knn(sf_dir: str):
     return out.map_batches(lambda b: _round_col(b, "sim", 4), batch_format="pyarrow").sort("vec_id")
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows: per user, events sorted by ts split at gaps > 30
+    minutes; one row per session with its event count and bounds.  The
+    stateful-streaming window operator beyond tumbling (q_events_window),
+    expressed as groupby(user).map_groups with an in-group sort — a
+    session's events co-locate by construction."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions_of_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by("ts")
+        uid = int(g.column("user_id")[0].as_py())
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_us = 30 * 60 * 1_000_000
+        # new session where the gap from the previous event exceeds 30min
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess_id = np.cumsum(new_sess)
+        out_uid, out_sid, out_n, out_start, out_end = [], [], [], [], []
+        for sid in range(1, int(sess_id[-1]) + 1):
+            mask = sess_id == sid
+            out_uid.append(uid)
+            out_sid.append(sid)
+            out_n.append(int(mask.sum()))
+            out_start.append(ts[mask][0])
+            out_end.append(ts[mask][-1])
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "session_id": pa.array(out_sid, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "session_start": pa.array(
+                    np.array(out_start, dtype=np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "session_end": pa.array(
+                    np.array(out_end, dtype=np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions_of_user, batch_format="pyarrow")
+        .sort(["user_id", "session_id"])
+    )
+
+
+def q_robots_filter(sf_dir: str):
+    """robots.txt gate over a synthetic frontier: host site{h} disallows
+    path prefix '/d/{h}' for User-agent: * — the engine's robots parser
+    (stages/robots.py; reference ships ROBOTSTXT_OBEY=False,
+    settings.py:20, our obey path implements RFC-9309 prefix rules)."""
+    from ..stages.robots import is_allowed, parse_robots
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        out_id, out_url = [], []
+        rules_of = {
+            h: parse_robots(f"User-agent: *\nDisallow: /d/{h}\n") for h in range(10)
+        }
+        for d in ids:
+            h = int(d) % 10
+            path = f"/d/{int(d)}"
+            if is_allowed(path, rules_of[h]):
+                out_id.append(int(d))
+                out_url.append(f"http://site{h}.example{path}")
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "url": pa.array(out_url, pa.string())}
+        )
+
+    return docs.map_batches(gate, batch_format="pyarrow").sort("doc_id")
+
+
 def q_wedge_count(sf_dir: str):
     """Per-node wedge (2-path) motif count — the simplest of the MoTS
     higher-order motif aggregations (reference plugins/mots/highorder.py
@@ -1540,6 +1616,33 @@ ORACLE_SQL: Dict[str, str] = {
                program
         FROM p ORDER BY uid, program
     """,
+    "sessionize": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM o
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "robots_filter": """
+        SELECT doc_id,
+               'http://site' || (doc_id % 10) || '.example/d/' || doc_id AS url
+        FROM documents
+        WHERE NOT starts_with(CAST(doc_id AS VARCHAR),
+                              CAST(doc_id % 10 AS VARCHAR))
+        ORDER BY doc_id
+    """,
     "wedge_count": """
         WITH e AS (
             SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
@@ -1634,6 +1737,8 @@ SQL_QUERIES = {
     "block_parse": q_block_parse,
     "utxo_edges": q_utxo_edges,
     "wedge_count": q_wedge_count,
+    "sessionize": q_sessionize,
+    "robots_filter": q_robots_filter,
 }
 
 

@@ -35,7 +35,8 @@ def _lookup_partition(files: List[str], urls: List[str], columns: Optional[List[
     return ds.to_table(filter=_pc.field("url").isin(urls), columns=columns)
 
 
-@ray.remote(num_cpus=0.25)  # IO-bound: fractional so a pool can't starve parse tasks
+@ray.remote(num_cpus=0)  # service actor: light routing/IO, zero CPU claim so
+# pools always schedule and can never deadlock compute tasks on small clusters
 class _FetchShard:
     """One shard of the fetch actor pool: owns partitions ``p % k == i`` and
     keeps their ``pyarrow.dataset`` handles (file/row-group metadata) cached

@@ -74,7 +74,7 @@ class _RankShardCore:
         self.visited = set(state["visited"])
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # memory-bound service actor; zero CPU claim (see fetch.py)
 class RankShard:
     def __init__(self):
         self.core = _RankShardCore()

@@ -73,7 +73,7 @@ class _ShardCore:
         return len(self.exact) if self.exact is not None else len(self.filter)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # memory-bound service actor; zero CPU claim (see fetch.py)
 class SeenShard:
     """One shard of the URL-seen set (cheap actor: mostly memory, not CPU)."""
 
