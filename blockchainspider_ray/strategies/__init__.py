@@ -46,7 +46,7 @@ def _registry():
     from .bfs import BFS, Poison
     from .haircut import Haircut
     from .appr import APPR
-    from .sharded import ShardedAPPR, ShardedHaircut
+    from .sharded import ShardedAPPR, ShardedHaircut, ShardedTTRBase, ShardedTTRWeight
     from .ttr import TTRAggregate, TTRBase, TTRTime, TTRWeight
 
     return {
@@ -61,6 +61,8 @@ def _registry():
         # actor-sharded scale path (state/rank_pool.py)
         "haircut_sharded": ShardedHaircut,
         "appr_sharded": ShardedAPPR,
+        "ttr_base_sharded": ShardedTTRBase,
+        "ttr_weight_sharded": ShardedTTRWeight,
     }
 
 
@@ -140,4 +142,6 @@ STRATEGY_NAMES = (
     "ttr_redirect",
     "haircut_sharded",
     "appr_sharded",
+    "ttr_base_sharded",
+    "ttr_weight_sharded",
 )

@@ -94,6 +94,109 @@ class ShardedHaircut(FrontierStrategy):
         return self.pool.ranks()
 
 
+class ShardedTTRBase(FrontierStrategy):
+    """TTR forward/backward residual push over a RankPool — exact semantics
+    of TTRBase (reference ttr.py:39-99): degree-uniform splits, beta
+    forward / (1-beta) backward, pop = argmax residual > epsilon with
+    insertion-order tie-break (arrival indices)."""
+
+    WEIGHTED = False
+
+    def __init__(
+        self,
+        source: str,
+        alpha: float = 0.15,
+        beta: float = 0.8,
+        epsilon: float = 1e-3,
+        num_shards: int = 4,
+        use_ray: bool = True,
+        **kwargs: Any,
+    ):
+        super().__init__(source)
+        self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
+        self.pool = RankPool(num_shards, use_ray=use_ray)
+        self.p: Dict[Any, float] = {}
+        self._arrival = 0
+        self.pool.apply_deltas([(source, 1.0, self._next_arrival())])
+
+    def _next_arrival(self) -> int:
+        a = self._arrival
+        self._arrival += 1
+        return a
+
+    def _splits(self, node, edges: list):
+        """[(dst_node, fraction-of-(1-alpha)·r)] per reference semantics."""
+        out = [e for e in edges if e["from"] == node]
+        inn = [e for e in edges if e["to"] == node]
+        splits = []
+        if self.WEIGHTED:
+            out_sum = sum(e["value"] for e in out)
+            in_sum = sum(e["value"] for e in inn)
+            for e in out:
+                if out_sum > 0:
+                    splits.append((e["to"], self.beta * e["value"] / out_sum))
+            for e in inn:
+                if in_sum > 0:
+                    splits.append((e["from"], (1 - self.beta) * e["value"] / in_sum))
+        else:
+            for e in out:
+                splits.append((e["to"], self.beta / len(out)))
+            for e in inn:
+                splits.append((e["from"], (1 - self.beta) / len(inn)))
+        return splits
+
+    def push(self, node, edges: list, **kwargs: Any) -> None:
+        # reference registers the pushed node in r even when absent
+        # (ttr.py:64-65) — keeps insertion order identical for tie-breaks
+        self.pool.apply_deltas([(node, 0.0, self._next_arrival())])
+        r = self.pool.take(node)
+        self.p[node] = self.p.get(node, 0.0) + self.alpha * r
+        deltas = [
+            (dst, (1 - self.alpha) * frac * r, self._next_arrival())
+            for dst, frac in self._splits(node, edges)
+        ]
+        if deltas:
+            self.pool.apply_deltas(deltas)
+
+    def pop(self) -> Tuple[Any, Dict]:
+        top = self.pool.top_candidate(self.epsilon, skip_visited=False)
+        if top is None:
+            return None, {}
+        node, r, _ = top
+        if r <= self.epsilon:
+            return None, {}
+        return node, {"residual": r}
+
+    def extract_mass(self, node):
+        return ("scalar", self.pool.take(node))
+
+    def restore_mass(self, node, mass) -> None:
+        if mass is None:
+            return
+        _, value = mass
+        self.pool.apply_deltas([(node, value, self._next_arrival())])
+
+    def get_context_snapshot(self) -> Dict:
+        return {
+            "source": self.source,
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "epsilon": self.epsilon,
+            "p": dict(self.p),
+            "shards": self.pool.snapshot(),
+            "arrival": self._arrival,
+        }
+
+    def get_node_rank(self) -> Dict:
+        return dict(self.p)
+
+
+class ShardedTTRWeight(ShardedTTRBase):
+    """Value-proportional TTR splits (reference ttr.py:102-161)."""
+
+    WEIGHTED = True
+
+
 class ShardedAPPR(FrontierStrategy):
     """Push-based PPR over a RankPool with batched distribution drains."""
 

@@ -93,15 +93,23 @@ PARAMS = {
     "ttr_weight": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3},
     "ttr_time": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3},
     "ttr_redirect": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3},
-    # actor-sharded haircut must reproduce the REFERENCE haircut exactly
+    # actor-sharded strategies must reproduce the REFERENCE classes exactly
     # (in-process shard cores; the Ray-actor path is tests/test_rank_pool.py)
     "haircut_sharded": {"min_weight": 1e-3, "num_shards": 3, "use_ray": False},
+    "ttr_base_sharded": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3,
+                         "num_shards": 3, "use_ray": False},
+    "ttr_weight_sharded": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3,
+                           "num_shards": 3, "use_ray": False},
 }
 
 # sharded strategy -> the reference class it must match; appr_sharded is
 # excluded from EXACT conformance (batched drains converge to the same mass
 # but may order ties differently — asserted in tests/test_rank_pool.py)
-REF_ALIAS = {"haircut_sharded": "haircut"}
+REF_ALIAS = {
+    "haircut_sharded": "haircut",
+    "ttr_base_sharded": "ttr_base",
+    "ttr_weight_sharded": "ttr_weight",
+}
 EXACT_NAMES = tuple(n for n in STRATEGY_NAMES if n != "appr_sharded")
 
 
