@@ -2003,6 +2003,21 @@ def q_crawl_ttr_weight(sf_dir: str):
     return _run_crawl(sf_dir, "ttr_weight", alpha=0.15, beta=0.8, epsilon=1e-4)
 
 
+def q_crawl_poison(sf_dir: str):
+    """Poison (taint, out-edges-only BFS) frontier (reference poison.py)."""
+    return _run_crawl(sf_dir, "poison", depth=8)
+
+
+def q_crawl_ttr_time(sf_dir: str):
+    """TTR temporal-chip frontier (reference ttr.py:164-331)."""
+    return _run_crawl(sf_dir, "ttr_time", alpha=0.15, beta=0.8, epsilon=1e-4)
+
+
+def q_crawl_ttr_redirect(sf_dir: str):
+    """TTRRedirect cross-token netting frontier (reference ttr.py:334-825)."""
+    return _run_crawl(sf_dir, "ttr_redirect", alpha=0.15, beta=0.8, epsilon=1e-4)
+
+
 def q_crawl_haircut_sharded(sf_dir: str):
     """Haircut over the actor-sharded rank pool (scale path) — must match
     q_crawl_haircut row-for-row (asserted in tests/test_rank_pool.py)."""
@@ -2020,6 +2035,9 @@ NOSQL_QUERIES = {
     "crawl_haircut": q_crawl_haircut,
     "crawl_appr": q_crawl_appr,
     "crawl_ttr_weight": q_crawl_ttr_weight,
+    "crawl_poison": q_crawl_poison,
+    "crawl_ttr_time": q_crawl_ttr_time,
+    "crawl_ttr_redirect": q_crawl_ttr_redirect,
     "crawl_haircut_sharded": q_crawl_haircut_sharded,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
