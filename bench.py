@@ -116,6 +116,18 @@ def bulk_fetch_parse(store: str, out_dir: str, ingest: bool = BENCH_INGEST) -> d
 
     t0 = time.perf_counter()
     units = _parse_units(store)
+    # resumable: a unit's output file is written atomically (tmp+rename);
+    # a rerun skips every finished unit and only reprocesses the tail
+    remaining = [
+        u
+        for u in units
+        if not (
+            Path(out_dir) / "text" / Path(u["path"]).parent.name / f"rg{u['rg_start']:04d}.parquet"
+        ).exists()
+    ]
+    skipped = len(units) - len(remaining)
+    if skipped:
+        _log(f"resume: skipping {skipped}/{len(units)} finished units")
 
     def fetch_parse_write(batch):
         import pyarrow as pa
@@ -147,7 +159,9 @@ def bulk_fetch_parse(store: str, out_dir: str, ingest: bool = BENCH_INGEST) -> d
                 )
             d = Path(out_dir) / "text" / part
             d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(parsed, d / f"rg{s:04d}.parquet")
+            tmp = d / f".rg{s:04d}.parquet.tmp"
+            pq.write_table(parsed, tmp)
+            tmp.rename(d / f"rg{s:04d}.parquet")  # atomic commit per unit
             rows.append(
                 {
                     "unit": f"{part}/rg{s:04d}",
@@ -157,20 +171,24 @@ def bulk_fetch_parse(store: str, out_dir: str, ingest: bool = BENCH_INGEST) -> d
             )
         return pa.Table.from_pylist(rows)
 
-    manifest = (
-        ray.data.from_items(units)
-        .repartition(len(units))
-        .map_batches(fetch_parse_write, batch_format="pyarrow", batch_size=1)
-        .to_pandas()
-    )
+    if remaining:
+        manifest = (
+            ray.data.from_items(remaining)
+            .repartition(len(remaining))
+            .map_batches(fetch_parse_write, batch_format="pyarrow", batch_size=1)
+            .to_pandas()
+        )
+        n_urls = int(manifest["n_rows"].sum())
+        n_edges = int(manifest["n_links"].sum())
+    else:
+        n_urls = n_edges = 0
     wall = time.perf_counter() - t0
-    n_urls = int(manifest["n_rows"].sum())
-    n_edges = int(manifest["n_links"].sum())
     return {
         "wall_s": wall,
         "urls": n_urls,
         "edges": n_edges,
         "units": len(units),
+        "units_skipped": skipped,
         "urls_per_sec": n_urls / wall,
     }
 
