@@ -6,11 +6,15 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
 - ``entry()``      — flagship BFS web crawl over a page store derived
                      deterministically from sf0.001's ``documents`` table.
 - ``queries()``    — every implemented operator/pipeline (SURVEY.md §2 +
-                     the training-data operator families); callables take
-                     ``sf_dir`` and return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset; the
-                     rows-only rest (minhash/simhash/langid/ann_ivf/crawls)
-                     is covered by pytest conformance suites instead.
+                     the training-data operator families; see COVERAGE.md
+                     for the full map); callables take ``sf_dir`` and
+                     return Dataset / DataFrame / Table.
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (40 of
+                     the 56 queries); the rows-only rest (near-dup
+                     signatures, langid, IVF ANN, multimodal decode, the
+                     8-strategy crawl family incl. the actor-sharded
+                     scale path) is covered by pytest conformance suites
+                     (reference classes as oracle) instead.
 """
 
 from __future__ import annotations
