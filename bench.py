@@ -216,6 +216,7 @@ def engine_crawl(store: str) -> dict:
             max_rounds=60,
             seen_shards=8,
             seen_use_ray=True,
+            fetch_actors=16,
         ),
     )
     res = engine.run()
