@@ -2018,6 +2018,26 @@ def q_crawl_ttr_redirect(sf_dir: str):
     return _run_crawl(sf_dir, "ttr_redirect", alpha=0.15, beta=0.8, epsilon=1e-4)
 
 
+def q_crawl_bfs_dataset(sf_dir: str):
+    """Dataset-native BFS: the frontier is a ray.data.Dataset end-to-end
+    (seen gate inside map_batches against sharded actors, groupby-host
+    admission, partition-pruned fetch+explode, groupby-url min-depth
+    dedup) — no driver-side candidate lists (crawl/dataset_bfs.py;
+    set-equality with the round engine pinned in tests/test_dataset_bfs.py)."""
+    from ..crawl.dataset_bfs import DatasetBFSCrawl
+
+    store = _crawl_store_for(sf_dir)
+    fetched, rounds = DatasetBFSCrawl(
+        store,
+        seeds=["http://site0.example/d/0"],
+        depth=6,
+        host_budget=8,
+        seen_shards=4,
+        seen_use_ray=True,
+    ).run()
+    return fetched.sort_by([("round", "ascending"), ("url", "ascending")])
+
+
 def q_crawl_haircut_sharded(sf_dir: str):
     """Haircut over the actor-sharded rank pool (scale path) — must match
     q_crawl_haircut row-for-row (asserted in tests/test_rank_pool.py)."""
@@ -2039,6 +2059,7 @@ NOSQL_QUERIES = {
     "crawl_ttr_time": q_crawl_ttr_time,
     "crawl_ttr_redirect": q_crawl_ttr_redirect,
     "crawl_haircut_sharded": q_crawl_haircut_sharded,
+    "crawl_bfs_dataset": q_crawl_bfs_dataset,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
 }
