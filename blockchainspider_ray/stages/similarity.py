@@ -122,22 +122,53 @@ class IVFIndex:
         return self
 
     def search(self, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 5) -> pa.Table:
+        """ONE streaming pass over the bucketed dataset for ALL queries:
+        each batch scores only the (query, row) pairs whose bucket is in
+        that query's probe set and emits per-batch partial top-k; the
+        driver merge is O(k x queries x blocks).  No per-query dataset
+        scans, no row-wise Python filters."""
         assert self.centroids is not None, "call build() first"
-        q = _normalize(np.asarray(query_vecs, np.float64))
-        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
-        out = []
-        for qi, qid in enumerate(np.asarray(query_ids)):
-            buckets = set(int(b) for b in probes[qi])
-            sub = self._bucketed.filter(
-                lambda row, _b=buckets: row["bucket"] in _b
-            )
-            t = sub.to_pandas()
-            m = _normalize(np.stack(t["embedding"].to_numpy()))
-            sims = m @ q[qi]
-            t = t.assign(sim=sims, query_id=int(qid)).rename(columns={"vec_id": "neighbor_id"})
-            t = t[t["neighbor_id"] != int(qid)]
-            t = t.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-            out.append(t[["query_id", "neighbor_id", "sim"]])
         import pandas as pd
 
-        return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
+        q_ids = np.asarray(query_ids)
+        q = _normalize(np.asarray(query_vecs, np.float64))
+        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        # (n_queries, n_clusters) probe membership matrix
+        probe_mask = np.zeros((len(q_ids), len(self.centroids)), dtype=bool)
+        for qi in range(len(q_ids)):
+            probe_mask[qi, probes[qi]] = True
+        ref = ray.put((q_ids, q, probe_mask, k))
+
+        class Probe:
+            def __init__(self):
+                self.q_ids, self.q, self.probe_mask, self.k = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column("vec_id").to_numpy()
+                buckets = batch.column("bucket").to_numpy()
+                m = _normalize(_stack(batch.column("embedding")))
+                sims = m @ self.q.T  # (rows, queries)
+                out_q, out_n, out_s = [], [], []
+                for qi, qid in enumerate(self.q_ids):
+                    mask = self.probe_mask[qi][buckets] & (ids != qid)
+                    cand = np.flatnonzero(mask)
+                    if len(cand) > self.k:
+                        order = np.lexsort((ids[cand], -sims[cand, qi]))[: self.k]
+                        cand = cand[order]
+                    out_q.extend([int(qid)] * len(cand))
+                    out_n.extend(int(ids[c]) for c in cand)
+                    out_s.extend(float(sims[c, qi]) for c in cand)
+                return pa.table(
+                    {
+                        "query_id": pa.array(out_q, pa.int64()),
+                        "neighbor_id": pa.array(out_n, pa.int64()),
+                        "sim": pa.array(out_s, pa.float64()),
+                    }
+                )
+
+        scored = self._bucketed.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+        df = scored.to_pandas()  # k x queries x blocks rows — tiny
+        df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("query_id").head(k).reset_index(drop=True), preserve_index=False
+        )
