@@ -30,21 +30,33 @@ def _stack(col) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """map_batches actor: cosine of every row against the broadcast queries."""
+    """map_batches actor: cosine of every row against the broadcast queries,
+    emitting only a per-batch partial top-k per query — the driver merge is
+    O(k x queries x blocks), never the N x Q cross product."""
 
-    def __init__(self, queries_ref):
+    def __init__(self, queries_ref, k: int = 5):
         self.q_ids, self.q = ray.get(queries_ref)  # once per actor
+        self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
         m = _normalize(_stack(batch.column("embedding")))
-        sims = m @ self.q.T
-        n, q = sims.shape
+        sims = m @ self.q.T  # (rows, queries)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            mask = ids != qid
+            cand = np.flatnonzero(mask)
+            if len(cand) > self.k:
+                order = np.lexsort((ids[cand], -sims[cand, qi]))[: self.k]
+                cand = cand[order]
+            out_q.extend([int(qid)] * len(cand))
+            out_n.extend(int(ids[c]) for c in cand)
+            out_s.extend(float(sims[c, qi]) for c in cand)
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.q_ids, n), pa.int64()),
-                "neighbor_id": pa.array(np.tile(ids, q), pa.int64()),
-                "sim": pa.array(sims.T.reshape(-1), pa.float64()),
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
 
@@ -59,10 +71,9 @@ def brute_force_topk(
     """Exact top-k cosine neighbours for each query vector."""
     q_ref = ray.put((np.asarray(query_ids), _normalize(np.asarray(query_vecs, np.float64))))
     scored = ds.map_batches(
-        lambda b, _r=q_ref: BruteForceScorer(_r)(b), batch_format="pyarrow"
+        lambda b, _r=q_ref, _k=k: BruteForceScorer(_r, _k)(b), batch_format="pyarrow"
     )
-    df = scored.to_pandas()
-    df = df[df["query_id"] != df["neighbor_id"]]
+    df = scored.to_pandas()  # k x queries x blocks rows
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
     return pa.Table.from_pandas(
         df.groupby("query_id").head(k).reset_index(drop=True), preserve_index=False
