@@ -1626,8 +1626,9 @@ ORACLE_SQL: Dict[str, str] = {
         ),
         s AS (
             SELECT user_id, ts,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM o
         )
         SELECT user_id, session_id, count(*) AS n_events,

@@ -76,3 +76,77 @@ def test_budgeted_dataset_bfs_politeness_and_carryover(ray_session, pages_store)
     )
     # and needs strictly more rounds to do it
     assert rounds >= 2
+
+
+def _tiny_store(tmp_path, pages):
+    """pages: {url: [out_urls]} — all same host, tiny store for budget repros."""
+    import datetime
+
+    import pyarrow as pa
+
+    from blockchainspider_ray.fixtures import PAGES_SCHEMA, write_pages_store
+    from blockchainspider_ray.functions.text import extract_text
+
+    urls, htmls, texts = [], [], []
+    for u, outs in pages.items():
+        html = (
+            "<html><body>"
+            + "".join(f'<a href="{o}">x</a>' for o in outs)
+            + "</body></html>"
+        )
+        urls.append(u)
+        htmls.append(html.encode())
+        texts.append(extract_text(html))
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([int(ts.timestamp() * 1000)] * len(urls), pa.timestamp("ms")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    return write_pages_store(tbl, str(tmp_path / "tiny_store"), num_partitions=2)
+
+
+def test_budget_one_seen_cycle_does_not_starve_deferred(ray_session, tmp_path):
+    """ADVICE r1 livelock repro: S->A,P; A->C; P->A, host budget 1.
+
+    The cycle edge P->A re-proposes a seen URL; the old code re-admitted the
+    stale frontier forever and never fetched C."""
+    from blockchainspider_ray.crawl.dataset_bfs import DatasetBFSCrawl
+
+    h = "http://one.example"
+    store = _tiny_store(
+        tmp_path,
+        {
+            f"{h}/s": [f"{h}/a", f"{h}/p"],
+            f"{h}/a": [f"{h}/c"],
+            f"{h}/p": [f"{h}/a"],
+            f"{h}/c": [],
+        },
+    )
+    fetched, rounds = DatasetBFSCrawl(
+        store, [f"{h}/s"], depth=3, host_budget=1, max_rounds=20, seen_use_ray=False
+    ).run()
+    got = set(fetched.column("url").to_pylist())
+    assert got == {f"{h}/s", f"{h}/a", f"{h}/p", f"{h}/c"}
+    assert rounds < 20  # terminated, not spun to max_rounds
+
+
+def test_budgeted_bfs_with_ray_seen_shards(ray_session, tmp_path):
+    """Schema-cast regression (ADVICE r1): polars large_string vs string in
+    the deferred/frontier merge; run the budgeted path with Ray seen shards
+    (prefilter + driver commit)."""
+    from blockchainspider_ray.crawl.dataset_bfs import DatasetBFSCrawl
+
+    h = "http://two.example"
+    pages = {f"{h}/p{i}": [f"{h}/p{(i + 1) % 6}", f"{h}/p{(i + 2) % 6}"] for i in range(6)}
+    store = _tiny_store(tmp_path, pages)
+    fetched, rounds = DatasetBFSCrawl(
+        store, [f"{h}/p0"], depth=5, host_budget=1, max_rounds=30, seen_use_ray=True
+    ).run()
+    assert set(fetched.column("url").to_pylist()) == set(pages)
+    assert rounds >= 6  # budget 1 on one host: one fetch per round
