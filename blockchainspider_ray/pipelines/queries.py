@@ -2074,6 +2074,13 @@ def q_crawl_haircut_sharded(sf_dir: str):
     return _run_crawl(sf_dir, "haircut_sharded", min_weight=1e-4, num_shards=4, use_ray=True)
 
 
+def q_crawl_appr_sharded(sf_dir: str):
+    """APPR over the actor-sharded rank pool — pop-order exact vs
+    q_crawl_appr since r2 (first_drainable arrival-ordered drain;
+    row-for-row equality pinned in tests/test_rank_pool.py)."""
+    return _run_crawl(sf_dir, "appr_sharded", alpha=0.15, epsilon=1e-5, num_shards=4, use_ray=True)
+
+
 NOSQL_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2089,6 +2096,7 @@ NOSQL_QUERIES = {
     "crawl_ttr_time": q_crawl_ttr_time,
     "crawl_ttr_redirect": q_crawl_ttr_redirect,
     "crawl_haircut_sharded": q_crawl_haircut_sharded,
+    "crawl_appr_sharded": q_crawl_appr_sharded,
     "crawl_bfs_dataset": q_crawl_bfs_dataset,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,

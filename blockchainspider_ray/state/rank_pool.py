@@ -26,12 +26,15 @@ from ..functions.urls import url_hash64
 
 
 class _RankShardCore:
-    """One shard: node -> (value, arrival, visited)."""
+    """One shard: node -> (value, arrival, visited, drainable)."""
 
     def __init__(self):
         self.value: Dict[Any, float] = {}
         self.arrival: Dict[Any, int] = {}
         self.visited: set = set()
+        # nodes whose neighbour distribution the strategy has memoized —
+        # the shard-side half of APPR's "cached dist" drain predicate
+        self.drainable: set = set()
 
     def apply_deltas(self, nodes: List[Any], deltas: List[float], arrivals: List[int]) -> None:
         for n, d, a in zip(nodes, deltas, arrivals):
@@ -48,6 +51,24 @@ class _RankShardCore:
 
     def mark_visited(self, node: Any) -> None:
         self.visited.add(node)
+
+    def mark_drainable(self, node: Any) -> None:
+        self.drainable.add(node)
+
+    def first_drainable(self, min_value: float) -> Optional[Tuple[Any, float, int]]:
+        """Earliest-arrival node with value STRICTLY above min_value and a
+        memoized distribution — the sharded form of APPR's drain scan
+        (reference appr.py:55-68 picks the first such node in dict
+        insertion order; arrival == insertion order here)."""
+        best = None
+        for n in self.drainable:
+            v = self.value.get(n, 0.0)
+            if v <= min_value:
+                continue
+            a = self.arrival.get(n, 0)
+            if best is None or a < best[2]:
+                best = (n, v, a)
+        return best
 
     def top_candidates(self, k: int, min_value: float, skip_visited: bool) -> List[Tuple[Any, float, int]]:
         cands = [
@@ -66,12 +87,14 @@ class _RankShardCore:
             "value": dict(self.value),
             "arrival": dict(self.arrival),
             "visited": list(self.visited),
+            "drainable": list(self.drainable),
         }
 
     def restore(self, state: dict) -> None:
         self.value = dict(state["value"])
         self.arrival = dict(state["arrival"])
         self.visited = set(state["visited"])
+        self.drainable = set(state.get("drainable", []))
 
 
 @ray.remote(num_cpus=0)  # memory-bound service actor; zero CPU claim (see fetch.py)
@@ -87,6 +110,12 @@ class RankShard:
 
     def mark_visited(self, node):
         return self.core.mark_visited(node)
+
+    def mark_drainable(self, node):
+        return self.core.mark_drainable(node)
+
+    def first_drainable(self, min_value):
+        return self.core.first_drainable(min_value)
 
     def top_candidates(self, k, min_value, skip_visited):
         return self.core.top_candidates(k, min_value, skip_visited)
@@ -146,6 +175,22 @@ class RankPool:
 
     def mark_visited(self, node: Any) -> None:
         self._call(self._shard_of(node), "mark_visited", node)
+
+    def mark_drainable(self, node: Any) -> None:
+        self._call(self._shard_of(node), "mark_drainable", node)
+
+    def first_drainable(self, min_value: float) -> Optional[Tuple[Any, float, int]]:
+        """Globally-earliest drainable candidate: per-shard min-arrival
+        scan (concurrent), merged by arrival asc — equals the reference
+        APPR drain's first-in-insertion-order pick."""
+        if self.use_ray:
+            firsts = ray.get([s.first_drainable.remote(min_value) for s in self.shards])
+        else:
+            firsts = [s.first_drainable(min_value) for s in self.shards]
+        firsts = [f for f in firsts if f is not None]
+        if not firsts:
+            return None
+        return min(firsts, key=lambda t: t[2])
 
     def top_candidate(
         self, min_value: float, skip_visited: bool

@@ -5,13 +5,12 @@ path for the reference's Haircut and APPR frontiers.
   (tests pin sharded == local on crawls): weight flow is a linear scatter
   of additive deltas, and the insertion-order tie-break is carried by
   per-node arrival indices (state/rank_pool.py).
-- ``ShardedAPPR`` is the batched-drain variant: residual pushes are the
-  same linear operations (reference appr.py:58-81) applied through the
-  pool; the cached-distribution drain loop runs in sweeps until no shard
-  holds a drainable residual.  Push-based PPR is a Gauss-Seidel solve of a
-  linear system, so the converged mass vector matches the reference within
-  float tolerance regardless of drain order (asserted in tests); the pop
-  *set* matches, the exact inter-pop order may differ on ties.
+- ``ShardedAPPR`` also reproduces the reference pop sequence exactly: the
+  cached-distribution drain loop picks the globally-earliest drainable
+  node per iteration (``RankPool.first_drainable`` — per-shard min-arrival
+  merge), which equals the reference's rescan-from-the-start-of-the-dict
+  discipline (appr.py:55-68).  Only LRU eviction of memoized
+  distributions is not replicated (unbounded memo here).
 """
 
 from __future__ import annotations
@@ -198,7 +197,18 @@ class ShardedTTRWeight(ShardedTTRBase):
 
 
 class ShardedAPPR(FrontierStrategy):
-    """Push-based PPR over a RankPool with batched distribution drains."""
+    """Push-based PPR over a RankPool — pop-order EXACT vs the reference.
+
+    The drain loop replicates reference appr.py:55-68 one pick at a time:
+    each iteration asks every shard for its earliest-arrival node with
+    residual > epsilon and a memoized distribution (``first_drainable``),
+    merges by arrival (== r-dict insertion order), drains that single node,
+    and repeats — so credits, cascades and the final argmax tie-break all
+    happen in the reference's sequence.  Divergence from the reference is
+    limited to LRU eviction: the reference caps memoized distributions at
+    an LRU (utils/cache.py), this scale path memoizes unboundedly
+    (documented trade — eviction would silence ``first_drainable`` for
+    evicted nodes)."""
 
     def __init__(
         self,
@@ -243,23 +253,23 @@ class ShardedAPPR(FrontierStrategy):
             n = len(neighbours)
             dist = {nb: (1 - self.alpha) / n for nb in neighbours} if n else {}
             self.dists[node] = dist
+            if dist:  # reference treats an EMPTY cached dist as non-drainable
+                self.pool.mark_drainable(node)
         self._credit_and_spread(node, r_node, dist)
 
     def _drain(self) -> None:
-        """Sweep: zero every drainable residual (known distribution,
-        r > epsilon) until none remain — the distributed form of the
-        reference's pop-time drain loop (appr.py:84-97)."""
+        """Reference-exact drain (appr.py:55-68): repeatedly pick THE
+        earliest-arrival node with residual > epsilon and a memoized
+        distribution, drain it, rescan.  One first_drainable round per
+        drain — K tiny shard RPCs, never the full residual vector."""
         while True:
-            ranks = self.pool.ranks()
-            drainable = [
-                (n, r) for n, r in ranks.items() if r > self.epsilon and n in self.dists
-            ]
-            if not drainable:
+            cand = self.pool.first_drainable(self.epsilon)
+            if cand is None:
                 return
-            for n, _ in drainable:
-                r_node = self.pool.take(n)
-                if r_node > 0:
-                    self._credit_and_spread(n, r_node, self.dists[n])
+            node = cand[0]
+            r_node = self.pool.take(node)
+            if r_node > self.epsilon:
+                self._credit_and_spread(node, r_node, self.dists[node])
 
     def pop(self) -> Tuple[Any, Dict]:
         self._drain()
@@ -286,6 +296,7 @@ class ShardedAPPR(FrontierStrategy):
             "alpha": self.alpha,
             "epsilon": self.epsilon,
             "p": dict(self.p),
+            "dists": {k: dict(v) for k, v in self.dists.items()},
             "shards": self.pool.snapshot(),
             "arrival": self._arrival,
         }

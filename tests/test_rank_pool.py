@@ -61,19 +61,26 @@ def test_sharded_haircut_matches_local_with_ray_actors(ray_session):
     assert _drive(local, adj, max_pops=25) == _drive(sharded, adj, max_pops=25)
 
 
-def test_sharded_appr_same_pop_set_and_mass():
+def test_sharded_appr_matches_local_exactly():
+    """r2: drain order is reference-exact (first_drainable by arrival), so
+    the sharded pop sequence equals the local one row for row — including
+    residual values and credited mass."""
     adj = _adjacency()
     local = APPR(source="n0", alpha=0.15, epsilon=1e-4)
     sharded = ShardedAPPR(source="n0", alpha=0.15, epsilon=1e-4, num_shards=3, use_ray=False)
     lo = _drive(local, adj)
     so = _drive(sharded, adj)
-    assert {n for n, _ in lo} == {n for n, _ in so}
+    assert lo == so
     lp, sp = local.get_node_rank(), sharded.get_node_rank()
-    # both solvers stop pushing at residual <= epsilon, so credited mass can
-    # differ by O(epsilon) depending on drain order — never more
-    eps = 1e-4
     for k in set(lp) | set(sp):
-        assert abs(lp.get(k, 0) - sp.get(k, 0)) < 5 * eps, k
+        assert abs(lp.get(k, 0) - sp.get(k, 0)) < 1e-12, k
+
+
+def test_sharded_appr_matches_local_with_ray_actors(ray_session):
+    adj = _adjacency(n=25, seed=9)
+    local = APPR(source="n0", alpha=0.15, epsilon=1e-4)
+    sharded = ShardedAPPR(source="n0", alpha=0.15, epsilon=1e-4, num_shards=2, use_ray=True)
+    assert _drive(local, adj, max_pops=25) == _drive(sharded, adj, max_pops=25)
 
 
 def test_rank_pool_snapshot_restore_roundtrip():
@@ -129,5 +136,11 @@ def test_engine_crawl_identical_local_vs_sharded(ray_session, pages_store):
     local = crawl("haircut", {"min_weight": 1e-4})
     sharded = crawl(
         "haircut_sharded", {"min_weight": 1e-4, "num_shards": 2, "use_ray": False}
+    )
+    assert local == sharded and len(local) > 5
+
+    local = crawl("appr", {"alpha": 0.15, "epsilon": 1e-5})
+    sharded = crawl(
+        "appr_sharded", {"alpha": 0.15, "epsilon": 1e-5, "num_shards": 2, "use_ray": False}
     )
     assert local == sharded and len(local) > 5
