@@ -295,6 +295,63 @@ def q_extract_entities(sf_dir: str):
     return _docs_html_ds(sf_dir).map_batches(ext, batch_format="pyarrow").sort("doc_id")
 
 
+def q_validated_entities(sf_dir: str):
+    """Checksum-VALIDATED entity extraction (reference web.py:94-109: BTC
+    candidates pass base58check via ``bitcoin.is_address``, ETH candidates
+    pass ``Web3.isAddress`` incl. EIP-55).  Per doc, four deterministic
+    candidates enter validation: the extracted ETH address in EIP-55 form
+    (valid), a case-corrupted EIP-55 form (invalid), a constructed
+    base58check BTC address (valid), and its last-char corruption
+    (invalid) — the survivors are exactly the valid half.  Rows-only: no
+    SQL mirror (keccak/base58 aren't DuckDB-expressible); pinned in
+    tests/test_text.py."""
+    import hashlib as _hl
+
+    from ..functions.checksums import (
+        btc_address_from_hash160,
+        eth_checksum_address,
+        is_btc_address,
+        is_eth_address,
+    )
+
+    def ext(b: pa.Table) -> pa.Table:
+        ids, nets, addrs = [], [], []
+        for i, h in zip(b.column("doc_id").to_pylist(), b.column("html").to_pylist()):
+            cands = []
+            for m in _RE_ETH_Q.findall(h):
+                good = eth_checksum_address(m.lower())
+                cands.append(("ETH", good))
+                # flip the case of the first letter -> EIP-55 invalid
+                body = list(good[2:])
+                for j, ch in enumerate(body):
+                    if ch.isalpha():
+                        body[j] = ch.lower() if ch.isupper() else ch.upper()
+                        cands.append(("ETH", "0x" + "".join(body)))
+                        break
+            btc_good = btc_address_from_hash160(_hl.md5(f"btc-{i}".encode()).digest()[:4] * 5)
+            btc_bad = btc_good[:-1] + ("2" if btc_good[-1] != "2" else "3")
+            cands += [("BTC", btc_good), ("BTC", btc_bad)]
+            for net, a in cands:
+                ok = is_btc_address(a) if net == "BTC" else is_eth_address(a)
+                if ok:
+                    ids.append(i)
+                    nets.append(net)
+                    addrs.append(a)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "net": pa.array(nets, pa.string()),
+                "address": pa.array(addrs, pa.string()),
+            }
+        )
+
+    return (
+        _docs_html_ds(sf_dir)
+        .map_batches(ext, batch_format="pyarrow")
+        .sort(["doc_id", "net", "address"])
+    )
+
+
 def q_host_histogram(sf_dir: str):
     """Frontier host histogram — the groupby(host) politeness shuffle key."""
     links = q_canonicalize_urls(sf_dir)
@@ -1155,9 +1212,39 @@ def q_enrich_3way(sf_dir: str):
 
 
 def q_keywords_summary(sf_dir: str):
-    """Keyworder/summarizer (reference labels.web TextRank keywords+summary,
-    spiders/labels/web.py:125,132 — here the deterministic stand-in: top
-    frequent token >= 4 chars, first-20-token summary)."""
+    """Keyworder/summarizer with the reference's REAL semantics: TextRank
+    keywords (words=16) + TextRank extractive summary (words=256), the
+    summa calls in reference spiders/labels/web.py:125,132, reimplemented
+    from the published algorithm (functions/textrank.py).  Graph build +
+    PageRank per doc run vectorized inside map_batches; no SQL mirror
+    exists, so correctness is pinned by deterministic fixtures in
+    tests/test_text.py."""
+    from ..functions.textrank import textrank_keywords, textrank_summarize
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kw(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        summaries, keywords = [], []
+        for t in b.column("text").to_pylist():
+            ks = textrank_keywords(t, words=16)
+            keywords.append(",".join(ks))
+            summaries.append(textrank_summarize(t, words=256))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "summary": pa.array(summaries, pa.string()),
+                "keywords": pa.array(keywords, pa.string()),
+            }
+        )
+
+    return docs.map_batches(kw, batch_format="pyarrow").sort("doc_id")
+
+
+def q_keywords_freq(sf_dir: str):
+    """Frequency-baseline keyworder (SQL-mirrorable control for
+    keywords_summary): top frequent token >= 4 chars, first-20-token
+    summary."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def kw(b: pa.Table) -> pa.Table:
@@ -1615,7 +1702,7 @@ ORACLE_SQL: Dict[str, str] = {
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name ORDER BY region
     """,
-    "keywords_summary": """
+    "keywords_freq": """
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
             FROM documents
@@ -1762,7 +1849,7 @@ SQL_QUERIES = {
     "embedding_knn": q_embedding_knn,
     "salted_host_agg": q_salted_host_agg,
     "enrich_3way": q_enrich_3way,
-    "keywords_summary": q_keywords_summary,
+    "keywords_freq": q_keywords_freq,
     "xml_labels": q_xml_labels,
     "block_parse": q_block_parse,
     "utxo_edges": q_utxo_edges,
@@ -2082,6 +2169,8 @@ def q_crawl_appr_sharded(sf_dir: str):
 
 
 NOSQL_QUERIES = {
+    "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
+    "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash": q_simhash,

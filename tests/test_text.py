@@ -95,3 +95,146 @@ def test_arrow_kernels_match_python_regexes():
     assert got_tx == [len(RE_ETH_TX_HASH.findall(t)) for t in texts]
     got_tok = pc.count_substring_regex(tarr, pattern=r"\S+").to_pylist()
     assert got_tok == [len(re.findall(r"\S+", t)) for t in texts]
+
+
+class TestTextRank:
+    """TextRank keywords/summary (functions/textrank.py) — deterministic
+    pins for the reference's summa semantics (web.py:125,132)."""
+
+    TEXT = (
+        "Graph ranking algorithms score vertices by global information. "
+        "TextRank builds a graph from text and ranks words by importance. "
+        "The ranking of words uses co-occurrence links between words. "
+        "Sentence extraction ranks sentences by similarity links. "
+        "Important sentences share many words with other sentences. "
+        "Unrelated filler appears here with bananas and trombones."
+    )
+
+    def test_keywords_deterministic_and_ranked(self):
+        from blockchainspider_ray.functions.textrank import textrank_keywords
+
+        k1 = textrank_keywords(self.TEXT, words=16)
+        k2 = textrank_keywords(self.TEXT, words=16)
+        assert k1 == k2
+        # co-occurrence hubs outrank one-off filler
+        assert "words" in k1[:4]
+        assert "sentences" in k1[:4]
+        assert k1.index("words") < k1.index("bananas") if "bananas" in k1 else True
+        assert len(k1) <= 16
+
+    def test_keywords_empty_and_tiny(self):
+        from blockchainspider_ray.functions.textrank import textrank_keywords
+
+        assert textrank_keywords("") == []
+        assert textrank_keywords("the and of") == []  # all stopwords
+        assert textrank_keywords("zebra") == ["zebra"]
+
+    def test_summary_budget_and_order(self):
+        from blockchainspider_ray.functions.textrank import textrank_summarize
+
+        s = textrank_summarize(self.TEXT, words=20)
+        # summary sentences appear in original order and within budget+1 sentence
+        assert s in self.TEXT.replace("  ", " ") or all(
+            part.strip() in self.TEXT for part in s.split(". ") if part
+        )
+        import re
+        assert len(re.findall(r"[A-Za-z][A-Za-z0-9'-]*", s)) <= 40
+        assert textrank_summarize("", words=10) == ""
+        # one-sentence text: returned whole even over budget
+        assert textrank_summarize("Short text.", words=1) == "Short text."
+
+    def test_query_pins(self, ray_session):
+        """keywords_summary over sf0.001: stable shape + self-consistent rerun."""
+        from blockchainspider_ray.pipelines.queries import q_keywords_summary
+
+        df = q_keywords_summary("/root/testdata/sf0.001").to_pandas()
+        assert list(df.columns) == ["doc_id", "summary", "keywords"]
+        assert len(df) > 0
+        assert (df["keywords"].str.len() > 0).mean() > 0.9
+        # 16-keyword cap holds
+        assert df["keywords"].str.split(",").map(len).max() <= 16
+
+
+class TestChecksums:
+    """keccak-256 / EIP-55 / base58check vs public test vectors."""
+
+    def test_keccak_vectors(self):
+        from blockchainspider_ray.functions.checksums import keccak256
+
+        assert (
+            keccak256(b"").hex()
+            == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+        )
+        assert (
+            keccak256(b"abc").hex()
+            == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+        )
+        # multi-block input (> rate of 136 bytes)
+        assert keccak256(b"x" * 200) == keccak256(b"x" * 200)
+
+    def test_eip55_vectors(self):
+        from blockchainspider_ray.functions.checksums import (
+            eth_checksum_address,
+            is_eth_address,
+        )
+
+        for v in [
+            "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+            "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+            "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+            "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+        ]:
+            assert eth_checksum_address(v.lower()) == v
+            assert is_eth_address(v)
+        assert is_eth_address("0x" + "ab" * 20)  # single-case: shape-only
+        assert is_eth_address("0x" + "AB" * 20)
+        assert not is_eth_address("0x5AAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")
+        assert not is_eth_address("0x123")
+        assert not is_eth_address("5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed")
+
+    def test_base58check(self):
+        from blockchainspider_ray.functions.checksums import (
+            btc_address_from_hash160,
+            is_btc_address,
+        )
+
+        assert is_btc_address("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa")  # genesis
+        assert is_btc_address("3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy")  # p2sh
+        assert not is_btc_address("1A1zP1eP5QGefi2DMPTfTL5SLmv7Divfna")
+        assert not is_btc_address("1IlO0")  # invalid base58 chars
+        minted = btc_address_from_hash160(b"\x01" * 20)
+        assert minted[0] == "1" and is_btc_address(minted)
+        assert not is_btc_address(minted[:-1] + ("2" if minted[-1] != "2" else "3"))
+
+    def test_validated_entities_query(self, ray_session):
+        """Exactly the valid half of the candidates survives validation."""
+        import pyarrow.parquet as pq
+
+        from blockchainspider_ray.pipelines.queries import q_validated_entities
+
+        tbl = q_validated_entities("/root/testdata/sf0.001")
+        df = tbl.to_pandas()
+        n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+        # one valid BTC per doc, >=1 valid ETH per doc with an address
+        assert (df["net"] == "BTC").sum() == n_docs
+        assert (df["net"] == "ETH").sum() > 0
+        from blockchainspider_ray.functions.checksums import is_btc_address, is_eth_address
+
+        assert df[df.net == "BTC"]["address"].map(is_btc_address).all()
+        eth = df[df.net == "ETH"]["address"]
+        assert eth.map(is_eth_address).all()
+        # every surviving ETH address is either proper EIP-55 or single-case
+        # (Web3.isAddress accepts non-checksummed single-case hex — a
+        # corrupted candidate whose only letter flipped to single-case
+        # legitimately survives)
+        from blockchainspider_ray.functions.checksums import eth_checksum_address
+
+        def _ok(a):
+            body = a[2:]
+            return (
+                eth_checksum_address(a.lower()) == a
+                or body == body.lower()
+                or body == body.upper()
+            )
+
+        assert eth.map(_ok).all()
