@@ -837,6 +837,112 @@ def q_transfer_normalize(sf_dir: str):
     ).sort("id")
 
 
+def q_receipt_join(sf_dir: str):
+    """Receipt->transaction enrichment join (reference
+    middlewares/trans/receipt.py:80-137: per-block dict join on
+    transaction_hash, hex fields decoded, is_error = status != '0x1',
+    receipts without a known transaction dropped).  Both sides synthesize
+    deterministically from events; the join runs co-located per block via
+    groupby(block_number).map_groups — the reference's per-block
+    txhash2transaction dict, distributed."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        eids = b.column("event_id").to_numpy()
+        secs = (
+            b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 1_000_000
+        )
+        kinds, hashes, blocks, tss, tidx, ttype, gas, price, status, contract = (
+            [], [], [], [], [], [], [], [], [], []
+        )
+        for e, t in zip(eids.tolist(), secs.tolist()):
+            kinds.append("tx")
+            hashes.append(f"TX{e}")
+            blocks.append(e % 97)
+            tss.append(t)
+            tidx.append(None)
+            ttype.append(None)
+            gas.append(None)
+            price.append(None)
+            status.append(None)
+            contract.append(None)
+            if e % 5 != 4:  # ~20% of txs lack receipts -> inner-join drop
+                kinds.append("receipt")
+                hashes.append(f"TX{e}")
+                blocks.append(e % 97)
+                tss.append(None)
+                tidx.append(hex(e % 200))
+                ttype.append(hex(e % 3))
+                gas.append(hex(21000 + e % 1000))
+                price.append(hex(10**9 + e))
+                status.append("0x1" if e % 11 else "0x0")
+                contract.append(f"0xcon{e}" if e % 13 == 0 else None)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "transaction_hash": pa.array(hashes, pa.string()),
+                "block_number": pa.array(blocks, pa.int64()),
+                "timestamp": pa.array(tss, pa.int64()),
+                "transaction_index": pa.array(tidx, pa.string()),
+                "transaction_type": pa.array(ttype, pa.string()),
+                "gas_used": pa.array(gas, pa.string()),
+                "effective_gas_price": pa.array(price, pa.string()),
+                "status": pa.array(status, pa.string()),
+                "contract_address": pa.array(contract, pa.string()),
+            }
+        )
+
+    def join_block(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        hashes = g.column("transaction_hash").to_pylist()
+        ts_col = g.column("timestamp").to_pylist()
+        # the reference's txhash2transaction dict, per block
+        tx_ts = {h: t for k, h, t in zip(kinds, hashes, ts_col) if k == "tx"}
+        out = {
+            "transaction_hash": [], "block_number": [], "timestamp": [],
+            "transaction_index": [], "transaction_type": [], "gas_used": [],
+            "effective_gas_price": [], "is_error": [], "created_contract": [],
+        }
+        block = g.column("block_number")[0].as_py()
+        for i, k in enumerate(kinds):
+            if k != "receipt":
+                continue
+            t = tx_ts.get(hashes[i])
+            if t is None:
+                continue
+            out["transaction_hash"].append(hashes[i])
+            out["block_number"].append(block)
+            out["timestamp"].append(t)
+            out["transaction_index"].append(int(g.column("transaction_index")[i].as_py(), 16))
+            out["transaction_type"].append(int(g.column("transaction_type")[i].as_py(), 16))
+            out["gas_used"].append(int(g.column("gas_used")[i].as_py(), 16))
+            out["effective_gas_price"].append(int(g.column("effective_gas_price")[i].as_py(), 16))
+            out["is_error"].append(g.column("status")[i].as_py() != "0x1")
+            cc = g.column("contract_address")[i].as_py()
+            out["created_contract"].append(cc if cc else "")
+        return pa.table(
+            {
+                "transaction_hash": pa.array(out["transaction_hash"], pa.string()),
+                "block_number": pa.array(out["block_number"], pa.int64()),
+                "timestamp": pa.array(out["timestamp"], pa.int64()),
+                "transaction_index": pa.array(out["transaction_index"], pa.int64()),
+                "transaction_type": pa.array(out["transaction_type"], pa.int64()),
+                "gas_used": pa.array(out["gas_used"], pa.int64()),
+                "effective_gas_price": pa.array(out["effective_gas_price"], pa.int64()),
+                "is_error": pa.array(out["is_error"], pa.bool_()),
+                "created_contract": pa.array(out["created_contract"], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .groupby("block_number")
+        .map_groups(join_block, batch_format="pyarrow")
+        .sort("transaction_hash")
+    )
+
+
 def q_token_decode(sf_dir: str):
     """Token-event decoding: dispatch on topics[0], word->address, hex->dec
     (reference middlewares/trans/token.py:35-236, utils/web3.py:74-102)."""
@@ -1141,6 +1247,44 @@ def q_wedge_count(sf_dir: str):
         )
 
     return deg.map_batches(wedges, batch_format="pyarrow").sort("node")
+
+
+def q_motif_vector(sf_dir: str):
+    """16-dim MoTS higher-order motif vector per edge group (reference
+    plugins/mots/highorder.py:27-224 with motif_size=4, driven per tx-group
+    as in plugins/mots/pipelines.py:60).  Groups co-locate via
+    groupby(gid).map_groups; the per-group dense-numpy counter is
+    functions/motifs.py (hand-graph conformance pinned in
+    tests/test_motifs.py).  Rows-only: motif adjacency algebra has no SQL
+    mirror (wedge_count is the oracle-green base case)."""
+    from ..functions.motifs import N_MOTIFS, motif_vector
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id"])
+
+    def ed(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy()
+        eid = b.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "gid": pa.array(eid % 32, pa.int64()),
+                "src": pa.array(uid % 50, pa.int64()),
+                "dst": pa.array((uid * 13 + eid) % 50, pa.int64()),
+            }
+        )
+
+    def vec(g: pa.Table) -> pa.Table:
+        v = motif_vector(g.column("src").to_pylist(), g.column("dst").to_pylist())
+        cols = {"gid": pa.array([g.column("gid")[0].as_py()], pa.int64())}
+        for i in range(N_MOTIFS):
+            cols[f"m{i + 1}"] = pa.array([float(v[i])], pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(ed, batch_format="pyarrow")
+        .groupby("gid")
+        .map_groups(vec, batch_format="pyarrow")
+        .sort("gid")
+    )
 
 
 def q_salted_host_agg(sf_dir: str):
@@ -1637,6 +1781,29 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(value_s AS DOUBLE) AS value, hash
         FROM norm ORDER BY id
     """,
+    "receipt_join": """
+        WITH tx AS (
+            SELECT 'TX' || event_id                      AS transaction_hash,
+                   event_id % 97                          AS block_number,
+                   CAST(floor(epoch(ts)) AS BIGINT)       AS timestamp
+            FROM events
+        ), rc AS (
+            SELECT 'TX' || event_id                      AS transaction_hash,
+                   event_id % 200                         AS transaction_index,
+                   event_id % 3                           AS transaction_type,
+                   21000 + event_id % 1000                AS gas_used,
+                   1000000000 + event_id                  AS effective_gas_price,
+                   (event_id % 11 = 0)                    AS is_error,
+                   CASE WHEN event_id % 13 = 0
+                        THEN '0xcon' || event_id ELSE '' END AS created_contract
+            FROM events WHERE event_id % 5 != 4
+        )
+        SELECT rc.transaction_hash, tx.block_number, tx.timestamp,
+               rc.transaction_index, rc.transaction_type, rc.gas_used,
+               rc.effective_gas_price, rc.is_error, rc.created_contract
+        FROM rc JOIN tx USING (transaction_hash)
+        ORDER BY rc.transaction_hash
+    """,
     "token_decode": """
         WITH a AS (
             SELECT event_id, user_id,
@@ -1842,6 +2009,7 @@ SQL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "transfer_normalize": q_transfer_normalize,
+    "receipt_join": q_receipt_join,
     "token_decode": q_token_decode,
     "trace_flatten": q_trace_flatten,
     "parse_props": q_parse_props,
@@ -2171,6 +2339,7 @@ def q_crawl_appr_sharded(sf_dir: str):
 NOSQL_QUERIES = {
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
+    "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash": q_simhash,
