@@ -943,6 +943,134 @@ def q_receipt_join(sf_dir: str):
     )
 
 
+def q_solana_block_parse(sf_dir: str):
+    """Solana getBlock 8-type fan-out (reference spiders/trans/solana/
+    blocks.py:167-402): block header, transactions (fee / err-key /
+    compute truthiness quirks), token + native balance diffs, logs, and
+    the four parsed-instruction classes incl. inner instructions with
+    multilevel trace ids.  One deterministic getBlock payload per event
+    row; parse runs vectorized over payload batches
+    (functions/solana.py).  Rows-only: multilevel ids and JSON fan-out
+    have no SQL mirror; hand-derived pins live in tests/test_solana.py."""
+    import json as _json
+
+    from ..functions.solana import solana_blocks_stage
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        heights, payloads = [], []
+        for e in b.column("event_id").to_pylist():
+            tx = {
+                "transaction": {
+                    "signatures": [f"SIG{e}"],
+                    "message": {
+                        "accountKeys": [
+                            {"pubkey": f"ACC{e}_0"},
+                            {"pubkey": f"ACC{e}_1"},
+                            {"pubkey": f"ACC{e}_2"},
+                        ],
+                        "recentBlockhash": f"RBH{e}",
+                        "instructions": [
+                            {
+                                "programId": "TOKENPROG",
+                                "program": "spl-token",
+                                "parsed": {"type": "transfer", "info": {"amount": str(e)}},
+                            },
+                            (
+                                {
+                                    "programId": "VOTEPROG",
+                                    "program": "vote",
+                                    "parsed": {"type": "vote", "info": {"slot": e}},
+                                }
+                                if e % 2
+                                else {"programId": "RAWPROG", "data": f"D{e}", "accounts": [0, 1]}
+                            ),
+                            {
+                                "programId": "MEMOPROG",
+                                "program": "spl-memo",
+                                "parsed": f"memo {e}",
+                            },
+                        ],
+                    },
+                },
+                "version": "legacy" if e % 2 else 0,
+                "meta": {
+                    "err": {"InstructionError": []} if e % 7 == 0 else None,
+                    "fee": 5000 + e % 100,
+                    "computeUnitsConsumed": e % 1000,
+                    "preBalances": [100, 50, 0],
+                    "postBalances": [100 - (e % 3), 50, e % 3],
+                    "preTokenBalances": [
+                        {
+                            "accountIndex": 1,
+                            "mint": f"MINT{e % 5}",
+                            "owner": f"OWN{e}",
+                            "programId": "TOKENPROG",
+                            "uiTokenAmount": {"amount": str(10 + e % 4), "decimals": 6},
+                        }
+                    ],
+                    "postTokenBalances": [
+                        {
+                            "accountIndex": 1,
+                            "mint": f"MINT{e % 5}",
+                            "owner": f"OWN{e}",
+                            "programId": "TOKENPROG",
+                            "uiTokenAmount": {"amount": "10", "decimals": 6},
+                        }
+                    ],
+                    "logMessages": [f"log {e} a", f"log {e} b"],
+                    "innerInstructions": [
+                        {
+                            "index": 1,
+                            "instructions": [
+                                {
+                                    "programId": "P1",
+                                    "stackHeight": 2,
+                                    "program": "spl-token",
+                                    "parsed": {"type": "transferChecked", "info": {"n": e}},
+                                },
+                                {"programId": "P2", "stackHeight": 3, "data": "zz"},
+                                {
+                                    "programId": "P3",
+                                    "stackHeight": 3,
+                                    "program": "system",
+                                    "parsed": {"type": "createAccount", "info": {}},
+                                },
+                                {
+                                    "programId": "P4",
+                                    "stackHeight": 2,
+                                    "program": "vote",
+                                    "parsed": {"type": "compactupdatevotestate", "info": {}},
+                                },
+                            ],
+                        }
+                    ],
+                },
+            }
+            result = {
+                "blockTime": 1_700_000_000 + e,
+                "blockhash": f"BH{e}",
+                "parentSlot": e - 1,
+                "previousBlockhash": f"BH{e - 1}",
+                "transactions": [tx],
+            }
+            heights.append(e)
+            payloads.append(_json.dumps({"result": result}))
+        return pa.table(
+            {
+                "block_height": pa.array(heights, pa.int64()),
+                "payload": pa.array(payloads, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(solana_blocks_stage, batch_format="pyarrow")
+        .sort(["block_height", "item_type", "trace_id", "signature"])
+    )
+
+
 def q_token_decode(sf_dir: str):
     """Token-event decoding: dispatch on topics[0], word->address, hex->dec
     (reference middlewares/trans/token.py:35-236, utils/web3.py:74-102)."""
@@ -2340,6 +2468,7 @@ NOSQL_QUERIES = {
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
+    "solana_block_parse": q_solana_block_parse,  # 8-type fan-out — tests/test_solana.py
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash": q_simhash,

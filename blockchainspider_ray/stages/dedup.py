@@ -12,9 +12,11 @@ pipeline needs at 100 TB:
 - SimHash: 64-bit fingerprint, near-dup when hamming distance <= t;
 - Jaccard: exact verification on candidate pairs only.
 
-All hashing is deterministic (blake2b-derived), no RNG at call time: the
-permutation coefficients come from a seeded generator so signatures are
-stable across runs/workers — required for resumable dedup.
+All hashing is deterministic and version-stable: token hashes are blake2b
+(cached per actor), shingle hashes combine token hashes with fixed uint64
+arithmetic (``shingle_hashes``), and the permutation coefficients come from
+a seeded generator — so signatures persisted to parquet remain comparable
+across runs, workers and library versions (required for resumable dedup).
 """
 
 from __future__ import annotations
@@ -59,6 +61,62 @@ def shingles_of(text: str, k: int = 3) -> List[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
+# odd 64-bit mix constants for combining token hashes into shingle hashes
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+class _TokenHashCache:
+    """Per-actor cache of version-stable token hashes.
+
+    blake2b per string is the stability-correct primitive but costs ~1us
+    each; token distributions are zipfian, so an actor-lifetime cache turns
+    almost all lookups into dict hits (MinHasher/SimHasher live for the
+    whole map_batches actor, so the cache spans batches)."""
+
+    def __init__(self, max_size: int = 1 << 20):
+        self.max_size = max_size
+        self._d: dict = {}
+
+    def hash_tokens(self, toks: List[str]) -> np.ndarray:
+        d = self._d
+        out = np.empty(len(toks), dtype=np.uint64)
+        miss: List[int] = []
+        for i, t in enumerate(toks):
+            h = d.get(t)
+            if h is None:
+                miss.append(i)
+            else:
+                out[i] = h
+        if miss:
+            hs = _hash_strings64([toks[i] for i in miss])
+            room = self.max_size - len(d)
+            for j, i in enumerate(miss):
+                out[i] = hs[j]
+                if j < room:
+                    d[toks[i]] = int(hs[j])
+        return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """Vectorized k-shingle hashes: each shingle hash is the xor of its k
+    token hashes, each multiplied (mod 2^64) by a fixed odd constant per
+    position.  Pure uint64 arithmetic over blake2b token hashes — version-
+    stable (the determinism contract for persisted signatures) with no
+    per-shingle string building or hashing."""
+    n = len(token_hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    kk = min(k, n)
+    width = n - kk + 1
+    acc = np.zeros(width, dtype=np.uint64)
+    for j in range(kk):
+        acc ^= token_hashes[j : j + width] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+    return acc
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> Tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE) - 1, size=num_perm, dtype=np.uint64)
@@ -76,12 +134,14 @@ class MinHasher:
         self.num_perm = num_perm
         self.k = k
         self.a, self.b = _perm_coeffs(num_perm, seed)
+        self._tok_cache = _TokenHashCache()
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingles_of(text, self.k)
-        if not sh:
+        toks = tokens_of(text)
+        if not toks:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = _hash_strings64(sh) % _MERSENNE
+        th = self._tok_cache.hash_tokens(toks)
+        h = shingle_hashes(th, self.k) % _MERSENNE
         # (n_shingle, num_perm) universal hash, min over shingles
         vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
@@ -159,14 +219,17 @@ class SimHasher:
     Vectorized: all of a document's token hashes are expanded to a
     (n_tokens, 64) bit matrix in one numpy broadcast and summed per column
     (round-1 VERDICT flagged the per-token loop as ~10x slower).  Token
-    hash = blake2b (same value as the old per-token path, so fingerprints
-    are unchanged and version-stable)."""
+    hash = blake2b through the per-actor cache (same value as the old
+    per-token path, so fingerprints are unchanged and version-stable)."""
+
+    def __init__(self):
+        self._tok_cache = _TokenHashCache()
 
     def simhash64(self, text: str) -> int:
         toks = tokens_of(text)
         if not toks:
             return 0
-        h = _hash_strings64(toks)
+        h = self._tok_cache.hash_tokens(toks)
         bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
         acc = 2 * bits.sum(axis=0) - len(h)
         return int(_BIT_VALUES[acc > 0].sum())
