@@ -212,3 +212,22 @@ def parse_json_props(batch: pa.Table, col: str = "props", key: str = "k") -> pa.
         except (ValueError, KeyError, TypeError):
             vals.append(None)
     return batch.append_column(f"{col}_{key}", pa.array(vals, pa.int64()))
+
+
+def function_selector(signature: str) -> str:
+    """4-byte ABI function selector: '0x' + keccak256(signature)[:4] hex —
+    the reference builds eth_call data as Web3.keccak(text='name()')
+    .hex()[:2+8] (reference utils/token.py:110,143,176,206).  Uses the
+    pure-python keccak from functions/checksums.py."""
+    from .checksums import keccak256
+
+    return "0x" + keccak256(signature.encode("ascii")).hex()[:8]
+
+
+def event_topic(signature: str) -> str:
+    """Full 32-byte event topic hash ('0x' + keccak256(signature)) — the
+    dispatch keys of the token-event decoder (TOPIC_TRANSFER / _APPROVAL
+    above are keccak256 of the canonical event signatures)."""
+    from .checksums import keccak256
+
+    return "0x" + keccak256(signature.encode("ascii")).hex()

@@ -44,9 +44,22 @@ class _FetchShard:
     per-call task setup.  Only metadata is cached; page bytes stream from
     storage per request, so memory stays O(partitions/k), not O(data)."""
 
+    CACHE_MAX = 1024  # reference response-LRU size (cache.py:13)
+
     def __init__(self):
+        from collections import OrderedDict
+
         self._files = {}  # part -> [pq.ParquetFile]
         self._index = {}  # part -> (sorted url_hash64 array, (file_idx, rg_idx) arrays)
+        # response LRU (reference middlewares/txs/blockscan/cache.py:13,34-52:
+        # 1024-entry LRU + hit-rate reporting).  Weight-ranked crawls
+        # re-expand hot nodes, so repeated point lookups short-circuit the
+        # row-group decode entirely.  Rows are stored as plain dicts (a
+        # table slice would pin its whole parent row-group buffer).
+        self._page_cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._cache_schema = None
+        self._cache_hits = 0
+        self._cache_misses = 0
 
     def _open(self, part: int, paths: List[str]):
         import pyarrow.parquet as _pq
@@ -79,6 +92,34 @@ class _FetchShard:
             idx = self._index[part] = (h_all[order], fi_all[order], rg_all[order])
         return idx
 
+    def cache_stats(self) -> Dict[str, int]:
+        return {"hits": self._cache_hits, "misses": self._cache_misses}
+
+    def _cache_put(self, table) -> None:
+        cache = self._page_cache
+        self._cache_schema = table.schema
+        for row in table.to_pylist():
+            u = row["url"]
+            cache.pop(u, None)
+            if len(cache) >= self.CACHE_MAX:
+                cache.popitem(last=False)
+            cache[u] = row
+
+    def _cache_take(self, urls: List[str]):
+        """Split urls into (hit_rows, missing_urls); hits refresh recency."""
+        cache = self._page_cache
+        rows, missing = [], []
+        for u in urls:
+            row = cache.pop(u, None)
+            if row is None:
+                missing.append(u)
+            else:
+                cache[u] = row  # refresh recency
+                rows.append(row)
+        self._cache_hits += len(rows)
+        self._cache_misses += len(missing)
+        return rows, missing
+
     def lookup(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]], columns):
         import pyarrow as _pa
         import pyarrow.compute as _pc
@@ -86,7 +127,14 @@ class _FetchShard:
         from ..functions.urls import url_hash64
 
         out = []
+        cacheable = columns is None  # cache stores full rows only
         for part, urls in part_urls.items():
+            if cacheable:
+                hit_rows, urls = self._cache_take(urls)
+                if hit_rows:
+                    out.append(_pa.Table.from_pylist(hit_rows, schema=self._cache_schema))
+                if not urls:
+                    continue
             paths = part_files[part]
             files = self._open(part, paths)
             h_sorted, fi_sorted, rg_sorted = self._rg_index(part, paths)
@@ -105,6 +153,8 @@ class _FetchShard:
                 t = t.filter(_pc.is_in(t.column("url"), value_set=_pa.array(urls)))
                 if t.num_rows:
                     out.append(t)
+                    if cacheable:
+                        self._cache_put(t)
         if not out:
             return None
         return _pa.concat_tables(out)
@@ -143,6 +193,15 @@ class FetchPool:
         if not tables:
             return self.store.lookup_table([])
         return pa.concat_tables(tables)
+
+    def cache_stats(self) -> Dict[str, int]:
+        """Aggregate response-LRU hit/miss counts across shards (the
+        reference's periodic hit-rate report, cache.py:34-52)."""
+        stats = ray.get([a.cache_stats.remote() for a in self.actors])
+        return {
+            "hits": sum(s["hits"] for s in stats),
+            "misses": sum(s["misses"] for s in stats),
+        }
 
 
 class PageStore:

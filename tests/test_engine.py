@@ -213,3 +213,27 @@ def test_engine_robots(pages_table, tmp_path):
     fetched_on_host = [r for r in res.crawl_order if r["url"].startswith(f"http://{host}/p/")]
     assert not fetched_on_host
     assert any(m.get("robots_dropped", 0) > 0 for m in res.metrics)
+
+
+def test_fetch_pool_response_lru(ray_session, pages_store):
+    """Response LRU (reference blockscan/cache.py): repeated lookups of the
+    same urls hit the cache, results stay identical."""
+    from blockchainspider_ray.stages.fetch import FetchPool, PageStore
+
+    import pyarrow.dataset as pads
+
+    store = PageStore(pages_store)
+    urls = (
+        pads.dataset(f"{pages_store}/part=0", partitioning=None)
+        .to_table(columns=["url"])
+        .column("url")[:5]
+        .to_pylist()
+    )
+    pool = FetchPool(store, k=2)
+    first = pool.lookup(urls).sort_by("url")
+    s0 = pool.cache_stats()
+    assert s0["misses"] >= len(urls) and s0["hits"] == 0
+    second = pool.lookup(urls).sort_by("url")
+    s1 = pool.cache_stats()
+    assert s1["hits"] >= len(urls)  # all served from the LRU
+    assert first.equals(second)  # byte-identical rows from cache

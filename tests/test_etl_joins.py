@@ -146,3 +146,21 @@ def test_range_join_count_dataset(ray_session):
         left, right, key="k", right_key="k", left_time="t", right_time="t", window_days=2
     ).to_pandas()
     assert out.sort_values("k")["n_in_range"].tolist() == [2, 0]
+
+
+def test_function_selector_and_event_topics():
+    """ABI selectors/topics from the pure-python keccak vs public values."""
+    from blockchainspider_ray.functions.etl import (
+        TOPIC_APPROVAL,
+        TOPIC_TRANSFER,
+        event_topic,
+        function_selector,
+    )
+
+    assert function_selector("transfer(address,uint256)") == "0xa9059cbb"
+    assert function_selector("name()") == "0x06fdde03"
+    assert function_selector("totalSupply()") == "0x18160ddd"
+    assert function_selector("balanceOf(address)") == "0x70a08231"
+    # the decoder's hardcoded dispatch topics ARE keccak of the signatures
+    assert event_topic("Transfer(address,address,uint256)") == TOPIC_TRANSFER
+    assert event_topic("Approval(address,address,uint256)") == TOPIC_APPROVAL
