@@ -257,12 +257,16 @@ class DatasetBFSCrawl:
                     "round": pa.array([rnd] * admitted_tbl.num_rows, pa.int32()),
                 }
             )
-            fetched_rows.append(round_tbl)
             if self.spool_dir:
+                # spool mode: rounds go straight to parquet; nothing
+                # accumulates on the driver (run() reads the spool back
+                # at the end — at real scale consume the spool directly)
                 pq.write_table(
                     round_tbl,
                     os.path.join(self.spool_dir, "fetched", f"round={rnd}.parquet"),
                 )
+            else:
+                fetched_rows.append(round_tbl)
             admitted = ray.data.from_arrow(admitted_tbl)
             links = self._fetch_parse_explode(admitted)
             # next frontier: depth-capped, min depth per url (dedup shuffle)
@@ -274,17 +278,22 @@ class DatasetBFSCrawl:
             # materialize: keeps blocks in the object store (not the driver)
             # and stops the lazy plan growing across rounds
             frontier = nxt.materialize()
-        fetched = (
-            pa.concat_tables(fetched_rows)
-            if fetched_rows
-            else pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "depth": pa.array([], pa.int32()),
-                    "round": pa.array([], pa.int32()),
-                }
-            )
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+                "round": pa.array([], pa.int32()),
+            }
         )
+        if self.spool_dir:
+            import glob as _glob
+
+            files = sorted(_glob.glob(os.path.join(self.spool_dir, "fetched", "round=*.parquet")))
+            fetched = (
+                pa.concat_tables([pq.read_table(f) for f in files]) if files else empty
+            )
+        else:
+            fetched = pa.concat_tables(fetched_rows) if fetched_rows else empty
         return fetched, rounds
 
 

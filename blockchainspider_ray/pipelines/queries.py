@@ -352,6 +352,66 @@ def q_validated_entities(sf_dir: str):
     )
 
 
+_LC_CATS = ["exchange", "phish-hack", "gambling", "defi"]
+
+
+def q_labelcloud_parse(sf_dir: str):
+    """Etherscan labelcloud reader (reference spiders/labels/
+    labelcloud.py:73-135): parse dropdown anchors with the reference's
+    regexes (tag-strip ``<.*?>``, category substring match against the
+    allow-list, first-digits size extraction), drop non-matching
+    categories, then fan out the tabbed pagination plan (subcatid tabs
+    with totals -> start offsets at page_size=100) — one row per would-be
+    page request.  The labelcloud HTML synthesizes deterministically from
+    distinct ``doc_id % 20`` labels; the SQL oracle mirrors the
+    arithmetic."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def pages_of(b: pa.Table) -> pa.Table:
+        ks = sorted({int(i) % 20 for i in b.column("doc_id").to_pylist()})
+        # one labelcloud page per batch's label set (idempotent: dedup later)
+        anchors = []
+        for k in ks:
+            word = _LC_CATS[k % 4] if k % 5 != 4 else "misc"
+            size = 10 + (k * 37) % 190
+            anchors.append(
+                f'<a href="/accounts/label/label{k}"><span>{word.title()} label{k}</span> ({size})</a>'
+            )
+        html = '<div class="dropdown-menu">' + "".join(anchors) + "</div>"
+        out_label, out_cat, out_sub, out_start = [], [], [], []
+        for m in re.finditer(r"<a\b[^>]*href=\"([^\"]+)\"[^>]*>(.*?)</a>", html):
+            href, body = m.group(1), m.group(2)
+            text = re.sub("<.*?>", "", body)  # reference tag-strip
+            category = next((c for c in _LC_CATS if text.lower().find(c) >= 0), None)
+            if not category:
+                continue  # reference skips unmatched categories
+            msize = re.search(r"(\d+)\s*\)?\s*$", text)
+            size = int(msize.group(1)) if msize else 100
+            label = href.rsplit("/", 1)[-1]
+            for subcatid, total in ((1, size), (2, size // 2)):
+                for start in range(0, total, 100):
+                    out_label.append(label)
+                    out_cat.append(category)
+                    out_sub.append(subcatid)
+                    out_start.append(start)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.string()),
+                "category": pa.array(out_cat, pa.string()),
+                "subcatid": pa.array(out_sub, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(pages_of, batch_format="pyarrow")
+    # batches can repeat labels -> distinct page-request plan
+    return (
+        out.groupby(["label", "category", "subcatid", "start"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["label", "subcatid", "start"])
+    )
+
+
 def q_host_histogram(sf_dir: str):
     """Frontier host histogram — the groupby(host) politeness shuffle key."""
     links = q_canonicalize_urls(sf_dir)
@@ -1909,6 +1969,25 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(value_s AS DOUBLE) AS value, hash
         FROM norm ORDER BY id
     """,
+    "labelcloud_parse": """
+        WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        kept AS (
+            SELECT k,
+                   CASE k % 4 WHEN 0 THEN 'exchange' WHEN 1 THEN 'phish-hack'
+                              WHEN 2 THEN 'gambling' ELSE 'defi' END AS category,
+                   10 + (k * 37) % 190 AS size
+            FROM ks WHERE k % 5 != 4
+        ),
+        tabs AS (
+            SELECT k, category, 1 AS subcatid, size AS total FROM kept
+            UNION ALL
+            SELECT k, category, 2 AS subcatid, size // 2 AS total FROM kept
+        )
+        SELECT 'label' || k AS label, category, subcatid,
+               unnest(generate_series(0, CAST((total - 1) // 100 AS BIGINT))) * 100 AS start
+        FROM tabs
+        ORDER BY label, subcatid, start
+    """,
     "receipt_join": """
         WITH tx AS (
             SELECT 'TX' || event_id                      AS transaction_hash,
@@ -2137,6 +2216,7 @@ SQL_QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "transfer_normalize": q_transfer_normalize,
+    "labelcloud_parse": q_labelcloud_parse,
     "receipt_join": q_receipt_join,
     "token_decode": q_token_decode,
     "trace_flatten": q_trace_flatten,
