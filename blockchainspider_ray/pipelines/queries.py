@@ -839,6 +839,37 @@ def q_asof_join(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
 
 
+def q_asof_join_partitioned(sf_dir: str):
+    """Same as-of semantics as q_asof_join but with BOTH sides as
+    Datasets: co-partitioned by key via union + groupby (stages/joins.py
+    asof_join_partitioned) — the two-large-sides scale path where no side
+    is broadcast.  Shares asof_join's oracle SQL (identical result)."""
+    from ..stages.joins import asof_join_partitioned
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    joined = asof_join_partitioned(
+        events,
+        orders,
+        left_key="user_id",
+        left_time="ts",
+        right_key="o_custkey",
+        right_time="o_orderdate",
+        right_value_cols=[],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "last_order_date": b.column("o_orderdate"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
 def q_range_join(sf_dir: str):
     """Equi-key + time-range join: per order, count its lineitems shipped
     within [o_orderdate, o_orderdate + 60d) (stages/joins.py broadcast
@@ -1940,6 +1971,13 @@ ORACLE_SQL: Dict[str, str] = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id
     """,
+    "asof_join_partitioned": """
+        SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
     "range_join": """
         SELECT o.o_orderkey, count(l.l_orderkey) AS n_in_range
         FROM orders o
@@ -2214,6 +2252,7 @@ SQL_QUERIES = {
     "politeness_admission": q_politeness_admission,
     "events_window": q_events_window,
     "asof_join": q_asof_join,
+    "asof_join_partitioned": q_asof_join_partitioned,
     "range_join": q_range_join,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,

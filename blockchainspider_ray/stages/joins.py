@@ -107,6 +107,115 @@ def asof_join_broadcast(
     return left.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def asof_join_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    left_time: str,
+    right_key: str,
+    right_time: str,
+    right_value_cols: list,
+    suffix: str = "",
+) -> "ray.data.Dataset":
+    """As-of join for TWO LARGE sides: co-partition both datasets by key,
+    then run the searchsorted kernel per key group — no broadcast, no
+    single-worker index.
+
+    The broadcast form (:func:`asof_join_broadcast`) assumes the right
+    side is dimension-sized; when both sides are fact-sized the correct
+    shape is key-partitioned: tag each side, union, groupby(key), and
+    build the right-side time index over just that key's rows inside the
+    group.  Each row moves through the shuffle exactly once.  The only
+    partitioning assumption is that one KEY's rows fit in a worker — the
+    same assumption any groupby aggregation makes; salt hot keys upstream
+    if violated."""
+    import pyarrow.compute as _pc
+
+    out_time_col = f"{right_time}{suffix}"
+
+    # one shared schema for the union: left cols + right payload + tag
+    # (each side null-fills the other's columns)
+    lschema = left.schema()
+    rschema = right.schema()
+    union_fields = [(n, t) for n, t in zip(lschema.names, lschema.types)]
+    union_fields.append(("_rt", rschema.types[rschema.names.index(right_time)]))
+    for c in right_value_cols:
+        union_fields.append((f"_rv_{c}", rschema.types[rschema.names.index(c)]))
+    union_fields.append(("_side", pa.string()))
+    union_schema = pa.schema(union_fields)
+
+    def _conform(tbl: pa.Table) -> pa.Table:
+        cols = []
+        for f in union_schema:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        return pa.table(dict(zip(union_schema.names, cols)))
+
+    l_tagged = left.map_batches(
+        lambda b: _conform(
+            b.append_column("_side", pa.array(["L"] * b.num_rows, pa.string()))
+        ),
+        batch_format="pyarrow",
+    )
+    keep_r = [right_key, right_time] + list(right_value_cols)
+    r_tagged = right.map_batches(
+        lambda b: _conform(
+            b.select(keep_r)
+            .rename_columns([left_key, "_rt"] + [f"_rv_{c}" for c in right_value_cols])
+            .append_column("_side", pa.array(["R"] * b.num_rows, pa.string()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def join_group(g: pa.Table) -> pa.Table:
+        lmask = _pc.equal(g.column("_side"), "L")
+        lt = g.filter(lmask)
+        rt = g.filter(_pc.invert(lmask))
+        right_extras = ["_rt"] + [f"_rv_{c}" for c in right_value_cols]
+        lt = lt.drop_columns([c for c in right_extras + ["_side"] if c in lt.column_names])
+        n_left = lt.num_rows
+        if rt.num_rows:
+            r_times = rt.column("_rt").to_numpy().astype("datetime64[us]").astype(np.int64)
+            order = np.argsort(r_times, kind="stable")
+            r_times = r_times[order]
+        else:
+            r_times = np.empty(0, dtype=np.int64)
+            order = np.empty(0, dtype=np.int64)
+        l_times = (
+            lt.column(left_time).to_numpy().astype("datetime64[us]").astype(np.int64)
+            if n_left
+            else np.empty(0, dtype=np.int64)
+        )
+        pos = np.searchsorted(r_times, l_times, side="right") - 1
+        hit = pos >= 0
+        safe_idx = order[np.maximum(pos, 0)] if len(order) else np.zeros(n_left, dtype=np.int64)
+        if rt.num_rows:
+            matched_t = rt.column("_rt").take(pa.array(safe_idx)).to_pylist()
+        else:
+            matched_t = [None] * n_left
+        lt = lt.append_column(
+            out_time_col,
+            pa.array(
+                [t if h else None for t, h in zip(matched_t, hit)], pa.timestamp("us")
+            ),
+        )
+        for c in right_value_cols:
+            vals = (
+                rt.column(f"_rv_{c}").take(pa.array(safe_idx)).to_pylist()
+                if rt.num_rows
+                else [None] * n_left
+            )
+            lt = lt.append_column(
+                f"{c}{suffix}", pa.array([v if h else None for v, h in zip(vals, hit)])
+            )
+        return lt  # right-only keys emit zero rows with the full schema
+
+    unioned = l_tagged.union(r_tagged)
+    return unioned.groupby(left_key).map_groups(join_group, batch_format="pyarrow")
+
+
 def range_join_count(
     left: "ray.data.Dataset",
     right: pa.Table,

