@@ -1162,6 +1162,56 @@ def q_solana_block_parse(sf_dir: str):
     )
 
 
+def q_dcfg_parse(sf_dir: str):
+    """DCFG trace shaping (reference middlewares/trans/dcfg.py:189-222):
+    tracer JSON -> block items (opcode mnemonics, unknown nums dropped) +
+    edge items (block-index resolution, flow_type mnemonic, value/gas
+    defaults).  One deterministic trace per event; rows-only (pinned in
+    tests/test_dcfg.py — the JS tracer half is server-side and out of
+    scope)."""
+    import json as _json
+
+    from ..functions.dcfg import dcfg_stage
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        txs, payloads = [], []
+        for e in b.column("event_id").to_pylist():
+            blocks = [
+                {
+                    "contract_address": f"0xc{e % 7}",
+                    "start_pc": 0,
+                    # JUMPDEST, PUSH1, MSTORE, unknown 0x0c (dropped), CALL
+                    "operations": [0x5B, 0x60, 0x52, 0x0C, 0xF1],
+                },
+                {
+                    "contract_address": f"0xc{(e + 1) % 7}",
+                    "start_pc": 64 + e % 32,
+                    "operations": [0x5B, 0x54, 0xF3],
+                },
+            ]
+            edges = [
+                {"from": 0, "to": 1, "type": 0xF1, "value": e % 100, "gas": 21000 + e % 50,
+                 "selector": f"0x{(e * 2654435761) % (1 << 32):08x}", "index": 0},
+                {"from": 1, "to": 0, "type": 0xF3},
+            ]
+            txs.append(f"TX{e}")
+            payloads.append(_json.dumps({"result": {"blocks": blocks, "edges": edges}}))
+        return pa.table(
+            {
+                "transaction_hash": pa.array(txs, pa.string()),
+                "payload": pa.array(payloads, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(dcfg_stage, batch_format="pyarrow")
+        .sort(["transaction_hash", "kind", "start_pc"])
+    )
+
+
 def q_token_decode(sf_dir: str):
     """Token-event decoding: dispatch on topics[0], word->address, hex->dec
     (reference middlewares/trans/token.py:35-236, utils/web3.py:74-102)."""
@@ -2588,6 +2638,7 @@ NOSQL_QUERIES = {
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
     "solana_block_parse": q_solana_block_parse,  # 8-type fan-out — tests/test_solana.py
+    "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
     "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash": q_simhash,
