@@ -157,26 +157,41 @@ def q_join_agg(sf_dir: str):
     dense[keys_np] = seg_codes.astype(np.int32)
     lookup_ref = ray.put((dense, np.asarray(list(seg_labels), dtype=object)))
 
-    class JoinSeg:
-        def __init__(self):
-            self.dense, self.labels = ray.get(lookup_ref)
+    def join_seg(b: pa.Table, _ref=lookup_ref) -> pa.Table:
+        # plain TASK (no actor pool: pool startup cost ~2s/query — measured
+        # r2) + plasma-shared lookup (ray.get of a local object is a
+        # zero-copy shared-memory read).  Broadcast join AND partial
+        # aggregation in one pass: the groupby shuffle moves
+        # n_batches x n_segments rows, never the order rows (combiner
+        # pattern the 100-TB guidance demands).
+        dense, labels = ray.get(_ref)
+        keys = b.column("o_custkey").to_numpy().astype(np.int64)
+        prices = b.column("o_totalprice").to_numpy()
+        safe = np.clip(keys, 0, len(dense) - 1)
+        codes = np.where((keys >= 0) & (keys < len(dense)), dense[safe], -1)
+        sums = np.bincount(
+            np.maximum(codes, 0), weights=np.where(codes >= 0, prices, 0.0),
+            minlength=len(labels),
+        )
+        counts = np.bincount(
+            np.maximum(codes, 0), weights=(codes >= 0).astype(np.float64),
+            minlength=len(labels),
+        )
+        present = counts > 0
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(labels[np.flatnonzero(present)], pa.string()),
+                "rev_part": pa.array(sums[present], pa.float64()),
+                "cnt_part": pa.array(counts[present].astype(np.int64), pa.int64()),
+            }
+        )
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("o_custkey").to_numpy().astype(np.int64)
-            safe = np.clip(keys, 0, len(self.dense) - 1)
-            codes = np.where((keys >= 0) & (keys < len(self.dense)), self.dense[safe], -1)
-            valid = codes >= 0
-            seg = pa.array(
-                np.where(valid, self.labels[np.maximum(codes, 0)], None), pa.string()
-            )
-            return b.append_column("c_mktsegment", seg)
-
-    joined = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        JoinSeg, batch_format="pyarrow", concurrency=(1, 8)
+    partials = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        join_seg, batch_format="pyarrow"
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"),
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("rev_part", alias_name="revenue"),
+        Sum("cnt_part", alias_name="n_orders"),
     )
     return agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow").sort(
         "c_mktsegment"
@@ -1591,33 +1606,46 @@ def q_enrich_3way(sf_dir: str):
     reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
     n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
     r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
-    # pre-collapse the chain driver-side (dims are tiny), then a dense
-    # suppkey -> region-name array so the probe is one np.take per batch
+    # pre-collapse the chain driver-side (dims are tiny) into a dense
+    # suppkey -> region-CODE array; the probe + partial aggregation are
+    # then two np.bincounts per batch (combiner pattern — the shuffle
+    # moves n_batches x n_regions rows, never the lineitem fact rows)
     supp_keys = supp["s_suppkey"].to_numpy().astype(np.int64)
-    names = np.array(
-        [r2name[n2r[int(n)]] for n in supp["s_nationkey"]], dtype=object
+    name_series = pd.Series([r2name[n2r[int(n)]] for n in supp["s_nationkey"]])
+    codes_s, labels_s = pd.factorize(name_series, sort=True)
+    dense = np.full((int(supp_keys.max()) + 1) if len(supp_keys) else 1, -1, dtype=np.int32)
+    dense[supp_keys] = codes_s.astype(np.int32)
+    ref = ray.put((dense, np.asarray(list(labels_s), dtype=object)))
+
+    def enrich(b: pa.Table, _ref=ref) -> pa.Table:
+        # plain task + plasma-shared lookup (no actor-pool startup cost)
+        dense, labels = ray.get(_ref)
+        keys = b.column("l_suppkey").to_numpy().astype(np.int64)
+        prices = b.column("l_extendedprice").to_numpy()
+        safe = np.clip(keys, 0, len(dense) - 1)
+        codes = np.where((keys >= 0) & (keys < len(dense)), dense[safe], -1)
+        sums = np.bincount(
+            np.maximum(codes, 0), weights=np.where(codes >= 0, prices, 0.0),
+            minlength=len(labels),
+        )
+        counts = np.bincount(
+            np.maximum(codes, 0), weights=(codes >= 0).astype(np.float64),
+            minlength=len(labels),
+        )
+        present = counts > 0
+        return pa.table(
+            {
+                "region": pa.array(labels[np.flatnonzero(present)], pa.string()),
+                "rev_part": pa.array(sums[present], pa.float64()),
+                "cnt_part": pa.array(counts[present].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"]).map_batches(
+        enrich, batch_format="pyarrow"
     )
-    dense = np.full((int(supp_keys.max()) + 1) if len(supp_keys) else 1, None, dtype=object)
-    dense[supp_keys] = names
-    ref = ray.put(dense)
-
-    class Enrich:
-        def __init__(self):
-            self.dense = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column("l_suppkey").to_numpy().astype(np.int64)
-            safe = np.clip(keys, 0, len(self.dense) - 1)
-            vals = np.where(
-                (keys >= 0) & (keys < len(self.dense)), self.dense[safe], None
-            )
-            return b.append_column("region", pa.array(vals, pa.string()))
-
-    joined = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"]).map_batches(
-        Enrich, batch_format="pyarrow", concurrency=(1, 8)
-    )
-    agg = joined.groupby("region").aggregate(
-        Sum("l_extendedprice", alias_name="revenue"), Count(alias_name="n_items")
+    agg = partials.groupby("region").aggregate(
+        Sum("rev_part", alias_name="revenue"), Sum("cnt_part", alias_name="n_items")
     )
     return agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow").sort(
         "region"
