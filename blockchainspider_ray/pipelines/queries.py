@@ -2661,6 +2661,15 @@ def q_crawl_appr_sharded(sf_dir: str):
     return _run_crawl(sf_dir, "appr_sharded", alpha=0.15, epsilon=1e-5, num_shards=4, use_ray=True)
 
 
+def q_crawl_ttr_time_sharded(sf_dir: str):
+    """TTRTime over the actor-sharded CHIP pool (state/chip_pool.py) —
+    pop-order exact vs q_crawl_ttr_time (tests/test_rank_pool.py)."""
+    return _run_crawl(
+        sf_dir, "ttr_time_sharded", alpha=0.15, beta=0.8, epsilon=1e-4,
+        num_shards=4, use_ray=True,
+    )
+
+
 NOSQL_QUERIES = {
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
@@ -2682,6 +2691,7 @@ NOSQL_QUERIES = {
     "crawl_ttr_redirect": q_crawl_ttr_redirect,
     "crawl_haircut_sharded": q_crawl_haircut_sharded,
     "crawl_appr_sharded": q_crawl_appr_sharded,
+    "crawl_ttr_time_sharded": q_crawl_ttr_time_sharded,
     "crawl_bfs_dataset": q_crawl_bfs_dataset,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,

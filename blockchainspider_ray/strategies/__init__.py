@@ -46,7 +46,14 @@ def _registry():
     from .bfs import BFS, Poison
     from .haircut import Haircut
     from .appr import APPR
-    from .sharded import ShardedAPPR, ShardedHaircut, ShardedTTRBase, ShardedTTRWeight
+    from .sharded import (
+        ShardedAPPR,
+        ShardedHaircut,
+        ShardedTTRAggregate,
+        ShardedTTRBase,
+        ShardedTTRTime,
+        ShardedTTRWeight,
+    )
     from .ttr import TTRAggregate, TTRBase, TTRTime, TTRWeight
 
     return {
@@ -63,6 +70,8 @@ def _registry():
         "appr_sharded": ShardedAPPR,
         "ttr_base_sharded": ShardedTTRBase,
         "ttr_weight_sharded": ShardedTTRWeight,
+        "ttr_time_sharded": ShardedTTRTime,
+        "ttr_redirect_sharded": ShardedTTRAggregate,
     }
 
 
@@ -142,6 +151,8 @@ STRATEGY_NAMES = (
     "ttr_redirect",
     "haircut_sharded",
     "appr_sharded",
+    "ttr_time_sharded",
+    "ttr_redirect_sharded",
     "ttr_base_sharded",
     "ttr_weight_sharded",
 )

@@ -303,3 +303,158 @@ class ShardedAPPR(FrontierStrategy):
 
     def get_node_rank(self) -> Dict:
         return dict(self.p)
+
+
+class _ShardedChipTTR(FrontierStrategy):
+    """Shared machinery for ShardedTTRTime / ShardedTTRAggregate.
+
+    Push runs the LOCAL strategy's exact math on a scratch instance whose
+    residual map is preloaded with just the pushed node's chips taken from
+    the pool; the scratch residual afterwards IS the delta set, applied
+    back to the shards keyed chips.  Because chip merges are keyed and
+    additive, merged-on-insert pool state equals the reference's
+    merge-after-every-push list form, and arrival indices assigned in
+    scratch-iteration order equal the reference's r-dict insertion order —
+    so pops are row-for-row identical to the local strategy (pinned in
+    tests/test_rank_pool.py)."""
+
+    LOCAL_CLS: type = None  # set by subclasses
+    EMPTY_RESIDUAL: type = dict  # dict for TTRTime, list for TTRAggregate
+
+    def __init__(
+        self,
+        source: str,
+        alpha: float = 0.15,
+        beta: float = 0.8,
+        epsilon: float = 1e-3,
+        num_shards: int = 4,
+        use_ray: bool = True,
+        **kwargs: Any,
+    ):
+        from ..state.chip_pool import ChipPool
+
+        super().__init__(source)
+        self.alpha, self.beta, self.epsilon = float(alpha), float(beta), float(epsilon)
+        self.pool = ChipPool(num_shards, use_ray=use_ray)
+        self.p: Dict[Any, float] = {}
+        self._vis: set = set()
+        self._arrival = 0
+
+    def _next_arrival(self) -> int:
+        a = self._arrival
+        self._arrival += 1
+        return a
+
+    # chips <-> pool key/value codecs, per subclass
+    def _chips_to_residual(self, taken):
+        raise NotImplementedError
+
+    def _residual_to_deltas(self, node, residual):
+        raise NotImplementedError
+
+    def push(self, node, edges: list, **kwargs: Any) -> None:
+        scratch = self.LOCAL_CLS(
+            self.source, alpha=self.alpha, beta=self.beta, epsilon=self.epsilon
+        )
+        scratch._vis = set(self._vis)
+        taken = self.pool.take(node)
+        scratch.r = {node: self._chips_to_residual(taken)}
+        scratch.p = {}
+        scratch.push(node, edges)
+        self._vis |= scratch._vis
+        for n, credit in scratch.p.items():
+            self.p[n] = self.p.get(n, 0.0) + credit
+        deltas = []
+        for dst, residual in scratch.r.items():
+            chunk = self._residual_to_deltas(dst, residual)
+            if not chunk:  # registration only — node entered r empty
+                deltas.append((dst, None, 0.0, self._next_arrival()))
+            else:
+                for key, value in chunk:
+                    deltas.append((dst, key, value, self._next_arrival()))
+        if deltas:
+            self.pool.apply(deltas)
+
+    def pop(self) -> Tuple[Any, Dict]:
+        top = self.pool.top_candidate(self.epsilon)
+        if top is None:
+            return None, {}
+        node, s, _ = top
+        return node, self._pop_context(s)
+
+    def _pop_context(self, s: float) -> Dict:
+        return {"residual": s}
+
+    # engine batched-pop mass parking
+    def extract_mass(self, node):
+        return ("chips", self.pool.take(node))
+
+    def restore_mass(self, node, mass) -> None:
+        if mass is None or mass[1] is None:
+            return
+        deltas = [(node, k, v, self._next_arrival()) for k, v in mass[1]]
+        if not deltas:
+            deltas = [(node, None, 0.0, self._next_arrival())]
+        self.pool.apply(deltas)
+
+    def get_context_snapshot(self) -> Dict:
+        return {
+            "source": self.source,
+            "alpha": self.alpha,
+            "beta": self.beta,
+            "epsilon": self.epsilon,
+            "p": dict(self.p),
+            "vis": sorted(self._vis),
+            "shards": self.pool.snapshot(),
+            "arrival": self._arrival,
+        }
+
+    def get_node_rank(self) -> Dict:
+        return dict(self.p)
+
+
+class ShardedTTRTime(_ShardedChipTTR):
+    """TTRTime (reference ttr.py:164-331) over sharded {ts: value} chips."""
+
+    EMPTY_RESIDUAL = dict
+
+    def __init__(self, *args, **kwargs):
+        from .ttr import TTRTime
+
+        type(self).LOCAL_CLS = TTRTime
+        super().__init__(*args, **kwargs)
+
+    def _chips_to_residual(self, taken):
+        return dict(taken) if taken else {}
+
+    def _residual_to_deltas(self, node, residual: dict):
+        return list(residual.items())  # key = timestamp
+
+
+class ShardedTTRAggregate(_ShardedChipTTR):
+    """TTRAggregate / reference TTRRedirect (ttr.py:334-825) over sharded
+    {(symbol, timestamp): value} chips."""
+
+    EMPTY_RESIDUAL = list
+
+    def __init__(self, *args, **kwargs):
+        from .ttr import TTRAggregate
+
+        type(self).LOCAL_CLS = TTRAggregate
+        super().__init__(*args, **kwargs)
+
+    def _chips_to_residual(self, taken):
+        if not taken:
+            return []
+        return [
+            dict(value=v, symbol=k[0], timestamp=k[1]) for k, v in taken
+        ]
+
+    def _residual_to_deltas(self, node, residual: list):
+        return [
+            ((c.get("symbol"), c.get("timestamp")), c.get("value", 0.0))
+            for c in residual
+        ]
+
+    def _pop_context(self, s: float) -> Dict:
+        return {"residual": s, "allow_all_tokens": True}

@@ -144,3 +144,111 @@ def test_engine_crawl_identical_local_vs_sharded(ray_session, pages_store):
         "appr_sharded", {"alpha": 0.15, "epsilon": 1e-5, "num_shards": 2, "use_ray": False}
     )
     assert local == sharded and len(local) > 5
+
+
+def _temporal_adjacency(n=30, seed=5, symbols=("", "TOK")):
+    """Weighted digraph with meaningful timestamps/symbols/hashes for the
+    temporal TTR strategies."""
+    adj = {}
+    for i in range(n):
+        node = f"n{i}"
+        edges = []
+        for k in range(1 + (i * 5) % 3):
+            j = (i * 11 + k * 7 + seed) % n
+            if j == i:
+                continue
+            edges.append(
+                {
+                    "from": node,
+                    "to": f"n{j}",
+                    "value": float(1 + (i + 2 * k) % 4),
+                    "timeStamp": 100 + ((i * 13 + k * 29) % 50),
+                    "symbol": symbols[(i + k) % len(symbols)],
+                    "hash": f"h{i}_{k % 2}",  # shared hashes exercise netting
+                }
+            )
+        adj[node] = edges
+    return adj
+
+
+def _drive_bidir(strategy, adj, max_pops=40):
+    """Push with BOTH directions' edges (the engine supplies the node's full
+    adjacency: out-edges plus in-edges)."""
+    incoming = {}
+    for src, edges in adj.items():
+        for e in edges:
+            incoming.setdefault(e["to"], []).append(e)
+    order = []
+    for _ in range(max_pops):
+        node, ctx = strategy.pop()
+        if node is None:
+            break
+        order.append((node, round(list(ctx.values())[0], 12) if ctx else None))
+        strategy.push(node, adj.get(node, []) + incoming.get(node, []))
+    return order
+
+
+def test_sharded_ttr_time_matches_local_exactly():
+    from blockchainspider_ray.strategies.sharded import ShardedTTRTime
+    from blockchainspider_ray.strategies.ttr import TTRTime
+
+    adj = _temporal_adjacency()
+    local = TTRTime(source="n0", alpha=0.15, beta=0.8, epsilon=1e-4)
+    sharded = ShardedTTRTime(
+        source="n0", alpha=0.15, beta=0.8, epsilon=1e-4, num_shards=3, use_ray=False
+    )
+    # seed both with the engine's initial push on the source
+    local.push("n0", adj["n0"])
+    sharded.push("n0", adj["n0"])
+    lo = _drive_bidir(local, adj)
+    so = _drive_bidir(sharded, adj)
+    assert lo == so and len(lo) > 3
+    lp, sp = local.get_node_rank(), sharded.get_node_rank()
+    for k in set(lp) | set(sp):
+        assert abs(lp.get(k, 0) - sp.get(k, 0)) < 1e-12, k
+
+
+def test_sharded_ttr_aggregate_matches_local_exactly():
+    from blockchainspider_ray.strategies.sharded import ShardedTTRAggregate
+    from blockchainspider_ray.strategies.ttr import TTRAggregate
+
+    adj = _temporal_adjacency(seed=9)
+    local = TTRAggregate(source="n0", alpha=0.15, beta=0.8, epsilon=1e-4)
+    sharded = ShardedTTRAggregate(
+        source="n0", alpha=0.15, beta=0.8, epsilon=1e-4, num_shards=3, use_ray=False
+    )
+    local.push("n0", adj["n0"])
+    sharded.push("n0", adj["n0"])
+    lo = _drive_bidir(local, adj)
+    so = _drive_bidir(sharded, adj)
+    assert lo == so and len(lo) > 3
+    lp, sp = local.get_node_rank(), sharded.get_node_rank()
+    for k in set(lp) | set(sp):
+        assert abs(lp.get(k, 0) - sp.get(k, 0)) < 1e-12, k
+
+
+def test_sharded_ttr_time_with_ray_actors(ray_session):
+    from blockchainspider_ray.strategies.sharded import ShardedTTRTime
+    from blockchainspider_ray.strategies.ttr import TTRTime
+
+    adj = _temporal_adjacency(n=15, seed=2)
+    local = TTRTime(source="n0", alpha=0.15, beta=0.8, epsilon=1e-4)
+    sharded = ShardedTTRTime(
+        source="n0", alpha=0.15, beta=0.8, epsilon=1e-4, num_shards=2, use_ray=True
+    )
+    local.push("n0", adj["n0"])
+    sharded.push("n0", adj["n0"])
+    assert _drive_bidir(local, adj, 20) == _drive_bidir(sharded, adj, 20)
+
+
+def test_registry_exposes_chip_sharded_strategies():
+    from blockchainspider_ray.strategies import load_strategy
+    from blockchainspider_ray.strategies.sharded import (
+        ShardedTTRAggregate,
+        ShardedTTRTime,
+    )
+
+    s = load_strategy("ttr_time_sharded", source="n0", use_ray=False)
+    assert isinstance(s, ShardedTTRTime)
+    s = load_strategy("ttr_redirect_sharded", source="n0", use_ray=False)
+    assert isinstance(s, ShardedTTRAggregate)

@@ -100,17 +100,26 @@ PARAMS = {
                          "num_shards": 3, "use_ray": False},
     "ttr_weight_sharded": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3,
                            "num_shards": 3, "use_ray": False},
+    "ttr_time_sharded": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3,
+                         "num_shards": 3, "use_ray": False},
+    "ttr_redirect_sharded": {"alpha": 0.15, "beta": 0.8, "epsilon": 1e-3,
+                             "num_shards": 3, "use_ray": False},
+    "appr_sharded": {"alpha": 0.15, "epsilon": 1e-5,
+                     "num_shards": 3, "use_ray": False},
 }
 
-# sharded strategy -> the reference class it must match; appr_sharded is
-# excluded from EXACT conformance (batched drains converge to the same mass
-# but may order ties differently — asserted in tests/test_rank_pool.py)
+# sharded strategy -> the reference class it must match — EVERY sharded
+# strategy (incl. appr_sharded since r2 and the chip-pool TTRTime /
+# TTRRedirect) reproduces the reference pop sequence exactly
 REF_ALIAS = {
     "haircut_sharded": "haircut",
     "ttr_base_sharded": "ttr_base",
     "ttr_weight_sharded": "ttr_weight",
+    "ttr_time_sharded": "ttr_time",
+    "ttr_redirect_sharded": "ttr_redirect",
+    "appr_sharded": "appr",  # exact since r2 (arrival-ordered drains)
 }
-EXACT_NAMES = tuple(n for n in STRATEGY_NAMES if n != "appr_sharded")
+EXACT_NAMES = tuple(STRATEGY_NAMES)
 
 
 def _ranks_equal(a, b):
