@@ -131,7 +131,7 @@ class CrawlEngine:
         if self._fetch_pool is None and self.config.fetch_actors > 0 and ray.is_initialized():
             from ..stages.fetch import FetchPool
 
-            self._fetch_pool = FetchPool(self.store, k=self.config.fetch_actors)
+            self._fetch_pool = FetchPool(self.store, k=self.config.fetch_actors, prewarm=True)
         return self._fetch_pool
 
     # -- lifecycle --------------------------------------------------------

@@ -92,6 +92,13 @@ class _FetchShard:
             idx = self._index[part] = (h_all[order], fi_all[order], rg_all[order])
         return idx
 
+    def build_indexes(self, part_files: Dict[int, List[str]]) -> int:
+        """Eagerly build the hash->row-group indexes for owned partitions
+        (the lazy build costs several seconds on the first big round)."""
+        for part, paths in part_files.items():
+            self._rg_index(part, paths)
+        return len(part_files)
+
     def cache_stats(self) -> Dict[str, int]:
         return {"hits": self._cache_hits, "misses": self._cache_misses}
 
@@ -127,7 +134,12 @@ class _FetchShard:
         from ..functions.urls import url_hash64
 
         out = []
-        cacheable = columns is None  # cache stores full rows only
+        # LRU only in the point-lookup regime: caching a bulk round would
+        # cost a full-row to_pylist (html included) for rows BFS-style
+        # crawls never re-fetch; re-pops from weight strategies arrive in
+        # small batches and DO hit
+        n_total = sum(len(u) for u in part_urls.values())
+        cacheable = columns is None and n_total <= 128
         for part, urls in part_urls.items():
             if cacheable:
                 hit_rows, urls = self._cache_take(urls)
@@ -148,9 +160,15 @@ class _FetchShard:
                     p += 1
             if not targets:
                 continue
+            # one read + one filter per FILE (row groups batched), not per
+            # row group — fewer decode passes on multi-rg lookups
+            by_file: Dict[int, List[int]] = {}
             for fi, rg in sorted(targets):
-                t = files[fi].read_row_group(rg, columns=columns)
-                t = t.filter(_pc.is_in(t.column("url"), value_set=_pa.array(urls)))
+                by_file.setdefault(fi, []).append(rg)
+            want_set = _pa.array(urls)
+            for fi, rgs in by_file.items():
+                t = files[fi].read_row_groups(rgs, columns=columns)
+                t = t.filter(_pc.is_in(t.column("url"), value_set=want_set))
                 if t.num_rows:
                     out.append(t)
                     if cacheable:
@@ -165,10 +183,24 @@ class FetchPool:
     actor-pool form of :meth:`PageStore.lookup_parallel`; reference fetch =
     per-provider HTTP clients, our fetch = partition-owned parquet scans)."""
 
-    def __init__(self, store: "PageStore", k: int = 8):
+    def __init__(self, store: "PageStore", k: int = 8, prewarm: bool = False):
         self.store = store
         self.k = k
         self.actors = [_FetchShard.remote() for _ in range(k)]
+        self._prewarm_refs = None
+        if prewarm:
+            self.prewarm()
+
+    def prewarm(self) -> None:
+        """Build every partition's hash->row-group index concurrently
+        across the shards (non-blocking; the first lookup that needs a
+        shard naturally waits on its actor queue)."""
+        per_actor: Dict[int, Dict[int, List[str]]] = {}
+        for p in range(self.store.num_partitions):
+            per_actor.setdefault(p % self.k, {})[p] = self.store._partition_files([p])
+        self._prewarm_refs = [
+            self.actors[a].build_indexes.remote(pf) for a, pf in per_actor.items()
+        ]
 
     def lookup(self, urls: Sequence[str], columns: Optional[List[str]] = None):
         import pyarrow as pa
