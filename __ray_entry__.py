@@ -9,12 +9,14 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (40 of
-                     the 56 queries); the rows-only rest (near-dup
-                     signatures, langid, IVF ANN, multimodal decode, the
-                     8-strategy crawl family incl. the actor-sharded
-                     scale path) is covered by pytest conformance suites
-                     (reference classes as oracle) instead.
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (43 of
+                     the 67 queries); the rows-only rest (near-dup
+                     signatures, langid, IVF ANN, multimodal decode,
+                     TextRank, checksum validation, MoTS motifs, Solana/
+                     DCFG parsers, the crawl family incl. every
+                     actor-sharded scale path) is covered by pytest
+                     conformance suites (reference classes as oracle)
+                     instead.
 """
 
 from __future__ import annotations
