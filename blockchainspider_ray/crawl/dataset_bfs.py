@@ -92,6 +92,7 @@ class DatasetBFSCrawl:
         seen_use_ray: bool = True,
         batch_size: int = 256,
         spool_dir: Optional[str] = None,
+        obey_robots: bool = False,
     ):
         self.store = store if isinstance(store, PageStore) else PageStore(store)
         self.seeds = [u for u in (canonicalize_url(s) for s in seeds) if u]
@@ -100,7 +101,27 @@ class DatasetBFSCrawl:
         self.max_rounds = max_rounds
         self.batch_size = batch_size
         self.spool_dir = spool_dir
+        self.obey_robots = obey_robots
         self.seen = SeenSet(num_shards=seen_shards, use_ray=seen_use_ray)
+
+    def _robots_gate(self, frontier: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Per-host robots filter inside the groupby(host) stage: a group
+        holds exactly one host's URLs, so its robots rules are fetched from
+        the page store and compiled ONCE per group (the co-location
+        RobotsCache's docstring prescribes for cluster scale).  Disallowed
+        URLs are dropped, not deferred (engine semantics)."""
+        if not self.obey_robots:
+            return frontier
+        store_dir = str(self.store.store_dir)
+
+        def gate(group: pa.Table) -> pa.Table:
+            from ..stages.robots import RobotsCache
+
+            cache = RobotsCache(PageStore(store_dir), obey=True)
+            keep = [cache.allowed(u) for u in group.column("url").to_pylist()]
+            return _cast_frontier(group.filter(pa.array(keep, pa.bool_())))
+
+        return frontier.groupby("host").map_groups(gate, batch_format="pyarrow")
 
     def _seen_prefilter(self, frontier: "ray.data.Dataset") -> "ray.data.Dataset":
         """READ-ONLY membership pre-filter inside Ray Data tasks.
@@ -235,8 +256,9 @@ class DatasetBFSCrawl:
             if n_deferred:
                 frontier = frontier.union(deferred)
                 deferred = _empty_frontier_ds()
-            # admission BEFORE the seen gate: a deferred url must not be
-            # marked seen until the round that actually fetches it
+            # robots filter, then admission, then the seen gate: a deferred
+            # url must not be marked seen until the round that fetches it
+            frontier = self._robots_gate(frontier)
             admitted_ds, deferred = self._admit(frontier)
             admitted_tbl = _concat(self._seen_prefilter(admitted_ds))
             admitted_tbl = self._seen_commit(admitted_tbl)

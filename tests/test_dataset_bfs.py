@@ -150,3 +150,50 @@ def test_budgeted_bfs_with_ray_seen_shards(ray_session, tmp_path):
     ).run()
     assert set(fetched.column("url").to_pylist()) == set(pages)
     assert rounds >= 6  # budget 1 on one host: one fetch per round
+
+
+def test_robots_aware_dataset_bfs(ray_session, tmp_path):
+    """obey_robots drops disallowed paths, matching engine semantics."""
+    from blockchainspider_ray.crawl.dataset_bfs import DatasetBFSCrawl
+
+    h = "http://rob.example"
+    pages = {
+        f"{h}/s": [f"{h}/ok1", f"{h}/private/x", f"{h}/ok2"],
+        f"{h}/ok1": [f"{h}/private/y"],
+        f"{h}/ok2": [],
+        f"{h}/private/x": [f"{h}/ok2"],
+        f"{h}/private/y": [],
+        f"{h}/robots.txt": [],
+    }
+    store = _tiny_store(tmp_path, pages)
+    # overwrite the robots page body with actual rules
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from blockchainspider_ray.fixtures import ROW_GROUP_SIZE
+
+    for part in Path(store).glob("part=*"):
+        t = pq.read_table(part / "pages.parquet")
+        urls = t.column("url").to_pylist()
+        if f"{h}/robots.txt" in urls:
+            htmls = t.column("html").to_pylist()
+            htmls[urls.index(f"{h}/robots.txt")] = b"User-agent: *\nDisallow: /private/\n"
+            t = t.set_column(
+                t.column_names.index("html"), "html", pa.array(htmls, pa.binary())
+            )
+            pq.write_table(t, part / "pages.parquet", row_group_size=ROW_GROUP_SIZE)
+
+    fetched, _ = DatasetBFSCrawl(
+        store, [f"{h}/s"], depth=3, host_budget=0, max_rounds=10,
+        seen_use_ray=False, obey_robots=True,
+    ).run()
+    got = set(fetched.column("url").to_pylist())
+    assert got == {f"{h}/s", f"{h}/ok1", f"{h}/ok2"}, got
+
+    # without robots, the private pages are crawled
+    unfiltered, _ = DatasetBFSCrawl(
+        store, [f"{h}/s"], depth=3, host_budget=0, max_rounds=10, seen_use_ray=False
+    ).run()
+    assert f"{h}/private/x" in set(unfiltered.column("url").to_pylist())
