@@ -116,3 +116,27 @@ def follow_blocks_dataset(
         )
 
     return fetch
+
+
+def follow_cursor(
+    fetch_page: Callable[[Optional[str]], dict],
+    start: Optional[str] = None,
+    max_pages: Optional[int] = None,
+) -> List[dict]:
+    """Next-cursor pagination driver (reference Sign4btyesSpider.parse,
+    spiders/contracts/sign.py:32-43: each JSON page carries ``next`` — the
+    follow-up request — and ``results``).  Returns the raw page payloads in
+    fetch order; parsing the accumulated pages is a Ray Data map_batches
+    stage so only the (inherently sequential) cursor walk stays on the
+    driver.  ``max_pages=None`` follows until ``next`` is null."""
+    pages: List[dict] = []
+    cursor = start
+    while max_pages is None or len(pages) < max_pages:
+        page = fetch_page(cursor)
+        if page is None:
+            break
+        pages.append(page)
+        cursor = page.get("next")
+        if not cursor:
+            break
+    return pages

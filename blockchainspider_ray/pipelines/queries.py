@@ -1177,6 +1177,74 @@ def q_solana_block_parse(sf_dir: str):
     )
 
 
+def q_sign_pages(sf_dir: str):
+    """4byte signature reader (reference spiders/contracts/sign.py:20-53):
+    two paginated JSON streams (Function + Event signatures), cursor-
+    followed page by page via the ``next`` field, each page's ``results``
+    parsed into (text_signature, hex_signature, type) rows.  The cursor
+    walk is the driver loop (crawl/tail.py follow_cursor — inherently
+    sequential, like the reference's chained requests); page parsing runs
+    distributed over the accumulated payloads."""
+    import json as _json
+
+    from ..crawl.tail import follow_cursor
+
+    ids = sorted(
+        _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"].tolist()
+    )
+    page_size = 100
+
+    def synth_stream(prefix: str, suffix: str, sign_type: str):
+        def fetch_page(cursor):
+            start = int(cursor.split("=")[1]) if cursor else 0
+            chunk = ids[start : start + page_size]
+            if not chunk:
+                return None
+            nxt = f"start={start + page_size}" if start + page_size < len(ids) else None
+            return {
+                "next": nxt,
+                "results": [
+                    {
+                        "text_signature": f"{prefix}{i}{suffix}",
+                        "hex_signature": "0x"
+                        + hashlib.md5(f"{prefix}{i}{suffix}".encode()).hexdigest()[:8],
+                    }
+                    for i in chunk
+                ],
+                "type": sign_type,
+            }
+
+        return follow_cursor(fetch_page)
+
+    pages = synth_stream("fn_", "(uint256)", "Function") + synth_stream(
+        "Ev_", "(address)", "Event"
+    )
+    payloads = [(_json.dumps(p), p["type"]) for p in pages]
+
+    def parse(b: pa.Table) -> pa.Table:
+        texts, hexes, types = [], [], []
+        for payload, t in zip(b.column("payload").to_pylist(), b.column("type").to_pylist()):
+            data = _json.loads(payload)
+            for item in data.get("results") or []:  # reference skips empty
+                texts.append(item["text_signature"])
+                hexes.append(item["hex_signature"])
+                types.append(t)
+        return pa.table(
+            {
+                "text_signature": pa.array(texts, pa.string()),
+                "hex_signature": pa.array(hexes, pa.string()),
+                "type": pa.array(types, pa.string()),
+            }
+        )
+
+    ds = ray.data.from_items(
+        [{"payload": p, "type": t} for p, t in payloads]
+    )
+    return ds.map_batches(parse, batch_format="pyarrow").sort(
+        ["type", "text_signature"]
+    )
+
+
 def q_dcfg_parse(sf_dir: str):
     """DCFG trace shaping (reference middlewares/trans/dcfg.py:189-222):
     tracer JSON -> block items (opcode mnemonics, unknown nums dropped) +
@@ -2081,6 +2149,19 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(value_s AS DOUBLE) AS value, hash
         FROM norm ORDER BY id
     """,
+    "sign_pages": """
+        WITH s AS (
+            SELECT 'fn_' || doc_id || '(uint256)' AS text_signature,
+                   'Function' AS type FROM documents
+            UNION ALL
+            SELECT 'Ev_' || doc_id || '(address)' AS text_signature,
+                   'Event' AS type FROM documents
+        )
+        SELECT text_signature,
+               '0x' || substr(md5(text_signature), 1, 8) AS hex_signature,
+               type
+        FROM s ORDER BY type, text_signature
+    """,
     "labelcloud_parse": """
         WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
         kept AS (
@@ -2330,6 +2411,7 @@ SQL_QUERIES = {
     "range_join": q_range_join,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
+    "sign_pages": q_sign_pages,
     "receipt_join": q_receipt_join,
     "token_decode": q_token_decode,
     "trace_flatten": q_trace_flatten,
