@@ -1177,6 +1177,86 @@ def q_solana_block_parse(sf_dir: str):
     )
 
 
+def q_tron_block_parse(sf_dir: str):
+    """Tron walletsolidity/getblock + eth_getLogs parse (reference
+    spiders/trans/tron/blocks.py:52-135): per block one TronTransactionItem
+    per tx (txID, index, header version/timestamp) and one EventLogItem per
+    log (hex-decoded index/number, lowercased address, the block's
+    timestamp attached) — flattened to a discriminated union."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def synth_and_parse(b: pa.Table) -> pa.Table:
+        kinds, hashes, idxs, blocks, vers, tss, addrs, bhashes = (
+            [], [], [], [], [], [], [], []
+        )
+        for e in b.column("event_id").to_pylist():
+            block_payload = {
+                "blockID": f"BID{e}",
+                "block_header": {
+                    "raw_data": {"version": e % 5, "timestamp": 1_600_000_000 + e}
+                },
+                "transactions": [
+                    {"txID": f"TTX{e}_{j}", "raw_data": {"contract_type": j}}
+                    for j in range(1 + e % 3)
+                ],
+            }
+            logs_payload = {
+                "result": [
+                    {
+                        "transactionHash": f"TTX{e}_0",
+                        "logIndex": hex(e % 7),
+                        "blockNumber": hex(e),
+                        "address": f"0xTADDR{e % 9}",
+                        "topics": [],
+                        "data": "0x",
+                        "removed": False,
+                    }
+                ]
+            }
+            # parse exactly as the reference callbacks do
+            result = _json.loads(_json.dumps(block_payload))
+            block_hash = result.get("blockID", "")
+            header = result.get("block_header", {}).get("raw_data", {})
+            version = header.get("version", -1)
+            ts = header.get("timestamp", -1)
+            for i, tx in enumerate(result.get("transactions", [])):
+                kinds.append("tx")
+                hashes.append(tx.get("txID", ""))
+                idxs.append(i)
+                blocks.append(e)
+                vers.append(version)
+                tss.append(ts)
+                addrs.append("")
+                bhashes.append(block_hash)
+            for log in _json.loads(_json.dumps(logs_payload)).get("result") or []:
+                kinds.append("log")
+                hashes.append(log.get("transactionHash", ""))
+                idxs.append(int(log.get("logIndex"), 16))
+                blocks.append(int(log.get("blockNumber"), 16))
+                vers.append(-1)
+                tss.append(ts)
+                addrs.append(log.get("address", "").lower())
+                bhashes.append("")
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "transaction_hash": pa.array(hashes, pa.string()),
+                "idx": pa.array(idxs, pa.int64()),
+                "block_number": pa.array(blocks, pa.int64()),
+                "block_version": pa.array(vers, pa.int64()),
+                "timestamp": pa.array(tss, pa.int64()),
+                "address": pa.array(addrs, pa.string()),
+                "block_hash": pa.array(bhashes, pa.string()),
+            }
+        )
+
+    return ds.map_batches(synth_and_parse, batch_format="pyarrow").sort(
+        ["transaction_hash", "kind", "idx"]
+    )
+
+
 def q_sign_pages(sf_dir: str):
     """4byte signature reader (reference spiders/contracts/sign.py:20-53):
     two paginated JSON streams (Function + Event signatures), cursor-
@@ -2149,6 +2229,34 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(value_s AS DOUBLE) AS value, hash
         FROM norm ORDER BY id
     """,
+    "tron_block_parse": """
+        WITH tx AS (
+            SELECT 'tx' AS kind,
+                   'TTX' || event_id || '_' || j.i AS transaction_hash,
+                   j.i                              AS idx,
+                   event_id                         AS block_number,
+                   event_id % 5                     AS block_version,
+                   1600000000 + event_id            AS timestamp,
+                   ''                               AS address,
+                   'BID' || event_id                AS block_hash
+            FROM events, LATERAL (
+                SELECT unnest(generate_series(0, event_id % 3)) AS i
+            ) AS j
+        ),
+        lg AS (
+            SELECT 'log' AS kind,
+                   'TTX' || event_id || '_0' AS transaction_hash,
+                   event_id % 7              AS idx,
+                   event_id                  AS block_number,
+                   -1                        AS block_version,
+                   1600000000 + event_id     AS timestamp,
+                   lower('0xTADDR' || (event_id % 9)) AS address,
+                   ''                        AS block_hash
+            FROM events
+        )
+        SELECT * FROM (SELECT * FROM tx UNION ALL SELECT * FROM lg)
+        ORDER BY transaction_hash, kind, idx
+    """,
     "sign_pages": """
         WITH s AS (
             SELECT 'fn_' || doc_id || '(uint256)' AS text_signature,
@@ -2412,6 +2520,7 @@ SQL_QUERIES = {
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,
+    "tron_block_parse": q_tron_block_parse,
     "receipt_join": q_receipt_join,
     "token_decode": q_token_decode,
     "trace_flatten": q_trace_flatten,
