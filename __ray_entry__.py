@@ -9,8 +9,8 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (43 of
-                     the 67 queries); the rows-only rest (near-dup
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (45 of
+                     the 69 queries); the rows-only rest (near-dup
                      signatures, langid, IVF ANN, multimodal decode,
                      TextRank, checksum validation, MoTS motifs, Solana/
                      DCFG parsers, the crawl family incl. every
