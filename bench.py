@@ -330,7 +330,8 @@ def single_run(headline_only: bool = False) -> dict:
     _log(f"bulk: {bulk}")
     crawl = {}
     if not headline_only:
-        for _ in range(2):
+        for _ in range(3):  # crawl is the stall-sensitive section (500-940
+            # urls/s swing across clean runs); best-of-3 costs ~35s
             c = engine_crawl(store)
             if not crawl or c["urls_per_sec"] > crawl["urls_per_sec"]:
                 crawl = c
