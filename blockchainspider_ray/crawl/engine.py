@@ -131,7 +131,9 @@ class CrawlEngine:
         if self._fetch_pool is None and self.config.fetch_actors > 0 and ray.is_initialized():
             from ..stages.fetch import FetchPool
 
-            self._fetch_pool = FetchPool(self.store, k=self.config.fetch_actors, prewarm=True)
+            self._fetch_pool = FetchPool.shared(
+                self.store, k=self.config.fetch_actors, prewarm=True
+            )
         return self._fetch_pool
 
     # -- lifecycle --------------------------------------------------------
@@ -265,10 +267,16 @@ class CrawlEngine:
         huge-round path used to ``ray.get`` every html block onto the
         driver, a scale-killer at multi-MB pages).
 
-        Small rounds take the direct Arrow path (no task overhead); large
-        rounds stream through Ray Data map_batches stages."""
+        Small rounds take the direct Arrow path (no task overhead); pool
+        rounds run fused fetch+parse inside the shard actors (html never
+        leaves the actor); huge rounds stream through Ray Data stages."""
+        pool = self._get_fetch_pool() if ray.is_initialized() else None
+        if pool is not None and len(urls) <= self.config.stream_threshold:
+            # fused path: one RPC per shard; lookup + parse in-actor, the
+            # driver receives only html-free (meta, texts, edges)
+            return pool.fetch_parse(urls, include_scripts=self.config.include_scripts)
         if len(urls) <= self.config.parse_threshold:
-            # small round: actor-pool / parallel lookup, inline parse
+            # small round / no pool: direct lookup, inline parse
             pages = self._lookup(urls)
             texts = pa.table(
                 {
@@ -282,9 +290,9 @@ class CrawlEngine:
             edges = extract_links_stage(pages, include_scripts=self.config.include_scripts)
             return self._meta_of(pages), texts, edges
         if len(urls) <= self.config.stream_threshold:
-            # mid-size round: actor-pool lookup + per-slice parse tasks
-            # (plain Ray tasks — a Ray Data job per round would cost more in
-            # scheduling than the parse itself at this size)
+            # mid-size round without a fetch pool: parallel lookup + per-slice
+            # parse tasks (plain Ray tasks — a Ray Data job per round would
+            # cost more in scheduling than the parse itself at this size)
             pages = self._lookup(urls)
             n = pages.num_rows
             slice_rows = max(self.config.batch_size, 256)
@@ -375,6 +383,10 @@ class CrawlEngine:
         if self.strategy is None and not self.resume():
             self._init_state()
         c = self.config
+        if ray.is_initialized():
+            # start fetch actors + index prewarm NOW so actor startup
+            # overlaps the first rounds instead of stalling round 1
+            self._get_fetch_pool()
         while self.round_no < c.max_rounds:
             if c.max_fetches is not None and self.fetched >= c.max_fetches:
                 break

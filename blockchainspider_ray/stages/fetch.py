@@ -45,12 +45,21 @@ class _FetchShard:
     storage per request, so memory stays O(partitions/k), not O(data)."""
 
     CACHE_MAX = 1024  # reference response-LRU size (cache.py:13)
+    # Decoded row-group LRU: a crawl round's point lookups decode whole row
+    # groups to pluck single rows (256-row groups -> ~256x read
+    # amplification), and successive rounds hit the SAME row groups (a 12k-url
+    # crawl over 782 groups touches each ~15x).  Caching the decoded Arrow
+    # table turns those re-reads into in-memory filters.  Entry-count cap;
+    # at production page sizes configure by bytes instead (RG_CACHE_MAX=0
+    # disables).
+    RG_CACHE_MAX = 192
 
     def __init__(self):
         from collections import OrderedDict
 
         self._files = {}  # part -> [pq.ParquetFile]
         self._index = {}  # part -> (sorted url_hash64 array, (file_idx, rg_idx) arrays)
+        self._rg_cache: "OrderedDict[tuple, object]" = OrderedDict()
         # response LRU (reference middlewares/txs/blockscan/cache.py:13,34-52:
         # 1024-entry LRU + hit-rate reporting).  Weight-ranked crawls
         # re-expand hot nodes, so repeated point lookups short-circuit the
@@ -127,6 +136,37 @@ class _FetchShard:
         self._cache_misses += len(missing)
         return rows, missing
 
+    def _rg_tables(self, part: int, files, fi: int, rgs: List[int], columns):
+        """Per-row-group decoded tables for one file, LRU-cached when the
+        full schema is requested (point lookups always are).  Misses are
+        read in ONE batched ``read_row_groups`` call, then sliced back per
+        group (slices share the read buffer; they are cached — and evicted —
+        as a cohort, so the shared parent doesn't outlive its slices long)."""
+        if columns is not None or self.RG_CACHE_MAX <= 0:
+            return [files[fi].read_row_groups(rgs, columns=columns)]
+        cache = self._rg_cache
+        out, missing = [], []
+        for rg in rgs:
+            t = cache.get((part, fi, rg))
+            if t is not None:
+                cache.move_to_end((part, fi, rg))
+                out.append(t)
+            else:
+                missing.append(rg)
+        if missing:
+            batch = files[fi].read_row_groups(missing)
+            md = files[fi].metadata
+            off = 0
+            for rg in missing:
+                n = md.row_group(rg).num_rows
+                t = batch.slice(off, n)
+                off += n
+                cache[(part, fi, rg)] = t
+                out.append(t)
+            while len(cache) > self.RG_CACHE_MAX:
+                cache.popitem(last=False)
+        return out
+
     def lookup(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]], columns):
         import pyarrow as _pa
         import pyarrow.compute as _pc
@@ -167,7 +207,8 @@ class _FetchShard:
                 by_file.setdefault(fi, []).append(rg)
             want_set = _pa.array(urls)
             for fi, rgs in by_file.items():
-                t = files[fi].read_row_groups(rgs, columns=columns)
+                parts_t = self._rg_tables(part, files, fi, rgs, columns)
+                t = parts_t[0] if len(parts_t) == 1 else _pa.concat_tables(parts_t)
                 t = t.filter(_pc.is_in(t.column("url"), value_set=want_set))
                 if t.num_rows:
                     out.append(t)
@@ -177,11 +218,43 @@ class _FetchShard:
             return None
         return _pa.concat_tables(out)
 
+    def fetch_parse(self, part_files, part_urls, include_scripts: bool = True):
+        """Fused fetch+parse for the crawl engine: lookup the shard's urls
+        and parse (byte-identical text + link edges) INSIDE the actor, so
+        raw html never crosses the object store or touches the driver —
+        the driver receives only (meta, texts, edges), all html-free.
+        Mirrors the bulk-ingest fused design (bench.py fetch_parse_write)
+        that the round-1 VERDICT found 25x faster than shipping html."""
+        import pyarrow as _pa
+
+        from ..functions.links import decode_html
+        from ..functions.text import extract_text
+        from ..stages.parse import extract_links_stage
+
+        pages = self.lookup(part_files, part_urls, None)
+        if pages is None:
+            return None
+        meta_cols = [c for c in ("url", "warc_ts") if c in pages.column_names]
+        meta = pages.select(meta_cols)
+        texts = _pa.table(
+            {
+                "url": pages.column("url"),
+                "text_extracted": _pa.array(
+                    [extract_text(decode_html(h)) for h in pages.column("html").to_pylist()],
+                    _pa.string(),
+                ),
+            }
+        )
+        edges = extract_links_stage(pages, include_scripts=include_scripts)
+        return meta, texts, edges
+
 
 class FetchPool:
     """K persistent fetch actors sharded by ``partition % k`` (the stateful
     actor-pool form of :meth:`PageStore.lookup_parallel`; reference fetch =
     per-provider HTTP clients, our fetch = partition-owned parquet scans)."""
+
+    _shared: "Dict[tuple, FetchPool]" = {}
 
     def __init__(self, store: "PageStore", k: int = 8, prewarm: bool = False):
         self.store = store
@@ -190,6 +263,26 @@ class FetchPool:
         self._prewarm_refs = None
         if prewarm:
             self.prewarm()
+
+    @classmethod
+    def shared(cls, store: "PageStore", k: int = 8, prewarm: bool = False) -> "FetchPool":
+        """Process-wide pool reuse, keyed by (store dir, k) — fetch actors
+        (and their row-group caches/indexes) are long-lived infrastructure
+        like the reference's persistent HTTP sessions + response LRU, so
+        back-to-back crawls against one store shouldn't re-pay actor spawn
+        and index build.  Dead pools (e.g. after ray.shutdown) are evicted
+        and rebuilt."""
+        key = (str(store.store_dir), k)
+        pool = cls._shared.get(key)
+        if pool is not None:
+            try:  # liveness probe: a dead/killed actor raises on remote call
+                ray.get(pool.actors[0].cache_stats.remote())
+            except Exception:
+                pool = None
+        if pool is None:
+            cls._shared.clear()  # hold at most one store's actors
+            pool = cls._shared[key] = cls(store, k=k, prewarm=prewarm)
+        return pool
 
     def prewarm(self) -> None:
         """Build every partition's hash->row-group index concurrently
@@ -208,13 +301,7 @@ class FetchPool:
         urls = list(urls)
         if not urls:
             return self.store.lookup_table([])
-        parts = self.store.partitions_for(urls)
-        by_part: Dict[int, List[str]] = {}
-        for u, p in zip(urls, parts.tolist()):
-            by_part.setdefault(int(p), []).append(u)
-        per_actor: Dict[int, Dict[int, List[str]]] = {}
-        for p, us in by_part.items():
-            per_actor.setdefault(p % self.k, {})[p] = us
+        per_actor = self._route(urls)
         refs = [
             self.actors[a].lookup.remote(
                 {p: self.store._partition_files([p]) for p in pu}, pu, columns
@@ -225,6 +312,64 @@ class FetchPool:
         if not tables:
             return self.store.lookup_table([])
         return pa.concat_tables(tables)
+
+    def _route(self, urls: Sequence[str]) -> Dict[int, Dict[int, List[str]]]:
+        """actor -> {partition -> urls} routing for a url batch."""
+        parts = self.store.partitions_for(urls)
+        by_part: Dict[int, List[str]] = {}
+        for u, p in zip(urls, parts.tolist()):
+            by_part.setdefault(int(p), []).append(u)
+        per_actor: Dict[int, Dict[int, List[str]]] = {}
+        for p, us in by_part.items():
+            per_actor.setdefault(p % self.k, {})[p] = us
+        return per_actor
+
+    def fetch_parse(self, urls: Sequence[str], include_scripts: bool = True):
+        """Fused distributed fetch+parse: each shard looks up AND parses its
+        urls in-actor; the driver gathers only the html-free
+        (meta, texts, edges) triple.  One RPC per shard per round."""
+        import pyarrow as pa
+
+        urls = list(urls)
+        metas, texts, edges = [], [], []
+        if urls:
+            per_actor = self._route(urls)
+            refs = [
+                self.actors[a].fetch_parse.remote(
+                    {p: self.store._partition_files([p]) for p in pu}, pu, include_scripts
+                )
+                for a, pu in sorted(per_actor.items())
+            ]
+            for r in ray.get(refs):
+                if r is not None:
+                    metas.append(r[0])
+                    texts.append(r[1])
+                    edges.append(r[2])
+        if not metas:
+            empty_meta = pa.table(
+                {"url": pa.array([], pa.string())}
+            )
+            empty_text = pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "text_extracted": pa.array([], pa.string()),
+                }
+            )
+            empty_edges = pa.table(
+                {
+                    "src_url": pa.array([], pa.string()),
+                    "dst_url": pa.array([], pa.string()),
+                    "kind": pa.array([], pa.string()),
+                    "dst_host": pa.array([], pa.string()),
+                    "dst_hash": pa.array([], pa.uint64()),
+                }
+            )
+            return empty_meta, empty_text, empty_edges
+        return (
+            pa.concat_tables(metas),
+            pa.concat_tables(texts),
+            pa.concat_tables(edges),
+        )
 
     def cache_stats(self) -> Dict[str, int]:
         """Aggregate response-LRU hit/miss counts across shards (the
