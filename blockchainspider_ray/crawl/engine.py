@@ -127,6 +127,12 @@ class CrawlEngine:
         self.ckpt = CheckpointManager(config.checkpoint_dir) if config.checkpoint_dir else None
         self._fetch_pool = None
 
+    @property
+    def _fifo(self) -> bool:
+        """True for strategies with no mass to park (BFS/Poison): they take
+        the dict-free ``push_pairs`` edge path."""
+        return hasattr(self.strategy, "push_pairs")
+
     def _get_fetch_pool(self):
         if self._fetch_pool is None and self.config.fetch_actors > 0 and ray.is_initialized():
             from ..stages.fetch import FetchPool
@@ -145,6 +151,7 @@ class CrawlEngine:
             capacity=c.seen_capacity,
             backend=c.seen_backend,
             use_ray=c.seen_use_ray,
+            reuse_actors=True,  # engine owns one live SeenSet at a time
         )
 
     def resume(self) -> bool:
@@ -162,6 +169,7 @@ class CrawlEngine:
             capacity=c.seen_capacity,
             backend=c.seen_backend,
             use_ray=c.seen_use_ray,
+            reuse_actors=True,
         )
         self.seen.restore(state["seen_blobs"])
         self.deferred = list(state["deferred"])
@@ -197,6 +205,21 @@ class CrawlEngine:
                           ctx={}, arrival=self._arrival)
             )
             self._arrival += 1
+        if hasattr(self.strategy, "pop_batch"):
+            # sharded strategies: k pops in O(shards) RPCs, mass pre-parked
+            while len(cands) < self.config.pop_k:
+                want = self.config.pop_k - len(cands)
+                batch = self.strategy.pop_batch(want)
+                for node, ctx, mass in batch:
+                    c = Candidate(url=node, host=host_of(node),
+                                  priority=self._priority_of(ctx), ctx=dict(ctx),
+                                  arrival=self._arrival)
+                    c.mass = mass
+                    cands.append(c)
+                    self._arrival += 1
+                if len(batch) < want:
+                    break
+            return cands
         while len(cands) < self.config.pop_k:
             node, ctx = self.strategy.pop()
             if node is None:
@@ -205,8 +228,10 @@ class CrawlEngine:
                           priority=self._priority_of(ctx), ctx=dict(ctx),
                           arrival=self._arrival)
             # batched pop: park the node's mass on the candidate so the next
-            # pop returns a *different* argmax; restored just before push
-            c.mass = extract_mass(self.strategy, node)
+            # pop returns a *different* argmax; restored just before push.
+            # FIFO strategies (push_pairs) carry no mass — skip the probe.
+            if not self._fifo:
+                c.mass = extract_mass(self.strategy, node)
             cands.append(c)
             self._arrival += 1
         return cands
@@ -448,7 +473,16 @@ class CrawlEngine:
             m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)
             m["edges"] = edges.num_rows
 
-            adjacency = self._edges_of_pages(meta, edges)
+            if self._fifo:
+                # dict-free edge flow: FIFO pushes only need (src -> [dst])
+                adj: Dict[str, list] = {}
+                for src, dst in zip(
+                    edges.column("src_url").to_pylist(), edges.column("dst_url").to_pylist()
+                ):
+                    adj.setdefault(src, []).append(dst)
+                adjacency = None
+            else:
+                adjacency = self._edges_of_pages(meta, edges)
             emitted = set()
             for cand in admitted:
                 if new_of.get(cand.url, True) and cand.url not in emitted:
@@ -462,10 +496,24 @@ class CrawlEngine:
                             "found": cand.url in found,
                         }
                     )
-                # push even when the page is missing (empty expansion), the
-                # way a reference errback closes a sync window with no items
-                restore_mass(self.strategy, cand.url, getattr(cand, "mass", None))
-                self.strategy.push(cand.url, adjacency.get(cand.url, []), **cand.ctx)
+            # push even when the page is missing (empty expansion), the
+            # way a reference errback closes a sync window with no items
+            if self._fifo:
+                for cand in admitted:
+                    self.strategy.push_pairs(cand.url, adj.get(cand.url, ()), **cand.ctx)
+            elif hasattr(self.strategy, "push_round"):
+                # sharded strategies: whole round in O(shards) RPCs
+                self.strategy.push_round(
+                    [
+                        (c2.url, getattr(c2, "mass", None), c2.ctx,
+                         adjacency.get(c2.url, []))
+                        for c2 in admitted
+                    ]
+                )
+            else:
+                for cand in admitted:
+                    restore_mass(self.strategy, cand.url, getattr(cand, "mass", None))
+                    self.strategy.push(cand.url, adjacency.get(cand.url, []), **cand.ctx)
             self.fetched += len(new_found)
             _lap("push")
 

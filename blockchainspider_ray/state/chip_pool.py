@@ -53,6 +53,9 @@ class _ChipShardCore:
         self.chips[node] = OrderedDict()
         return list(d.items())
 
+    def take_many(self, nodes: List[Any]) -> Dict[Any, Optional[List[Tuple[Any, float]]]]:
+        return {n: self.take(n) for n in nodes}
+
     def top_candidates(self, k: int, min_sum: float) -> List[Tuple[Any, float, int]]:
         cands = []
         for n, d in self.chips.items():
@@ -84,6 +87,9 @@ class ChipShard:
     def take(self, node):
         return self.core.take(node)
 
+    def take_many(self, nodes):
+        return self.core.take_many(nodes)
+
     def top_candidates(self, k, min_sum):
         return self.core.top_candidates(k, min_sum)
 
@@ -108,12 +114,21 @@ class ChipPool:
     def _shard_of(self, node: Any) -> int:
         return int(url_hash64([str(node)])[0] % np.uint64(self.num_shards))
 
+    def _shards_of(self, nodes: List[Any]) -> List[int]:
+        """Vectorized routing — one hash call per batch (see RankPool)."""
+        return (
+            (url_hash64([str(n) for n in nodes]) % np.uint64(self.num_shards))
+            .astype(np.int64)
+            .tolist()
+        )
+
     def apply(self, deltas: List[Tuple[Any, Any, float, int]]) -> None:
         """deltas: [(node, chip_key_or_None, value, arrival)], batched per
         shard and applied concurrently."""
         per_shard: Dict[int, Tuple[list, list, list, list]] = {}
-        for node, k, v, a in deltas:
-            b = per_shard.setdefault(self._shard_of(node), ([], [], [], []))
+        shards = self._shards_of([node for node, _, _, _ in deltas])
+        for (node, k, v, a), sh in zip(deltas, shards):
+            b = per_shard.setdefault(sh, ([], [], [], []))
             b[0].append(node)
             b[1].append(k)
             b[2].append(v)
@@ -129,6 +144,32 @@ class ChipPool:
         if self.use_ray:
             return ray.get(self.shards[s].take.remote(node))
         return self.shards[s].take(node)
+
+    def take_many(self, nodes: List[Any]) -> Dict[Any, Optional[List[Tuple[Any, float]]]]:
+        """Batched destructive read — one call per shard (see RankPool)."""
+        per_shard: Dict[int, List[Any]] = {}
+        for n, sh in zip(nodes, self._shards_of(nodes)):
+            per_shard.setdefault(sh, []).append(n)
+        out: Dict[Any, Optional[List[Tuple[Any, float]]]] = {}
+        if self.use_ray:
+            parts = ray.get(
+                [self.shards[s].take_many.remote(ns) for s, ns in per_shard.items()]
+            )
+        else:
+            parts = [self.shards[s].take_many(ns) for s, ns in per_shard.items()]
+        for p in parts:
+            out.update(p)
+        return out
+
+    def top_k(self, k: int, min_sum: float) -> List[Tuple[Any, float, int]]:
+        """Global top-k by (chip sum desc, arrival asc), one RPC per shard."""
+        if self.use_ray:
+            tops = ray.get([s.top_candidates.remote(k, min_sum) for s in self.shards])
+        else:
+            tops = [s.top_candidates(k, min_sum) for s in self.shards]
+        merged = [t for shard_tops in tops for t in shard_tops]
+        merged.sort(key=lambda t: (-t[1], t[2]))
+        return merged[:k]
 
     def top_candidate(self, min_sum: float) -> Optional[Tuple[Any, float, int]]:
         if self.use_ray:

@@ -49,11 +49,20 @@ class _RankShardCore:
             self.value[node] = 0.0
         return v
 
+    def take_many(self, nodes: List[Any]) -> Dict[Any, float]:
+        return {n: self.take(n) for n in nodes}
+
     def mark_visited(self, node: Any) -> None:
         self.visited.add(node)
 
+    def mark_visited_many(self, nodes: List[Any]) -> None:
+        self.visited.update(nodes)
+
     def mark_drainable(self, node: Any) -> None:
         self.drainable.add(node)
+
+    def mark_drainable_many(self, nodes: List[Any]) -> None:
+        self.drainable.update(nodes)
 
     def first_drainable(self, min_value: float) -> Optional[Tuple[Any, float, int]]:
         """Earliest-arrival node with value STRICTLY above min_value and a
@@ -108,11 +117,20 @@ class RankShard:
     def take(self, node):
         return self.core.take(node)
 
+    def take_many(self, nodes):
+        return self.core.take_many(nodes)
+
     def mark_visited(self, node):
         return self.core.mark_visited(node)
 
+    def mark_visited_many(self, nodes):
+        return self.core.mark_visited_many(nodes)
+
     def mark_drainable(self, node):
         return self.core.mark_drainable(node)
+
+    def mark_drainable_many(self, nodes):
+        return self.core.mark_drainable_many(nodes)
 
     def first_drainable(self, min_value):
         return self.core.first_drainable(min_value)
@@ -144,6 +162,16 @@ class RankPool:
     def _shard_of(self, node: Any) -> int:
         return int(url_hash64([str(node)])[0] % np.uint64(self.num_shards))
 
+    def _shards_of(self, nodes: List[Any]) -> List[int]:
+        """Vectorized shard routing — ONE hash call for the whole batch
+        (per-node url_hash64 costs a polars Series build each, ~100us;
+        batched it's ~ns/node)."""
+        return (
+            (url_hash64([str(n) for n in nodes]) % np.uint64(self.num_shards))
+            .astype(np.int64)
+            .tolist()
+        )
+
     def _call(self, shard: int, method: str, *args):
         target = self.shards[shard]
         if self.use_ray:
@@ -154,8 +182,9 @@ class RankPool:
         """deltas: [(node, delta, arrival)] — scattered to shards, applied
         concurrently (one batched call per shard)."""
         per_shard: Dict[int, Tuple[list, list, list]] = {}
-        for node, d, a in deltas:
-            b = per_shard.setdefault(self._shard_of(node), ([], [], []))
+        shards = self._shards_of([node for node, _, _ in deltas])
+        for (node, d, a), sh in zip(deltas, shards):
+            b = per_shard.setdefault(sh, ([], [], []))
             b[0].append(node)
             b[1].append(d)
             b[2].append(a)
@@ -173,11 +202,53 @@ class RankPool:
     def take(self, node: Any) -> float:
         return self._call(self._shard_of(node), "take", node)
 
+    def take_many(self, nodes: List[Any]) -> Dict[Any, float]:
+        """Batched destructive read — ONE call per shard for the whole node
+        list (the engine's per-round form; per-candidate ``take`` RPCs don't
+        scale past small pop_k)."""
+        per_shard: Dict[int, List[Any]] = {}
+        for n, sh in zip(nodes, self._shards_of(nodes)):
+            per_shard.setdefault(sh, []).append(n)
+        out: Dict[Any, float] = {}
+        if self.use_ray:
+            parts = ray.get(
+                [self.shards[s].take_many.remote(ns) for s, ns in per_shard.items()]
+            )
+        else:
+            parts = [self.shards[s].take_many(ns) for s, ns in per_shard.items()]
+        for p in parts:
+            out.update(p)
+        return out
+
     def mark_visited(self, node: Any) -> None:
         self._call(self._shard_of(node), "mark_visited", node)
 
+    def mark_visited_many(self, nodes: List[Any]) -> None:
+        per_shard: Dict[int, List[Any]] = {}
+        for n, sh in zip(nodes, self._shards_of(nodes)):
+            per_shard.setdefault(sh, []).append(n)
+        if self.use_ray:
+            ray.get(
+                [self.shards[s].mark_visited_many.remote(ns) for s, ns in per_shard.items()]
+            )
+        else:
+            for s, ns in per_shard.items():
+                self.shards[s].mark_visited_many(ns)
+
     def mark_drainable(self, node: Any) -> None:
         self._call(self._shard_of(node), "mark_drainable", node)
+
+    def mark_drainable_many(self, nodes: List[Any]) -> None:
+        per_shard: Dict[int, List[Any]] = {}
+        for n, sh in zip(nodes, self._shards_of(nodes)):
+            per_shard.setdefault(sh, []).append(n)
+        if self.use_ray:
+            ray.get(
+                [self.shards[s].mark_drainable_many.remote(ns) for s, ns in per_shard.items()]
+            )
+        else:
+            for s, ns in per_shard.items():
+                self.shards[s].mark_drainable_many(ns)
 
     def first_drainable(self, min_value: float) -> Optional[Tuple[Any, float, int]]:
         """Globally-earliest drainable candidate: per-shard min-arrival
@@ -208,6 +279,23 @@ class RankPool:
             return None
         merged.sort(key=lambda t: (-t[1], t[2]))
         return merged[0]
+
+    def top_k(
+        self, k: int, min_value: float, skip_visited: bool
+    ) -> List[Tuple[Any, float, int]]:
+        """Global top-k by (value desc, arrival asc): per-shard top-k
+        gathered concurrently (one RPC per shard), merged driver-side.
+        Equals k sequential ``top_candidate`` picks when each pick's node
+        is then taken/visited (the engine's batched-pop contract)."""
+        if self.use_ray:
+            tops = ray.get(
+                [s.top_candidates.remote(k, min_value, skip_visited) for s in self.shards]
+            )
+        else:
+            tops = [s.top_candidates(k, min_value, skip_visited) for s in self.shards]
+        merged = [t for shard_tops in tops for t in shard_tops]
+        merged.sort(key=lambda t: (-t[1], t[2]))
+        return merged[:k]
 
     def ranks(self) -> Dict[Any, float]:
         if self.use_ray:

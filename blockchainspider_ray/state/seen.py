@@ -86,6 +86,10 @@ class SeenShard:
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self.core.contains(hashes)
 
+    def reset(self, capacity: int, backend: str) -> None:
+        """Clear to a fresh filter (actor reuse across crawls)."""
+        self.core = _ShardCore(capacity, backend)
+
     def snapshot(self) -> bytes:
         return self.core.snapshot()
 
@@ -104,21 +108,40 @@ class SeenSet:
     concurrently.
     """
 
+    _shared_actors: "dict[int, list]" = {}
+
     def __init__(
         self,
         num_shards: int = 8,
         capacity: int = 1 << 20,
         backend: str = "cuckoo",
         use_ray: bool = True,
+        reuse_actors: bool = False,
     ):
         self.num_shards = num_shards
         self.use_ray = use_ray
         per_shard = max(1024, capacity // num_shards)
         if use_ray:
-            self.shards = [
-                SeenShard.remote(capacity=per_shard, backend=backend)
-                for _ in range(num_shards)
-            ]
+            # Actor processes are infrastructure; the filter CONTENT is crawl
+            # state.  With reuse_actors=True (the engine's mode — it owns one
+            # live SeenSet at a time) live actors are reset to fresh filters
+            # so a new crawl doesn't pay num_shards process spawns.  Callers
+            # that hold several SeenSets concurrently must keep the default.
+            cached = self._shared_actors.get(num_shards) if reuse_actors else None
+            if cached is not None:
+                try:
+                    ray.get([s.reset.remote(per_shard, backend) for s in cached])
+                except Exception:
+                    cached = None
+            if cached is None:
+                cached = [
+                    SeenShard.remote(capacity=per_shard, backend=backend)
+                    for _ in range(num_shards)
+                ]
+                if reuse_actors:
+                    type(self)._shared_actors.clear()  # one pool at a time
+                    type(self)._shared_actors[num_shards] = cached
+            self.shards = cached
         else:
             self.shards = [_ShardCore(per_shard, backend) for _ in range(num_shards)]
 

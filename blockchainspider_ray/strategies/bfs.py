@@ -34,6 +34,17 @@ class BFS(FrontierStrategy):
             self._queue.append((e.get("from"), cur_depth + 1))
             self._queue.append((e.get("to"), cur_depth + 1))
 
+    def push_pairs(self, node, dsts, **kwargs) -> None:
+        """Engine fast path: push out-links (node -> dst for dst in dsts)
+        without materializing per-edge dicts.  Identical to :meth:`push`
+        over edges [{'from': node, 'to': d}] — both endpoints enqueue."""
+        cur_depth = kwargs.get("depth", 0)
+        assert cur_depth >= 0
+        d = cur_depth + 1
+        if d > self.max_depth:
+            return
+        self._queue.extend(p for dst in dsts for p in ((node, d), (dst, d)))
+
     def pop(self) -> Tuple[Any, Dict]:
         while self._queue:
             node, depth = self._queue.popleft()
@@ -66,6 +77,16 @@ class Poison(FrontierStrategy):
         for e in edges:
             if e.get("from") == node:
                 self._queue.append((e.get("to"), cur_depth + 1))
+
+    def push_pairs(self, node, dsts, **kwargs) -> None:
+        """Engine fast path: all pairs are out-edges of ``node`` by
+        construction, so every dst enqueues (taint follows out-edges)."""
+        cur_depth = kwargs.get("depth", 0)
+        assert cur_depth >= 0
+        d = cur_depth + 1
+        if d > self.depth:
+            return
+        self._queue.extend((dst, d) for dst in dsts)
 
     def pop(self) -> Tuple[Any, Dict]:
         while self._queue:

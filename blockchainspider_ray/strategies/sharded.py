@@ -15,7 +15,7 @@ path for the reference's Haircut and APPR frontiers.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, List, Tuple
 
 from . import FrontierStrategy
 from ..state.rank_pool import RankPool
@@ -70,6 +70,72 @@ class ShardedHaircut(FrontierStrategy):
         node, weight, _ = top
         self.pool.mark_visited(node)
         return node, {"weight": weight}
+
+    def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
+        """k pops in O(shards) RPCs: each sequential pop only zeroes the
+        popped node (engine extract_mass) and marks it visited, so k pops
+        equal the top-k of the starting snapshot.  Returns
+        [(node, ctx, parked_mass)] in pop order."""
+        tops = self.pool.top_k(k, self.min_weight, skip_visited=True)
+        if not tops:
+            return []
+        nodes = [n for n, _, _ in tops]
+        self.pool.mark_visited_many(nodes)
+        taken = self.pool.take_many(nodes)
+        return [(n, {"weight": w}, ("haircut", taken[n])) for n, w, _ in tops]
+
+    def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
+        """One round's pushes in O(shards) RPCs (vs O(candidates x shards)
+        for the sequential restore_mass+push loop).  ``items`` is
+        [(node, parked_mass, ctx, edges)] in admitted order.  In-round
+        weight flow (candidate i scattering onto candidate j>i) is tracked
+        in a driver-local dict exactly as the pool would see it
+        sequentially; the net per-node deltas — with each node's FIRST
+        in-round arrival index for the insertion-order tie-break — apply in
+        ONE batched call.  Pop-order equivalence vs the sequential loop is
+        pinned in tests (engine sharded-vs-local conformance)."""
+        uniq = list(dict.fromkeys(n for n, _, _, _ in items))
+        local = self.pool.take_many(uniq)  # pool values for candidate nodes
+        net: Dict[Any, float] = {}  # in-round deltas to non-candidates
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+
+        def _add(n, d, a):
+            if n in local:
+                local[n] += d
+            else:
+                net[n] = net.get(n, 0.0) + d
+            if n not in first_arr:
+                first_arr[n] = a
+                order.append(n)
+
+        for node, mass, _ctx, edges in items:
+            if mass is not None:  # restore_mass
+                _add(node, mass[1], self._next_arrival())
+            out_sum = 0.0
+            out_edges = []
+            for e in edges:
+                if e.get("from") == node:
+                    out_sum += float(e.get("value", 0))
+                    out_edges.append(e)
+            if out_sum == 0:
+                continue  # zero out-value keeps its weight (reference early return)
+            w = local.get(node, 0.0)  # take
+            local[node] = 0.0
+            for oe in out_edges:
+                _add(oe.get("to"), w * float(oe.get("value")) / out_sum, self._next_arrival())
+        deltas = [
+            (n, local[n] if n in local else net[n], first_arr[n]) for n in order
+        ]
+        # candidates whose weight was taken but never pushed out (no mass
+        # restored, zero out-value) keep their weight: write it back.  A
+        # node with pool value already has a recorded arrival, so arrival 0
+        # is ignored — and the sequential path consumed no counter here.
+        for n in uniq:
+            if n not in first_arr and local[n]:
+                deltas.append((n, local[n], 0))
+        if deltas:
+            self.pool.apply_deltas(deltas)
 
     # engine batched-pop (pop_k>1) mass parking hooks
     def extract_mass(self, node):
@@ -165,6 +231,50 @@ class ShardedTTRBase(FrontierStrategy):
         if r <= self.epsilon:
             return None, {}
         return node, {"residual": r}
+
+    def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
+        """k pops in O(shards) RPCs (see ShardedHaircut.pop_batch)."""
+        tops = [
+            t for t in self.pool.top_k(k, self.epsilon, skip_visited=False)
+            if t[1] > self.epsilon  # pop's strict threshold
+        ]
+        if not tops:
+            return []
+        taken = self.pool.take_many([n for n, _, _ in tops])
+        return [(n, {"residual": r}, ("scalar", taken[n])) for n, r, _ in tops]
+
+    def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
+        """One round's pushes in O(shards) RPCs; exact sequential semantics
+        (see ShardedHaircut.push_round for the local/net bookkeeping)."""
+        uniq = list(dict.fromkeys(n for n, _, _, _ in items))
+        local = self.pool.take_many(uniq)
+        net: Dict[Any, float] = {}
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+
+        def _add(n, d, a):
+            if n in local:
+                local[n] += d
+            else:
+                net[n] = net.get(n, 0.0) + d
+            if n not in first_arr:
+                first_arr[n] = a
+                order.append(n)
+
+        for node, mass, _ctx, edges in items:
+            if mass is not None:  # restore_mass
+                _add(node, mass[1], self._next_arrival())
+            # reference registers the pushed node in r even when absent
+            # (ttr.py:64-65) — 0.0 delta carries the insertion-order slot
+            _add(node, 0.0, self._next_arrival())
+            r = local[node]  # take
+            local[node] = 0.0
+            self.p[node] = self.p.get(node, 0.0) + self.alpha * r
+            for dst, frac in self._splits(node, edges):
+                _add(dst, (1 - self.alpha) * frac * r, self._next_arrival())
+        deltas = [(n, local[n] if n in local else net[n], first_arr[n]) for n in order]
+        if deltas:
+            self.pool.apply_deltas(deltas)
 
     def extract_mass(self, node):
         return ("scalar", self.pool.take(node))
@@ -281,6 +391,76 @@ class ShardedAPPR(FrontierStrategy):
             return None, {}
         return node, {"residual": r}
 
+    def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
+        """k pops in O(shards + drains) RPCs: the drain loop runs ONCE —
+        after it, no node is drainable above epsilon, and subsequent
+        sequential pops' drains are no-ops (takes add no cached dists) —
+        then top-k of the drained snapshot equals k sequential pops."""
+        self._drain()
+        tops = [
+            t for t in self.pool.top_k(k, self.epsilon, skip_visited=False)
+            if t[1] > self.epsilon
+        ]
+        if not tops:
+            return []
+        taken = self.pool.take_many([n for n, _, _ in tops])
+        return [(n, {"residual": r}, ("scalar", taken[n])) for n, r, _ in tops]
+
+    def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
+        """One round's pushes in O(shards) RPCs; sequential semantics via
+        driver-local in-round accumulation (see ShardedHaircut.push_round).
+        Newly memoized distributions mark drainable in one batch — the
+        flags are only read by the NEXT pop's drain, after this returns."""
+        uniq = list(dict.fromkeys(n for n, _, _, _ in items))
+        local = self.pool.take_many(uniq)
+        net: Dict[Any, float] = {}
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+        new_drainable: List[Any] = []
+
+        def _add(n, d, a):
+            if n in local:
+                local[n] += d
+            else:
+                net[n] = net.get(n, 0.0) + d
+            if n not in first_arr:
+                first_arr[n] = a
+                order.append(n)
+
+        for node, mass, _ctx, edges in items:
+            if mass is not None:  # restore_mass
+                _add(node, mass[1], self._next_arrival())
+            r_node = local.get(node, 0.0)  # take
+            if node in local:
+                local[node] = 0.0
+            if r_node == 0:
+                continue  # reference early return BEFORE dist memoization
+            dist = self.dists.get(node)
+            if dist is None:
+                neighbours = set()
+                for e in edges:
+                    neighbours.add(e.get("from"))
+                    neighbours.add(e.get("to"))
+                neighbours.discard(node)
+                n_nb = len(neighbours)
+                dist = {nb: (1 - self.alpha) / n_nb for nb in neighbours} if n_nb else {}
+                self.dists[node] = dist
+                if dist:  # reference treats an EMPTY cached dist as non-drainable
+                    new_drainable.append(node)
+            self.p[node] = self.p.get(node, 0.0) + r_node * self.alpha
+            for v, d in dist.items():
+                _add(v, d * r_node, self._next_arrival())
+        deltas = [(n, local[n] if n in local else net[n], first_arr[n]) for n in order]
+        # taken-but-untouched candidates keep any residue (arrival ignored
+        # for already-registered nodes; sequential consumed no counter)
+        for n in uniq:
+            if n not in first_arr and local[n]:
+                deltas.append((n, local[n], 0))
+        if deltas:
+            self.pool.apply_deltas(deltas)
+        if new_drainable:
+            self.pool.mark_drainable_many(new_drainable)
+
     def extract_mass(self, node):
         return ("scalar", self.pool.take(node))
 
@@ -381,6 +561,104 @@ class _ShardedChipTTR(FrontierStrategy):
             return None, {}
         node, s, _ = top
         return node, self._pop_context(s)
+
+    def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
+        """k pops in O(shards) RPCs (see ShardedHaircut.pop_batch)."""
+        tops = self.pool.top_k(k, self.epsilon)
+        if not tops:
+            return []
+        taken = self.pool.take_many([n for n, _, _ in tops])
+        return [(n, self._pop_context(s), ("chips", taken[n])) for n, s, _ in tops]
+
+    def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
+        """One round's scratch-instance pushes with keyed-chip flow tracked
+        driver-locally; ONE batched pool.apply at the end.  Chip insertion
+        order per node (load-bearing, see state/chip_pool.py) is preserved:
+        the local OrderedDicts accumulate in the exact delta sequence the
+        sequential per-push applies would."""
+        from collections import OrderedDict
+
+        uniq = list(dict.fromkeys(n for n, _, _, _ in items))
+        taken0 = self.pool.take_many(uniq)
+        # local mirrors the pool's chip state for candidate nodes; None vs
+        # empty distinguishes never-present from emptied (take() contract)
+        local: Dict[Any, Any] = {
+            n: (None if v is None else OrderedDict(v)) for n, v in taken0.items()
+        }
+        net: Dict[Any, "OrderedDict"] = {}
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+
+        def _touch(n, a):
+            if n not in first_arr:
+                first_arr[n] = a
+                order.append(n)
+
+        def _add_chip(n, key, val, a):
+            if n in local:
+                d = local[n]
+                if d is None:
+                    d = local[n] = OrderedDict()
+                d[key] = d.get(key, 0.0) + val
+            else:
+                d = net.setdefault(n, OrderedDict())
+                d[key] = d.get(key, 0.0) + val
+            _touch(n, a)
+
+        def _take_local(n):
+            d = local.get(n)
+            if d is None:
+                return None
+            local[n] = OrderedDict()
+            return list(d.items())
+
+        for node, mass, _ctx, edges in items:
+            if mass is not None and mass[1] is not None:  # restore_mass
+                chips = mass[1]
+                if chips:
+                    for key, val in chips:
+                        _add_chip(node, key, val, self._next_arrival())
+                else:
+                    _touch(node, self._next_arrival())
+            scratch = self.LOCAL_CLS(
+                self.source, alpha=self.alpha, beta=self.beta, epsilon=self.epsilon
+            )
+            scratch._vis = set(self._vis)
+            scratch.r = {node: self._chips_to_residual(_take_local(node))}
+            scratch.p = {}
+            scratch.push(node, edges)
+            self._vis |= scratch._vis
+            for n, credit in scratch.p.items():
+                self.p[n] = self.p.get(n, 0.0) + credit
+            for dst, residual in scratch.r.items():
+                chunk = self._residual_to_deltas(dst, residual)
+                if not chunk:  # registration only — node entered r empty
+                    _touch(dst, self._next_arrival())
+                    if dst in local:
+                        if local[dst] is None:
+                            local[dst] = OrderedDict()
+                    else:
+                        net.setdefault(dst, OrderedDict())
+                else:
+                    for key, value in chunk:
+                        _add_chip(dst, key, value, self._next_arrival())
+        deltas: List[tuple] = []
+        for n in order:
+            d = local.get(n) if n in local else net.get(n)
+            if not d:
+                deltas.append((n, None, 0.0, first_arr[n]))
+            else:
+                for key, val in d.items():
+                    deltas.append((n, key, val, first_arr[n]))
+        # taken-but-untouched candidates keep any leftover chips (arrival 0
+        # is ignored for already-registered nodes; sequential consumed no
+        # counter here)
+        for n in uniq:
+            if n not in first_arr and local.get(n):
+                for key, val in local[n].items():
+                    deltas.append((n, key, val, 0))
+        if deltas:
+            self.pool.apply(deltas)
 
     def _pop_context(self, s: float) -> Dict:
         return {"residual": s}

@@ -145,6 +145,22 @@ def test_engine_crawl_identical_local_vs_sharded(ray_session, pages_store):
     )
     assert local == sharded and len(local) > 5
 
+    # the whole TTR family through the engine's batched pop/push path
+    for name, kwargs, min_len in (
+        ("ttr_base", {"epsilon": 1e-4}, 4),
+        ("ttr_weight", {"epsilon": 1e-4}, 4),
+        # temporal strategies barely expand on the synthetic link graph
+        # (time-decayed chips fall under epsilon fast) — equality is the
+        # load-bearing assertion
+        ("ttr_time", {"epsilon": 1e-6}, 1),
+        ("ttr_redirect", {"epsilon": 1e-6}, 1),
+    ):
+        local = crawl(name, dict(kwargs))
+        sharded = crawl(
+            f"{name}_sharded", {**kwargs, "num_shards": 2, "use_ray": False}
+        )
+        assert local == sharded and len(local) >= min_len, (name, local, sharded)
+
 
 def _temporal_adjacency(n=30, seed=5, symbols=("", "TOK")):
     """Weighted digraph with meaningful timestamps/symbols/hashes for the
