@@ -94,6 +94,12 @@ class CrawlConfig:
     fetch_actors: int = 8  # persistent fetch-shard actors; 0 = task-per-round
     checkpoint_dir: Optional[str] = None
     out_dir: Optional[str] = None
+    # spool crawl order to <spool_dir>/order/round=NNNN.parquet instead of
+    # accumulating driver-side — O(1) driver memory in crawl length (the
+    # dataset_bfs spool_dir pattern); CrawlResult reads it back only when
+    # small enough (spool_readback_rows)
+    spool_dir: Optional[str] = None
+    spool_readback_rows: int = 500_000
     batch_size: int = 128  # html-bearing batches stay small (SURVEY §7.5#5)
     parse_threshold: int = 256  # rounds larger than this parse via Ray Data
     stream_threshold: int = 100_000  # rounds larger than this stream from parquet
@@ -106,6 +112,10 @@ class CrawlResult:
     fetched: int
     metrics: List[dict]
     ranks: Dict[str, float]
+    # set when the crawl spooled its order to parquet (CrawlConfig.spool_dir);
+    # crawl_order above is the read-back, or [] when over the read-back cap
+    order_dir: Optional[str] = None
+    order_rows: int = 0
 
 
 class CrawlEngine:
@@ -117,11 +127,12 @@ class CrawlEngine:
         self.seen: Optional[SeenSet] = None
         self.deferred: List[Candidate] = []
         self.crawl_order: List[dict] = []
+        self._round_order: List[dict] = []  # this round's new rows only
+        self._order_rows = 0  # total spooled+held rows (driver holds O(round))
         self.metrics: List[dict] = []
         self.round_no = 0
         self.fetched = 0
         self._arrival = 0
-        self._ckpt_mark = 0
         self._pending_seeds: List[str] = list(self.seeds)
         self.robots = RobotsCache(self.store, obey=config.obey_robots)
         self.ckpt = CheckpointManager(config.checkpoint_dir) if config.checkpoint_dir else None
@@ -181,11 +192,15 @@ class CrawlEngine:
         if "crawl_order" in prog:  # pre-r2 checkpoint layout
             self.crawl_order = prog["crawl_order"]
             self.metrics = prog.get("all_metrics", [])
+        elif self.config.spool_dir:
+            # spooled order lives on disk already; don't pull it into memory
+            hist = self.ckpt.load_history(state["manifest"]["round"])
+            self.metrics = hist["all_metrics"]
+            self._order_rows = len(hist["crawl_order"])
         else:
             hist = self.ckpt.load_history(state["manifest"]["round"])
             self.crawl_order = hist["crawl_order"]
             self.metrics = hist["all_metrics"]
-        self._ckpt_mark = len(self.crawl_order)
         return True
 
     # -- helpers ----------------------------------------------------------
@@ -381,27 +396,36 @@ class CrawlEngine:
             d.mkdir(parents=True, exist_ok=True)
             pq.write_table(rt, d / f"round={self.round_no:04d}.parquet")
 
-    def _checkpoint(self, round_metrics: dict) -> None:
-        if self.ckpt is None:
-            return
-        # append-only: serialize only THIS round's new crawl-order rows —
-        # checkpoint cost stays constant in crawl length (VERDICT r1 #3)
-        delta = self.crawl_order[self._ckpt_mark :]
-        self.ckpt.save_round(
-            self.round_no,
-            strategy=self.strategy,
-            seen_blobs=self.seen.snapshot(),
-            deferred=list(self.deferred),
-            progress={
-                "fetched": self.fetched,
-                "arrival": self._arrival,
-                "pending_seeds": self._pending_seeds,
-            },
-            metrics=round_metrics,
-            input_digest=str(self.store.store_dir),
-            crawl_order_delta=delta,
-        )
-        self._ckpt_mark = len(self.crawl_order)
+    def _end_round(self, round_metrics: dict) -> None:
+        """Per-round order hand-off (spool or accumulate) + checkpoint."""
+        if self.config.spool_dir and self._round_order:
+            d = Path(self.config.spool_dir) / "order"
+            d.mkdir(parents=True, exist_ok=True)
+            t = pa.Table.from_pylist(self._round_order)
+            tmp = d / f".round={self.round_no:06d}.parquet.tmp"
+            pq.write_table(t, tmp)
+            tmp.rename(d / f"round={self.round_no:06d}.parquet")  # atomic; rerun-idempotent
+        elif not self.config.spool_dir:
+            self.crawl_order.extend(self._round_order)
+        self._order_rows += len(self._round_order)
+        if self.ckpt is not None:
+            # append-only: serialize only THIS round's new crawl-order rows —
+            # checkpoint cost stays constant in crawl length (VERDICT r1 #3)
+            self.ckpt.save_round(
+                self.round_no,
+                strategy=self.strategy,
+                seen_blobs=self.seen.snapshot(),
+                deferred=list(self.deferred),
+                progress={
+                    "fetched": self.fetched,
+                    "arrival": self._arrival,
+                    "pending_seeds": self._pending_seeds,
+                },
+                metrics=round_metrics,
+                input_digest=str(self.store.store_dir),
+                crawl_order_delta=list(self._round_order),
+            )
+        self._round_order = []
 
     # -- main loop --------------------------------------------------------
     def run(self) -> CrawlResult:
@@ -461,7 +485,7 @@ class CrawlEngine:
                 m["fetched"] = 0
                 m["elapsed_s"] = time.perf_counter() - t0
                 self.metrics.append(m)
-                self._checkpoint(m)
+                self._end_round(m)
                 self.round_no += 1
                 continue  # next round pops again; loop exits when cands dry up
 
@@ -487,7 +511,7 @@ class CrawlEngine:
             for cand in admitted:
                 if new_of.get(cand.url, True) and cand.url not in emitted:
                     emitted.add(cand.url)
-                    self.crawl_order.append(
+                    self._round_order.append(
                         {
                             "round": self.round_no,
                             "pop_index": cand.arrival,
@@ -526,14 +550,41 @@ class CrawlEngine:
             m["stage_s"] = stage_s
             m["elapsed_s"] = time.perf_counter() - t0
             self.metrics.append(m)
-            self._checkpoint(m)
+            self._end_round(m)
             self.round_no += 1
 
         ranks = dict(self.strategy.get_node_rank()) if self.strategy else {}
+        order = self.crawl_order
+        order_dir = None
+        if self.config.spool_dir:
+            order_dir = str(Path(self.config.spool_dir) / "order")
+            order = self._read_spooled_order()
         return CrawlResult(
-            crawl_order=self.crawl_order,
+            crawl_order=order,
             rounds=self.round_no,
             fetched=self.fetched,
             metrics=self.metrics,
             ranks=ranks,
+            order_dir=order_dir,
+            order_rows=self._order_rows if self.config.spool_dir else len(order),
         )
+
+    def _read_spooled_order(self) -> List[dict]:
+        """Read the spooled crawl order back ONLY when small (convenience
+        for tests/CLI); big crawls consume the parquet directly."""
+        d = Path(self.config.spool_dir) / "order"
+        if not d.is_dir():
+            return []
+        files = sorted(f for f in d.glob("round=*.parquet"))
+        total = 0
+        tables = []
+        for f in files:
+            t = pq.read_table(f)
+            total += t.num_rows
+            if total > self.config.spool_readback_rows:
+                return []  # over the cap: caller reads order_dir itself
+            tables.append(t)
+        self._order_rows = total
+        if not tables:
+            return []
+        return pa.concat_tables(tables).to_pylist()

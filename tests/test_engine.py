@@ -173,6 +173,52 @@ def test_engine_kill_and_resume_identical(pages_store, pages_table, tmp_path):
     assert resumed.ranks == full.ranks
 
 
+def test_engine_spooled_order_matches_and_resumes(pages_store, pages_table, tmp_path):
+    """spool_dir mode: the driver accumulates NO crawl order (O(round)
+    memory); the spooled parquet equals the in-memory mode's crawl_order,
+    including across kill/resume."""
+    seed = pages_table.column("url")[0].as_py()
+
+    def mk(max_fetches, spool=None, ckpt=None):
+        return CrawlEngine(
+            PageStore(pages_store),
+            seeds=[seed],
+            config=CrawlConfig(
+                strategy="bfs",
+                strategy_kwargs={"depth": 2},
+                pop_k=4,
+                host_budget=2,
+                max_fetches=max_fetches,
+                max_rounds=60,
+                seen_use_ray=False,
+                spool_dir=spool,
+                checkpoint_dir=ckpt,
+            ),
+        )
+
+    plain = mk(30).run()
+    eng = mk(30, spool=str(tmp_path / "spool_a"))
+    spooled = eng.run()
+    # driver-side list stayed empty; read-back equals the in-memory order
+    assert eng.crawl_order == []
+    assert spooled.order_dir and spooled.order_rows == len(plain.crawl_order)
+    assert [r["url"] for r in spooled.crawl_order] == [r["url"] for r in plain.crawl_order]
+    assert [r["round"] for r in spooled.crawl_order] == [r["round"] for r in plain.crawl_order]
+
+    # kill/resume with spooling: spool content identical to uninterrupted
+    mk(12, spool=str(tmp_path / "spool_b"), ckpt=str(tmp_path / "ckpt_s")).run()
+    resumed_engine = mk(30, spool=str(tmp_path / "spool_b"), ckpt=str(tmp_path / "ckpt_s"))
+    assert resumed_engine.resume()
+    resumed = resumed_engine.run()
+    assert [r["url"] for r in resumed.crawl_order] == [r["url"] for r in plain.crawl_order]
+
+    # over-cap read-back refuses to materialize but keeps the row count
+    eng2 = mk(30, spool=str(tmp_path / "spool_c"))
+    eng2.config.spool_readback_rows = 3
+    res2 = eng2.run()
+    assert res2.crawl_order == [] and res2.order_dir
+
+
 def test_engine_robots(pages_table, tmp_path):
     """A host whose robots.txt disallows /p/ must not be fetched beyond
     robots.txt itself."""
