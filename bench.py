@@ -31,6 +31,13 @@ import sys
 import time
 from pathlib import Path
 
+# Driver-side polars ops (engine admit window / push join) run on small
+# frames where a 32-thread pool costs 4-7x in fork/join overhead (measured:
+# admit 9.6ms -> 2.3ms at 4 threads).  Worker tasks hold 1 Ray CPU each, so
+# they shouldn't fan out 32 polars threads either.  Must be set before the
+# first polars import; propagates to Ray workers in local mode.
+os.environ.setdefault("POLARS_MAX_THREADS", "8")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
@@ -199,18 +206,28 @@ def bulk_fetch_parse(store: str, out_dir: str, ingest: bool = BENCH_INGEST) -> d
     }
 
 
-def engine_crawl(store: str, strategy: str = "bfs", fetch_actors: int = 16) -> dict:
+def engine_crawl(
+    store: str, strategy: str = "bfs", fetch_actors: int = 0, big: bool = False
+) -> dict:
     """One engine crawl on the bench store.  strategy='bfs' is the
     north-star multi-seed crawl; 'haircut_sharded' drives the weight-ranked
     scale path (rank-shard actors, batched pop/push) from the seed whose
     component sustains ~10k fetches.  Fetch/seen/rank actor pools are
     shared across calls (FetchPool.shared / SeenSet reuse), so best-of-N
-    measures warm steady-state like the reference's persistent sessions."""
+    measures warm steady-state like the reference's persistent sessions.
+
+    ``big=True`` is the scaling-protocol job (5x the fetch budget, 8x the
+    round size — long enough that per-round RPC latency amortizes).
+    ``fetch_actors=0`` sizes the pool to the CPU budget (NUM_CPUS//2, the
+    r2 A/B optimum at 32 cpus) so an 8-cpu run really is a smaller
+    cluster, not 16 unaccounted actor processes."""
     from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
     from blockchainspider_ray.stages.fetch import PageStore
 
     import pyarrow.dataset as pads
 
+    if not fetch_actors:
+        fetch_actors = max(2, NUM_CPUS // 2)
     if strategy == "bfs":
         seeds = [
             pads.dataset(f"{store}/part={k}").to_table(columns=["url"]).column("url")[0].as_py()
@@ -230,19 +247,28 @@ def engine_crawl(store: str, strategy: str = "bfs", fetch_actors: int = 16) -> d
         config=CrawlConfig(
             strategy=strategy,
             strategy_kwargs=strategy_kwargs,
-            pop_k=2048,
-            host_budget=256,
-            max_fetches=12000,
+            pop_k=16384 if big else 2048,
+            host_budget=1024 if big else 256,
+            max_fetches=60000 if big else 12000,
             max_rounds=60,
             seen_shards=8,
             seen_use_ray=True,
-            fetch_actors=fetch_actors,  # r2 A/B: 16 beats 32 on this VM
+            fetch_actors=fetch_actors,
         ),
     )
     res = engine.run()
     wall = time.perf_counter() - t0
+    # driver-serial share: the only true serial fraction at cluster scale
+    # (everything else is actor/task waves) — recorded per VERDICT r2 #7
+    driver_s = sum(
+        v
+        for m in res.metrics
+        for k, v in m.get("stage_s", {}).items()
+        if k in ("pop", "admit", "seen", "push", "write")
+    )
     return {"wall_s": wall, "fetched": res.fetched, "rounds": res.rounds,
-            "urls_per_sec": res.fetched / wall if wall else 0.0}
+            "urls_per_sec": res.fetched / wall if wall else 0.0,
+            "driver_serial_s": round(driver_s, 3)}
 
 
 def run_queries() -> dict:
@@ -484,7 +510,7 @@ def crawl_only_run() -> dict:
     _warmup()
     best = {}
     for _ in range(2):
-        c = engine_crawl(store)
+        c = engine_crawl(store, big=True)
         if not best or c["urls_per_sec"] > best["urls_per_sec"]:
             best = c
     ray.shutdown()

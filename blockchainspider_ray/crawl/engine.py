@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Set, Tuple
 
+import numpy as np
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -40,7 +42,7 @@ import ray
 
 from ..functions.links import decode_html
 from ..functions.text import extract_text
-from ..functions.urls import canonicalize_url, host_of, url_hash64
+from ..functions.urls import canonicalize_url, host_of, hosts_of_array, url_hash64
 from ..stages.fetch import PageStore
 from ..stages.parse import extract_links_stage, extract_text_stage
 from ..stages.politeness import Candidate, admit_per_host
@@ -103,6 +105,11 @@ class CrawlConfig:
     batch_size: int = 128  # html-bearing batches stay small (SURVEY §7.5#5)
     parse_threshold: int = 256  # rounds larger than this parse via Ray Data
     stream_threshold: int = 100_000  # rounds larger than this stream from parquet
+    # FIFO strategies (BFS/Poison) switch to the array-native round loop
+    # (_run_tabular) above this pop_k: candidates/edges stay columnar on
+    # the driver, no per-url/per-edge Python objects.  Ordering is
+    # identical to the scalar loop (tests/test_engine_tabular.py).
+    tabular_threshold: int = 64
 
 
 @dataclass
@@ -128,6 +135,7 @@ class CrawlEngine:
         self.deferred: List[Candidate] = []
         self.crawl_order: List[dict] = []
         self._round_order: List[dict] = []  # this round's new rows only
+        self._round_order_tbl: Optional[pa.Table] = None  # tabular-loop form
         self._order_rows = 0  # total spooled+held rows (driver holds O(round))
         self.metrics: List[dict] = []
         self.round_no = 0
@@ -397,18 +405,29 @@ class CrawlEngine:
             pq.write_table(rt, d / f"round={self.round_no:04d}.parquet")
 
     def _end_round(self, round_metrics: dict) -> None:
-        """Per-round order hand-off (spool or accumulate) + checkpoint."""
-        if self.config.spool_dir and self._round_order:
+        """Per-round order hand-off (spool or accumulate) + checkpoint.
+
+        The round's new order rows arrive either as ``_round_order``
+        (scalar loop, list of dicts) or ``_round_order_tbl`` (tabular
+        loop, Arrow table — converted to rows only where a consumer needs
+        them, so spool-mode tabular crawls never build per-row dicts)."""
+        tbl = self._round_order_tbl
+        rows = tbl.num_rows if tbl is not None else len(self._round_order)
+        if self.config.spool_dir and rows:
             d = Path(self.config.spool_dir) / "order"
             d.mkdir(parents=True, exist_ok=True)
-            t = pa.Table.from_pylist(self._round_order)
+            t = tbl if tbl is not None else pa.Table.from_pylist(self._round_order)
             tmp = d / f".round={self.round_no:06d}.parquet.tmp"
             pq.write_table(t, tmp)
             tmp.rename(d / f"round={self.round_no:06d}.parquet")  # atomic; rerun-idempotent
-        elif not self.config.spool_dir:
+        elif not self.config.spool_dir and rows:
+            if tbl is not None:
+                self._round_order = tbl.to_pylist()
             self.crawl_order.extend(self._round_order)
-        self._order_rows += len(self._round_order)
+        self._order_rows += rows
         if self.ckpt is not None:
+            if tbl is not None and not self._round_order and rows:
+                self._round_order = tbl.to_pylist()
             # append-only: serialize only THIS round's new crawl-order rows —
             # checkpoint cost stays constant in crawl length (VERDICT r1 #3)
             self.ckpt.save_round(
@@ -426,6 +445,224 @@ class CrawlEngine:
                 crawl_order_delta=list(self._round_order),
             )
         self._round_order = []
+        self._round_order_tbl = None
+
+    # -- tabular (array-native) round loop --------------------------------
+    # FIFO strategies at batch pop_k: the candidate set lives in a polars
+    # frame (url, host, priority, arrival, depth) and link edges flow as
+    # Arrow columns from the parse actors straight into the strategy's
+    # chunk queue.  Observable behavior (crawl order, metrics, checkpoint
+    # layout) is identical to the scalar loop — pinned by
+    # tests/test_engine_tabular.py — but driver cost per round is
+    # O(vector ops), not O(urls x edges) Python objects.  At 256-node
+    # scale the driver is the only non-sharded component, so this is the
+    # crawl-rate ceiling (VERDICT r2 #1/#7).
+
+    _FRONTIER_SCHEMA = {
+        "url": pl.String,
+        "host": pl.String,
+        "priority": pl.Float64,
+        "arrival": pl.Int64,
+        "depth": pl.Int64,
+    }
+
+    _ORDER_SCHEMA = pa.schema(
+        [
+            ("round", pa.int64()),
+            ("pop_index", pa.int64()),
+            ("url", pa.string()),
+            ("priority", pa.float64()),
+            ("found", pa.bool_()),
+        ]
+    )
+
+    def _pop_table(self, k: int) -> "pl.DataFrame":
+        """Seeds + strategy.pop_array as one frontier frame (arrival-stamped)."""
+        seed_urls: List[str] = []
+        if self._pending_seeds:
+            ns = min(len(self._pending_seeds), k)
+            seed_urls = self._pending_seeds[:ns]
+            self._pending_seeds = self._pending_seeds[ns:]
+        pop_urls: List[str] = []
+        pop_depths: List[int] = []
+        if len(seed_urls) < k:
+            pop_urls, pop_depths = self.strategy.pop_array(k - len(seed_urls))
+        urls = seed_urls + pop_urls
+        n = len(urls)
+        arrival = np.arange(self._arrival, self._arrival + n, dtype=np.int64)
+        self._arrival += n
+        # seeds outrank everything (scalar path: priority=inf); FIFO pops
+        # rank by -arrival (earlier pops first)
+        priority = (-arrival).astype(np.float64)
+        priority[: len(seed_urls)] = np.inf
+        return pl.DataFrame(
+            {
+                "url": urls,
+                "host": hosts_of_array(urls),
+                "priority": priority,
+                "arrival": arrival,
+                "depth": [0] * len(seed_urls) + pop_depths,
+            },
+            schema=self._FRONTIER_SCHEMA,
+        )
+
+    def _deferred_to_df(self) -> "pl.DataFrame":
+        """Candidate-list deferred state (from resume / scalar rounds) as a
+        frontier frame."""
+        cands = self.deferred
+        self.deferred = []
+        return pl.DataFrame(
+            {
+                "url": [c2.url for c2 in cands],
+                "host": [c2.host for c2 in cands],
+                "priority": [c2.priority for c2 in cands],
+                "arrival": [c2.arrival for c2 in cands],
+                "depth": [int(c2.ctx.get("depth", 0)) for c2 in cands],
+            },
+            schema=self._FRONTIER_SCHEMA,
+        )
+
+    @staticmethod
+    def _df_to_candidates(df: "pl.DataFrame") -> List[Candidate]:
+        """Frontier frame -> Candidate list (checkpoint compatibility; the
+        deferred set is the small over-budget tail, not the frontier)."""
+        return [
+            Candidate(
+                url=u, host=h, priority=p, ctx={"depth": d} if p != float("inf") else {},
+                arrival=a,
+            )
+            for u, h, p, a, d in df.select(
+                ["url", "host", "priority", "arrival", "depth"]
+            ).iter_rows()
+        ]
+
+    def _admit_df(
+        self, frontier: "pl.DataFrame", budget: int
+    ) -> Tuple["pl.DataFrame", "pl.DataFrame"]:
+        """Vectorized admit_per_host over a frontier frame: rank within
+        host by (priority desc, arrival asc); first ``budget`` admit;
+        both outputs keep frontier order (== arrival order)."""
+        if budget <= 0 or frontier.height == 0:
+            return frontier, frontier.clear()
+        ranked = (
+            frontier.with_row_index("__i")
+            .sort(["priority", "__i"], descending=[True, False])
+            .with_columns(pl.int_range(pl.len()).over("host").alias("__r"))
+        )
+        adm = ranked.filter(pl.col("__r") < budget).sort("__i").drop(["__i", "__r"])
+        defer = ranked.filter(pl.col("__r") >= budget).sort("__i").drop(["__i", "__r"])
+        return adm, defer
+
+    def _run_tabular(self) -> CrawlResult:
+        c = self.config
+        deferred = self._deferred_to_df()
+        while self.round_no < c.max_rounds:
+            if c.max_fetches is not None and self.fetched >= c.max_fetches:
+                break
+            t0 = time.perf_counter()
+            m: Dict[str, Any] = {"round": self.round_no}
+            stage_s: Dict[str, float] = {}
+            t_mark = t0
+
+            def _lap(stage: str) -> None:
+                nonlocal t_mark
+                now = time.perf_counter()
+                stage_s[stage] = round(now - t_mark, 6)
+                t_mark = now
+
+            popped = self._pop_table(c.pop_k)
+            frontier = pl.concat([deferred, popped]) if deferred.height else popped
+            m["candidates"] = frontier.height
+            _lap("pop")
+            if frontier.height == 0:
+                break
+
+            if c.allowed_hosts is not None:
+                frontier = frontier.filter(pl.col("host").is_in(list(c.allowed_hosts)))
+            if c.obey_robots:
+                before = frontier.height
+                ok = [self.robots.allowed(u) for u in frontier["url"].to_list()]
+                frontier = frontier.filter(pl.Series(ok))
+                m["robots_dropped"] = before - frontier.height
+
+            adm, deferred = self._admit_df(frontier, c.host_budget)
+            m["admitted"], m["deferred"] = adm.height, deferred.height
+            _lap("admit")
+
+            if adm.height:
+                new_mask = self.seen.filter_new(url_hash64(adm["url"].to_list()))
+                m["already_seen"] = int((~new_mask).sum())
+                # a url is "new" if ANY of its occurrences passed the gate
+                # (scalar loop's new_of OR-fold)
+                adm = adm.with_columns(pl.Series("new", new_mask)).with_columns(
+                    pl.col("new").max().over("url")
+                )
+            _lap("seen")
+
+            if adm.height == 0:
+                m["fetched"] = 0
+                m["elapsed_s"] = time.perf_counter() - t0
+                self.metrics.append(m)
+                if self.ckpt is not None:
+                    self.deferred = self._df_to_candidates(deferred)
+                self._end_round(m)
+                self.deferred = []
+                self.round_no += 1
+                continue
+
+            urls = adm["url"].to_list()
+            meta, texts, edges = self._fetch_and_parse(urls)
+            _lap("fetch_parse")
+            found_list = meta.column("url").to_pylist()
+            adm = adm.with_columns(pl.col("url").is_in(found_list).alias("found"))
+            uniq = adm.unique(subset="url", keep="first", maintain_order=True)
+            new_found = uniq.filter(pl.col("new") & pl.col("found"))
+            m["fetched"] = new_found.height
+            m["missing"] = adm.height - uniq.filter(pl.col("found")).height
+            m["edges"] = edges.num_rows
+
+            order = uniq.filter(pl.col("new")).select(
+                pl.lit(self.round_no, dtype=pl.Int64).alias("round"),
+                pl.col("arrival").alias("pop_index"),
+                "url",
+                "priority",
+                "found",
+            )
+            self._round_order_tbl = order.to_arrow().cast(self._ORDER_SCHEMA)
+
+            # push: admitted x out-edges, in admitted-row then edge order —
+            # identical to the scalar per-candidate push_pairs sequence
+            if edges.num_rows:
+                e = pl.from_arrow(edges.select(["src_url", "dst_url"])).with_row_index("ei")
+                a = adm.select(["url", "depth"]).with_row_index("ai")
+                j = a.join(e, left_on="url", right_on="src_url", how="inner").sort(
+                    ["ai", "ei"]
+                )
+                self.strategy.push_edges(
+                    j["url"].to_list(), j["dst_url"].to_list(), j["depth"].to_list()
+                )
+            self.fetched += m["fetched"]
+            _lap("push")
+
+            if new_found.height:
+                keep = pc.is_in(
+                    texts.column("url"), value_set=pa.array(new_found["url"].to_list())
+                )
+                self._write_round_outputs(texts.filter(keep), edges)
+            else:
+                self._write_round_outputs(texts.slice(0, 0), edges)
+            _lap("write")
+            m["stage_s"] = stage_s
+            m["elapsed_s"] = time.perf_counter() - t0
+            self.metrics.append(m)
+            if self.ckpt is not None:
+                self.deferred = self._df_to_candidates(deferred)
+            self._end_round(m)
+            self.deferred = []
+            self.round_no += 1
+
+        self.deferred = self._df_to_candidates(deferred)
+        return self._result()
 
     # -- main loop --------------------------------------------------------
     def run(self) -> CrawlResult:
@@ -436,6 +673,12 @@ class CrawlEngine:
             # start fetch actors + index prewarm NOW so actor startup
             # overlaps the first rounds instead of stalling round 1
             self._get_fetch_pool()
+        if (
+            self._fifo
+            and hasattr(self.strategy, "pop_array")
+            and c.pop_k > c.tabular_threshold
+        ):
+            return self._run_tabular()
         while self.round_no < c.max_rounds:
             if c.max_fetches is not None and self.fetched >= c.max_fetches:
                 break
@@ -553,6 +796,9 @@ class CrawlEngine:
             self._end_round(m)
             self.round_no += 1
 
+        return self._result()
+
+    def _result(self) -> CrawlResult:
         ranks = dict(self.strategy.get_node_rank()) if self.strategy else {}
         order = self.crawl_order
         order_dir = None

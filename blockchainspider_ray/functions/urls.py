@@ -99,6 +99,32 @@ def hosts_of_batch(urls: Sequence[str]) -> List[str]:
     return [host_of(u) for u in urls]
 
 
+# scheme://host[:port] with a plain (non-IPv6, userinfo-free) host — the
+# shape every canonical URL in the engine hot path has
+_HOST_FAST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([A-Za-z0-9.\-_]+)(?::\d+)?(?:[/?#]|$)"
+
+
+def hosts_of_array(urls: Sequence[str]) -> List[str]:
+    """Vectorized :func:`host_of` for the engine's tabular round path.
+
+    polars regex extraction covers canonical URLs (the hot path); rows it
+    can't parse (userinfo, IPv6 literal, relative) fall back to the
+    urlsplit-based scalar, so the result is element-wise identical to
+    ``[host_of(u) for u in urls]`` (pinned by tests/test_urls.py).
+    """
+    if pl is None or len(urls) < 256:
+        return [host_of(u) for u in urls]
+    s = pl.Series("u", list(urls), dtype=pl.String)
+    out = s.str.extract(_HOST_FAST_RE, 1).str.to_lowercase()
+    if out.null_count():
+        vals = out.to_list()
+        for i, v in enumerate(vals):
+            if v is None:
+                vals[i] = host_of(urls[i])
+        return vals
+    return out.to_list()
+
+
 def _blake2b64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
