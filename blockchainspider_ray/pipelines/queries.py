@@ -912,6 +912,28 @@ def q_range_join(sf_dir: str):
     return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
 
 
+def q_range_join_partitioned(sf_dir: str):
+    """Same range-count semantics as q_range_join but with BOTH sides as
+    Datasets (orders fact x lineitem fact): co-partitioned by orderkey via
+    union + groupby (stages/joins.py range_join_count_partitioned) — the
+    two-large-sides scale path where neither side is broadcast or
+    materialized driver-side.  Shares range_join's oracle semantics."""
+    from ..stages.joins import range_join_count_partitioned
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    out = range_join_count_partitioned(
+        orders,
+        line,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        window_days=60,
+    )
+    return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # blockchain-ETL normalizer family over synthetic records
 # ---------------------------------------------------------------------------
@@ -2209,6 +2231,15 @@ ORACLE_SQL: Dict[str, str] = {
          AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
     """,
+    "range_join_partitioned": """
+        SELECT o.o_orderkey, count(l.l_orderkey) AS n_in_range
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
     "transfer_normalize": """
         WITH raw AS (
             SELECT CASE WHEN user_id % 7 = 0 THEN NULL
@@ -2517,6 +2548,7 @@ SQL_QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_partitioned": q_asof_join_partitioned,
     "range_join": q_range_join,
+    "range_join_partitioned": q_range_join_partitioned,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,

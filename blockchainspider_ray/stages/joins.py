@@ -264,3 +264,81 @@ def range_join_count(
 
     # read-only index -> actor pool, not a single serialized probe actor
     return left.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def range_join_count_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    window_days: int,
+    out_col: str = "n_in_range",
+) -> "ray.data.Dataset":
+    """Range-count join for TWO LARGE sides (round-2 VERDICT item #4: the
+    broadcast form materializes the whole right side on the driver, which
+    is wrong when both sides are fact-sized).
+
+    Same shape as :func:`asof_join_partitioned`: tag each side, union,
+    ``groupby(key)``, and run the two-searchsorted count kernel inside each
+    key group.  Every row crosses the shuffle exactly once and neither side
+    is ever materialized whole — the only partitioning assumption is that
+    one KEY's rows fit in a worker (the same assumption any groupby makes;
+    salt hot keys upstream if violated)."""
+    import pyarrow.compute as _pc
+
+    lschema = left.schema()
+    union_fields = [(n, t) for n, t in zip(lschema.names, lschema.types)]
+    union_fields.append(("_rt", pa.timestamp("us")))
+    union_fields.append(("_side", pa.string()))
+    union_schema = pa.schema(union_fields)
+
+    def _conform(tbl: pa.Table) -> pa.Table:
+        cols = []
+        for f in union_schema:
+            if f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        return pa.table(dict(zip(union_schema.names, cols)))
+
+    l_tagged = left.map_batches(
+        lambda b: _conform(
+            b.append_column("_side", pa.array(["L"] * b.num_rows, pa.string()))
+        ),
+        batch_format="pyarrow",
+    )
+    r_tagged = right.map_batches(
+        lambda b: _conform(
+            b.select([right_key, right_time])
+            .rename_columns([key, "_rt"])
+            .append_column("_side", pa.array(["R"] * b.num_rows, pa.string()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    window_us = np.int64(window_days) * 86_400_000_000
+
+    def join_group(g: pa.Table) -> pa.Table:
+        lmask = _pc.equal(g.column("_side"), "L")
+        lt = g.filter(lmask)
+        rt = g.filter(_pc.invert(lmask))
+        lt = lt.drop_columns([c for c in ("_rt", "_side") if c in lt.column_names])
+        n_left = lt.num_rows
+        if not n_left:
+            return lt.append_column(out_col, pa.array([], pa.int64()))
+        if rt.num_rows:
+            r_times = np.sort(
+                rt.column("_rt").to_numpy().astype("datetime64[us]").astype(np.int64)
+            )
+            t = lt.column(left_time).to_numpy().astype("datetime64[us]").astype(np.int64)
+            counts = np.searchsorted(r_times, t + window_us, side="left") - np.searchsorted(
+                r_times, t, side="left"
+            )
+        else:
+            counts = np.zeros(n_left, dtype=np.int64)
+        return lt.append_column(out_col, pa.array(counts, pa.int64()))
+
+    unioned = l_tagged.union(r_tagged)
+    return unioned.groupby(key).map_groups(join_group, batch_format="pyarrow")
