@@ -2629,17 +2629,20 @@ def q_minhash_dedup_pairs(sf_dir: str):
     )
 
     # LSH grouping: only (doc_id, band, bucket) rows shuffle; each bucket's
-    # pairs are emitted inside its group, distinct-ed by a second groupby —
-    # fully distributed, no driver-side corpus materialization
+    # pairs are emitted inside its group (segment-capped: stages/dedup.py
+    # emit_bucket_pairs), distinct-ed by a second groupby — fully
+    # distributed, no driver-side corpus materialization
+    from ..stages.dedup import LSH_BUCKET_CAP, emit_bucket_pairs
+
+    cap = int(os.environ.get("MINHASH_BUCKET_CAP", LSH_BUCKET_CAP))
+
     def pairs_of_group(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        pairs = emit_bucket_pairs(group.column("doc_id").to_pylist(), cap=cap)
         return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64())}
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
         )
 
     distinct = (

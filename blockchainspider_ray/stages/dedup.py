@@ -188,18 +188,64 @@ class MinHashBands:
         )
 
 
-def candidate_pairs_from_bands(bands_table: pa.Table) -> pa.Table:
-    """(band_id, bucket) groups -> unique candidate (doc_a < doc_b) pairs.
-    Runs inside map_groups after the LSH shuffle."""
+#: Default per-bucket segment size for LSH pair emission.  A bucket with n
+#: members wants O(n^2) pairs; above this cap the bucket is segmented so one
+#: degenerate bucket (boilerplate-identical docs across millions of pages)
+#: cannot stall a reducer at 100 TB (round-2 VERDICT item #5).
+LSH_BUCKET_CAP = 512
+
+
+def emit_bucket_pairs(ids: list, cap: int = LSH_BUCKET_CAP) -> list:
+    """Candidate (a < b) pairs of one LSH bucket, bounded per bucket.
+
+    Buckets with ``len(ids) <= cap`` emit the full O(n^2) pair set.  Larger
+    buckets are split into segments of ``cap`` members: full pairs within
+    each segment, plus a chain pair linking each segment's representative
+    (first member) to the previous segment's — so union-find/connected-
+    component dedup still sees the whole bucket as ONE component, while the
+    emitted volume drops from O(n^2) to O(n * cap).  The truncation is
+    logged (north-rule: no silent caps); dedup recall within a segment is
+    exact, cross-segment near-dups that are NOT exact dups may be missed —
+    the standard segmented-LSH trade."""
+    ids = sorted(ids)
+    n = len(ids)
+    out = []
+    if n <= cap:
+        for i in range(n):
+            for j in range(i + 1, n):
+                out.append((ids[i], ids[j]))
+        return out
+    import logging
+
+    n_segs = (n + cap - 1) // cap
+    dropped = n * (n - 1) // 2 - (n_segs * (cap * (cap - 1) // 2) + n_segs - 1)
+    logging.getLogger(__name__).warning(
+        "LSH bucket of %d members exceeds cap %d: segmented into %d chained "
+        "segments, ~%d candidate pairs dropped",
+        n, cap, n_segs, max(dropped, 0),
+    )
+    prev_rep = None
+    for s in range(0, n, cap):
+        seg = ids[s : s + cap]
+        for i in range(len(seg)):
+            for j in range(i + 1, len(seg)):
+                out.append((seg[i], seg[j]))
+        if prev_rep is not None:
+            out.append((prev_rep, seg[0]))
+        prev_rep = seg[0]
+    return out
+
+
+def candidate_pairs_from_bands(bands_table: pa.Table, cap: int = LSH_BUCKET_CAP) -> pa.Table:
+    """(band_id, bucket) groups -> unique candidate (doc_a < doc_b) pairs,
+    bucket-capped via :func:`emit_bucket_pairs`.  Runs inside map_groups
+    after the LSH shuffle."""
     import polars as pl
 
     df = pl.from_arrow(bands_table)
     pairs = set()
     for (_, _), grp in df.group_by(["band_id", "bucket"]):
-        ids = sorted(grp["doc_id"].to_list())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+        pairs.update(emit_bucket_pairs(grp["doc_id"].to_list(), cap=cap))
     pairs = sorted(pairs)
     return pa.table(
         {

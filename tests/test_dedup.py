@@ -66,3 +66,38 @@ def test_jaccard_tokens():
     assert jaccard_tokens("a b c", "a b c") == 1.0
     assert jaccard_tokens("a b", "c d") == 0.0
     assert jaccard_tokens("a b c", "b c d") == 0.5
+
+
+def test_bucket_cap_segments_degenerate_bucket():
+    """A 10k-member degenerate bucket must emit O(n*cap) pairs, not O(n^2),
+    while staying ONE connected component (round-2 VERDICT item #5)."""
+    from blockchainspider_ray.stages.dedup import emit_bucket_pairs
+
+    n, cap = 10_000, 512
+    pairs = emit_bucket_pairs(list(range(n)), cap=cap)
+    n_segs = (n + cap - 1) // cap
+    # per-segment full pairs + (n_segs - 1) chain links; far below n^2/2
+    assert len(pairs) < n * cap
+    assert len(pairs) == sum(
+        len(range(i, min(i + cap, n))) * (len(range(i, min(i + cap, n))) - 1) // 2
+        for i in range(0, n, cap)
+    ) + (n_segs - 1)
+    # union-find: the chained representatives keep the bucket connected
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_bucket_cap_small_buckets_unchanged():
+    from blockchainspider_ray.stages.dedup import emit_bucket_pairs
+
+    ids = [5, 1, 9]
+    assert emit_bucket_pairs(ids, cap=512) == [(1, 5), (1, 9), (5, 9)]
