@@ -112,6 +112,69 @@ class IVFAssigner:
         return batch.append_column("bucket", pa.array(assign.astype(np.int32), pa.int32()))
 
 
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _sample_vectors(ds: "ray.data.Dataset", sample_size: int) -> np.ndarray:
+    """Deterministic uniform corpus sample: rank rows by a mixed
+    multiplicative hash of vec_id, keep the global ``sample_size`` smallest.
+    Per-block pruning means only O(sample_size x blocks) rows reach the
+    driver regardless of corpus size."""
+
+    def bottom_k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.uint64)
+        h = ids * _HASH_MULT
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(33)
+        keep = np.argsort(h)[:sample_size]
+        return pa.table(
+            {
+                "rank": pa.array(h[keep], pa.uint64()),
+                "embedding": batch.column("embedding").take(pa.array(keep, pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(bottom_k, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("rank").head(sample_size)
+    return np.stack(parts["embedding"].to_numpy())
+
+
+def _lloyd_step(ds: "ray.data.Dataset", centroids: np.ndarray) -> np.ndarray:
+    """One distributed Lloyd iteration: each batch assigns its vectors to
+    the broadcast centroids and emits per-cluster partial (sum, count);
+    the driver combines k rows per block and renormalizes.  Empty clusters
+    keep their previous centroid."""
+    cents_ref = ray.put(centroids)
+    k, dim = centroids.shape
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_stack(batch.column("embedding")))
+        assign = np.argmax(m @ c.T, axis=1)
+        sums = np.zeros((len(c), m.shape[1]), np.float64)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c), dtype=np.int32), pa.int32()),
+                "psum": pa.array(list(sums), pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = np.zeros((k, dim), np.float64)
+    counts = np.zeros(k, np.int64)
+    clusters = agg["cluster"].to_numpy()
+    np.add.at(sums, clusters, np.stack(agg["psum"].to_numpy()))
+    np.add.at(counts, clusters, agg["count"].to_numpy())
+    out = centroids.copy()
+    nonempty = counts > 0
+    out[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return _normalize(out)
+
+
 class IVFIndex:
     """Coarse-quantized ANN: build once, probe nprobe buckets per query."""
 
@@ -122,10 +185,25 @@ class IVFIndex:
         self.centroids: Optional[np.ndarray] = None
         self._bucketed = None
 
-    def build(self, ds: "ray.data.Dataset", sample_size: int = 4096) -> "IVFIndex":
-        sample = ds.limit(sample_size).to_pandas()
-        vecs = np.stack(sample["embedding"].to_numpy())
+    def build(
+        self, ds: "ray.data.Dataset", sample_size: int = 4096, refine_iters: int = 1
+    ) -> "IVFIndex":
+        """Fit centroids on an UNBIASED sample, then refine over the corpus.
+
+        The sample is a distributed bottom-k by a multiplicative hash of
+        vec_id: each block emits only its local bottom-``sample_size`` rows,
+        the driver keeps the global smallest — uniform over the whole corpus
+        without knowing N, deterministic across runs, and immune to the
+        disk layout (a ``limit()`` sample reads the FIRST blocks only, so a
+        corpus sorted/clustered on disk skews every centroid into the
+        leading cluster).  ``refine_iters`` then runs distributed Lloyd
+        steps: assignment + per-cluster partial sums inside map_batches
+        (combiner pattern — k rows per block cross the object store, never
+        the vectors), centroid update on the driver."""
+        vecs = _sample_vectors(ds, sample_size)
         self.centroids = kmeans_fit(vecs, self.n_clusters, seed=self.seed)
+        for _ in range(max(0, refine_iters)):
+            self.centroids = _lloyd_step(ds, self.centroids)
         cents_ref = ray.put(self.centroids)
         self._bucketed = ds.map_batches(
             lambda b, _r=cents_ref: IVFAssigner(_r)(b), batch_format="pyarrow"

@@ -101,3 +101,66 @@ def test_ivf_persisted_index_matches_in_memory(ray_session, tmp_path):
     # the BLAS reduction order)
     assert mem[["query_id", "neighbor_id"]].equals(disk[["query_id", "neighbor_id"]])
     np.testing.assert_allclose(mem["sim"], disk["sim"], rtol=1e-12)
+
+
+def test_ivf_unbiased_sample_on_clustered_disk_layout(ray_session):
+    """VERDICT r2 #5/#6: a corpus SORTED by cluster on disk (one block per
+    cluster) used to feed ``limit(sample_size)`` centroids drawn only from
+    the leading cluster.  The hash-bottom-k sample + distributed Lloyd
+    refinement must keep recall high on exactly that layout, and the old
+    first-blocks strategy must be measurably worse on it."""
+    import pandas as pd
+
+    from blockchainspider_ray.stages.similarity import IVFAssigner, _sample_vectors
+
+    rng = np.random.default_rng(11)
+    dim, per = 16, 250
+    centers = np.eye(4, dim) * 8.0  # 4 orthogonal, well-separated clusters
+    frames = []
+    for c in range(4):
+        vecs = centers[c] + rng.normal(size=(per, dim))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(c * per, (c + 1) * per),
+                    "embedding": [v for v in vecs],
+                }
+            )
+        )
+    ds = ray.data.from_pandas(frames)  # one block per cluster, in order
+
+    # the unbiased sample must actually span the corpus, not the first block
+    sampled = _sample_vectors(ds, 200)
+    assert len(sampled) == 200
+    lead = np.argmax(np.abs(sampled), axis=1)
+    assert len(set(lead.tolist())) == 4  # every cluster represented
+
+    q_per = 8
+    q_ids = np.concatenate([np.arange(c * per, c * per + q_per) for c in range(4)])
+    all_vecs = np.concatenate([np.stack(f["embedding"].to_numpy()) for f in frames])
+    q_vecs = all_vecs[q_ids]
+    exact = brute_force_topk(ds, q_ids, q_vecs, k=5).to_pandas()
+
+    def recall(approx):
+        hits = []
+        for q in q_ids:
+            want = set(exact[exact["query_id"] == q]["neighbor_id"])
+            got = set(approx[approx["query_id"] == q]["neighbor_id"])
+            hits.append(len(want & got) / len(want))
+        return float(np.mean(hits))
+
+    idx = IVFIndex(n_clusters=4, nprobe=1).build(ds, sample_size=200)
+    good = recall(idx.search(q_ids, q_vecs, k=5).to_pandas())
+
+    # reconstruct the OLD biased build: centroids fit on the first blocks only
+    biased_sample = np.stack(ds.limit(200).to_pandas()["embedding"].to_numpy())
+    biased = IVFIndex(n_clusters=4, nprobe=1)
+    biased.centroids = kmeans_fit(biased_sample, 4)
+    ref = ray.put(biased.centroids)
+    biased._bucketed = ds.map_batches(
+        lambda b, _r=ref: IVFAssigner(_r)(b), batch_format="pyarrow"
+    ).materialize()
+    bad = recall(biased.search(q_ids, q_vecs, k=5).to_pandas())
+
+    assert good >= 0.9, f"unbiased build recall {good}"
+    assert good > bad, f"biased {bad} should degrade vs unbiased {good}"
