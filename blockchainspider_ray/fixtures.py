@@ -250,10 +250,17 @@ def crawl_doc_html(d: int, n_docs: int, text: str) -> str:
     """Deterministic crawl-store page for document d: every in-corpus link
     resolves to the target's canonical host (unlike :func:`doc_html`, whose
     SQL-mirrored template is pinned by DOC_HTML_SQL), giving the crawl
-    engine a connected graph: multiplicative + successor links cover the
-    corpus from any seed."""
+    engine a connected graph: multiplicative + same-host-successor links
+    cover the corpus from any seed.
+
+    The rel link targets t3 = d+10: hosts are assigned d%10, so the
+    source-relative resolution lands on t3's CANONICAL url (a found page)
+    whenever n_docs % 10 == 0 — a second found out-edge that gives the BFS
+    real branching.  The whole link set is arithmetic over (d, n_docs), so
+    the crawl's BFS depth structure is mirrorable as a DuckDB recursive
+    CTE (ORACLE_SQL['crawl_bfs_depths'])."""
     h = hashlib.md5(str(d).encode()).hexdigest()
-    t1, t2, t3 = (d * 7 + 1) % n_docs, (d * 13 + 3) % n_docs, (d + 1) % n_docs
+    t1, t2, t3 = (d * 7 + 1) % n_docs, (d * 13 + 3) % n_docs, (d + 10) % n_docs
     return (
         f"<html><head><title>Doc {d}</title>"
         "<style>p{margin:0}</style></head><body>"

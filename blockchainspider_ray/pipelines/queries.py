@@ -2032,6 +2032,86 @@ def q_utxo_edges(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 ORACLE_SQL: Dict[str, str] = {
+    # engine BFS with layer-per-round config: round == BFS depth over the
+    # arithmetic crawl_doc_html link graph (fixtures.py) — found pages via
+    # t1=7d+1 / same-host t3=d+10, dead-end misses (query-string variant,
+    # dangling host, cdn script) one layer below their earliest parent
+    "crawl_bfs_depths": """
+        WITH RECURSIVE r AS (
+            SELECT CAST(0 AS BIGINT) AS doc, CAST(0 AS BIGINT) AS depth
+            UNION
+            SELECT s.nxt, s.depth + 1 FROM (
+                SELECT (doc * 7 + 1) % (SELECT count(*) FROM documents) AS nxt, depth
+                FROM r WHERE depth < 31
+                UNION ALL
+                SELECT (doc + 10) % (SELECT count(*) FROM documents) AS nxt, depth
+                FROM r
+                WHERE depth < 31
+                  AND ((doc + 10) % (SELECT count(*) FROM documents)) % 10 = doc % 10
+            ) s
+        ),
+        f AS (SELECT doc, MIN(depth) AS depth FROM r GROUP BY doc),
+        nn AS (SELECT count(*) AS n FROM documents),
+        misses AS (
+            SELECT 'http://site' || (((f.doc * 13 + 3) % nn.n) % 10) || '.example/d/'
+                   || ((f.doc * 13 + 3) % nn.n) || '?a=1&b=2' AS url,
+                   f.depth + 1 AS d
+            FROM f, nn WHERE f.depth < 31
+            UNION ALL
+            SELECT 'http://dangling' || (f.doc % 5) || '.example/x/' || f.doc,
+                   f.depth + 1 FROM f WHERE f.depth < 31
+            UNION ALL
+            SELECT 'http://cdn' || (f.doc % 3) || '.example/app.js',
+                   f.depth + 1 FROM f WHERE f.depth < 31
+        )
+        SELECT round, url, found FROM (
+            SELECT depth AS round,
+                   'http://site' || (doc % 10) || '.example/d/' || doc AS url,
+                   TRUE AS found
+            FROM f
+            UNION ALL
+            SELECT MIN(d) AS round, url, FALSE AS found FROM misses GROUP BY url
+        ) ORDER BY round, url
+    """,
+    # Dataset-native BFS, budget-free: same arithmetic graph as
+    # crawl_bfs_depths, depth-capped at 6, output = every admitted-new url
+    # (found docs AND dead-end misses) with round == BFS depth
+    "crawl_bfs_dataset": """
+        WITH RECURSIVE r AS (
+            SELECT CAST(0 AS BIGINT) AS doc, CAST(0 AS BIGINT) AS depth
+            UNION
+            SELECT s.nxt, s.depth + 1 FROM (
+                SELECT (doc * 7 + 1) % (SELECT count(*) FROM documents) AS nxt, depth
+                FROM r WHERE depth < 6
+                UNION ALL
+                SELECT (doc + 10) % (SELECT count(*) FROM documents) AS nxt, depth
+                FROM r
+                WHERE depth < 6
+                  AND ((doc + 10) % (SELECT count(*) FROM documents)) % 10 = doc % 10
+            ) s
+        ),
+        f AS (SELECT doc, MIN(depth) AS depth FROM r GROUP BY doc),
+        nn AS (SELECT count(*) AS n FROM documents),
+        misses AS (
+            SELECT 'http://site' || (((f.doc * 13 + 3) % nn.n) % 10) || '.example/d/'
+                   || ((f.doc * 13 + 3) % nn.n) || '?a=1&b=2' AS url,
+                   f.depth + 1 AS d
+            FROM f, nn WHERE f.depth < 6
+            UNION ALL
+            SELECT 'http://dangling' || (f.doc % 5) || '.example/x/' || f.doc,
+                   f.depth + 1 FROM f WHERE f.depth < 6
+            UNION ALL
+            SELECT 'http://cdn' || (f.doc % 3) || '.example/app.js',
+                   f.depth + 1 FROM f WHERE f.depth < 6
+        )
+        SELECT url, depth, round FROM (
+            SELECT 'http://site' || (doc % 10) || '.example/d/' || doc AS url,
+                   depth, depth AS round
+            FROM f
+            UNION ALL
+            SELECT url, MIN(d) AS depth, MIN(d) AS round FROM misses GROUP BY url
+        ) ORDER BY round, url
+    """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)      AS sum_qty,
@@ -2521,54 +2601,6 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 
-SQL_QUERIES = {
-    "lineitem_agg": q_lineitem_agg,
-    "filter_project": q_filter_project,
-    "sort_limit": q_sort_limit,
-    "join_agg": q_join_agg,
-    "events_agg": q_events_agg,
-    "extract_text": q_extract_text,
-    "extract_links": q_extract_links,
-    "canonicalize_urls": q_canonicalize_urls,
-    "extract_entities": q_extract_entities,
-    "host_histogram": q_host_histogram,
-    "outflow_sum": q_outflow_sum,
-    "node_degree": q_node_degree,
-    "topk_frontier": q_topk_frontier,
-    "bfs_reachable": q_bfs_reachable,
-    "dedup_exact": q_dedup_exact,
-    "token_count": q_token_count,
-    "quality_score": q_quality_score,
-    "doc_fingerprint": q_doc_fingerprint,
-    "jaccard_pairs": q_jaccard_pairs,
-    "ann_bruteforce": q_ann_bruteforce,
-    "embedding_norms": q_embedding_norms,
-    "politeness_admission": q_politeness_admission,
-    "events_window": q_events_window,
-    "asof_join": q_asof_join,
-    "asof_join_partitioned": q_asof_join_partitioned,
-    "range_join": q_range_join,
-    "range_join_partitioned": q_range_join_partitioned,
-    "transfer_normalize": q_transfer_normalize,
-    "labelcloud_parse": q_labelcloud_parse,
-    "sign_pages": q_sign_pages,
-    "tron_block_parse": q_tron_block_parse,
-    "receipt_join": q_receipt_join,
-    "token_decode": q_token_decode,
-    "trace_flatten": q_trace_flatten,
-    "parse_props": q_parse_props,
-    "binary_meta": q_binary_meta,
-    "embedding_knn": q_embedding_knn,
-    "salted_host_agg": q_salted_host_agg,
-    "enrich_3way": q_enrich_3way,
-    "keywords_freq": q_keywords_freq,
-    "xml_labels": q_xml_labels,
-    "block_parse": q_block_parse,
-    "utxo_edges": q_utxo_edges,
-    "wedge_count": q_wedge_count,
-    "sessionize": q_sessionize,
-    "robots_filter": q_robots_filter,
-}
 
 
 # ---------------------------------------------------------------------------
@@ -2793,7 +2825,7 @@ def _crawl_store_for(sf_dir: str) -> str:
     from ..fixtures import pages_from_documents, write_pages_store
     import pyarrow.parquet as _pq
 
-    key = _hl.md5(f"{sf_dir}|v2".encode()).hexdigest()[:10]  # v-tag busts stale /tmp caches
+    key = _hl.md5(f"{sf_dir}|v3".encode()).hexdigest()[:10]  # v-tag busts stale /tmp caches
     store = f"/tmp/bcs_ray_pages_{key}"
     if not (Path(store) / "_MANIFEST").exists():
         docs = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
@@ -2801,24 +2833,26 @@ def _crawl_store_for(sf_dir: str) -> str:
     return store
 
 
-def _run_crawl(sf_dir: str, strategy: str, **strategy_kwargs):
+def _run_crawl(sf_dir: str, strategy: str, _cfg: dict | None = None, **strategy_kwargs):
     from ..crawl.engine import CrawlConfig, CrawlEngine
     from ..stages.fetch import PageStore
 
     store = _crawl_store_for(sf_dir)
+    cfg = dict(
+        strategy=strategy,
+        strategy_kwargs=strategy_kwargs,
+        pop_k=8,
+        host_budget=4,
+        max_fetches=200,
+        max_rounds=100,
+        seen_use_ray=True,
+        seen_shards=4,
+    )
+    cfg.update(_cfg or {})
     engine = CrawlEngine(
         PageStore(store),
         seeds=["http://site0.example/d/0"],
-        config=CrawlConfig(
-            strategy=strategy,
-            strategy_kwargs=strategy_kwargs,
-            pop_k=8,
-            host_budget=4,
-            max_fetches=200,
-            max_rounds=100,
-            seen_use_ray=True,
-            seen_shards=4,
-        ),
+        config=CrawlConfig(**cfg),
     )
     res = engine.run()
     return pa.table(
@@ -2835,6 +2869,28 @@ def q_crawl_bfs(sf_dir: str):
     """Flagship: BFS web crawl over the documents-derived page store with
     politeness budget 4/host/round and a sharded cuckoo seen set."""
     return _run_crawl(sf_dir, "bfs", depth=8)
+
+
+def q_crawl_bfs_depths(sf_dir: str):
+    """The crawl ENGINE under the driver's SQL gate: unlimited politeness
+    budget + whole-queue pops make each engine round exactly one BFS layer,
+    so (round, url, found) is mirrorable as a DuckDB recursive CTE over the
+    arithmetic link graph of crawl_doc_html (fixtures.py) — t1 = 7d+1 and
+    the same-host successor t3 = d+10 expand (found pages); the query-string,
+    dangling, and cdn-script links are admitted-but-missed dead ends one
+    layer below their parent.  Exercises admission, the sharded seen gate,
+    miss handling, and round accounting end-to-end."""
+    t = _run_crawl(
+        sf_dir,
+        "bfs",
+        _cfg=dict(pop_k=1_000_000, host_budget=0, max_fetches=None, max_rounds=32),
+        depth=32,
+    )
+    import pandas as pd
+
+    df = t.select(["round", "url", "found"]).to_pandas()
+    df["round"] = df["round"].astype("int64")
+    return df.sort_values(["round", "url"]).reset_index(drop=True)
 
 
 def q_crawl_haircut(sf_dir: str):
@@ -2871,7 +2927,12 @@ def q_crawl_bfs_dataset(sf_dir: str):
     (seen gate inside map_batches against sharded actors, groupby-host
     admission, partition-pruned fetch+explode, groupby-url min-depth
     dedup) — no driver-side candidate lists (crawl/dataset_bfs.py;
-    set-equality with the round engine pinned in tests/test_dataset_bfs.py)."""
+    set-equality with the round engine pinned in tests/test_dataset_bfs.py).
+
+    Budget-free config so round == BFS depth and the result mirrors as a
+    DuckDB recursive CTE (the driver's gate); the budgeted politeness path
+    is pinned in tests/test_dataset_bfs.py + the politeness_admission
+    oracle."""
     from ..crawl.dataset_bfs import DatasetBFSCrawl
 
     store = _crawl_store_for(sf_dir)
@@ -2879,11 +2940,16 @@ def q_crawl_bfs_dataset(sf_dir: str):
         store,
         seeds=["http://site0.example/d/0"],
         depth=6,
-        host_budget=8,
+        host_budget=0,
         seen_shards=4,
         seen_use_ray=True,
     ).run()
-    return fetched.sort_by([("round", "ascending"), ("url", "ascending")])
+    import pandas as pd
+
+    df = fetched.sort_by([("round", "ascending"), ("url", "ascending")]).to_pandas()
+    for c in ("depth", "round"):
+        df[c] = df[c].astype("int64")
+    return df
 
 
 def q_crawl_haircut_sharded(sf_dir: str):
@@ -2908,6 +2974,58 @@ def q_crawl_ttr_time_sharded(sf_dir: str):
     )
 
 
+SQL_QUERIES = {
+    "lineitem_agg": q_lineitem_agg,
+    "filter_project": q_filter_project,
+    "sort_limit": q_sort_limit,
+    "join_agg": q_join_agg,
+    "events_agg": q_events_agg,
+    "extract_text": q_extract_text,
+    "extract_links": q_extract_links,
+    "canonicalize_urls": q_canonicalize_urls,
+    "extract_entities": q_extract_entities,
+    "host_histogram": q_host_histogram,
+    "outflow_sum": q_outflow_sum,
+    "node_degree": q_node_degree,
+    "topk_frontier": q_topk_frontier,
+    "bfs_reachable": q_bfs_reachable,
+    "crawl_bfs_depths": q_crawl_bfs_depths,
+    "crawl_bfs_dataset": q_crawl_bfs_dataset,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "embedding_norms": q_embedding_norms,
+    "politeness_admission": q_politeness_admission,
+    "events_window": q_events_window,
+    "asof_join": q_asof_join,
+    "asof_join_partitioned": q_asof_join_partitioned,
+    "range_join": q_range_join,
+    "range_join_partitioned": q_range_join_partitioned,
+    "transfer_normalize": q_transfer_normalize,
+    "labelcloud_parse": q_labelcloud_parse,
+    "sign_pages": q_sign_pages,
+    "tron_block_parse": q_tron_block_parse,
+    "receipt_join": q_receipt_join,
+    "token_decode": q_token_decode,
+    "trace_flatten": q_trace_flatten,
+    "parse_props": q_parse_props,
+    "binary_meta": q_binary_meta,
+    "embedding_knn": q_embedding_knn,
+    "salted_host_agg": q_salted_host_agg,
+    "enrich_3way": q_enrich_3way,
+    "keywords_freq": q_keywords_freq,
+    "xml_labels": q_xml_labels,
+    "block_parse": q_block_parse,
+    "utxo_edges": q_utxo_edges,
+    "wedge_count": q_wedge_count,
+    "sessionize": q_sessionize,
+    "robots_filter": q_robots_filter,
+}
+
+
 NOSQL_QUERIES = {
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
@@ -2930,7 +3048,6 @@ NOSQL_QUERIES = {
     "crawl_haircut_sharded": q_crawl_haircut_sharded,
     "crawl_appr_sharded": q_crawl_appr_sharded,
     "crawl_ttr_time_sharded": q_crawl_ttr_time_sharded,
-    "crawl_bfs_dataset": q_crawl_bfs_dataset,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
 }
