@@ -2598,7 +2598,78 @@ ORACLE_SQL: Dict[str, str] = {
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) = 1
         ORDER BY vec_id
     """,
+    # 64-bit SimHash, full-value mirror: md5_number_lower token hashes
+    # (== stages/dedup._hash_strings64 bit-for-bit), per-bit +1/-1 vote over
+    # token multiset, fingerprint rendered as the same 16-hex string
+    "simhash": r"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        th AS (SELECT doc_id, md5_number_lower(unnest(w)) AS h FROM toks),
+        bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+        acc AS (
+            SELECT th.doc_id, bits.bit,
+                   SUM(CASE WHEN (th.h >> bits.bit) & 1::UBIGINT = 1::UBIGINT
+                       THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN bits GROUP BY th.doc_id, bits.bit
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << bit) ELSE 0 END) AS v
+            FROM acc GROUP BY doc_id
+        )
+        SELECT doc_id, lpad(lower(to_hex(CAST(v AS UBIGINT))), 16, '0') AS simhash
+        FROM fp ORDER BY doc_id
+    """,
 }
+
+
+def _minhash_oracle_sql(num_perm: int = 64, k: int = 3) -> str:
+    """Full-value MinHash mirror.  The permutation coefficients come from
+    the same seeded generator the MinHasher uses; they are rendered into
+    the SQL as a VALUES table, so the emitted string is plain standalone
+    SQL.  The perm step reproduces numpy's wraparound uint64 multiply
+    ((a*h) mod 2^64 + b) mod 2^64) before the Mersenne mod — HUGEINT
+    arithmetic makes that exact."""
+    from ..stages.dedup import _perm_coeffs
+
+    assert k == 3, "oracle mirrors the default 3-shingle combine"
+    M = (1 << 61) - 1
+    W = 1 << 64
+    a, b = _perm_coeffs(num_perm)
+    coeffs = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(num_perm)
+    )
+    return rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+        th AS (SELECT doc_id, i, md5_number_lower(w[i]) AS h FROM tok),
+        sh AS (
+            SELECT doc_id, h AS h0,
+                   lead(h, 1) OVER (PARTITION BY doc_id ORDER BY i) AS h1,
+                   lead(h, 2) OVER (PARTITION BY doc_id ORDER BY i) AS h2
+            FROM th
+        ),
+        -- rotate-xor 3-shingle combine: h0 ^ rot(h1,21) ^ rot(h2,42), % Mersenne61
+        shingle AS (
+            SELECT doc_id,
+                   xor(xor(h0,
+                           (h1 % 8796093022208::UBIGINT) * 2097152::UBIGINT + (h1 >> 43)),
+                       (h2 % 4194304::UBIGINT) * 4398046511104::UBIGINT + (h2 >> 22)
+                   ) % {M}::UBIGINT AS s
+            FROM sh WHERE h2 IS NOT NULL
+        ),
+        perms(perm_id, pa, pb) AS (VALUES {coeffs}),
+        vals AS (
+            SELECT s.doc_id, p.perm_id,
+                   CAST((((p.pa * s.s) % {W}::HUGEINT + p.pb) % {W}::HUGEINT)
+                        % {M}::HUGEINT AS BIGINT) AS v
+            FROM shingle s CROSS JOIN perms p
+        )
+        SELECT doc_id, perm_id, MIN(v) AS minhash FROM vals
+        GROUP BY doc_id, perm_id ORDER BY doc_id, perm_id
+    """
+
+
+ORACLE_SQL["minhash_signatures"] = _minhash_oracle_sql()
 
 
 
@@ -2626,14 +2697,36 @@ def _cached_stage(cls):
 
 
 def q_minhash_signatures(sf_dir: str):
-    """64-perm MinHash signatures over 3-shingles (near-dup primitive)."""
+    """64-perm MinHash signatures over 3-shingles (near-dup primitive),
+    exploded to (doc_id, perm_id, minhash) long form so every signature
+    value sits under the driver's value-hash compare.  The DuckDB oracle
+    recomputes the signatures bit-for-bit: md5_number_lower token hashes,
+    rotate-xor shingle combine, and the wraparound (mod 2^64) universal-
+    hash perm step, all in integer SQL (stages/dedup.py keeps the math
+    SQL-expressible by construction)."""
     from ..stages.dedup import MinHasher
 
-    return (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(_cached_stage(MinHasher), batch_format="pyarrow")
-        .sort("doc_id")
+    sig = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _cached_stage(MinHasher), batch_format="pyarrow"
     )
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        sigs = b.column("signature")
+        flat = pc.list_flatten(sigs.combine_chunks()).to_numpy().astype(np.int64)
+        counts = pc.list_value_length(sigs).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "perm_id": pa.array(
+                    np.concatenate([np.arange(c) for c in counts]) if len(counts) else [],
+                    pa.int64(),
+                ),
+                "minhash": pa.array(flat, pa.int64()),
+            }
+        )
+
+    return sig.map_batches(explode, batch_format="pyarrow").sort(["doc_id", "perm_id"])
 
 
 def q_minhash_dedup_pairs(sf_dir: str):
@@ -2991,6 +3084,8 @@ SQL_QUERIES = {
     "bfs_reachable": q_bfs_reachable,
     "crawl_bfs_depths": q_crawl_bfs_depths,
     "crawl_bfs_dataset": q_crawl_bfs_dataset,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -3032,9 +3127,7 @@ NOSQL_QUERIES = {
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
     "solana_block_parse": q_solana_block_parse,  # 8-type fan-out — tests/test_solana.py
     "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
-    "minhash_signatures": q_minhash_signatures,
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    "simhash": q_simhash,
     "langid": q_langid,
     "rolling_fingerprints": q_rolling_fingerprints,
     "ann_ivf": q_ann_ivf,

@@ -12,11 +12,15 @@ pipeline needs at 100 TB:
 - SimHash: 64-bit fingerprint, near-dup when hamming distance <= t;
 - Jaccard: exact verification on candidate pairs only.
 
-All hashing is deterministic and version-stable: token hashes are blake2b
-(cached per actor), shingle hashes combine token hashes with fixed uint64
-arithmetic (``shingle_hashes``), and the permutation coefficients come from
-a seeded generator — so signatures persisted to parquet remain comparable
-across runs, workers and library versions (required for resumable dedup).
+All hashing is deterministic and version-stable: token hashes are the low
+64 bits of md5 (cached per actor; md5 rather than blake2b so DuckDB's
+``md5_number_lower`` can recompute the identical value — the minhash /
+simhash queries carry full SQL oracles), shingle hashes combine token
+hashes with fixed rotate-xor arithmetic (``shingle_hashes``, wraparound-
+free so the same formula runs in SQL integer math), and the permutation
+coefficients come from a seeded generator — so signatures persisted to
+parquet remain comparable across runs, workers and library versions
+(required for resumable dedup).
 """
 
 from __future__ import annotations
@@ -33,20 +37,23 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _stable_h64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+    # low half of md5, little-endian == DuckDB md5_number_lower(s)
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
 def _hash_strings64(strings) -> np.ndarray:
-    """64-bit blake2b hash of a string list.
+    """64-bit hash of a string list: md5 digest bytes [8:16], little-endian.
 
     Deliberately NOT polars ``Series.hash``: polars documents that hash as
     unstable across releases, and signatures persisted to parquet (bench
     ingest writes a ``minhash`` column) must stay comparable across
-    runs/environments (round-1 ADVICE).  blake2b is version-stable; the
-    digests are batched into one buffer and decoded with a single
-    ``np.frombuffer`` rather than per-item int conversion."""
-    blake2b = hashlib.blake2b
-    buf = b"".join(blake2b(s.encode("utf-8"), digest_size=8).digest() for s in strings)
+    runs/environments (round-1 ADVICE).  md5 is version-stable AND equals
+    DuckDB's ``md5_number_lower`` bit-for-bit, which is what lets the
+    minhash/simhash queries carry full-value SQL oracles; the digests are
+    batched into one buffer and decoded with a single ``np.frombuffer``
+    rather than per-item int conversion."""
+    md5 = hashlib.md5
+    buf = b"".join(md5(s.encode("utf-8")).digest()[8:] for s in strings)
     return np.frombuffer(buf, dtype="<u8").copy() if buf else np.empty(0, dtype=np.uint64)
 
 
@@ -61,11 +68,10 @@ def shingles_of(text: str, k: int = 3) -> List[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-# odd 64-bit mix constants for combining token hashes into shingle hashes
-_SHINGLE_MIX = np.array(
-    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
-    dtype=np.uint64,
-)
+# per-position bit rotations for combining token hashes into shingle hashes
+# (distinct rotations keep the combine order-sensitive; rotate-xor has no
+# wraparound multiply, so DuckDB mirrors it exactly in UBIGINT arithmetic)
+_SHINGLE_ROT = np.array([0, 21, 42, 55], dtype=np.uint64)
 
 
 class _TokenHashCache:
@@ -102,10 +108,11 @@ class _TokenHashCache:
 
 def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
     """Vectorized k-shingle hashes: each shingle hash is the xor of its k
-    token hashes, each multiplied (mod 2^64) by a fixed odd constant per
-    position.  Pure uint64 arithmetic over blake2b token hashes — version-
-    stable (the determinism contract for persisted signatures) with no
-    per-shingle string building or hashing."""
+    token hashes, each bit-rotated by a fixed amount per position.  Pure
+    uint64 arithmetic over md5 token hashes — version-stable (the
+    determinism contract for persisted signatures), no per-shingle string
+    building, and wraparound-free so ORACLE_SQL['minhash_signatures']
+    recomputes identical values in DuckDB."""
     n = len(token_hashes)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -113,7 +120,9 @@ def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
     width = n - kk + 1
     acc = np.zeros(width, dtype=np.uint64)
     for j in range(kk):
-        acc ^= token_hashes[j : j + width] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+        r = _SHINGLE_ROT[j % len(_SHINGLE_ROT)]
+        t = token_hashes[j : j + width]
+        acc ^= (t << r) | (t >> (np.uint64(64) - r)) if r else t
     return acc
 
 
