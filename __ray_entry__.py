@@ -9,14 +9,14 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (45 of
-                     the 69 queries); the rows-only rest (near-dup
-                     signatures, langid, IVF ANN, multimodal decode,
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (53 of
+                     the 71 queries, incl. full-value MinHash/SimHash/LSH-
+                     pairs/langid/rolling-fingerprint mirrors and the
+                     recursive-CTE crawl-BFS mirrors); the rows-only rest
+                     (weight-ranked crawls, IVF ANN, multimodal decode,
                      TextRank, checksum validation, MoTS motifs, Solana/
-                     DCFG parsers, the crawl family incl. every
-                     actor-sharded scale path) is covered by pytest
-                     conformance suites (reference classes as oracle)
-                     instead.
+                     DCFG parsers) is covered by pytest conformance suites
+                     (reference classes as oracle) instead.
 """
 
 from __future__ import annotations

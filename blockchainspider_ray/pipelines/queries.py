@@ -2622,13 +2622,14 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 
-def _minhash_oracle_sql(num_perm: int = 64, k: int = 3) -> str:
-    """Full-value MinHash mirror.  The permutation coefficients come from
-    the same seeded generator the MinHasher uses; they are rendered into
-    the SQL as a VALUES table, so the emitted string is plain standalone
-    SQL.  The perm step reproduces numpy's wraparound uint64 multiply
-    ((a*h) mod 2^64 + b) mod 2^64) before the Mersenne mod — HUGEINT
-    arithmetic makes that exact."""
+def _minhash_sig_cte(num_perm: int = 64, k: int = 3) -> str:
+    """Shared CTE chain computing the full-value MinHash mirror, ending in
+    ``sig(doc_id, perm_id, minhash)``.  The permutation coefficients come
+    from the same seeded generator the MinHasher uses; they are rendered
+    into the SQL as a VALUES table, so the emitted string is plain
+    standalone SQL.  The perm step reproduces numpy's wraparound uint64
+    multiply (((a*h) mod 2^64 + b) mod 2^64) before the Mersenne mod —
+    HUGEINT arithmetic makes that exact."""
     from ..stages.dedup import _perm_coeffs
 
     assert k == 3, "oracle mirrors the default 3-shingle combine"
@@ -2638,8 +2639,7 @@ def _minhash_oracle_sql(num_perm: int = 64, k: int = 3) -> str:
     coeffs = ", ".join(
         f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(num_perm)
     )
-    return rf"""
-        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+    return rf"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
         tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
         th AS (SELECT doc_id, i, md5_number_lower(w[i]) AS h FROM tok),
         sh AS (
@@ -2663,13 +2663,140 @@ def _minhash_oracle_sql(num_perm: int = 64, k: int = 3) -> str:
                    CAST((((p.pa * s.s) % {W}::HUGEINT + p.pb) % {W}::HUGEINT)
                         % {M}::HUGEINT AS BIGINT) AS v
             FROM shingle s CROSS JOIN perms p
+        ),
+        sig AS (
+            SELECT doc_id, perm_id, MIN(v) AS minhash FROM vals
+            GROUP BY doc_id, perm_id
+        )"""
+
+
+ORACLE_SQL["minhash_signatures"] = (
+    f"WITH {_minhash_sig_cte()}\n"
+    "        SELECT doc_id, perm_id, minhash FROM sig ORDER BY doc_id, perm_id"
+)
+
+# LSH candidate pairs over the doubled corpus (q_minhash_dedup_pairs clones
+# every doc at doc_id+10000): band bucket = md5_number_lower of the band's
+# pipe-joined decimal minhash values (== dedup.MinHashBands `_stable_h64`
+# of "|".join(str(x))), pair = two docs sharing any (band, bucket).  The
+# clone has identical text, hence identical signature — mirrored by reusing
+# each doc's band rows at doc_id+10000 rather than recomputing.  The
+# segment cap (LSH_BUCKET_CAP=512) never triggers at oracle scale: buckets
+# hold a doc and its clone, so the emitted pair set is the exact closure.
+ORACLE_SQL["minhash_dedup_pairs"] = (
+    f"WITH {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        ),
+        doubled AS (
+            SELECT doc_id, band_id, bucket FROM band
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, band_id, bucket FROM band
         )
-        SELECT doc_id, perm_id, MIN(v) AS minhash FROM vals
-        GROUP BY doc_id, perm_id ORDER BY doc_id, perm_id
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM doubled a JOIN doubled b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b"""
+)
+
+# CJK-ratio + stopword-vote language guess (textstats.predict_lang): 'zh'
+# when >5% of chars are CJK, else the sorted-first language with the
+# strictly-highest distinct-stopword hit count, '' when nothing matches.
+def _langid_stopword_values() -> str:
+    from ..stages.textstats import _LANG_STOPWORDS
+
+    return ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_LANG_STOPWORDS)
+        for w in sorted(_LANG_STOPWORDS[lang])
+    )
+
+
+ORACLE_SQL["langid"] = (
+    f"WITH stop(lang, word) AS (VALUES {_langid_stopword_values()}"
+    + r"""),
+        tok AS (
+            SELECT DISTINCT doc_id, w FROM (
+                SELECT doc_id, lower(unnest(regexp_extract_all(text, '\S+'))) AS w
+                FROM documents
+            )
+        ),
+        hits AS (
+            SELECT t.doc_id, s.lang, count(*) AS n
+            FROM tok t JOIN stop s ON t.w = s.word
+            GROUP BY t.doc_id, s.lang
+        ),
+        best AS (
+            SELECT doc_id, lang FROM hits WHERE n > 0
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) = 1
+        )
+        SELECT d.doc_id,
+               CASE
+                   WHEN coalesce(length(d.text), 0) > 0
+                        AND len(regexp_extract_all(d.text, '[一-鿿]'))::DOUBLE
+                            / greatest(1, length(d.text)) > 0.05 THEN 'zh'
+                   ELSE coalesce(b.lang, '')
+               END AS lang_pred
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        ORDER BY d.doc_id"""
+)
+
+
+def _rolling_fp_oracle_sql(window: int = 8, keep: int = 4) -> str:
+    """Full-value mirror of textstats.rolling_fingerprints in long form
+    (doc_id, fp_rank, fingerprint): token hash = md5_number_lower % M61,
+    window hash = dot(window, [B^(w-1)..B^0]) with products+sum wrapping
+    mod 2^64 (numpy uint64 semantics) then % M61, fingerprint = the
+    ``keep`` smallest window hashes; docs shorter than the window emit
+    their single min token hash, empty docs emit nothing."""
+    M = (1 << 61) - 1
+    W = 1 << 64
+    B = 1000003
+    powers = []
+    p = 1
+    for _ in range(window):
+        powers.append(p)
+        p = (p * B) % M
+    powers = powers[::-1]  # position j in the window multiplies B^(w-1-j)
+    leads = ",\n                   ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS h{j}" for j in range(1, window)
+    )
+    dot = " + ".join(f"h{j}::HUGEINT * {powers[j]}::HUGEINT" for j in range(window))
+    return rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+        th AS (SELECT doc_id, i, md5_number_lower(w[i]) % {M}::UBIGINT AS h FROM tok),
+        nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+        sh AS (
+            SELECT doc_id, h AS h0,
+                   {leads}
+            FROM th
+        ),
+        win AS (
+            SELECT doc_id,
+                   CAST((({dot}) % {W}::HUGEINT) % {M}::HUGEINT AS BIGINT) AS wh
+            FROM sh WHERE h{window - 1} IS NOT NULL
+        ),
+        long_docs AS (
+            SELECT doc_id, wh,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY wh) - 1 AS fp_rank
+            FROM win QUALIFY fp_rank < {keep}
+        ),
+        short_docs AS (
+            SELECT th.doc_id, CAST(MIN(th.h) AS BIGINT) AS wh, 0 AS fp_rank
+            FROM th JOIN nt USING (doc_id)
+            WHERE nt.n < {window} GROUP BY th.doc_id
+        )
+        SELECT doc_id, fp_rank, wh AS fingerprint FROM long_docs
+        UNION ALL
+        SELECT doc_id, fp_rank, wh AS fingerprint FROM short_docs
+        ORDER BY doc_id, fp_rank
     """
 
 
-ORACLE_SQL["minhash_signatures"] = _minhash_oracle_sql()
+ORACLE_SQL["rolling_fingerprints"] = _rolling_fp_oracle_sql()
 
 
 
@@ -2819,13 +2946,34 @@ def q_langid(sf_dir: str):
 
 
 def q_rolling_fingerprints(sf_dir: str):
+    """Winnowing-lite document fingerprints (rolling Rabin-Karp window
+    hashes, keep-4 smallest), exploded to (doc_id, fp_rank, fingerprint)
+    long form so every value sits under the driver's hash compare; the
+    DuckDB oracle replays the identical integer recipe
+    (ORACLE_SQL['rolling_fingerprints'])."""
     from ..stages.textstats import FingerprintStage
 
-    return (
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(_cached_stage(FingerprintStage), batch_format="pyarrow")
-        .sort("doc_id")
+    fps = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _cached_stage(FingerprintStage), batch_format="pyarrow"
     )
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        lists = b.column("fingerprints")
+        flat = pc.list_flatten(lists.combine_chunks()).to_numpy().astype(np.int64)
+        counts = pc.list_value_length(lists).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "fp_rank": pa.array(
+                    np.concatenate([np.arange(c) for c in counts]) if len(counts) else [],
+                    pa.int64(),
+                ),
+                "fingerprint": pa.array(flat, pa.int64()),
+            }
+        )
+
+    return fps.map_batches(explode, batch_format="pyarrow").sort(["doc_id", "fp_rank"])
 
 
 def q_ann_ivf(sf_dir: str):
@@ -3085,7 +3233,10 @@ SQL_QUERIES = {
     "crawl_bfs_depths": q_crawl_bfs_depths,
     "crawl_bfs_dataset": q_crawl_bfs_dataset,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash": q_simhash,
+    "langid": q_langid,
+    "rolling_fingerprints": q_rolling_fingerprints,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -3127,9 +3278,6 @@ NOSQL_QUERIES = {
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
     "solana_block_parse": q_solana_block_parse,  # 8-type fan-out — tests/test_solana.py
     "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
-    "minhash_dedup_pairs": q_minhash_dedup_pairs,
-    "langid": q_langid,
-    "rolling_fingerprints": q_rolling_fingerprints,
     "ann_ivf": q_ann_ivf,
     "crawl_bfs": q_crawl_bfs,
     "crawl_haircut": q_crawl_haircut,

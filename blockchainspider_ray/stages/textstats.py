@@ -67,24 +67,25 @@ def rolling_fingerprints(text: str, window: int = 8, keep: int = 4) -> List[int]
     )
     if len(toks) < window:
         return [int(h.min())]
-    win = np.zeros(len(h) - window + 1, dtype=np.uint64)
-    # rolling polynomial hash via prefix powers (vectorized)
-    powers = np.zeros(window, dtype=np.uint64)
-    p = np.uint64(1)
-    for i in range(window):
-        powers[i] = p
-        p = (p * _B) % _MOD
-    for i in range(len(win)):
-        win[i] = int((h[i : i + window] * powers[::-1]).sum() % _MOD)
+    # rolling polynomial hash: window dot (B^(w-1)..B^0), products and sum
+    # in wraparound uint64 (mod 2^64), then mod Mersenne61 — the same
+    # integer recipe ORACLE_SQL['rolling_fingerprints'] replays in HUGEINT
+    # powers built in Python ints: numpy uint64 would wrap p*B at 2^64
+    # before the Mersenne mod and silently corrupt B^i for i >= 4
+    powers = np.array(
+        [pow(int(_B), i, int(_MOD)) for i in range(window)], dtype=np.uint64
+    )
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    win = (sw * powers[::-1]).sum(axis=1, dtype=np.uint64) % _MOD
     return sorted(int(x) for x in np.sort(win)[:keep])
 
 
 def hash_token(t: str) -> int:
     import hashlib
 
-    return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") % int(
-        _MOD
-    )
+    # low half of md5, little-endian (== DuckDB md5_number_lower), mod
+    # Mersenne61 — version-stable AND SQL-recomputable for the full oracle
+    return int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little") % int(_MOD)
 
 
 class FingerprintStage:
