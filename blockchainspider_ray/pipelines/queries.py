@@ -727,6 +727,65 @@ def q_ann_bruteforce(sf_dir: str):
     return top
 
 
+def q_embedding_neardup_pairs(sf_dir: str, tau: float = 0.4, grid: int = 4):
+    """Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) with
+    cosine(a, b) >= tau — the exact all-pairs similarity join, distributed
+    via grid partitioning (1-bucket-theta style): each vector is replicated
+    to the ``grid`` unordered block cells containing its block (block =
+    vec_id % grid), a plain ``groupby('cell')`` co-locates every candidate
+    pair exactly once, and each cell computes its slice of the similarity
+    matrix with one float64 matmul.  Shuffle volume is O(N*grid) rows and
+    per-cell memory is O((2N/grid)^2) — grid scales as sqrt(N^2/mem), no
+    side is ever broadcast or driver-materialized.  Same-block pairs are
+    emitted only by the diagonal cell, cross-block pairs only by their one
+    off-diagonal cell, so no dedup pass is needed."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        blk = (b.column("vec_id").to_numpy() % grid).astype(np.int64)
+        cells = np.concatenate(
+            [np.minimum(blk, o) * grid + np.maximum(blk, o) for o in range(grid)]
+        )
+        rep = b.take(pa.array(np.tile(np.arange(n), grid)))
+        return rep.append_column("cell", pa.array(cells, pa.int64()))
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        cell = int(g.column("cell")[0].as_py())
+        g1, g2 = cell // grid, cell % grid
+        ids = g.column("vec_id").to_numpy()
+        blk = (ids % grid).astype(np.int64)
+        m = np.stack(g.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        if g1 == g2:
+            full = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            sims = full[iu, ju]
+        else:
+            li, ri = np.flatnonzero(blk == g1), np.flatnonzero(blk == g2)
+            cross = m[li] @ m[ri].T
+            iu = li[np.repeat(np.arange(len(li)), len(ri))]
+            ju = ri[np.tile(np.arange(len(ri)), len(li))]
+            sims = cross.ravel()
+        keep = sims >= tau
+        a, b_, s = ids[iu[keep]], ids[ju[keep]], sims[keep]
+        lo, hi = np.minimum(a, b_), np.maximum(a, b_)
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "sim": pa.array(_r(s, 4), pa.float64()),
+            }
+        )
+
+    return (
+        emb.map_batches(to_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
+
+
 def q_embedding_norms(sf_dir: str):
     """Per-label mean L2 norm of embeddings (vector column aggregate)."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
@@ -2262,6 +2321,19 @@ ORACLE_SQL: Dict[str, str] = {
                                    ORDER BY sim DESC, neighbor_id) <= 5
         ORDER BY query_id, sim DESC, neighbor_id
     """,
+    # exact all-pairs cosine near-dup join (threshold compared on the
+    # unrounded float64 sim; the closest pair to tau sits 1e-5 away at
+    # every sf, far beyond cross-implementation float noise)
+    "embedding_neardup_pairs": """
+        WITH s AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, round(sim, 4) AS sim FROM s
+        WHERE sim >= 0.4 ORDER BY vec_a, vec_b
+    """,
     "embedding_norms": """
         SELECT label,
                round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -3243,6 +3315,7 @@ SQL_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_bruteforce": q_ann_bruteforce,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "embedding_norms": q_embedding_norms,
     "politeness_admission": q_politeness_admission,
     "events_window": q_events_window,

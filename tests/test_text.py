@@ -143,6 +143,28 @@ class TestTextRank:
         # one-sentence text: returned whole even over budget
         assert textrank_summarize("Short text.", words=1) == "Short text."
 
+    def test_summa_parity_if_available(self):
+        """Documented divergence (COVERAGE.md §2.3): outputs are pinned to
+        this TextRank, not summa's.  In an environment that HAS summa this
+        test upgrades the claim automatically: top keywords must broadly
+        agree (majority overlap in the top-8) and the summary must select
+        sentences summa also ranks.  Skipped where summa is absent (this
+        container)."""
+        import pytest
+
+        summa = pytest.importorskip("summa")
+        from blockchainspider_ray.functions.textrank import (
+            textrank_keywords,
+            textrank_summarize,
+        )
+
+        ours_kw = set(textrank_keywords(self.TEXT, words=8))
+        theirs_kw = set(summa.keywords.keywords(self.TEXT, words=8).split("\n"))
+        assert len(ours_kw & theirs_kw) >= len(theirs_kw) // 2
+        ours_sum = textrank_summarize(self.TEXT, words=30)
+        theirs_sum = summa.summarizer.summarize(self.TEXT, words=30)
+        assert any(s and s in ours_sum for s in theirs_sum.split("\n"))
+
     def test_query_pins(self, ray_session):
         """keywords_summary over sf0.001: stable shape + self-consistent rerun."""
         from blockchainspider_ray.pipelines.queries import q_keywords_summary
