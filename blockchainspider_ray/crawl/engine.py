@@ -229,12 +229,14 @@ class CrawlEngine:
             )
             self._arrival += 1
         if hasattr(self.strategy, "pop_batch"):
-            # sharded strategies: k pops in O(shards) RPCs, mass pre-parked
+            # sharded strategies: k pops in O(shards) RPCs, mass pre-parked;
+            # hosts computed once per batch (vectorized), not per candidate
             while len(cands) < self.config.pop_k:
                 want = self.config.pop_k - len(cands)
                 batch = self.strategy.pop_batch(want)
-                for node, ctx, mass in batch:
-                    c = Candidate(url=node, host=host_of(node),
+                hosts = hosts_of_array([node for node, _, _ in batch])
+                for (node, ctx, mass), h in zip(batch, hosts):
+                    c = Candidate(url=node, host=h,
                                   priority=self._priority_of(ctx), ctx=dict(ctx),
                                   arrival=self._arrival)
                     c.mass = mass
@@ -782,6 +784,10 @@ class CrawlEngine:
                     restore_mass(self.strategy, cand.url, getattr(cand, "mass", None))
                     self.strategy.push(cand.url, adjacency.get(cand.url, []), **cand.ctx)
             self.fetched += len(new_found)
+            if hasattr(self.strategy, "prepare_pop"):
+                # all of this round's pool mutations are submitted — start
+                # the next pop's shard scans now so they overlap write/ckpt
+                self.strategy.prepare_pop(c.pop_k)
             _lap("push")
 
             if new_found:

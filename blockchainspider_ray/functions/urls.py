@@ -96,7 +96,7 @@ def host_of(url: str) -> str:
 
 
 def hosts_of_batch(urls: Sequence[str]) -> List[str]:
-    return [host_of(u) for u in urls]
+    return hosts_of_array(urls)
 
 
 # scheme://host[:port] with a plain (non-IPv6, userinfo-free) host — the

@@ -62,6 +62,15 @@ class _ChipShardCore:
             s = sum(d.values())
             if s > min_sum:  # strict, as the reference pop requires
                 cands.append((n, s, self.arrival.get(n, 0)))
+        if len(cands) > k > 0:
+            # O(n) selection instead of a full sort (see RankPool): keep
+            # everything above the k-th sum, break sum-ties by arrival asc
+            sums = np.fromiter((c[1] for c in cands), dtype=np.float64, count=len(cands))
+            part = np.argpartition(-sums, k - 1)[:k]
+            vk = sums[part].min()
+            keep = [c for c in cands if c[1] > vk]
+            ties = sorted((c for c in cands if c[1] == vk), key=lambda t: t[2])
+            cands = keep + ties[: k - len(keep)]
         cands.sort(key=lambda t: (-t[1], t[2]))
         return cands[:k]
 
@@ -110,6 +119,40 @@ class ChipPool:
             self.shards = [ChipShard.remote() for _ in range(num_shards)]
         else:
             self.shards = [_ChipShardCore() for _ in range(num_shards)]
+        # fire-and-forget mutation refs (per-actor FIFO ordering makes a
+        # later read observe them; see RankPool._note)
+        self._pending: list = []
+
+    def _note(self, refs: list) -> None:
+        self._pending.extend(refs)
+        if len(self._pending) >= 512:
+            ray.get(self._pending)
+            self._pending.clear()
+
+    def flush(self) -> None:
+        if self.use_ray and self._pending:
+            ray.get(self._pending)
+            self._pending.clear()
+
+    def __getstate__(self) -> dict:
+        """Checkpoint form: shard contents, never actor handles (see
+        RankPool.__getstate__)."""
+        self.flush()
+        return {
+            "num_shards": self.num_shards,
+            "use_ray": self.use_ray,
+            "states": self.snapshot(),
+        }
+
+    def __setstate__(self, st: dict) -> None:
+        self.num_shards = st["num_shards"]
+        self.use_ray = st["use_ray"]
+        self._pending = []
+        if self.use_ray:
+            self.shards = [ChipShard.remote() for _ in range(self.num_shards)]
+        else:
+            self.shards = [_ChipShardCore() for _ in range(self.num_shards)]
+        self.restore(st["states"])
 
     def _shard_of(self, node: Any) -> int:
         return int(url_hash64([str(node)])[0] % np.uint64(self.num_shards))
@@ -134,7 +177,7 @@ class ChipPool:
             b[2].append(v)
             b[3].append(a)
         if self.use_ray:
-            ray.get([self.shards[s].apply.remote(*b) for s, b in per_shard.items()])
+            self._note([self.shards[s].apply.remote(*b) for s, b in per_shard.items()])
         else:
             for s, b in per_shard.items():
                 self.shards[s].apply(*b)
@@ -171,6 +214,21 @@ class ChipPool:
         merged.sort(key=lambda t: (-t[1], t[2]))
         return merged[:k]
 
+    def top_k_submit(self, k: int, min_sum: float):
+        """Submit per-shard top-k scans without collecting (see RankPool)."""
+        if not self.use_ray:
+            return (k, min_sum, None)
+        return (k, min_sum, [s.top_candidates.remote(k, min_sum) for s in self.shards])
+
+    def top_k_collect(self, pre, k: int) -> List[Tuple[Any, float, int]]:
+        pk, ms, refs = pre
+        if refs is None:
+            return self.top_k(k, ms)
+        assert k <= pk
+        merged = [t for shard_tops in ray.get(refs) for t in shard_tops]
+        merged.sort(key=lambda t: (-t[1], t[2]))
+        return merged[:k]
+
     def top_candidate(self, min_sum: float) -> Optional[Tuple[Any, float, int]]:
         if self.use_ray:
             tops = ray.get([s.top_candidates.remote(1, min_sum) for s in self.shards])
@@ -184,6 +242,7 @@ class ChipPool:
 
     def snapshot(self) -> List[dict]:
         if self.use_ray:
+            self.flush()  # surface any deferred mutation error first
             return ray.get([s.snapshot.remote() for s in self.shards])
         return [s.snapshot() for s in self.shards]
 

@@ -52,6 +52,12 @@ class _RankShardCore:
     def take_many(self, nodes: List[Any]) -> Dict[Any, float]:
         return {n: self.take(n) for n in nodes}
 
+    def claim_many(self, nodes: List[Any]) -> Dict[Any, float]:
+        """mark_visited + take fused into one RPC (the batched-pop claim:
+        each popped node is marked visited and its mass parked)."""
+        self.visited.update(nodes)
+        return {n: self.take(n) for n in nodes}
+
     def mark_visited(self, node: Any) -> None:
         self.visited.add(node)
 
@@ -80,13 +86,44 @@ class _RankShardCore:
         return best
 
     def top_candidates(self, k: int, min_value: float, skip_visited: bool) -> List[Tuple[Any, float, int]]:
-        cands = [
-            (n, v, self.arrival.get(n, 0))
-            for n, v in self.value.items()
-            if v >= min_value and not (skip_visited and n in self.visited)
+        """Top-k by (value desc, arrival asc) via O(n) numpy selection —
+        a full Python sort of every node per pop round is the shard's
+        scale ceiling at 10^8+ nodes/shard.  Ties at the k-th value are
+        broken by arrival exactly as the full sort would."""
+        n = len(self.value)
+        if n == 0 or k <= 0:
+            return []
+        nodes = list(self.value.keys())
+        vals = np.fromiter(self.value.values(), dtype=np.float64, count=n)
+        mask = vals >= min_value
+        if skip_visited and self.visited:
+            mask &= np.fromiter(
+                (nd not in self.visited for nd in nodes), dtype=bool, count=n
+            )
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            return []
+        arr_get = self.arrival.get
+        if idx.size > k:
+            sub = vals[idx]
+            part = np.argpartition(-sub, k - 1)[:k]
+            vk = sub[part].min()  # k-th largest value
+            gt = idx[sub > vk]
+            eq = idx[sub == vk]
+            if gt.size + eq.size > k:  # break value-ties by arrival asc
+                eq_arr = np.fromiter(
+                    (arr_get(nodes[i], 0) for i in eq), dtype=np.int64, count=eq.size
+                )
+                eq = eq[np.argsort(eq_arr, kind="stable")][: k - gt.size]
+            idx = np.concatenate([gt, eq]) if gt.size else eq
+        sel_vals = vals[idx]
+        sel_arr = np.fromiter(
+            (arr_get(nodes[i], 0) for i in idx), dtype=np.int64, count=idx.size
+        )
+        order = np.lexsort((sel_arr, -sel_vals))
+        return [
+            (nodes[idx[i]], float(sel_vals[i]), int(sel_arr[i])) for i in order
         ]
-        cands.sort(key=lambda t: (-t[1], t[2]))
-        return cands[:k]
 
     def ranks(self) -> Dict[Any, float]:
         return dict(self.value)
@@ -119,6 +156,9 @@ class RankShard:
 
     def take_many(self, nodes):
         return self.core.take_many(nodes)
+
+    def claim_many(self, nodes):
+        return self.core.claim_many(nodes)
 
     def mark_visited(self, node):
         return self.core.mark_visited(node)
@@ -158,6 +198,47 @@ class RankPool:
             self.shards = [RankShard.remote() for _ in range(num_shards)]
         else:
             self.shards = [_RankShardCore() for _ in range(num_shards)]
+        # in-flight fire-and-forget mutation refs.  Ray orders actor tasks
+        # per (caller, actor) FIFO, so a read RPC submitted after a mutation
+        # RPC on the same shard always observes it — the driver never needs
+        # to block on pure mutations (apply/mark).  Refs are retained only
+        # to surface worker errors at the next barrier (flush/snapshot).
+        self._pending: List[Any] = []
+
+    def _note(self, refs: List[Any]) -> None:
+        self._pending.extend(refs)
+        if len(self._pending) >= 512:  # bounded in-flight backlog
+            ray.get(self._pending)
+            self._pending.clear()
+
+    def flush(self) -> None:
+        """Barrier: raise any deferred mutation error (called before
+        snapshot/ranks reads that feed checkpoints or results)."""
+        if self.use_ray and self._pending:
+            ray.get(self._pending)
+            self._pending.clear()
+
+    def __getstate__(self) -> dict:
+        """Checkpoint form: shard CONTENTS, never actor handles — a handle
+        pickled into a checkpoint dies with its Ray session, so a fresh
+        process could never resume (pre-r3 bug: sharded crawl --resume
+        crashed deserializing RankShard handles)."""
+        self.flush()
+        return {
+            "num_shards": self.num_shards,
+            "use_ray": self.use_ray,
+            "states": self.snapshot(),
+        }
+
+    def __setstate__(self, st: dict) -> None:
+        self.num_shards = st["num_shards"]
+        self.use_ray = st["use_ray"]
+        self._pending = []
+        if self.use_ray:
+            self.shards = [RankShard.remote() for _ in range(self.num_shards)]
+        else:
+            self.shards = [_RankShardCore() for _ in range(self.num_shards)]
+        self.restore(st["states"])
 
     def _shard_of(self, node: Any) -> int:
         return int(url_hash64([str(node)])[0] % np.uint64(self.num_shards))
@@ -189,7 +270,9 @@ class RankPool:
             b[1].append(d)
             b[2].append(a)
         if self.use_ray:
-            ray.get(
+            # fire-and-forget: per-actor FIFO ordering makes the next read
+            # on each shard see these deltas; no driver block needed
+            self._note(
                 [
                     self.shards[s].apply_deltas.remote(*b)
                     for s, b in per_shard.items()
@@ -220,15 +303,35 @@ class RankPool:
             out.update(p)
         return out
 
+    def claim_many(self, nodes: List[Any]) -> Dict[Any, float]:
+        """Batched pop-claim: mark visited AND park mass in ONE RPC wave
+        (vs separate mark_visited_many + take_many waves)."""
+        per_shard: Dict[int, List[Any]] = {}
+        for n, sh in zip(nodes, self._shards_of(nodes)):
+            per_shard.setdefault(sh, []).append(n)
+        out: Dict[Any, float] = {}
+        if self.use_ray:
+            parts = ray.get(
+                [self.shards[s].claim_many.remote(ns) for s, ns in per_shard.items()]
+            )
+        else:
+            parts = [self.shards[s].claim_many(ns) for s, ns in per_shard.items()]
+        for p in parts:
+            out.update(p)
+        return out
+
     def mark_visited(self, node: Any) -> None:
-        self._call(self._shard_of(node), "mark_visited", node)
+        if self.use_ray:
+            self._note([self.shards[self._shard_of(node)].mark_visited.remote(node)])
+        else:
+            self.shards[self._shard_of(node)].mark_visited(node)
 
     def mark_visited_many(self, nodes: List[Any]) -> None:
         per_shard: Dict[int, List[Any]] = {}
         for n, sh in zip(nodes, self._shards_of(nodes)):
             per_shard.setdefault(sh, []).append(n)
         if self.use_ray:
-            ray.get(
+            self._note(
                 [self.shards[s].mark_visited_many.remote(ns) for s, ns in per_shard.items()]
             )
         else:
@@ -236,14 +339,17 @@ class RankPool:
                 self.shards[s].mark_visited_many(ns)
 
     def mark_drainable(self, node: Any) -> None:
-        self._call(self._shard_of(node), "mark_drainable", node)
+        if self.use_ray:
+            self._note([self.shards[self._shard_of(node)].mark_drainable.remote(node)])
+        else:
+            self.shards[self._shard_of(node)].mark_drainable(node)
 
     def mark_drainable_many(self, nodes: List[Any]) -> None:
         per_shard: Dict[int, List[Any]] = {}
         for n, sh in zip(nodes, self._shards_of(nodes)):
             per_shard.setdefault(sh, []).append(n)
         if self.use_ray:
-            ray.get(
+            self._note(
                 [self.shards[s].mark_drainable_many.remote(ns) for s, ns in per_shard.items()]
             )
         else:
@@ -297,6 +403,30 @@ class RankPool:
         merged.sort(key=lambda t: (-t[1], t[2]))
         return merged[:k]
 
+    def top_k_submit(self, k: int, min_value: float, skip_visited: bool):
+        """Submit the per-shard top-k scans WITHOUT collecting — lets the
+        engine overlap the scan with its write/checkpoint stage.  Valid
+        only when no pool mutation happens between submit and collect
+        (per-actor FIFO ordering makes the scan observe everything
+        submitted before it)."""
+        if not self.use_ray:
+            return (k, min_value, skip_visited, None)
+        return (
+            k,
+            min_value,
+            skip_visited,
+            [s.top_candidates.remote(k, min_value, skip_visited) for s in self.shards],
+        )
+
+    def top_k_collect(self, pre, k: int) -> List[Tuple[Any, float, int]]:
+        pk, mv, sv, refs = pre
+        if refs is None:
+            return self.top_k(k, mv, sv)
+        assert k <= pk  # per-shard lists carry >= k candidates each
+        merged = [t for shard_tops in ray.get(refs) for t in shard_tops]
+        merged.sort(key=lambda t: (-t[1], t[2]))
+        return merged[:k]
+
     def ranks(self) -> Dict[Any, float]:
         if self.use_ray:
             parts = ray.get([s.ranks.remote() for s in self.shards])
@@ -309,6 +439,7 @@ class RankPool:
 
     def snapshot(self) -> List[dict]:
         if self.use_ray:
+            self.flush()  # surface any deferred mutation error first
             return ray.get([s.snapshot.remote() for s in self.shards])
         return [s.snapshot() for s in self.shards]
 

@@ -41,6 +41,13 @@ class FrontierStrategy:
     def get_node_rank(self) -> Dict:
         raise NotImplementedError
 
+    def __getstate__(self) -> dict:
+        """Strategies are pickled into checkpoints; drop the transient
+        pop-prefetch (in-flight ObjectRefs can't outlive the session)."""
+        state = self.__dict__.copy()
+        state.pop("_prefetch", None)
+        return state
+
 
 def _registry():
     from .bfs import BFS, Poison

@@ -71,17 +71,29 @@ class ShardedHaircut(FrontierStrategy):
         self.pool.mark_visited(node)
         return node, {"weight": weight}
 
+    def prepare_pop(self, k: int) -> None:
+        """Engine hook: submit the next pop's per-shard top-k scans right
+        after this round's pushes (all deltas are already in each shard's
+        FIFO queue, so the scan observes them) — the scan then overlaps the
+        engine's write/checkpoint stage instead of blocking the next pop.
+        Safe here because Haircut's pop performs no pre-pop mutation."""
+        self._prefetch = self.pool.top_k_submit(k, self.min_weight, True)
+
     def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
         """k pops in O(shards) RPCs: each sequential pop only zeroes the
         popped node (engine extract_mass) and marks it visited, so k pops
         equal the top-k of the starting snapshot.  Returns
         [(node, ctx, parked_mass)] in pop order."""
-        tops = self.pool.top_k(k, self.min_weight, skip_visited=True)
+        pre = getattr(self, "_prefetch", None)
+        self._prefetch = None
+        if pre is not None and pre[0] >= k:
+            tops = self.pool.top_k_collect(pre, k)
+        else:
+            tops = self.pool.top_k(k, self.min_weight, skip_visited=True)
         if not tops:
             return []
         nodes = [n for n, _, _ in tops]
-        self.pool.mark_visited_many(nodes)
-        taken = self.pool.take_many(nodes)
+        taken = self.pool.claim_many(nodes)  # mark visited + park, one wave
         return [(n, {"weight": w}, ("haircut", taken[n])) for n, w, _ in tops]
 
     def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
@@ -232,10 +244,21 @@ class ShardedTTRBase(FrontierStrategy):
             return None, {}
         return node, {"residual": r}
 
+    def prepare_pop(self, k: int) -> None:
+        """See ShardedHaircut.prepare_pop (TTR pop = plain top-k, no
+        pre-pop mutation, so the scan can be prefetched)."""
+        self._prefetch = self.pool.top_k_submit(k, self.epsilon, False)
+
     def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
         """k pops in O(shards) RPCs (see ShardedHaircut.pop_batch)."""
+        pre = getattr(self, "_prefetch", None)
+        self._prefetch = None
+        if pre is not None and pre[0] >= k:
+            raw = self.pool.top_k_collect(pre, k)
+        else:
+            raw = self.pool.top_k(k, self.epsilon, skip_visited=False)
         tops = [
-            t for t in self.pool.top_k(k, self.epsilon, skip_visited=False)
+            t for t in raw
             if t[1] > self.epsilon  # pop's strict threshold
         ]
         if not tops:
@@ -562,9 +585,18 @@ class _ShardedChipTTR(FrontierStrategy):
         node, s, _ = top
         return node, self._pop_context(s)
 
+    def prepare_pop(self, k: int) -> None:
+        """See ShardedHaircut.prepare_pop (chip-TTR pop = plain top-k)."""
+        self._prefetch = self.pool.top_k_submit(k, self.epsilon)
+
     def pop_batch(self, k: int) -> List[Tuple[Any, Dict, Any]]:
         """k pops in O(shards) RPCs (see ShardedHaircut.pop_batch)."""
-        tops = self.pool.top_k(k, self.epsilon)
+        pre = getattr(self, "_prefetch", None)
+        self._prefetch = None
+        if pre is not None and pre[0] >= k:
+            tops = self.pool.top_k_collect(pre, k)
+        else:
+            tops = self.pool.top_k(k, self.epsilon)
         if not tops:
             return []
         taken = self.pool.take_many([n for n, _, _ in tops])

@@ -268,3 +268,29 @@ def test_registry_exposes_chip_sharded_strategies():
     assert isinstance(s, ShardedTTRTime)
     s = load_strategy("ttr_redirect_sharded", source="n0", use_ray=False)
     assert isinstance(s, ShardedTTRAggregate)
+
+
+def test_sharded_strategy_pickle_carries_state_not_handles(ray_session):
+    """Checkpoint regression (r3): pickling a sharded strategy must embed
+    shard CONTENTS, not RankShard/ChipShard actor handles — a handle dies
+    with its Ray session, so `crawl --resume` in a fresh process crashed
+    deserializing it (pre-r3 bug).  Round-trip must rebuild working actors
+    with identical rank state, and any in-flight pop prefetch must be
+    dropped, not pickled."""
+    import pickle
+
+    from blockchainspider_ray.strategies.sharded import ShardedHaircut
+
+    s = ShardedHaircut(source="a", min_weight=1e-9, num_shards=2, use_ray=True)
+    s.push("a", [{"from": "a", "to": "b", "value": 3.0},
+                 {"from": "a", "to": "c", "value": 1.0}])
+    s.prepare_pop(4)  # leave a prefetch in flight on purpose
+    blob = pickle.dumps(s)
+    ranks_before = s.pool.ranks()
+
+    s2 = pickle.loads(blob)
+    assert not hasattr(s2, "_prefetch") or s2._prefetch is None
+    assert s2.pool.use_ray and s2.pool.shards[0] is not s.pool.shards[0]
+    assert s2.pool.ranks() == ranks_before
+    node, ctx = s2.pop()  # restored pool must actually serve pops
+    assert node == "b" and abs(ctx["weight"] - 0.75) < 1e-12
