@@ -467,6 +467,34 @@ def scaling(reps: int = 3) -> dict:
         if control_best[32] not in (0, float("inf"))
         else None
     )
+    # second N->4N pair at 4->16 CPUs: the high level leaves headroom on
+    # this single box's shared memory bus, so it shows what the pipeline
+    # does when the HARDWARE still scales — the regime a real N->4N
+    # cluster is in (each new node brings its own DRAM/disk bandwidth).
+    # 8->32 remains the reported stress pair; both travel in the artifact.
+    pair2 = {4: 0.0, 16: 0.0}
+    pair2_runs = {4: [], 16: []}
+    for _ in range(2):
+        for cpus in (4, 16):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                BENCH_INGEST="1",
+                BENCH_SKIP_SCALING="1",
+                BENCH_PAGES=os.environ.get("BENCH_SCALING_PAGES", str(BENCH_PAGES)),
+            )
+            p = subprocess.run(
+                [sys.executable, __file__, "--json-only"],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            rate = json.loads(p.stdout.strip().splitlines()[-1])["urls_per_sec"]
+            pair2_runs[cpus].append(rate)
+            pair2[cpus] = max(pair2[cpus], rate)
+            _log(f"cpus={cpus}: {rate} urls/s")
+    eff2 = (pair2[16] / pair2[4]) / 4 if pair2[4] else 0.0
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "value": round(eff, 3),
@@ -476,6 +504,13 @@ def scaling(reps: int = 3) -> dict:
         "efficiency": round(eff, 3),
         "runs": runs,
         "pass": eff >= 0.8,
+        "pair_4_to_16": {
+            "rate4": pair2[4],
+            "rate16": pair2[16],
+            "efficiency": round(eff2, 3),
+            "runs": pair2_runs,
+            "pass": eff2 >= 0.8,
+        },
         "cpu_control_efficiency": ctl_eff,
         "vs_control": round(eff / ctl_eff, 3) if ctl_eff else None,
         "cpu_control_s": {k: v for k, v in control_best.items() if v != float("inf")},
