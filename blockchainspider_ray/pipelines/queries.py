@@ -2870,6 +2870,10 @@ def _rolling_fp_oracle_sql(window: int = 8, keep: int = 4) -> str:
 
 ORACLE_SQL["rolling_fingerprints"] = _rolling_fp_oracle_sql()
 
+# With nprobe == n_clusters the IVF probe pass covers every bucket, so the
+# bucketed index must reproduce exact brute-force top-5 — same SQL mirror.
+ORACLE_SQL["ann_ivf_exact"] = ORACLE_SQL["ann_bruteforce"]
+
 
 
 
@@ -3056,6 +3060,26 @@ def q_ann_ivf(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     queries = emb.filter(expr="vec_id < 3").to_pandas()
     idx = IVFIndex(n_clusters=8, nprobe=3).build(emb)
+    out = idx.search(
+        queries["vec_id"].to_numpy(), np.stack(queries["embedding"].to_numpy()), k=5
+    ).to_pandas()
+    out["sim"] = _r(out["sim"].to_numpy(), 4)
+    return out
+
+
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF machinery under the DuckDB oracle: with ``nprobe == n_clusters``
+    every bucket is probed, so the bucketed index (unbiased hash-bottom-k
+    centroid sample + distributed Lloyd refinement + streaming per-bucket
+    probe pass) must reproduce the exact brute-force top-5 — same oracle
+    SQL as ``ann_bruteforce``.  The approximate path (``ann_ivf``,
+    nprobe < n_clusters) stays recall-tested in tests/test_similarity.py;
+    this entry pins the index build/assign/search plumbing itself."""
+    from ..stages.similarity import IVFIndex
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 3").to_pandas()
+    idx = IVFIndex(n_clusters=8, nprobe=8).build(emb)
     out = idx.search(
         queries["vec_id"].to_numpy(), np.stack(queries["embedding"].to_numpy()), k=5
     ).to_pandas()
@@ -3342,6 +3366,7 @@ SQL_QUERIES = {
     "wedge_count": q_wedge_count,
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
+    "ann_ivf_exact": q_ann_ivf_exact,
 }
 
 
