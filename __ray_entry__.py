@@ -9,10 +9,11 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (54 of
-                     the 72 queries, incl. full-value MinHash/SimHash/LSH-
-                     pairs/langid/rolling-fingerprint/embedding-near-dup
-                     mirrors and the recursive-CTE crawl-BFS mirrors); the
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (56 of
+                     the 74 queries, incl. full-value MinHash/SimHash/LSH-
+                     pairs/langid/rolling-fingerprint/embedding-near-dup/
+                     dedup-cluster/exact-IVF mirrors and the recursive-CTE
+                     crawl-BFS mirrors); the
                      rows-only rest
                      (weight-ranked crawls, IVF ANN, multimodal decode,
                      TextRank, checksum validation, MoTS motifs, Solana/

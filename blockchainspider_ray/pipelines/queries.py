@@ -2773,6 +2773,42 @@ ORACLE_SQL["minhash_dedup_pairs"] = (
         ORDER BY doc_a, doc_b"""
 )
 
+# connected components over the same LSH pair set: transitive closure via
+# recursive CTE (UNION-distinct terminates it), cluster = min reachable
+# node.  Closure volume is sum(|component|^2) — bounded at oracle scale
+# because LSH components are doc+clone pairs plus small injected dup
+# groups; the Ray side uses iterative label propagation instead.
+ORACLE_SQL["dedup_clusters"] = (
+    f"WITH RECURSIVE {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        ),
+        doubled AS (
+            SELECT doc_id, band_id, bucket FROM band
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, band_id, bucket FROM band
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM doubled a JOIN doubled b
+              ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id"""
+)
+
 # CJK-ratio + stopword-vote language guess (textstats.predict_lang): 'zh'
 # when >5% of chars are CJK, else the sorted-first language with the
 # strictly-highest distinct-stopword hit count, '' when nothing matches.
@@ -2932,10 +2968,11 @@ def q_minhash_signatures(sf_dir: str):
     return sig.map_batches(explode, batch_format="pyarrow").sort(["doc_id", "perm_id"])
 
 
-def q_minhash_dedup_pairs(sf_dir: str):
-    """LSH candidate pairs: doubled corpus (exact dups) -> shingle -> minhash
-    -> band buckets -> groupby -> pairs.  Every injected duplicate pair must
-    surface (tested in tests/test_dedup.py)."""
+def _minhash_pair_dataset(sf_dir: str):
+    """Distinct MinHash-LSH candidate-pair Dataset over the doubled corpus
+    (shared by ``minhash_dedup_pairs`` and ``dedup_clusters``): shingle ->
+    minhash -> band buckets -> groupby -> segment-capped pair emission ->
+    distinct.  Stays a lazy Dataset — nothing driver-materialized."""
     from ..stages.dedup import MinHashBands, MinHasher
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2973,13 +3010,20 @@ def q_minhash_dedup_pairs(sf_dir: str):
             }
         )
 
-    distinct = (
+    return (
         bands.groupby(["band_id", "bucket"])
         .map_groups(pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
         .sort(["doc_a", "doc_b"])
     )
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    """LSH candidate pairs: doubled corpus (exact dups) -> shingle -> minhash
+    -> band buckets -> groupby -> pairs.  Every injected duplicate pair must
+    surface (tested in tests/test_dedup.py)."""
+    distinct = _minhash_pair_dataset(sf_dir)
     out_dir = os.environ.get("MINHASH_PAIRS_OUT")
     if out_dir:
         # production sink: pairs stream straight to partitioned parquet —
@@ -2999,6 +3043,22 @@ def q_minhash_dedup_pairs(sf_dir: str):
     return pa.concat_tables(
         [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536)]
     )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Pairs -> clusters: the standard final step of near-dup dedup at
+    scale.  Connected components over the MinHash-LSH candidate-pair graph
+    (same pair set as ``minhash_dedup_pairs``), labelling every paired doc
+    with the minimum doc_id of its component — downstream "keep one
+    representative per cluster" is then a trivial filter
+    (doc_id == cluster_id).  Distributed iterative min-label propagation
+    (stages/dedup.py connected_components): each round shuffles only
+    (int64, int64) rows, convergence detected via a monotone label-sum
+    checksum.  Oracle: recursive-CTE transitive closure over the identical
+    DuckDB-recomputed pair set, cluster_id = min reachable node."""
+    from ..stages.dedup import connected_components
+
+    return connected_components(_minhash_pair_dataset(sf_dir)).sort("doc_id")
 
 
 def q_simhash(sf_dir: str):
@@ -3367,6 +3427,7 @@ SQL_QUERIES = {
     "sessionize": q_sessionize,
     "robots_filter": q_robots_filter,
     "ann_ivf_exact": q_ann_ivf_exact,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 

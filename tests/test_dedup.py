@@ -101,3 +101,27 @@ def test_bucket_cap_small_buckets_unchanged():
 
     ids = [5, 1, 9]
     assert emit_bucket_pairs(ids, cap=512) == [(1, 5), (1, 9), (5, 9)]
+
+
+def test_connected_components_labels_min_of_component(ray_session):
+    """Chain + separate pair + high-diameter path: every node labelled with
+    its component's min id; singleton-free (only paired nodes appear)."""
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.dedup import connected_components
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                # component {1,2,3,4} as a path (diameter 3), component
+                # {10,11}, component {20,21,22} as a triangle
+                "doc_a": pa.array([1, 2, 3, 10, 20, 20, 21], pa.int64()),
+                "doc_b": pa.array([2, 3, 4, 11, 21, 22, 22], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).take_all()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
