@@ -2809,6 +2809,43 @@ ORACLE_SQL["dedup_clusters"] = (
         FROM reach GROUP BY node ORDER BY doc_id"""
 )
 
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """3 unrolled power iterations over the arithmetic crawl link graph.
+    Per-term math mirrors stages/graph.py pagerank exactly ((0.85 * rank) /
+    outdeg, base 0.15/n, no dangling nodes: every doc has the t1 edge);
+    in-degree on this graph is <= 2, so the fold sum is order-exact and the
+    6-decimal rounding compare is noise-free."""
+    it = "\n".join(
+        f"""        r{k + 1} AS (
+            SELECT nodes.d AS node, 0.15 / nn.n + coalesce(c.s, 0) AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst, sum(0.85 * p.rank / dg.outdeg) AS s
+                FROM edges e JOIN r{k} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst) c ON c.dst = nodes.d
+        ),"""
+        for k in range(iters)
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS d FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM nodes, nn
+            UNION
+            SELECT d AS src, (d + 10) % nn.n AS dst FROM nodes, nn
+            WHERE ((d + 10) % nn.n) % 10 = d % 10
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT d AS node, 1.0 / nn.n AS rank FROM nodes, nn),
+{it}
+        fin AS (SELECT * FROM r{iters})
+        SELECT node AS doc_id, round(rank, 6) AS pagerank
+        FROM fin ORDER BY node
+    """
+
+
+ORACLE_SQL["pagerank"] = _pagerank_oracle_sql()
+
 # CJK-ratio + stopword-vote language guess (textstats.predict_lang): 'zh'
 # when >5% of chars are CJK, else the sorted-first language with the
 # strictly-highest distinct-stopword hit count, '' when nothing matches.
@@ -3043,6 +3080,53 @@ def q_minhash_dedup_pairs(sf_dir: str):
     return pa.concat_tables(
         [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536)]
     )
+
+
+def q_pagerank(sf_dir: str):
+    """Batch PageRank over the crawl store's REAL extracted link graph —
+    the offline whole-graph complement of the push-based APPR/TTR crawl
+    strategies (page importance as a quality prior / frontier seed score).
+    Pages -> extract_links_stage -> canonical found-page edges -> 3
+    power iterations via stages/graph.py pagerank (tagged-union groupby
+    message pass; only scalar-pair rows shuffle).  Oracle: the same
+    arithmetic link graph (t1 = 7d+1, same-host t3 = d+10 — the
+    query-string/dangling/cdn links canonicalize to non-store URLs and are
+    filtered) with 3 unrolled iterations in SQL."""
+    import ray.data as rd
+
+    from ..stages.graph import pagerank
+    from ..stages.parse import extract_links_stage
+
+    store = _crawl_store_for(sf_dir)
+    # partitioning=None + columns= together trip a ray 2.49 parquet-reader
+    # bug (UnboundLocalError in _infer_data_and_partition_columns);
+    # select_columns gets projection-pushed by the optimizer instead
+    pages = rd.read_parquet(store, partitioning=None).select_columns(["url", "html"])
+    pat = re.compile(r"^http://site\d+\.example/d/(\d+)$")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        links = extract_links_stage(b, include_scripts=False)
+        es, ed = [], []
+        for s, d in zip(
+            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
+        ):
+            ms, md = pat.match(s), pat.match(d)
+            if ms and md:
+                es.append(int(ms.group(1)))
+                ed.append(int(md.group(1)))
+        return pa.table(
+            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64())}
+        )
+
+    edges = (
+        pages.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85).sort("node").to_pandas()
+    ranks = ranks.rename(columns={"node": "doc_id", "rank": "pagerank"})
+    ranks["pagerank"] = _r(ranks["pagerank"].to_numpy(), 6)
+    return ranks
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -3428,6 +3512,7 @@ SQL_QUERIES = {
     "robots_filter": q_robots_filter,
     "ann_ivf_exact": q_ann_ivf_exact,
     "dedup_clusters": q_dedup_clusters,
+    "pagerank": q_pagerank,
 }
 
 

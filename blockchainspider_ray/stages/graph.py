@@ -1,0 +1,145 @@
+"""Batch graph analytics over link-edge Datasets.
+
+The crawl strategies (strategies/appr.py, ttr.py) are PUSH-based: they
+rank the frontier incrementally while the crawl runs, one residual push
+per fetched page — the right shape for steering a live crawl.  This
+module is the complementary BATCH shape: whole-graph power iteration over
+an already-extracted edge Dataset, the form a training-data pipeline uses
+to score an entire 10^10-URL link graph offline (page importance as a
+quality prior, crawl-frontier seeding, spam demotion).
+
+Dataflow per iteration (``pagerank``): one tagged-union ``groupby(src)``
+that joins each node's current rank onto its out-edges and emits
+``damping * rank / outdeg`` per edge, then one ``groupby(node).sum()``
+that folds incoming contributions — every shuffled row is a pair of
+int64/float64 scalars, never adjacency lists, so skewed in-degree (the
+web's power law) costs one hot reducer key at worst, and out-degree skew
+is bounded by the per-group edge fan-out of a single src.  Dangling-node
+mass is folded via a sentinel key + O(1) driver-side scalar, matching the
+standard PageRank formulation.  Iteration count is a fixed parameter (the
+SQL oracle unrolls the same count); convergence-driven stopping would
+just compare successive rank sums the way connected_components does.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_DANGLING_KEY = -1
+
+
+def pagerank(edges, iters: int = 3, damping: float = 0.85):
+    """Power-iteration PageRank over an int64 ``(src, dst)`` edge Dataset.
+
+    Returns a Dataset ``(node, rank)`` covering every node that appears as
+    a src or dst.  Parallel edges should be pre-deduplicated by the caller
+    (outdeg counts edge rows).  Ranks sum to 1 over the node set.
+    """
+    from ray.data.aggregate import Sum
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("src").combine_chunks(), pa.int64())
+        d = pc.cast(b.column("dst").combine_chunks(), pa.int64())
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    def dedup_first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    nodes = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(dedup_first, batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column("rank", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+
+    ranks = nodes.map_batches(
+        lambda b, _n=n: pa.table(
+            {
+                "node": b.column("node"),
+                "rank": pa.array([1.0 / _n] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def as_rank_msgs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "dst": pa.nulls(b.num_rows, pa.int64()),
+                "rank": b.column("rank"),
+            }
+        )
+
+    def as_edge_msgs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b.column("src").combine_chunks(), pa.int64()),
+                "dst": pc.cast(b.column("dst").combine_chunks(), pa.int64()),
+                "rank": pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def spread(g: pa.Table, _damping=damping) -> pa.Table:
+        rank = pc.min(g.column("rank")).as_py()  # exactly one non-null rank row
+        outs = pc.drop_null(g.column("dst").combine_chunks())
+        node = g.column("key")[0].as_py()
+        k = len(outs)
+        if k == 0:
+            # dangling: whole rank routed to the sentinel collector key
+            return pa.table(
+                {
+                    "node": pa.array([node, _DANGLING_KEY], pa.int64()),
+                    "val": pa.array([0.0, rank], pa.float64()),
+                }
+            )
+        # zero self-row keeps zero-in-degree nodes in the next rank set
+        out_nodes = pa.concat_arrays([outs, pa.array([node], pa.int64())])
+        contrib = _damping * rank / k
+        return pa.table(
+            {
+                "node": out_nodes,
+                "val": pa.array([contrib] * k + [0.0], pa.float64()),
+            }
+        )
+
+    for _ in range(iters):
+        sums = (
+            ranks.map_batches(as_rank_msgs, batch_format="pyarrow")
+            .union(edges.map_batches(as_edge_msgs, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(spread, batch_format="pyarrow")
+            .groupby("node")
+            .sum("val")
+            .map_batches(
+                lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        dangling = (
+            sums.filter(expr=f"node == {_DANGLING_KEY}").aggregate(Sum("val"))["sum(val)"]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def fold(b: pa.Table, _base=base) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "rank": pc.add(b.column("val"), _base),
+                }
+            )
+
+        ranks = (
+            sums.filter(expr=f"node != {_DANGLING_KEY}")
+            .map_batches(fold, batch_format="pyarrow")
+            .materialize()
+        )
+    return ranks
