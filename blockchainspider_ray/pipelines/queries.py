@@ -565,6 +565,139 @@ def q_token_count(sf_dir: str):
     return docs.map_batches(cnt, batch_format="pyarrow").sort("doc_id")
 
 
+def q_token_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the per-doc token-count distribution
+    — the length-filter thresholds a training-data pipeline tunes.  Shape:
+    per-batch value-count combiner -> groupby(value).sum -> the DISTINCT-
+    VALUE histogram (O(distinct token counts), never O(docs)) sorts and
+    cumsums driver-side; quantile q = the value at 1-indexed sorted
+    position ceil(q * N).  Exact at any scale without a full sort of the
+    data — the histogram stays tiny because token counts are small ints."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        counts = np.array(
+            [len(re.findall(r"\S+", t)) for t in b.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        vals, cnts = np.unique(counts, return_counts=True)
+        return pa.table(
+            {
+                "n_tokens": pa.array(vals, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    import math
+
+    import pandas as pd
+
+    h = (
+        docs.map_batches(vc, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values("n_tokens")
+        .reset_index(drop=True)
+    )
+    total = int(h["cnt"].sum())
+    cum = h["cnt"].cumsum().to_numpy()
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = [
+        int(h["n_tokens"][int(np.searchsorted(cum, math.ceil(q * total)))])
+        for q in qs
+    ]
+    return pd.DataFrame({"q": pd.array(qs, dtype="float64"), "n_tokens": pd.array(vals, dtype="int64")})
+
+
+def q_hash_sample(sf_dir: str, pct: int = 10):
+    """Deterministic hash-based sampling (eval-split / subsample primitive):
+    keep doc iff md5_low64(doc_id) % 100 < pct.  Reproducible across runs,
+    cluster sizes and partitionings (pure per-row filter, no shuffle, no
+    RNG state), unlike ``Dataset.random_sample``."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        mask = pa.array([_stable_h64(str(i)) % 100 < pct for i in ids], pa.bool_())
+        return b.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+_BM25_TERMS = ("join", "scan", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_scores(sf_dir: str):
+    """BM25 relevance of every document against a fixed term set — the
+    retrieval-quality scoring primitive (quality-classifier feature /
+    targeted-corpus mining).  Two-pass combiner shape: pass 1 reduces
+    per-batch partial (df per term, total len, N) to a driver-side scalar
+    triple (tiny — one row per term), pass 2 scores each doc inside
+    map_batches with the broadcast idf/avg_len constants.  No shuffle ever
+    carries documents; per-term math mirrors the SQL oracle term-for-term
+    (Lucene idf: ln((N - df + 0.5) / (df + 0.5) + 1))."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def partial_stats(b: pa.Table) -> pa.Table:
+        toks_all = [re.findall(r"\S+", t) for t in b.column("text").to_pylist()]
+        df = {t: 0 for t in terms}
+        for ts in toks_all:
+            s = set(ts)
+            for t in terms:
+                if t in s:
+                    df[t] += 1
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + ["__len__", "__n__"], pa.string()),
+                "val": pa.array(
+                    [df[t] for t in terms]
+                    + [sum(len(ts) for ts in toks_all), len(toks_all)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    stats = {
+        r["term"]: r["sum(val)"]
+        for r in docs.map_batches(partial_stats, batch_format="pyarrow")
+        .groupby("term")
+        .sum("val")
+        .take_all()
+    }
+    n_docs = stats["__n__"]
+    avg_len = stats["__len__"] / n_docs
+    idf = {
+        t: float(np.log((n_docs - stats[t] + 0.5) / (stats[t] + 0.5) + 1.0))
+        for t in terms
+    }
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        out = []
+        for t_text in b.column("text").to_pylist():
+            ts = re.findall(r"\S+", t_text)
+            dl = len(ts)
+            s = 0.0
+            for t in terms:
+                tf = ts.count(t)
+                s += (
+                    idf[t]
+                    * tf
+                    * (_BM25_K1 + 1)
+                    / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avg_len))
+                )
+            out.append(float(_r(s, 4)))
+        return pa.table({"doc_id": ids, "bm25": pa.array(out, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
@@ -2295,6 +2428,58 @@ ORACLE_SQL: Dict[str, str] = {
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
         FROM documents ORDER BY doc_id
     """,
+    # quantile q = value at 1-indexed sorted position ceil(q * N); 0.9/0.99
+    # deliberately go through the same double multiply + ceil on both sides
+    # (0.9 * 500 = 450.0000...6 -> rank 451 in BOTH engines)
+    "token_quantiles": """
+        WITH c AS (
+            SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS total FROM c),
+        r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens) AS rn FROM c),
+        qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+        SELECT qs.q, r.n_tokens
+        FROM qs CROSS JOIN n
+        JOIN r ON r.rn = CAST(ceil(qs.q * n.total) AS BIGINT)
+        ORDER BY qs.q
+    """,
+    "hash_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+        ORDER BY doc_id
+    """,
+    # Lucene-variant BM25; constants written as (1.2 + 1) etc. so the SQL
+    # evaluates the SAME doubles as the Python (the literal 2.2 is a
+    # different double than 1.2 + 1)
+    "bm25_scores": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n, sum(len(toks)) * 1.0 / count(*) AS avg_len FROM toks
+        ),
+        terms(term) AS (VALUES ('join'), ('scan'), ('spark')),
+        df AS (
+            SELECT term,
+                   sum(CASE WHEN list_contains(t.toks, term) THEN 1 ELSE 0 END) AS df
+            FROM toks t CROSS JOIN terms GROUP BY term
+        ),
+        tf AS (
+            SELECT t.doc_id, term,
+                   len(list_filter(t.toks, w -> w = term)) AS tf,
+                   len(t.toks) AS dl
+            FROM toks t CROSS JOIN terms
+        )
+        SELECT tf.doc_id,
+               round(sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                         * tf.tf * (1.2 + 1)
+                         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avg_len))),
+                     4) AS bm25
+        FROM tf JOIN df USING (term) CROSS JOIN stats s
+        GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
     "jaccard_pairs": """
         WITH t AS (
             SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
@@ -3513,6 +3698,9 @@ SQL_QUERIES = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "dedup_clusters": q_dedup_clusters,
     "pagerank": q_pagerank,
+    "token_quantiles": q_token_quantiles,
+    "hash_sample": q_hash_sample,
+    "bm25_scores": q_bm25_scores,
 }
 
 
