@@ -5,6 +5,7 @@ reference (README.md:36-87) mapped onto the Ray-Data engine:
         --strategy bfs --pop-k 64 --host-budget 8 --out OUT --checkpoint CKPT
     python -m blockchainspider_ray bulk-parse --store DIR --out OUT
     python -m blockchainspider_ray gen-store --out DIR --pages 10000
+    python -m blockchainspider_ray query <name> --sf-dir DIR [--out PARQUET]
 
 Owns its Ray session (the library never calls ray.init; the driver-facing
 ``__ray_entry__`` contract stays session-free).
@@ -102,6 +103,41 @@ def cmd_gen_store(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+
+    from .pipelines.queries import NOSQL_QUERIES, SQL_QUERIES
+
+    registry = {**SQL_QUERIES, **NOSQL_QUERIES}
+    if args.list or args.name is None:
+        for name in sorted(registry):
+            print(name)
+        return 0
+    if args.name not in registry:
+        print(f"unknown query {args.name!r}; --list shows all", file=sys.stderr)
+        return 2
+    res = registry[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, pd.DataFrame):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        if isinstance(res, pa.Table):
+            import ray.data
+
+            res = ray.data.from_arrow(res)
+        # Dataset.write_parquet → one file per block: partitioned output, a
+        # failed run re-lists the directory instead of re-running finished
+        # partitions
+        res.write_parquet(args.out)
+        print(json.dumps({"query": args.name, "out": args.out}))
+    else:
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        print(res.head(args.head).to_string())
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="blockchainspider_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -140,6 +176,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--partitions", type=int, default=16)
     g.add_argument("--page-bytes", type=int, default=0)
     g.set_defaults(fn=cmd_gen_store)
+
+    q = sub.add_parser(
+        "query", help="run a registered pipeline over an sf dir (parquet out or preview)"
+    )
+    q.add_argument("name", nargs="?", default=None, help="query name (omit or --list to enumerate)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None, help="write result as partitioned parquet")
+    q.add_argument("--head", type=int, default=20, help="preview rows when no --out")
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=cmd_query)
     return p
 
 

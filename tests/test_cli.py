@@ -58,3 +58,25 @@ def test_cli_end_to_end(tmp_path):
     _run("bulk-parse", "--store", store, "--out", parsed)
     t = pads.dataset(parsed).to_table()
     assert t.num_rows == 600 and "text_extracted" in t.column_names
+
+
+def test_cli_query_parquet_and_preview(tmp_path):
+    out_dir = str(tmp_path / "q_out")
+    res = _run(
+        "query", "token_count", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out_dir,
+    )
+    assert res == {"query": "token_count", "out": out_dir}
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out_dir).to_table()
+    assert t.num_rows == 500 and set(t.column_names) == {"doc_id", "n_tokens"}
+
+    # --list enumerates the registry (plain lines, not JSON)
+    p = subprocess.run(
+        [sys.executable, "-m", "blockchainspider_ray", "query", "--list"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert p.returncode == 0
+    names = p.stdout.split()
+    assert "token_count" in names and "pagerank" in names and len(names) >= 70
