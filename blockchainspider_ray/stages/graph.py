@@ -46,6 +46,12 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
     def dedup_first(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
 
+    # pin the edge list once: it is consumed by nodes, the dangling probe
+    # and every iteration's union — left lazy, each consumer would re-run
+    # the caller's whole upstream pipeline (parse, link extraction, ...).
+    # Edges are two int64 columns; the object store spills them if needed.
+    edges = edges.materialize()
+
     nodes = (
         edges.map_batches(endpoints, batch_format="pyarrow")
         .groupby("node")
@@ -68,6 +74,23 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
         ),
         batch_format="pyarrow",
     ).materialize()
+
+    # dangling-free graphs (every node has an out-edge) skip the
+    # per-iteration sentinel aggregate + filter — one Dataset execution per
+    # iteration instead of three (the common web-graph case after link
+    # filtering; fixed per-execution overhead dominates small inputs)
+    n_srcs = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {"node": pc.cast(b.column("src").combine_chunks(), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(dedup_first, batch_format="pyarrow")
+        .count()
+    )
+    has_dangling = n_srcs < n
 
     def as_rank_msgs(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -123,11 +146,18 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
             )
             .materialize()
         )
-        dangling = (
-            sums.filter(expr=f"node == {_DANGLING_KEY}").aggregate(Sum("val"))["sum(val)"]
-            or 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
+        if has_dangling:
+            dangling = (
+                sums.filter(expr=f"node == {_DANGLING_KEY}").aggregate(Sum("val"))[
+                    "sum(val)"
+                ]
+                or 0.0
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            folded = sums.filter(expr=f"node != {_DANGLING_KEY}")
+        else:
+            base = (1.0 - damping) / n
+            folded = sums  # no sentinel rows exist
 
         def fold(b: pa.Table, _base=base) -> pa.Table:
             return pa.table(
@@ -137,9 +167,5 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
                 }
             )
 
-        ranks = (
-            sums.filter(expr=f"node != {_DANGLING_KEY}")
-            .map_batches(fold, batch_format="pyarrow")
-            .materialize()
-        )
+        ranks = folded.map_batches(fold, batch_format="pyarrow")
     return ranks
