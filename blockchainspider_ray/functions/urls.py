@@ -130,13 +130,15 @@ def _blake2b64(s: str) -> int:
 
 
 def url_hash64(urls: Sequence[Optional[str]]) -> np.ndarray:
-    """Vectorized 64-bit key for a batch of canonical URLs -> uint64 array."""
+    """Vectorized 64-bit key for a batch of canonical URLs -> uint64 array.
+
+    Accepts a polars Series directly (no list round-trip — the engine's
+    round loop holds its frontier as polars columns)."""
     if pl is not None:
-        return (
-            pl.Series("u", list(urls), dtype=pl.String)
-            .fill_null("")
-            .hash(seed=HASH_SEED)
-            .to_numpy()
-            .astype(np.uint64)
+        s = (
+            urls
+            if isinstance(urls, pl.Series)
+            else pl.Series("u", list(urls), dtype=pl.String)
         )
+        return s.fill_null("").hash(seed=HASH_SEED).to_numpy().astype(np.uint64)
     return np.array([_blake2b64(u or "") for u in urls], dtype=np.uint64)

@@ -14,6 +14,7 @@ min(H, P) partitions in parallel Ray read tasks.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -50,9 +51,10 @@ class _FetchShard:
     # amplification), and successive rounds hit the SAME row groups (a 12k-url
     # crawl over 782 groups touches each ~15x).  Caching the decoded Arrow
     # table turns those re-reads into in-memory filters.  Entry-count cap;
-    # at production page sizes configure by bytes instead (RG_CACHE_MAX=0
-    # disables).
-    RG_CACHE_MAX = 192
+    # at production page sizes configure by bytes instead.  BCS_RG_CACHE_MAX
+    # overrides (0 disables — the scaling bench uses that so both cluster
+    # sizes pay real decode work instead of measuring aggregate cache size).
+    RG_CACHE_MAX = int(os.environ.get("BCS_RG_CACHE_MAX", "192"))
 
     def __init__(self):
         from collections import OrderedDict
