@@ -9,8 +9,8 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (60 of
-                     the 78 queries, incl. full-value MinHash/SimHash/LSH-
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (61 of
+                     the 79 queries, incl. full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/
                      dedup-cluster/exact-IVF mirrors and the recursive-CTE
                      crawl-BFS mirrors); the

@@ -2994,6 +2994,48 @@ ORACLE_SQL["dedup_clusters"] = (
         FROM reach GROUP BY node ORDER BY doc_id"""
 )
 
+# SimHash banded Hamming pairs over the doubled corpus: fingerprints via
+# the same full-value chain as ORACLE_SQL['simhash'], 4 x 16-bit bands,
+# candidate = shared (band_id, band_val), verified bit_count(xor) <= 3
+ORACLE_SQL["simhash_pairs"] = r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+    th AS (SELECT doc_id, md5_number_lower(unnest(w)) AS h FROM toks),
+    bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+    acc AS (
+        SELECT th.doc_id, bits.bit,
+               SUM(CASE WHEN (th.h >> bits.bit) & 1::UBIGINT = 1::UBIGINT
+                   THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN bits GROUP BY th.doc_id, bits.bit
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << bit) ELSE 0 END)
+                    AS UBIGINT) AS v
+        FROM acc GROUP BY doc_id
+    ),
+    doubled AS (
+        SELECT doc_id, v FROM fp
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, v FROM fp
+    ),
+    bands AS (
+        SELECT doc_id, v, b.band_id,
+               (v >> CAST(16 * b.band_id AS UBIGINT)) & 65535::UBIGINT AS band_val
+        FROM doubled CROSS JOIN
+             (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.v AS va, c.doc_id AS doc_b, c.v AS vb
+        FROM bands a JOIN bands c
+          ON a.band_id = c.band_id AND a.band_val = c.band_val
+         AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(va, vb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(va, vb)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
 def _pagerank_oracle_sql(iters: int = 3) -> str:
     """3 unrolled power iterations over the arithmetic crawl link graph.
     Per-term math mirrors stages/graph.py pagerank exactly ((0.85 * rank) /
@@ -3337,6 +3379,82 @@ def q_simhash(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"])
         .map_batches(_cached_stage(SimHasher), batch_format="pyarrow")
         .sort("doc_id")
+    )
+
+
+def q_simhash_pairs(sf_dir: str, t: int = 3):
+    """SimHash near-dup PAIRS (Manku et al. banded Hamming join): 64-bit
+    fingerprint -> 4 x 16-bit bands (pigeonhole: any pair with hamming <= 3
+    shares at least one exact band) -> groupby(band_id, band_val) -> pairs
+    within bucket verified hamming <= t.  The fingerprint rides along in
+    the band rows, so verification happens inside the group with no
+    fingerprint join; shuffle rows are 4 scalars.  Doubled corpus (clones
+    at doc_id+10000) guarantees exact-dup pairs like minhash_dedup_pairs.
+    Oracle recomputes fingerprints via the simhash full-value SQL mirror
+    and the identical band join + bit_count filter."""
+    from ..stages.dedup import LSH_BUCKET_CAP, SimHasher, emit_bucket_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clone(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        txt = b.column("text")
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids + 10000]), pa.int64()),
+                "text": pa.concat_arrays([txt.combine_chunks(), txt.combine_chunks()]),
+            }
+        )
+
+    fps = docs.map_batches(clone, batch_format="pyarrow").map_batches(
+        _cached_stage(SimHasher), batch_format="pyarrow"
+    )
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        v = np.array(
+            [int(h, 16) for h in b.column("simhash").to_pylist()], dtype=np.uint64
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "fp": pa.array(np.tile(v, 4), pa.uint64()),
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int64), n), pa.int64()),
+                "band_val": pa.array(
+                    np.concatenate(
+                        [(v >> np.uint64(16 * k)) & np.uint64(0xFFFF) for k in range(4)]
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_pylist()
+        fp = dict(zip(ids, (int(x) for x in g.column("fp").to_pylist())))
+        out_a, out_b, out_h = [], [], []
+        for a, b_ in emit_bucket_pairs(ids, cap=LSH_BUCKET_CAP):
+            h = (fp[a] ^ fp[b_]).bit_count()
+            if h <= t:
+                out_a.append(a)
+                out_b.append(b_)
+                out_h.append(h)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return (
+        fps.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
     )
 
 
@@ -3701,6 +3819,7 @@ SQL_QUERIES = {
     "token_quantiles": q_token_quantiles,
     "hash_sample": q_hash_sample,
     "bm25_scores": q_bm25_scores,
+    "simhash_pairs": q_simhash_pairs,
 }
 
 
