@@ -9,11 +9,14 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (61 of
-                     the 79 queries, incl. full-value MinHash/SimHash/LSH-
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (66 of
+                     the 84 queries, incl. full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/
-                     dedup-cluster/exact-IVF mirrors and the recursive-CTE
-                     crawl-BFS mirrors); the
+                     dedup-cluster/exact-IVF mirrors, the recursive-CTE
+                     crawl-BFS mirrors, and the web-text curation set:
+                     PII redaction, Gopher quality rules, 4-gram eval-set
+                     decontamination, sequence packing, duplicate-span
+                     fractions); the
                      rows-only rest
                      (weight-ranked crawls, IVF ANN, multimodal decode,
                      TextRank, checksum validation, MoTS motifs, Solana/

@@ -698,6 +698,292 @@ def q_bm25_scores(sf_dir: str):
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+# PII scrub patterns, applied IN ORDER (email first so its digit runs are
+# gone before the ip/phone passes).  Both sides of the oracle run the same
+# RE2 engine: pyarrow.compute's replace_substring_regex / count_-
+# substring_regex here, DuckDB's regexp_replace/regexp_extract_all in SQL —
+# identical non-overlapping left-to-right match semantics by construction.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over text — the scrub stage every web-text training
+    pipeline runs before tokenization.  Because the synthetic corpus
+    contains no organic PII, both the query and its SQL mirror append the
+    same deterministic contact line (email + ipv4 + phone derived from
+    doc_id) so the oracle exercises real replacements, not a no-op.  Fully
+    vectorized: the three regex passes run as pyarrow RE2 kernels over the
+    whole column; no Python-level per-row regex."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        full = pa.array(
+            [
+                f"{t} contact user{d}@mail.example ip 10.0.{d % 256}.{d // 256 % 256}"
+                f" tel 555-{d % 1000:03d}-0199"
+                for t, d in zip(texts, ids)
+            ],
+            pa.string(),
+        )
+        n_pii = np.zeros(len(texts), dtype=np.int64)
+        for pat, rep in _PII_PATTERNS:
+            n_pii += pc.count_substring_regex(full, pat).to_numpy(zero_copy_only=False)
+            full = pc.replace_substring_regex(full, pat, rep)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "clean": full,
+                "n_pii": pa.array(n_pii, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality filter rules (Rae et al. 2021,
+    §A1.1): per-doc word count, mean word length, distinct-word fraction
+    and top-bigram fraction, plus the combined keep/drop verdict.  All
+    metrics are per-row token statistics — a pure map stage, no shuffle;
+    thresholds are evaluated on the raw doubles (identical to the SQL
+    mirror) and only the OUTPUT columns are rounded."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_l, mwl_l, uq_l, top_l, keep_l = [], [], [], [], []
+        for t in b.column("text").to_pylist():
+            toks = re.findall(r"\S+", t)
+            n = len(toks)
+            mwl = sum(map(len, toks)) / n
+            uq = len(set(toks)) / n
+            if n >= 2:
+                top = max(Counter(zip(toks, toks[1:])).values()) / (n - 1)
+            else:
+                top = 0.0
+            keep = int(
+                30 <= n <= 100000 and 3.0 <= mwl <= 10.0 and uq >= 0.45 and top <= 0.10
+            )
+            n_l.append(n)
+            mwl_l.append(mwl)
+            uq_l.append(uq)
+            top_l.append(top)
+            keep_l.append(keep)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(n_l, pa.int64()),
+                "mean_word_len": pa.array(_r(mwl_l, 6), pa.float64()),
+                "uniq_frac": pa.array(_r(uq_l, 6), pa.float64()),
+                "top_bigram_frac": pa.array(_r(top_l, 6), pa.float64()),
+                "keep": pa.array(keep_l, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rules, batch_format="pyarrow").sort("doc_id")
+
+
+def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 97):
+    """Benchmark decontamination: the held-out split (md5(doc_id) % 97 == 0,
+    the eval-set stand-in) contributes a distinct-4-gram blocklist; every
+    training doc reports how many of its 4-gram positions hit the blocklist
+    and whether it is contaminated at all.  Shape: pass 1 reduces the test
+    split to a gram set (bounded by the EVAL set's size — decontamination
+    lists are benchmark-scale, not corpus-scale) broadcast once via
+    ray.put; pass 2 is a pure map over the training split.  If the eval
+    side ever outgrew a broadcast, the fallback is the dup-span shuffle
+    shape (q_dup_span_fraction): emit (gram, doc) rows and groupby(gram)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.dedup import _stable_h64
+
+    def test_grams(b: pa.Table) -> pa.Table:
+        out = set()
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                toks = re.findall(r"\S+", t)
+                out.update(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    blocklist = set(
+        docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()["g"]
+    )
+    ref = ray.put(blocklist)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        ids, hits = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                continue
+            toks = re.findall(r"\S+", t)
+            ids.append(d)
+            hits.append(
+                sum(
+                    " ".join(toks[i : i + n]) in bl
+                    for i in range(len(toks) - n + 1)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array([int(h > 0) for h in hits], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 256, bucket: int = 64):
+    """Sequence packing for training: concatenate docs in doc_id order and
+    chunk the token stream into fixed ``budget``-token sequences; each doc
+    is assigned the sequence where its first token lands (concat-then-chunk
+    packing).  The global prefix sum is distributed: bucket docs by
+    doc_id // bucket, pass 1 reduces per-bucket token totals (tiny — one
+    row per bucket) so the driver computes exclusive bucket offsets, pass 2
+    finishes the cumsum inside groupby(bucket).map_groups.  At 10^10 docs
+    raise ``bucket`` so the offset table stays driver-sized; no stage ever
+    holds more than one bucket of rows."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        n = np.array(
+            [len(re.findall(r"\S+", t)) for t in b.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "bkt": pa.array(ids // bucket, pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(tk, batch_format="pyarrow").materialize()
+    bs = (
+        counts.groupby("bkt")
+        .sum("n_tokens")
+        .to_pandas()
+        .sort_values("bkt")
+        .reset_index(drop=True)
+    )
+    cum = bs["sum(n_tokens)"].cumsum().shift(1, fill_value=0).astype("int64")
+    offsets = dict(zip(bs["bkt"].astype("int64"), cum))
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        start = int(off[int(df["bkt"].iloc[0])]) + (
+            df["n_tokens"].cumsum() - df["n_tokens"]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "seq_id": (start // budget).astype("int64"),
+            }
+        )
+
+    return counts.groupby("bkt").map_groups(assign, batch_format="pandas").sort("doc_id")
+
+
+def q_dup_span_fraction(sf_dir: str, n: int = 5):
+    """Exact duplicate-span signal (the n-gram-granular cousin of Lee et
+    al. 2022's exact substring dedup): for every doc, the fraction of its
+    5-gram token positions whose gram occurs in >= 2 distinct documents
+    corpus-wide.  Shape: docs emit (gram, doc_id, positional count) rows
+    pre-aggregated per doc; groupby(gram) decides duplication inside each
+    group (a gram's group holds one row per doc, never the corpus); the
+    per-doc dup counts and gram totals reunite through one more groupby —
+    no join, no driver-side state.  The shuffle key is a 256-way hash
+    bucket OVER the gram (all rows of one gram co-locate, but each group
+    holds many grams) so the verdict stage is a handful of vectorized
+    pandas groupbys, not one Python call per distinct gram.  Gram keys
+    stay strings for exactness; at 10^10 docs swap in _hash_strings64 keys
+    (128-bit if birthday-bound matters) to cut shuffle bytes and raise the
+    bucket count with the corpus."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.dedup import _hash_strings64
+
+    def emit(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        gs, ds, cs = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t)
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            for g, c in Counter(grams).items():
+                gs.append(g)
+                ds.append(d)
+                cs.append(c)
+        gb = (_hash_strings64(gs) % np.uint64(256)).astype(np.int64)
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int64()),
+                "g": pa.array(gs, pa.string()),
+                "doc_id": pa.array(ds, pa.int64()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    # consumed twice (dup verdict + per-doc totals): pin the gram table
+    # once instead of re-tokenizing the corpus
+    pairs = docs.map_batches(emit, batch_format="pyarrow").materialize()
+
+    def judge(b: pa.Table) -> pa.Table:
+        # rows are unique per (gram, doc): group size == distinct docs
+        df = b.select(["g", "doc_id", "c"]).to_pandas()
+        keep = df[df.groupby("g")["doc_id"].transform("size") >= 2]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+                "dup": pa.array(keep["c"].to_numpy(), pa.int64()),
+                "tot": pa.array(np.zeros(len(keep), np.int64), pa.int64()),
+            }
+        )
+
+    dup_rows = pairs.groupby("gb").map_groups(judge, batch_format="pyarrow")
+
+    def tot_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "dup": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "tot": b.column("sum(c)"),
+            }
+        )
+
+    totals = (
+        pairs.groupby("doc_id").sum("c").map_batches(tot_rows, batch_format="pyarrow")
+    )
+    per_doc = dup_rows.union(totals).groupby("doc_id").aggregate(Sum("dup"), Sum("tot"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        dup = b.column("sum(dup)").to_numpy()
+        tot = b.column("sum(tot)").to_numpy()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(tot, pa.int64()),
+                "n_dup": pa.array(dup, pa.int64()),
+                "dup_frac": pa.array(_r(dup / tot, 6), pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
@@ -3174,6 +3460,137 @@ ORACLE_SQL["rolling_fingerprints"] = _rolling_fp_oracle_sql()
 # bucketed index must reproduce exact brute-force top-5 — same SQL mirror.
 ORACLE_SQL["ann_ivf_exact"] = ORACLE_SQL["ann_bruteforce"]
 
+# Same RE2 engine on both sides (pyarrow kernels / DuckDB regexp_*), same
+# pattern order, counts taken BEFORE each replacement pass.
+ORACLE_SQL["pii_redact"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@mail.example ip 10.0.'
+                    || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
+                    || ' tel 555-' || printf('%03d', doc_id % 1000) || '-0199' AS s
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+               regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+        FROM base
+    ),
+    s2 AS (
+        SELECT doc_id, c1,
+               len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c2,
+               regexp_replace(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, c1, c2,
+               len(regexp_extract_all(s, '\b\d{3}-\d{3}-\d{4}\b')) AS c3,
+               regexp_replace(s, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS s
+        FROM s2
+    )
+    SELECT doc_id, s AS clean, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii
+    FROM s3 ORDER BY doc_id
+"""
+
+# keep-rule thresholds compare the RAW doubles (same division on both
+# sides); only output columns are rounded.
+ORACLE_SQL["gopher_quality"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM gc GROUP BY doc_id),
+    j AS (
+        SELECT ws.doc_id, ws.n, ws.mwl, ws.uq, coalesce(tp.topf, 0.0) AS topf
+        FROM ws LEFT JOIN tp USING (doc_id)
+    )
+    SELECT doc_id, n AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(uq, 6) AS uniq_frac,
+           round(topf, 6) AS top_bigram_frac,
+           CAST(CASE WHEN n BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+                      AND uq >= 0.45 AND topf <= 0.10 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM j ORDER BY doc_id
+"""
+
+ORACLE_SQL["decontaminate"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                                     i -> list_aggregate(t[i:i+3], 'string_agg', ' '))) AS g
+        FROM toks
+    ),
+    test AS (
+        SELECT DISTINCT g FROM grams
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 97 = 0
+    ),
+    train AS (
+        SELECT doc_id FROM documents
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 97 <> 0
+    ),
+    hits AS (
+        SELECT gr.doc_id, count(*) AS n_hits
+        FROM grams gr JOIN test USING (g)
+        WHERE md5_number_lower(CAST(gr.doc_id AS VARCHAR)) % 97 <> 0
+        GROUP BY gr.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+ORACLE_SQL["pack_sequences"] = r"""
+    WITH c AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 256 AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+"""
+
+ORACLE_SQL["dup_span_fraction"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 3),
+                                     i -> list_aggregate(t[i:i+4], 'string_agg', ' '))) AS g
+        FROM toks
+    ),
+    pg AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    dg AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+    tot AS (SELECT doc_id, sum(c) AS tot FROM pg GROUP BY doc_id),
+    dup AS (
+        SELECT pg.doc_id, sum(pg.c) AS dup
+        FROM pg JOIN dg USING (g) GROUP BY pg.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.tot AS BIGINT) AS n_grams,
+           CAST(coalesce(d.dup, 0) AS BIGINT) AS n_dup,
+           round(coalesce(d.dup, 0) * 1.0 / t.tot, 6) AS dup_frac
+    FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id
+"""
+
 
 
 
@@ -3820,6 +4237,11 @@ SQL_QUERIES = {
     "hash_sample": q_hash_sample,
     "bm25_scores": q_bm25_scores,
     "simhash_pairs": q_simhash_pairs,
+    "pii_redact": q_pii_redact,
+    "gopher_quality": q_gopher_quality,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "dup_span_fraction": q_dup_span_fraction,
 }
 
 
