@@ -1,0 +1,83 @@
+"""Semantic invariants for the web-text curation operators — the oracle
+suite proves Ray==DuckDB; these prove the shared semantics are the
+*intended* ones (redaction actually fires, verdicts are mixed, packing is
+monotone and budget-shaped)."""
+
+import numpy as np
+import pytest
+
+from blockchainspider_ray.pipelines.queries import (
+    q_decontaminate,
+    q_dup_span_fraction,
+    q_gopher_quality,
+    q_pack_sequences,
+    q_pii_redact,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pii():
+    return q_pii_redact(SF).to_pandas()
+
+
+def test_pii_redaction_fires_on_every_row(pii):
+    # the derived contact line plants exactly one email, one ipv4 and one
+    # phone per doc — all three passes must fire on every row
+    assert (pii["n_pii"] >= 3).all()
+    assert pii["clean"].str.contains("<EMAIL>").all()
+    assert pii["clean"].str.contains("<IP>").all()
+    assert pii["clean"].str.contains("<PHONE>").all()
+
+
+def test_pii_redaction_removes_raw_forms(pii):
+    assert not pii["clean"].str.contains("@mail.example").any()
+    assert not pii["clean"].str.contains(r"10\.0\.\d", regex=True).any()
+    assert not pii["clean"].str.contains(r"555-\d{3}-0199", regex=True).any()
+
+
+def test_gopher_verdict_is_mixed_and_consistent():
+    df = q_gopher_quality(SF).to_pandas()
+    assert 0 < df["keep"].sum() < len(df), "thresholds must split the corpus"
+    # verdict must be reproducible from the (raw-rounded) output columns
+    # everywhere the rounded value isn't sitting on a threshold boundary
+    recomputed = (
+        df["n_words"].between(30, 100000)
+        & df["mean_word_len"].between(3.0, 10.0)
+        & (df["uniq_frac"] >= 0.45)
+        & (df["top_bigram_frac"] <= 0.10)
+    ).astype("int64")
+    boundary = (
+        np.isclose(df["uniq_frac"], 0.45, atol=1e-6)
+        | np.isclose(df["top_bigram_frac"], 0.10, atol=1e-6)
+        | np.isclose(df["mean_word_len"], 3.0, atol=1e-6)
+        | np.isclose(df["mean_word_len"], 10.0, atol=1e-6)
+    )
+    assert (recomputed[~boundary] == df["keep"][~boundary]).all()
+
+
+def test_decontaminate_excludes_test_split_and_flags_consistently():
+    from blockchainspider_ray.stages.dedup import _stable_h64
+
+    df = q_decontaminate(SF).to_pandas()
+    assert all(_stable_h64(str(d)) % 97 != 0 for d in df["doc_id"])
+    assert ((df["n_hits"] > 0) == (df["contaminated"] == 1)).all()
+
+
+def test_pack_sequences_is_monotone_and_budget_shaped():
+    df = q_pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    seq = df["seq_id"].to_numpy()
+    assert (np.diff(seq) >= 0).all(), "seq ids are nondecreasing in doc order"
+    # each doc's seq is exactly where its first token lands in the stream
+    start = df["n_tokens"].cumsum().shift(1, fill_value=0).to_numpy()
+    assert (seq == start // 256).all()
+    assert seq[-1] == (start[-1]) // 256
+
+
+def test_dup_span_fraction_bounds_and_signal():
+    df = q_dup_span_fraction(SF).to_pandas()
+    assert (df["n_dup"] <= df["n_grams"]).all()
+    assert ((df["dup_frac"] >= 0) & (df["dup_frac"] <= 1)).all()
+    # probed corpus property: some but not all docs carry duplicated spans
+    assert 0 < (df["n_dup"] > 0).sum() < len(df)
