@@ -984,6 +984,201 @@ def q_dup_span_fraction(sf_dir: str, n: int = 5):
     return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus-wide vocabulary: top-k tokens by total occurrence count
+    (tokenizer/vocab-building primitive).  Classic combiner shape — each
+    batch reduces to its own Counter rows, the groupby only ever moves
+    (token, partial count) pairs, and only the k winners reach the driver.
+    Ties at the cut are broken by token text so the result is deterministic
+    under any partitioning."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(re.findall(r"\S+", t))
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(vc, batch_format="pyarrow").groupby("token").sum("cnt")
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["token", "cnt"])
+
+    return (
+        agg.map_batches(rn, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_tfidf_topterms(sf_dir: str, topn: int = 3):
+    """Per-doc top-3 TF-IDF terms (keyword/quality-feature primitive).
+    Two-pass: pass 1 reduces to the document-frequency table + corpus size
+    (vocab-sized — broadcast via ray.put), pass 2 scores inside map_batches
+    and keeps each doc's top-3 with (tfidf desc, term asc) tie-breaks so
+    the ranking is exactly row_number() in the SQL mirror.  tfidf =
+    (tf / doc_len) * ln(N / df) evaluated in the same operation order on
+    both sides — identical doubles, identical ranks."""
+    import math
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_df(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df_c = Counter()
+        ndoc = 0
+        for t in b.column("text").to_pylist():
+            df_c.update(set(re.findall(r"\S+", t)))
+            ndoc += 1
+        return pa.table(
+            {
+                "term": pa.array(list(df_c.keys()) + ["\x00n"], pa.string()),
+                "c": pa.array(list(df_c.values()) + [ndoc], pa.int64()),
+            }
+        )
+
+    dfs = (
+        docs.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .sum("c")
+        .to_pandas()
+    )
+    df_map = dict(zip(dfs["term"], dfs["sum(c)"].astype(int)))
+    n_docs = df_map.pop("\x00n")
+    ref = ray.put(df_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = ray.get(ref)
+        ids, terms, vals, ranks = [], [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t)
+            n = len(toks)
+            scored = [
+                ((c / n) * math.log(n_docs / dfm[w]), w)
+                for w, c in Counter(toks).items()
+            ]
+            scored.sort(key=lambda p: (-p[0], p[1]))
+            for rk, (v, w) in enumerate(scored[:topn], 1):
+                ids.append(d)
+                terms.append(w)
+                vals.append(v)
+                ranks.append(rk)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tfidf": pa.array(_r(vals, 6), pa.float64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort(["doc_id", "rank"])
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Deterministic global training-data shuffle: every doc's position in
+    the md5-keyed permutation (seeded, partitioning-independent — unlike
+    ``Dataset.random_shuffle``).  The global rank is distributed the same
+    way pack_sequences distributes its prefix sum: the key's top byte is
+    an ORDER-PRESERVING 256-way bucket, pass 1 reduces per-bucket counts
+    so the driver computes exclusive offsets, pass 2 finishes with an
+    in-bucket argsort.  At 10^10 docs widen to the top two bytes."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        keys = np.array(
+            [_stable_h64(f"{d}:shuffle") for d in ids], dtype=np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "key": pa.array(keys, pa.uint64()),
+                "bkt": pa.array((keys >> np.uint64(56)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = keyed_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    offsets = dict(
+        zip(bc["bkt"].astype(int), bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    def rank(b: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = b.to_pandas().sort_values(["key", "doc_id"]).reset_index(drop=True)
+        base = off[int(df["bkt"].iloc[0])]
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "pos": pa.array(base + np.arange(len(df), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        keyed_ds.groupby("bkt").map_groups(rank, batch_format="pyarrow").sort("doc_id")
+    )
+
+
+def q_unigram_logprob(sf_dir: str):
+    """In-corpus unigram LM score per doc — the perplexity-bucketing
+    stand-in (CCNet-style quality signal) with an honest corpus-fitted LM
+    instead of an unavailable pretrained one.  Pass 1 reduces the corpus
+    to the token-count table + total (vocab-sized broadcast), pass 2 is a
+    pure map: mean over token positions of ln(count(token)/total)."""
+    import math
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(re.findall(r"\S+", t))
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    tab = docs.map_batches(vc, batch_format="pyarrow").groupby("token").sum("c").to_pandas()
+    cnts = dict(zip(tab["token"], tab["sum(c)"].astype(int)))
+    total = int(tab["sum(c)"].sum())
+    ref = ray.put(cnts)
+
+    def score(b: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        ids, lps = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t)
+            lp = sum(math.log(cm[w] / total) for w in toks) / len(toks)
+            ids.append(d)
+            lps.append(lp)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "logprob": pa.array(_r(lps, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 _STOPWORDS = ("the", "a", "and", "of", "to")
 
 
@@ -3567,6 +3762,64 @@ ORACLE_SQL["pack_sequences"] = r"""
     FROM c ORDER BY doc_id
 """
 
+ORACLE_SQL["vocab_topk"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT unnest(t) AS token FROM toks)
+    SELECT token, count(*) AS cnt
+    FROM w GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+"""
+
+# tfidf = (tf / doc_len) * ln(N / df), same operation order as the Ray
+# side; ranks are row_number() with (tfidf DESC, term) — the Python sort
+# key (-tfidf, term) produces the identical permutation.
+ORACLE_SQL["tfidf_topterms"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS c FROM w GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    s AS (
+        SELECT tf.doc_id, tf.term,
+               (tf.c * 1.0 / dl.n) * ln(nd.nd * 1.0 / df.df) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN nd
+    ),
+    r AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM s
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+ORACLE_SQL["shuffle_rank"] = r"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':shuffle'),
+                         doc_id) - 1 AS BIGINT) AS pos
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLE_SQL["unigram_logprob"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    cnt AS (SELECT token, count(*) AS c FROM w GROUP BY token),
+    tot AS (SELECT count(*) AS s FROM w)
+    SELECT w.doc_id,
+           round(sum(ln(cnt.c * 1.0 / tot.s)) / count(*), 6) AS logprob
+    FROM w JOIN cnt USING (token) CROSS JOIN tot
+    GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
 ORACLE_SQL["dup_span_fraction"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -4242,6 +4495,10 @@ SQL_QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "dup_span_fraction": q_dup_span_fraction,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_topterms": q_tfidf_topterms,
+    "shuffle_rank": q_shuffle_rank,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
