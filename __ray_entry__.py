@@ -9,15 +9,16 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (70 of
-                     the 88 queries, incl. full-value MinHash/SimHash/LSH-
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (71 of
+                     the 89 queries, incl. full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/
                      dedup-cluster/exact-IVF mirrors, the recursive-CTE
                      crawl-BFS mirrors, and the web-text curation set:
                      PII redaction, Gopher quality rules, 4-gram eval-set
                      decontamination, sequence packing, duplicate-span
                      fractions, vocab top-k, TF-IDF top terms, seeded
-                     global shuffle rank, unigram LM scoring); the
+                     global shuffle rank, unigram LM scoring, and the
+                     composed curation_pipeline flagship); the
                      rows-only rest
                      (weight-ranked crawls, IVF ANN, multimodal decode,
                      TextRank, checksum validation, MoTS motifs, Solana/

@@ -856,20 +856,32 @@ def q_pack_sequences(sf_dir: str, budget: int = 256, bucket: int = 64):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tk(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
         n = np.array(
             [len(re.findall(r"\S+", t)) for t in b.column("text").to_pylist()],
             dtype=np.int64,
         )
         return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_tokens": pa.array(n, pa.int64()),
-                "bkt": pa.array(ids // bucket, pa.int64()),
-            }
+            {"doc_id": b.column("doc_id"), "n_tokens": pa.array(n, pa.int64())}
         )
 
-    counts = docs.map_batches(tk, batch_format="pyarrow").materialize()
+    return _assign_seq_ids(
+        docs.map_batches(tk, batch_format="pyarrow"), budget=budget, bucket=bucket
+    )
+
+
+def _assign_seq_ids(counts, budget: int, bucket: int):
+    """(doc_id, n_tokens) -> (doc_id, n_tokens, seq_id) by distributed
+    exclusive prefix sum over doc_id order: pass 1 reduces per-bucket token
+    totals (one tiny row per doc_id // bucket range) so the driver computes
+    exclusive offsets; pass 2 finishes the cumsum inside
+    groupby(bucket).map_groups.  Shared by q_pack_sequences and the
+    composite curation pipeline."""
+
+    def add_bkt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.append_column("bkt", pa.array(ids // bucket, pa.int64()))
+
+    counts = counts.map_batches(add_bkt, batch_format="pyarrow").materialize()
     bs = (
         counts.groupby("bkt")
         .sum("n_tokens")
@@ -896,6 +908,98 @@ def q_pack_sequences(sf_dir: str, budget: int = 256, bucket: int = 64):
         )
 
     return counts.groupby("bkt").map_groups(assign, batch_format="pandas").sort("doc_id")
+
+
+def q_curation_pipeline(sf_dir: str, budget: int = 256, bucket: int = 64):
+    """The end-to-end training-data curation flagship, composed from the
+    individual operators' semantics in pipeline order:
+
+      1. Gopher quality rules (q_gopher_quality thresholds) — drop
+         low-quality docs;
+      2. held-out split removal + 4-gram decontamination
+         (q_decontaminate's blocklist) — drop eval docs and anything
+         sharing a 4-gram with them;
+      3. exact lede dedup — among the docs that reached this stage, keep
+         the lowest doc_id per first-4-token fingerprint (boilerplate
+         lede collisions are the realistic exact-dup mode in web text);
+      4. sequence packing (q_pack_sequences) over the survivors.
+
+    Everything is one tokenize pass per doc plus the blocklist reduction;
+    dedup groups by the lede string (tiny groups); packing reuses the
+    distributed prefix-sum helper.  The SQL mirror replays the exact same
+    four stages, so the oracle pins the STAGE ORDER, not just each stage."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_gram, mod = 4, 97
+
+    def test_grams(b: pa.Table) -> pa.Table:
+        out = set()
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                toks = re.findall(r"\S+", t)
+                out.update(
+                    " ".join(toks[i : i + n_gram])
+                    for i in range(len(toks) - n_gram + 1)
+                )
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    blocklist = set(
+        docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()["g"]
+    )
+    bl_ref = ray.put(blocklist)
+
+    def gate(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        bl = ray.get(bl_ref)
+        ids, ns, fps = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                continue  # held-out split never trains
+            toks = re.findall(r"\S+", t)
+            n = len(toks)
+            mwl = sum(map(len, toks)) / n
+            uq = len(set(toks)) / n
+            top = (
+                max(Counter(zip(toks, toks[1:])).values()) / (n - 1) if n >= 2 else 0.0
+            )
+            if not (
+                30 <= n <= 100000 and 3.0 <= mwl <= 10.0 and uq >= 0.45 and top <= 0.10
+            ):
+                continue
+            if any(
+                " ".join(toks[i : i + n_gram]) in bl
+                for i in range(len(toks) - n_gram + 1)
+            ):
+                continue
+            ids.append(d)
+            ns.append(n)
+            fps.append(" ".join(toks[:4]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    def first_of_lede(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values("doc_id")
+        keep = df.iloc[:1]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(keep["n_tokens"].to_numpy(), pa.int64()),
+            }
+        )
+
+    survivors = (
+        docs.map_batches(gate, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(first_of_lede, batch_format="pyarrow")
+    )
+    return _assign_seq_ids(survivors, budget=budget, bucket=bucket)
 
 
 def q_dup_span_fraction(sf_dir: str, n: int = 5):
@@ -3762,6 +3866,66 @@ ORACLE_SQL["pack_sequences"] = r"""
     FROM c ORDER BY doc_id
 """
 
+# Replays the composite's four stages IN ORDER: quality gate -> held-out
+# removal + 4-gram decontamination -> lede dedup among remaining
+# candidates (row_number==1 <=> min doc_id) -> prefix-sum packing over
+# survivors.
+ORACLE_SQL["curation_pipeline"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                                     i -> list_aggregate(t[i:i+3], 'string_agg', ' '))) AS g
+        FROM toks
+    ),
+    test AS (
+        SELECT DISTINCT g FROM grams
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 97 = 0
+    ),
+    contam AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN test USING (g)
+        WHERE md5_number_lower(CAST(gr.doc_id AS VARCHAR)) % 97 <> 0
+    ),
+    w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM bgc GROUP BY doc_id),
+    q AS (
+        SELECT ws.doc_id, ws.n FROM ws LEFT JOIN tp USING (doc_id)
+        WHERE ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+          AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+    ),
+    fp AS (SELECT doc_id, list_aggregate(t[1:4], 'string_agg', ' ') AS f FROM toks),
+    cand AS (
+        SELECT q.doc_id, q.n, fp.f FROM q JOIN fp USING (doc_id)
+        WHERE md5_number_lower(CAST(q.doc_id AS VARCHAR)) % 97 <> 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    surv AS (
+        SELECT doc_id, n FROM (
+            SELECT doc_id, n, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+            FROM cand
+        ) s WHERE rn = 1
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST((sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n) // 256 AS BIGINT) AS seq_id
+    FROM surv ORDER BY doc_id
+"""
+
 ORACLE_SQL["vocab_topk"] = r"""
     WITH toks AS (
         SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -4499,6 +4663,7 @@ SQL_QUERIES = {
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,
     "unigram_logprob": q_unigram_logprob,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 
