@@ -206,6 +206,96 @@ def bulk_fetch_parse(store: str, out_dir: str, ingest: bool = BENCH_INGEST) -> d
     }
 
 
+def curation_bench(store: str) -> dict:
+    """Curation throughput over the bench corpus (the 200k-page store, not
+    the 500-row documents table): fused per-unit read + html->text extract
+    + Gopher-rule scoring + lede fingerprint, then ONE fp-keyed shuffle for
+    exact lede dedup (bucketed so the verdict stage is vectorized pandas,
+    not per-group Python) and a packing reduction down to total sequences.
+    Mirrors queries.q_curation_pipeline's shapes at corpus scale; html
+    never crosses the object store — only (fp, n_tokens, url) rows do."""
+    import ray
+
+    t0 = time.perf_counter()
+    units = _parse_units(store, rgs_per_unit=RGS_PER_UNIT or 4)
+
+    def score_unit(batch):
+        import re as _re
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from blockchainspider_ray.stages.parse import parse_page_stage
+
+        out_fp, out_nt, out_url = [], [], []
+        n_docs = 0
+        for path, s, e in zip(
+            batch.column("path").to_pylist(),
+            batch.column("rg_start").to_pylist(),
+            batch.column("rg_end").to_pylist(),
+        ):
+            f = pq.ParquetFile(path)
+            parsed = parse_page_stage(f.read_row_groups(list(range(s, e))))
+            for url, text in zip(
+                parsed.column("url").to_pylist(),
+                parsed.column("text_extracted").to_pylist(),
+            ):
+                n_docs += 1
+                toks = _re.findall(r"\S+", text)
+                n = len(toks)
+                if n < 2:
+                    continue
+                mwl = sum(map(len, toks)) / n
+                uq = len(set(toks)) / n
+                if not (3 <= n <= 100000 and 2.0 <= mwl <= 12.0 and uq >= 0.036):
+                    continue
+                out_fp.append(" ".join(toks[:4]))
+                out_nt.append(n)
+                out_url.append(url)
+        from blockchainspider_ray.stages.dedup import _hash_strings64
+
+        # gbkt -1 carries the unit's total-docs counter (filtered out of
+        # the dedup groups); all real rows bucket on hash(fp) % 1024
+        gbkt = (_hash_strings64(out_fp) % np.uint64(1024)).astype(np.int64)
+        return pa.table(
+            {
+                "gbkt": pa.array(np.concatenate([gbkt, [-1]]), pa.int64()),
+                "fp": pa.array(out_fp + [""], pa.string()),
+                "url": pa.array(out_url + [""], pa.string()),
+                "n_tokens": pa.array(out_nt + [0], pa.int64()),
+                "n_docs": pa.array([0] * len(out_fp) + [n_docs], pa.int64()),
+            }
+        )
+
+    def dedup_first(b):
+        import pyarrow as pa
+
+        df = b.to_pandas()
+        df = df[df["gbkt"] >= 0].sort_values("url").drop_duplicates("fp")
+        return pa.table({"n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64())})
+
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    kept = (
+        ray.data.from_items(units)
+        .repartition(len(units))
+        .map_batches(score_unit, batch_format="pyarrow", batch_size=1)
+        .materialize()
+    )
+    n_docs = kept.aggregate(_Sum("n_docs"))["sum(n_docs)"]
+    surv = kept.groupby("gbkt").map_groups(dedup_first, batch_format="pyarrow")
+    agg = surv.aggregate(_Sum("n_tokens"), _Count())
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": wall,
+        "docs": int(n_docs or 0),
+        "kept": int(agg["count()"]),
+        "sequences": int((agg["sum(n_tokens)"] or 0) // 256),
+        "docs_per_sec": (n_docs or 0) / wall,
+    }
+
+
 def engine_crawl(
     store: str, strategy: str = "bfs", fetch_actors: int = 0, big: bool = False
 ) -> dict:
@@ -383,6 +473,8 @@ def single_run(headline_only: bool = False) -> dict:
     _log(f"crawl: {crawl}")
     _log(f"crawl_weight: {crawl_weight}")
     queries = {} if headline_only else run_queries()
+    curation = {} if headline_only else curation_bench(store)
+    _log(f"curation: {curation}")
     result = {
         "metric": "urls_fetched_parsed_per_sec",
         "value": round(bulk["wall_s"], 3),
@@ -394,6 +486,9 @@ def single_run(headline_only: bool = False) -> dict:
             k: round(v, 3) if isinstance(v, float) else v for k, v in crawl_weight.items()
         },
         "queries": queries,
+        "curation": {
+            k: round(v, 3) if isinstance(v, float) else v for k, v in curation.items()
+        },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_pages": BENCH_PAGES,
