@@ -54,6 +54,13 @@ def _warmup() -> None:
     import ray
 
     def _touch(batch):
+        # workers hold 1 Ray CPU: a per-worker 8-thread polars pool (the
+        # DRIVER's setting, inherited via env) oversubscribes 32 tasks into
+        # 256 threads — measured 22k -> 13k docs/s on the curation pass.
+        # Must be pinned before the first polars import in each worker.
+        import os as _os
+
+        _os.environ["POLARS_MAX_THREADS"] = "1"
         import blockchainspider_ray.stages.parse  # noqa: F401
         return batch
 
@@ -220,9 +227,8 @@ def curation_bench(store: str) -> dict:
     units = _parse_units(store, rgs_per_unit=RGS_PER_UNIT or 4)
 
     def score_unit(batch):
-        import re as _re
-
         import numpy as np
+        import polars as pl
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -237,22 +243,37 @@ def curation_bench(store: str) -> dict:
         ):
             f = pq.ParquetFile(path)
             parsed = parse_page_stage(f.read_row_groups(list(range(s, e))))
-            for url, text in zip(
-                parsed.column("url").to_pylist(),
-                parsed.column("text_extracted").to_pylist(),
-            ):
-                n_docs += 1
-                toks = _re.findall(r"\S+", text)
-                n = len(toks)
-                if n < 2:
-                    continue
-                mwl = sum(map(len, toks)) / n
-                uq = len(set(toks)) / n
-                if not (3 <= n <= 100000 and 2.0 <= mwl <= 12.0 and uq >= 0.036):
-                    continue
-                out_fp.append(" ".join(toks[:4]))
-                out_nt.append(n)
-                out_url.append(url)
+            n_docs += parsed.num_rows
+            # vectorized token stats (2.8x the per-row Python loop; value-
+            # identical: integer char/token sums -> the same doubles).
+            # mean word len = non-whitespace chars / tokens, so the token
+            # list is only materialized for n_unique and the lede join.
+            df = (
+                pl.DataFrame(
+                    {
+                        "url": pl.from_arrow(parsed.column("url")),
+                        "t": pl.from_arrow(parsed.column("text_extracted")),
+                    }
+                )
+                .with_columns(
+                    toks=pl.col("t").str.extract_all(r"\S+"),
+                    lc=pl.col("t").str.len_chars(),
+                    ws=pl.col("t").str.count_matches(r"\s"),
+                )
+                .with_columns(
+                    n=pl.col("toks").list.len(),
+                    nu=pl.col("toks").list.n_unique(),
+                    fp=pl.col("toks").list.head(4).list.join(" "),
+                )
+            )
+            n = df["n"].to_numpy().astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mwl = (df["lc"].to_numpy() - df["ws"].to_numpy()) / n
+                uq = df["nu"].to_numpy() / n
+            keep = (n >= 3) & (n <= 100000) & (mwl >= 2.0) & (mwl <= 12.0) & (uq >= 0.036)
+            out_fp.extend(np.asarray(df["fp"].to_list(), dtype=object)[keep])
+            out_nt.extend(n[keep])
+            out_url.extend(np.asarray(df["url"].to_list(), dtype=object)[keep])
         from blockchainspider_ray.stages.dedup import _hash_strings64
 
         # gbkt -1 carries the unit's total-docs counter (filtered out of
