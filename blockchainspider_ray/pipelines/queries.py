@@ -1088,6 +1088,77 @@ def q_dup_span_fraction(sf_dir: str, n: int = 5):
     return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def q_self_repetition(sf_dir: str, n: int = 3):
+    """Within-doc self-repetition (the intra-document half of Gopher's
+    repetition rules): fraction of a doc's 3-gram positions whose gram
+    already occurred earlier in the SAME doc — 1 - distinct/total.  Pure
+    per-row map, no shuffle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        ids, fracs, tots = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t)
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                continue
+            ids.append(d)
+            tots.append(len(grams))
+            fracs.append(1.0 - len(set(grams)) / len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(tots, pa.int64()),
+                "rep_frac": pa.array(_r(fracs, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(rep, batch_format="pyarrow").sort("doc_id")
+
+
+def q_split_assign(sf_dir: str):
+    """Stratified corpus splitting: every doc hashes into train/val/test
+    (80/10/10, md5-mod — reproducible across runs and partitionings); the
+    output is the per-(lang, split) contingency table that a pipeline
+    checks stratification with.  Combiner shape: batches reduce to partial
+    (lang, split, n) counts before the tiny groupby."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for d, lang in zip(b.column("doc_id").to_pylist(), b.column("lang").to_pylist()):
+            h = _stable_h64(str(d)) % 100
+            split = "train" if h < 80 else ("val" if h < 90 else "test")
+            cnt[(lang, split)] += 1
+        langs, splits, ns = [], [], []
+        for (lang, split), c in cnt.items():
+            langs.append(lang)
+            splits.append(split)
+            ns.append(c)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "split": pa.array(splits, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .sum("n")
+    )
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["lang", "split", "n"])
+
+    return out.map_batches(rn, batch_format="pyarrow").sort(["lang", "split"])
+
+
 def q_vocab_topk(sf_dir: str, k: int = 50):
     """Corpus-wide vocabulary: top-k tokens by total occurrence count
     (tokenizer/vocab-building primitive).  Classic combiner shape — each
@@ -3926,6 +3997,30 @@ ORACLE_SQL["curation_pipeline"] = r"""
     FROM surv ORDER BY doc_id
 """
 
+ORACLE_SQL["self_repetition"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> list_aggregate(t[i:i+2], 'string_agg', ' '))) AS g
+        FROM toks
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS rep_frac
+    FROM grams GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLE_SQL["split_assign"] = r"""
+    SELECT lang,
+           CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+                WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM documents GROUP BY lang, split ORDER BY lang, split
+"""
+
 ORACLE_SQL["vocab_topk"] = r"""
     WITH toks AS (
         SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -4664,6 +4759,8 @@ SQL_QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "unigram_logprob": q_unigram_logprob,
     "curation_pipeline": q_curation_pipeline,
+    "self_repetition": q_self_repetition,
+    "split_assign": q_split_assign,
 }
 
 
