@@ -75,6 +75,33 @@ def test_pack_sequences_is_monotone_and_budget_shaped():
     assert seq[-1] == (start[-1]) // 256
 
 
+def test_curation_pipeline_composes_the_stage_filters():
+    from blockchainspider_ray.pipelines.queries import (
+        q_curation_pipeline,
+        q_gopher_quality,
+    )
+    from blockchainspider_ray.stages.dedup import _stable_h64
+
+    out = q_curation_pipeline(SF).to_pandas()
+    quality = q_gopher_quality(SF).to_pandas()
+    kept_ids = set(out["doc_id"])
+    # survivors are a strict subset of the quality-kept, non-held-out docs
+    q_ids = set(quality.loc[quality["keep"] == 1, "doc_id"])
+    assert kept_ids < q_ids
+    assert all(_stable_h64(str(d)) % 97 != 0 for d in kept_ids)
+    # decontaminated: no survivor is flagged by the decontamination op
+    from blockchainspider_ray.pipelines.queries import q_decontaminate
+
+    contaminated = set(
+        q_decontaminate(SF).to_pandas().query("contaminated == 1")["doc_id"]
+    )
+    assert not (kept_ids & contaminated)
+    # packing invariant over survivors in doc order
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    start = out["n_tokens"].cumsum().shift(1, fill_value=0)
+    assert (out["seq_id"] == start // 256).all()
+
+
 def test_dup_span_fraction_bounds_and_signal():
     df = q_dup_span_fraction(SF).to_pandas()
     assert (df["n_dup"] <= df["n_grams"]).all()
