@@ -102,6 +102,34 @@ def test_curation_pipeline_composes_the_stage_filters():
     assert (out["seq_id"] == start // 256).all()
 
 
+def test_prefix_sum_ops_are_partitioning_independent():
+    """The distributed-rank claims: _assign_seq_ids and shuffle_rank must
+    produce identical results however the input is blocked."""
+    import ray
+
+    from blockchainspider_ray.pipelines.queries import _assign_seq_ids
+
+    rng = np.random.RandomState(7)
+    n_tok = rng.randint(1, 300, size=1000).astype("int64")
+    import pandas as pd
+
+    base = pd.DataFrame({"doc_id": np.arange(1000, dtype="int64"), "n_tokens": n_tok})
+    outs = []
+    for blocks in (1, 3, 17):
+        ds = ray.data.from_pandas(base).repartition(blocks)
+        outs.append(
+            _assign_seq_ids(ds, budget=256, bucket=64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # and the ids really are the exclusive-cumsum bins
+    start = outs[0]["n_tokens"].cumsum().shift(1, fill_value=0)
+    assert (outs[0]["seq_id"] == start // 256).all()
+
+
 def test_dup_span_fraction_bounds_and_signal():
     df = q_dup_span_fraction(SF).to_pandas()
     assert (df["n_dup"] <= df["n_grams"]).all()
