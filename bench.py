@@ -227,6 +227,13 @@ def curation_bench(store: str) -> dict:
     units = _parse_units(store, rgs_per_unit=RGS_PER_UNIT or 4)
 
     def score_unit(batch):
+        import os as _os
+
+        # belt-and-braces against worker churn: any worker respawned after
+        # _warmup() would import polars with the driver's inherited
+        # 8-thread setting (measured 22k -> 13k docs/s from 256-thread
+        # oversubscription at 32 tasks); a no-op if polars is already in
+        _os.environ["POLARS_MAX_THREADS"] = "1"
         import numpy as np
         import polars as pl
         import pyarrow as pa
@@ -270,6 +277,12 @@ def curation_bench(store: str) -> dict:
             with np.errstate(divide="ignore", invalid="ignore"):
                 mwl = (df["lc"].to_numpy() - df["ws"].to_numpy()) / n
                 uq = df["nu"].to_numpy() / n
+            # thresholds are corpus-adapted ON PURPOSE and looser than the
+            # Gopher rules in queries.q_gopher_quality: the synthetic 8KB
+            # filler pages sit at uq ~0.036, so the query-side 0.45 bar
+            # would keep nothing and the bench would measure an empty
+            # shuffle; this block measures scoring+dedup THROUGHPUT, not
+            # realistic attrition
             keep = (n >= 3) & (n <= 100000) & (mwl >= 2.0) & (mwl <= 12.0) & (uq >= 0.036)
             out_fp.extend(np.asarray(df["fp"].to_list(), dtype=object)[keep])
             out_nt.extend(n[keep])

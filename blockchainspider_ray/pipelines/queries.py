@@ -746,6 +746,31 @@ def q_pii_redact(sf_dir: str):
     return docs.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
 
 
+def _oracle_tokens(t: str) -> list:
+    """Tokenize EXACTLY like the SQL mirrors' regexp_split_to_array(trim(
+    text), '\\s+'), including the degenerate inputs an unguarded findall
+    diverges (and crashes the ratio math) on: DuckDB's trim strips SPACES
+    only, and splitting at a leading/trailing separator or an empty string
+    emits '' tokens — '' -> [''], '\\t\\n' -> ['', ''].  Blank docs are the
+    normal case for failed web-text extraction, so the Ray side must
+    reproduce this rather than drop to zero tokens."""
+    return re.split(r"\s+", t.strip(" "))
+
+
+# the Gopher keep rule, shared verbatim by q_gopher_quality and the
+# curation_pipeline gate so the composed pipeline can't drift from the
+# per-op thresholds
+def _gopher_stats(toks: list):
+    from collections import Counter
+
+    n = len(toks)
+    mwl = sum(map(len, toks)) / n
+    uq = len(set(toks)) / n
+    top = max(Counter(zip(toks, toks[1:])).values()) / (n - 1) if n >= 2 else 0.0
+    keep = int(30 <= n <= 100000 and 3.0 <= mwl <= 10.0 and uq >= 0.45 and top <= 0.10)
+    return n, mwl, uq, top, keep
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style repetition/quality filter rules (Rae et al. 2021,
     §A1.1): per-doc word count, mean word length, distinct-word fraction
@@ -756,21 +781,9 @@ def q_gopher_quality(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def rules(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
         n_l, mwl_l, uq_l, top_l, keep_l = [], [], [], [], []
         for t in b.column("text").to_pylist():
-            toks = re.findall(r"\S+", t)
-            n = len(toks)
-            mwl = sum(map(len, toks)) / n
-            uq = len(set(toks)) / n
-            if n >= 2:
-                top = max(Counter(zip(toks, toks[1:])).values()) / (n - 1)
-            else:
-                top = 0.0
-            keep = int(
-                30 <= n <= 100000 and 3.0 <= mwl <= 10.0 and uq >= 0.45 and top <= 0.10
-            )
+            n, mwl, uq, top, keep = _gopher_stats(_oracle_tokens(t))
             n_l.append(n)
             mwl_l.append(mwl)
             uq_l.append(uq)
@@ -790,6 +803,29 @@ def q_gopher_quality(sf_dir: str):
     return docs.map_batches(rules, batch_format="pyarrow").sort("doc_id")
 
 
+def _eval_blocklist(docs, n: int, mod: int):
+    """Distinct n-gram blocklist of the held-out split (md5(doc_id) % mod
+    == 0), reduced batch-wise and broadcast once via ray.put.  Shared by
+    q_decontaminate and q_curation_pipeline so the held-out definition
+    cannot drift between the single op and the composed pipeline."""
+    from ..stages.dedup import _stable_h64
+
+    def test_grams(b: pa.Table) -> pa.Table:
+        out = set()
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                toks = re.findall(r"\S+", t)
+                out.update(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+        return pa.table({"g": pa.array(list(out), pa.string())})
+
+    blocklist = set(
+        docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()["g"]
+    )
+    return ray.put(blocklist)
+
+
 def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 97):
     """Benchmark decontamination: the held-out split (md5(doc_id) % 97 == 0,
     the eval-set stand-in) contributes a distinct-4-gram blocklist; every
@@ -803,20 +839,7 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 97):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     from ..stages.dedup import _stable_h64
 
-    def test_grams(b: pa.Table) -> pa.Table:
-        out = set()
-        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if _stable_h64(str(d)) % mod == 0:
-                toks = re.findall(r"\S+", t)
-                out.update(
-                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-                )
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
-
-    blocklist = set(
-        docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()["g"]
-    )
-    ref = ray.put(blocklist)
+    ref = _eval_blocklist(docs, n, mod)
 
     def flag(b: pa.Table) -> pa.Table:
         bl = ray.get(ref)
@@ -857,7 +880,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 256, bucket: int = 64):
 
     def tk(b: pa.Table) -> pa.Table:
         n = np.array(
-            [len(re.findall(r"\S+", t)) for t in b.column("text").to_pylist()],
+            [len(_oracle_tokens(t)) for t in b.column("text").to_pylist()],
             dtype=np.int64,
         )
         return pa.table(
@@ -932,41 +955,17 @@ def q_curation_pipeline(sf_dir: str, budget: int = 256, bucket: int = 64):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_gram, mod = 4, 97
-
-    def test_grams(b: pa.Table) -> pa.Table:
-        out = set()
-        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if _stable_h64(str(d)) % mod == 0:
-                toks = re.findall(r"\S+", t)
-                out.update(
-                    " ".join(toks[i : i + n_gram])
-                    for i in range(len(toks) - n_gram + 1)
-                )
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
-
-    blocklist = set(
-        docs.map_batches(test_grams, batch_format="pyarrow").to_pandas()["g"]
-    )
-    bl_ref = ray.put(blocklist)
+    bl_ref = _eval_blocklist(docs, n_gram, mod)
 
     def gate(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
         bl = ray.get(bl_ref)
         ids, ns, fps = [], [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             if _stable_h64(str(d)) % mod == 0:
                 continue  # held-out split never trains
-            toks = re.findall(r"\S+", t)
+            toks = _oracle_tokens(t)
             n = len(toks)
-            mwl = sum(map(len, toks)) / n
-            uq = len(set(toks)) / n
-            top = (
-                max(Counter(zip(toks, toks[1:])).values()) / (n - 1) if n >= 2 else 0.0
-            )
-            if not (
-                30 <= n <= 100000 and 3.0 <= mwl <= 10.0 and uq >= 0.45 and top <= 0.10
-            ):
+            if not _gopher_stats(toks)[4]:
                 continue
             if any(
                 " ".join(toks[i : i + n_gram]) in bl
@@ -1173,7 +1172,7 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
 
         cnt = Counter()
         for t in b.column("text").to_pylist():
-            cnt.update(re.findall(r"\S+", t))
+            cnt.update(_oracle_tokens(t))
         return pa.table(
             {
                 "token": pa.array(list(cnt.keys()), pa.string()),
@@ -1209,17 +1208,18 @@ def q_tfidf_topterms(sf_dir: str, topn: int = 3):
         from collections import Counter
 
         df_c = Counter()
-        ndoc = 0
         for t in b.column("text").to_pylist():
-            df_c.update(set(re.findall(r"\S+", t)))
-            ndoc += 1
+            df_c.update(set(_oracle_tokens(t)))
         return pa.table(
             {
-                "term": pa.array(list(df_c.keys()) + ["\x00n"], pa.string()),
-                "c": pa.array(list(df_c.values()) + [ndoc], pa.int64()),
+                "term": pa.array(list(df_c.keys()), pa.string()),
+                "c": pa.array(list(df_c.values()), pa.int64()),
             }
         )
 
+    # corpus size from parquet metadata (no data read, no in-band sentinel
+    # term that real web-text junk tokens could collide with)
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
     dfs = (
         docs.map_batches(partial_df, batch_format="pyarrow")
         .groupby("term")
@@ -1227,7 +1227,6 @@ def q_tfidf_topterms(sf_dir: str, topn: int = 3):
         .to_pandas()
     )
     df_map = dict(zip(dfs["term"], dfs["sum(c)"].astype(int)))
-    n_docs = df_map.pop("\x00n")
     ref = ray.put(df_map)
 
     def score(b: pa.Table) -> pa.Table:
@@ -1236,7 +1235,7 @@ def q_tfidf_topterms(sf_dir: str, topn: int = 3):
         dfm = ray.get(ref)
         ids, terms, vals, ranks = [], [], [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            toks = re.findall(r"\S+", t)
+            toks = _oracle_tokens(t)
             n = len(toks)
             scored = [
                 ((c / n) * math.log(n_docs / dfm[w]), w)
@@ -1323,7 +1322,7 @@ def q_unigram_logprob(sf_dir: str):
 
         cnt = Counter()
         for t in b.column("text").to_pylist():
-            cnt.update(re.findall(r"\S+", t))
+            cnt.update(_oracle_tokens(t))
         return pa.table(
             {
                 "token": pa.array(list(cnt.keys()), pa.string()),
@@ -1340,7 +1339,7 @@ def q_unigram_logprob(sf_dir: str):
         cm = ray.get(ref)
         ids, lps = [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            toks = re.findall(r"\S+", t)
+            toks = _oracle_tokens(t)
             lp = sum(math.log(cm[w] / total) for w in toks) / len(toks)
             ids.append(d)
             lps.append(lp)

@@ -130,6 +130,24 @@ def test_prefix_sum_ops_are_partitioning_independent():
     assert (outs[0]["seq_id"] == start // 256).all()
 
 
+def test_empty_text_matches_sql_split_semantics():
+    """Blank docs (failed extraction — the normal web-text case) must not
+    crash the ratio math and must match DuckDB's regexp_split_to_array,
+    which yields [''] for empty/whitespace-only input."""
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import _gopher_stats, _oracle_tokens
+
+    con = duckdb.connect()
+    for text in ["", "   ", "\t\n", "one", "a b a"]:
+        sql_toks = con.sql(
+            "SELECT regexp_split_to_array(trim(?), '\\s+')", params=[text]
+        ).fetchone()[0]
+        assert _oracle_tokens(text) == sql_toks, repr(text)
+        n, mwl, uq, top, keep = _gopher_stats(_oracle_tokens(text))  # no crash
+        assert n == len(sql_toks)
+
+
 def test_dup_span_fraction_bounds_and_signal():
     df = q_dup_span_fraction(SF).to_pandas()
     assert (df["n_dup"] <= df["n_grams"]).all()
