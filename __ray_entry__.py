@@ -10,7 +10,7 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
 - ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (73 of
-                     the 91 queries, incl. full-value MinHash/SimHash/LSH-
+                     the 92 queries, incl. full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/
                      dedup-cluster/exact-IVF mirrors, the recursive-CTE
                      crawl-BFS mirrors, and the web-text curation set:

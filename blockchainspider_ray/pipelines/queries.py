@@ -1918,7 +1918,7 @@ def q_receipt_join(sf_dir: str):
     )
 
 
-def q_solana_block_parse(sf_dir: str):
+def q_solana_block_parse(sf_dir: str, key_mod: "int | None" = None):
     """Solana getBlock 8-type fan-out (reference spiders/trans/solana/
     blocks.py:167-402): block header, transactions (fee / err-key /
     compute truthiness quirks), token + native balance diffs, logs, and
@@ -1926,12 +1926,27 @@ def q_solana_block_parse(sf_dir: str):
     multilevel trace ids.  One deterministic getBlock payload per event
     row; parse runs vectorized over payload batches
     (functions/solana.py).  Rows-only: multilevel ids and JSON fan-out
-    have no SQL mirror; hand-derived pins live in tests/test_solana.py."""
+    have no SQL mirror; hand-derived pins live in tests/test_solana.py.
+
+    ``key_mod`` selects the tx-by-signature regime (q_solana_tx_lookup):
+    the signature key-list predicate is applied BEFORE payload synthesis
+    and parse — the batch analogue of per-signature getTransaction."""
     import json as _json
 
     from ..functions.solana import solana_blocks_stage
 
     ds = _read(sf_dir, "events", columns=["event_id"])
+    if key_mod is not None:
+        from ..stages.dedup import _stable_h64
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id").to_pylist()
+            mask = pa.array(
+                [_stable_h64(f"SIG{e}") % key_mod == 0 for e in ids], pa.bool_()
+            )
+            return b.filter(mask)
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
 
     def synth(b: pa.Table) -> pa.Table:
         heights, payloads = [], []
@@ -2044,6 +2059,17 @@ def q_solana_block_parse(sf_dir: str):
         .map_batches(solana_blocks_stage, batch_format="pyarrow")
         .sort(["block_height", "item_type", "trace_id", "signature"])
     )
+
+
+def q_solana_tx_lookup(sf_dir: str):
+    """Solana tx-by-signature reader (reference spiders/trans/solana/
+    trans.py:16-84, SolanaTransactionSpider: user-supplied signature list
+    -> per-signature getTransaction -> the same item fan-out as the block
+    spider).  The deterministic key-list stand-in is md5(signature) % 37
+    == 0; the predicate is pushed in front of payload synthesis/parse so
+    only requested transactions are ever fetched — rows are a strict
+    subset of q_solana_block_parse, pinned in tests/test_solana.py."""
+    return q_solana_block_parse(sf_dir, key_mod=37)
 
 
 def q_tron_block_parse(sf_dir: str):
@@ -4768,6 +4794,7 @@ NOSQL_QUERIES = {
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py
     "solana_block_parse": q_solana_block_parse,  # 8-type fan-out — tests/test_solana.py
+    "solana_tx_lookup": q_solana_tx_lookup,  # tx-by-signature subset — tests/test_solana.py
     "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
     "ann_ivf": q_ann_ivf,
     "crawl_bfs": q_crawl_bfs,

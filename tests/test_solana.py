@@ -191,3 +191,31 @@ def test_solana_stage_and_query(ray_session):
     # deterministic
     df2 = q_solana_block_parse("/root/testdata/sf0.001").to_pandas()
     assert df.equals(df2)
+
+
+def test_solana_tx_lookup_is_keyed_subset(ray_session):
+    """tx-by-signature regime: exactly the requested signatures' items,
+    byte-identical to the block parse restricted to the key list."""
+    from blockchainspider_ray.pipelines.queries import (
+        q_solana_block_parse,
+        q_solana_tx_lookup,
+    )
+    from blockchainspider_ray.stages.dedup import _stable_h64
+
+    full = q_solana_block_parse("/root/testdata/sf0.001").to_pandas()
+    sub = q_solana_tx_lookup("/root/testdata/sf0.001").to_pandas()
+    assert 0 < len(sub) < len(full)
+    wanted = {s for s in full["signature"] if s and _stable_h64(s) % 37 == 0}
+    assert set(sub["signature"]) - {""} == wanted
+    # the per-signature rows are identical to the full parse's (headers
+    # carry signature "" and are block-scoped, so compare the keyed rows)
+    key = ["block_height", "item_type", "trace_id", "signature"]
+    full_sub = (
+        full[full["signature"].isin(wanted)].sort_values(key).reset_index(drop=True)
+    )
+    sub_rows = (
+        sub[sub["signature"].isin(wanted)].sort_values(key).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(sub_rows, full_sub)
