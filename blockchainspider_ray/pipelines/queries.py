@@ -4128,6 +4128,16 @@ ORACLE_SQL["dup_span_fraction"] = r"""
     FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id
 """
 
+# browser_render: DOC_HTML_SQL is ascii, so length() == the stage's char
+# budget; the WHERE mirrors the body-wait timeout drop (IgnoreRequest).
+ORACLE_SQL["browser_render"] = f"""
+    WITH h AS (SELECT doc_id, {DOC_HTML_SQL} AS html FROM documents)
+    SELECT doc_id,
+           html || '<!-- rendered -->' AS page_source,
+           CAST(200 AS INTEGER) AS status
+    FROM h WHERE length(html) <= 600 ORDER BY doc_id
+"""
+
 
 
 
@@ -4712,6 +4722,22 @@ def q_crawl_ttr_time_sharded(sf_dir: str):
     )
 
 
+def q_browser_render(sf_dir: str):
+    """Browser-rendered fetch (reference middlewares/selenium.py:14-46) via
+    the deterministic fake renderer: pages whose <body> appears within the
+    render budget come back as page_source + RENDER_MARKER with status 200;
+    slower pages are dropped, the IgnoreRequest analogue.  timeout=600 at
+    render_rate=1 char/s drops roughly the slower half of the corpus."""
+    from ..stages.browser import BrowserFetchStage
+
+    stage = BrowserFetchStage(renderer="fake", timeout=600.0, render_rate=1.0)
+    return (
+        _docs_html_ds(sf_dir)
+        .map_batches(stage, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -4786,6 +4812,7 @@ SQL_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "self_repetition": q_self_repetition,
     "split_assign": q_split_assign,
+    "browser_render": q_browser_render,
 }
 
 
