@@ -3675,6 +3675,50 @@ ORACLE_SQL["dedup_clusters"] = (
         FROM reach GROUP BY node ORDER BY doc_id"""
 )
 
+# dedup_survivors: the same transitive closure, then keep representatives
+# (cluster_id == doc_id) and never-paired docs; represents = cluster size.
+ORACLE_SQL["dedup_survivors"] = (
+    f"WITH RECURSIVE {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        ),
+        doubled AS (
+            SELECT doc_id, band_id, bucket FROM band
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id, band_id, bucket FROM band
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM doubled a JOIN doubled b
+              ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+        ),
+        cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, count(*) AS n FROM cl GROUP BY cluster_id),
+        universe AS (
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 10000 AS doc_id FROM documents
+        )
+        SELECT u.doc_id, CAST(coalesce(sz.n, 1) AS BIGINT) AS represents
+        FROM universe u
+        LEFT JOIN cl ON cl.doc_id = u.doc_id
+        LEFT JOIN sz ON sz.cluster_id = u.doc_id
+        WHERE cl.cluster_id IS NULL OR cl.cluster_id = u.doc_id
+        ORDER BY u.doc_id"""
+)
+
 # SimHash banded Hamming pairs over the doubled corpus: fingerprints via
 # the same full-value chain as ORACLE_SQL['simhash'], 4 x 16-bit bands,
 # candidate = shared (band_id, band_val), verified bit_count(xor) <= 3
@@ -4128,6 +4172,32 @@ ORACLE_SQL["dup_span_fraction"] = r"""
     FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY doc_id
 """
 
+# DSIR importance weights: hashed-unigram (md5-low-64 % 64) log-likelihood
+# ratio of the lang='en' target slice vs the raw corpus, Laplace-smoothed,
+# mean over token positions — identical smoothing/op order to the Ray side.
+ORACLE_SQL["dsir_weights"] = r"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    b AS (SELECT doc_id, lang,
+                 CAST(md5_number_lower(token) % 64 AS INT) AS bucket FROM w),
+    raw AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM b) AS rtot,
+                   (SELECT count(*) FROM b WHERE lang = 'en') AS ttot),
+    lr AS (
+        SELECT raw.bucket,
+               ln((coalesce(tgt.c, 0) + 1.0) / (tot.ttot + 64)) -
+               ln((raw.c + 1.0) / (tot.rtot + 64)) AS lnr
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    )
+    SELECT b.doc_id, round(sum(lr.lnr) / count(*), 6) AS dsir_weight
+    FROM b JOIN lr USING (bucket)
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
 # browser_render: DOC_HTML_SQL is ascii, so length() == the stage's char
 # budget; the WHERE mirrors the body-wait timeout drop (IgnoreRequest).
 ORACLE_SQL["browser_render"] = f"""
@@ -4334,6 +4404,166 @@ def q_dedup_clusters(sf_dir: str):
     from ..stages.dedup import connected_components
 
     return connected_components(_minhash_pair_dataset(sf_dir)).sort("doc_id")
+
+
+def q_dedup_survivors(sf_dir: str):
+    """Clusters -> the deduplicated corpus: the keep-one-representative
+    step that turns near-dup clusters into the surviving document set,
+    with ``represents`` = how many originals each survivor stands for
+    (the weight downstream sampling needs).  Fully distributed anti-join:
+    the universe, the per-cluster size rows and the non-representative
+    drop rows are unioned as (doc_id, rep, drop) triples and folded by one
+    groupby — no side is materialized or broadcast, so a 10^10-doc corpus
+    with a 10^9-doc duplicate set streams through.  Same doubled corpus as
+    ``dedup_clusters`` (clone at doc_id+10000 guarantees every doc has a
+    near-dup)."""
+    from ..stages.dedup import connected_components
+
+    cc = connected_components(_minhash_pair_dataset(sf_dir))
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        # one row per representative: rep = cluster size
+        return pa.table(
+            {
+                "doc_id": b.column("cluster_id"),
+                "rep": b.column("count()").cast(pa.int64()),
+                "drop": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        )
+
+    sizes = (
+        cc.groupby("cluster_id")
+        .count()
+        .map_batches(size_rows, batch_format="pyarrow")
+    )
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        mask = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        kept = b.filter(mask)
+        n = kept.num_rows
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "rep": pa.array([0] * n, pa.int64()),
+                "drop": pa.array([1] * n, pa.int64()),
+            }
+        )
+
+    drops = cc.map_batches(drop_rows, batch_format="pyarrow")
+
+    def universe_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        both = np.concatenate([ids, ids + 10000])
+        n = len(both)
+        return pa.table(
+            {
+                "doc_id": pa.array(both, pa.int64()),
+                "rep": pa.array([1] * n, pa.int64()),
+                "drop": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    universe = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        universe_rows, batch_format="pyarrow"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.equal(b.column("max(drop)"), 0))
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "represents": kept.column("max(rep)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        universe.union(sizes, drops)
+        .groupby("doc_id")
+        .max(["rep", "drop"])
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc mean
+    log-likelihood ratio between a hashed-unigram target distribution
+    (here: the ``lang='en'`` slice) and the raw corpus distribution, with
+    Laplace smoothing.  Pass 1 reduces the corpus to two B-bucket count
+    vectors (B=64 — KBs, broadcast via ray.put); pass 2 is a pure
+    vectorized map.  Token -> bucket uses the md5-low-64 hash so the SQL
+    mirror (md5_number_lower(token) % B) is bit-identical."""
+    import math
+
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    bucket_cache: dict = {}
+
+    def tok_buckets(toks):
+        out = np.empty(len(toks), dtype=np.int64)
+        for i, w in enumerate(toks):
+            b = bucket_cache.get(w)
+            if b is None:
+                b = _stable_h64(w) % n_buckets
+                bucket_cache[w] = b
+            out[i] = b
+        return out
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        raw = np.zeros(n_buckets, dtype=np.int64)
+        tgt = np.zeros(n_buckets, dtype=np.int64)
+        for t, lang in zip(b.column("text").to_pylist(), b.column("lang").to_pylist()):
+            bk = tok_buckets(_oracle_tokens(t))
+            np.add.at(raw, bk, 1)
+            if lang == "en":
+                np.add.at(tgt, bk, 1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(n_buckets), pa.int64()),
+                "raw_c": pa.array(raw, pa.int64()),
+                "tgt_c": pa.array(tgt, pa.int64()),
+            }
+        )
+
+    tab = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["raw_c", "tgt_c"])
+        .to_pandas()
+    )
+    raw_c = np.zeros(n_buckets, dtype=np.int64)
+    tgt_c = np.zeros(n_buckets, dtype=np.int64)
+    raw_c[tab["bucket"].to_numpy()] = tab["sum(raw_c)"].to_numpy()
+    tgt_c[tab["bucket"].to_numpy()] = tab["sum(tgt_c)"].to_numpy()
+    rtot, ttot = int(raw_c.sum()), int(tgt_c.sum())
+    # same operation order as the SQL: ln((t+1.0)/(ttot+B)) - ln((r+1.0)/(rtot+B))
+    lnr = np.array(
+        [
+            math.log((int(t) + 1.0) / (ttot + n_buckets))
+            - math.log((int(r) + 1.0) / (rtot + n_buckets))
+            for t, r in zip(tgt_c, raw_c)
+        ],
+        dtype=np.float64,
+    )
+    ref = ray.put(lnr)
+
+    def score(b: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids, ws = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            bk = tok_buckets(_oracle_tokens(t))
+            ws.append(float(table[bk].sum() / len(bk)))
+            ids.append(d)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dsir_weight": pa.array(_r(ws, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
 def q_simhash(sf_dir: str):
@@ -4813,6 +5043,8 @@ SQL_QUERIES = {
     "self_repetition": q_self_repetition,
     "split_assign": q_split_assign,
     "browser_render": q_browser_render,
+    "dedup_survivors": q_dedup_survivors,
+    "dsir_weights": q_dsir_weights,
 }
 
 

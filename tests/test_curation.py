@@ -154,3 +154,35 @@ def test_dup_span_fraction_bounds_and_signal():
     assert ((df["dup_frac"] >= 0) & (df["dup_frac"] <= 1)).all()
     # probed corpus property: some but not all docs carry duplicated spans
     assert 0 < (df["n_dup"] > 0).sum() < len(df)
+
+
+def test_dedup_survivors_partition_the_doubled_universe():
+    from blockchainspider_ray.pipelines.queries import q_dedup_survivors
+
+    surv = q_dedup_survivors(SF).to_pandas()
+    # survivors' represents-counts must exactly tile the doubled corpus:
+    # every dropped doc is accounted for by exactly one representative
+    assert int(surv["represents"].sum()) == 1000
+    # clone-guaranteed duplication: strictly fewer survivors than docs,
+    # and every survivor is the min doc_id of its cluster (so no survivor
+    # can be a +10000 clone whose original is also present)
+    assert len(surv) < 1000
+    ids = set(surv["doc_id"])
+    assert all(d - 10000 not in ids for d in ids if d >= 10000)
+    # representatives of multi-doc clusters carry their cluster size
+    assert (surv["represents"] >= 2).any()
+
+
+def test_dsir_weights_separate_target_language():
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines.queries import q_dsir_weights
+
+    w = q_dsir_weights(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    m = w.merge(docs, on="doc_id")
+    en = m.loc[m["lang"] == "en", "dsir_weight"].mean()
+    rest = m.loc[m["lang"] != "en", "dsir_weight"].mean()
+    # the whole point of DSIR: target-like docs get higher importance
+    assert en > rest
+    assert len(w) == 500
