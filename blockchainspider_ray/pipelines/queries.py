@@ -4175,8 +4175,7 @@ ORACLE_SQL["dup_span_fraction"] = r"""
 # DSIR importance weights: hashed-unigram (md5-low-64 % 64) log-likelihood
 # ratio of the lang='en' target slice vs the raw corpus, Laplace-smoothed,
 # mean over token positions — identical smoothing/op order to the Ray side.
-ORACLE_SQL["dsir_weights"] = r"""
-    WITH w AS (
+_DSIR_W_CTE = r"""w AS (
         SELECT doc_id, lang,
                unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         FROM documents
@@ -4192,10 +4191,35 @@ ORACLE_SQL["dsir_weights"] = r"""
                ln((coalesce(tgt.c, 0) + 1.0) / (tot.ttot + 64)) -
                ln((raw.c + 1.0) / (tot.rtot + 64)) AS lnr
         FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    wts AS (
+        SELECT b.doc_id, round(sum(lr.lnr) / count(*), 6) AS dsir_weight
+        FROM b JOIN lr USING (bucket) GROUP BY b.doc_id
+    )"""
+
+ORACLE_SQL["dsir_weights"] = f"""
+    WITH {_DSIR_W_CTE}
+    SELECT doc_id, dsir_weight FROM wts ORDER BY doc_id
+"""
+
+# Efraimidis-Spirakis A-Res sampling keys over exp(dsir_weight):
+# u from md5(doc_id || ':es') scaled to (0,1) by 2^53 — identical doubles
+# on both sides; weight rounded to 6dp before exp, key before ranking.
+ORACLE_SQL["dsir_resample"] = f"""
+    WITH {_DSIR_W_CTE},
+    keys AS (
+        SELECT doc_id,
+               round(ln((md5_number_lower(CAST(doc_id AS VARCHAR) || ':es')
+                         % 9007199254740992) / 9007199254740992.0)
+                     / exp(dsir_weight), 6) AS es_key
+        FROM wts
+    ),
+    r AS (
+        SELECT doc_id, es_key,
+               CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+        FROM keys
     )
-    SELECT b.doc_id, round(sum(lr.lnr) / count(*), 6) AS dsir_weight
-    FROM b JOIN lr USING (bucket)
-    GROUP BY b.doc_id ORDER BY b.doc_id
+    SELECT doc_id, es_key, rank FROM r WHERE rank <= 100 ORDER BY rank
 """
 
 # browser_render: DOC_HTML_SQL is ascii, so length() == the stage's char
@@ -4564,6 +4588,45 @@ def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
         )
 
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def q_dsir_resample(sf_dir: str, k: int = 100):
+    """The resampling half of DSIR: weighted sampling WITHOUT replacement
+    of k docs proportional to the importance ratio exp(dsir_weight), via
+    Efraimidis-Spirakis A-Res keys (key = ln(u)/w, u deterministic from
+    md5(doc_id)) — one map to key every doc, one distributed top-k; no
+    driver-side corpus.  Rounding the weight to 6dp BEFORE exp and the key
+    to 6dp BEFORE ranking makes Ray and the SQL mirror order identically."""
+    import math
+
+    from ..stages.dedup import _stable_h64
+
+    weights = q_dsir_weights(sf_dir)
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        ws = b.column("dsir_weight").to_pylist()
+        keys = []
+        for d, w in zip(ids, ws):
+            u = (_stable_h64(f"{d}:es") % 9007199254740992) / 9007199254740992.0
+            keys.append(math.log(u) / math.exp(w))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "es_key": pa.array(_r(keys, 6), pa.float64()),
+            }
+        )
+
+    keyed = weights.map_batches(key, batch_format="pyarrow")
+    # distributed top-k; the k survivors are a small result, so ranking
+    # happens on the collected table (k rows, not the corpus)
+    top = keyed.sort(["es_key", "doc_id"], descending=[True, False]).limit(k)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    order = pc.sort_indices(
+        t, sort_keys=[("es_key", "descending"), ("doc_id", "ascending")]
+    )
+    t = t.take(order)
+    return t.append_column("rank", pa.array(np.arange(1, t.num_rows + 1), pa.int64()))
 
 
 def q_simhash(sf_dir: str):
@@ -5045,6 +5108,7 @@ SQL_QUERIES = {
     "browser_render": q_browser_render,
     "dedup_survivors": q_dedup_survivors,
     "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
 }
 
 

@@ -186,3 +186,21 @@ def test_dsir_weights_separate_target_language():
     # the whole point of DSIR: target-like docs get higher importance
     assert en > rest
     assert len(w) == 500
+
+
+def test_dsir_resample_is_weighted_without_replacement():
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines.queries import (
+        q_dsir_resample,
+        q_dsir_weights,
+    )
+
+    sel = q_dsir_resample(SF).to_pandas()
+    assert len(sel) == 100
+    assert sel["doc_id"].is_unique  # without replacement
+    assert (sel["rank"].to_numpy() == np.arange(1, 101)).all()
+    w = q_dsir_weights(SF).to_pandas()
+    m = sel.merge(w, on="doc_id")
+    # E-S keys bias selection toward high-importance docs
+    assert m["dsir_weight"].mean() > w["dsir_weight"].mean()
