@@ -4222,6 +4222,16 @@ ORACLE_SQL["dsir_resample"] = f"""
     SELECT doc_id, es_key, rank FROM r WHERE rank <= 100 ORDER BY rank
 """
 
+# audio_decode: the FAKEAUD header fields are exact functions of doc_id;
+# duration computed as n * 1.0 / rate on both sides (identical doubles).
+ORACLE_SQL["audio_decode"] = r"""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+           CAST(500 + doc_id % 100 AS BIGINT) AS n_samples,
+           (500 + doc_id % 100) * 1.0 / (8000 + (doc_id % 3) * 4000) AS duration_s
+    FROM documents ORDER BY doc_id
+"""
+
 # browser_render: DOC_HTML_SQL is ascii, so length() == the stage's char
 # budget; the WHERE mirrors the body-wait timeout drop (IgnoreRequest).
 ORACLE_SQL["browser_render"] = f"""
@@ -4857,6 +4867,93 @@ def q_frame_sample(sf_dir: str):
     )
 
 
+def q_audio_decode(sf_dir: str):
+    """Audio decode plumbing: synthetic FAKEAUD PCM payloads (binary col)
+    -> sample_rate/n_samples/duration_s via the actor-pool decode stage
+    (stages/multimodal.py DecodeAudioStage, codec='fake').  The rng PCM
+    body (rms) is pinned in pytest; the header-derived columns are exact
+    functions of doc_id, so this query runs under the full SQL oracle."""
+    from ..stages.multimodal import DecodeAudioStage, make_fake_audio
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "audio": pa.array(
+                    [
+                        make_fake_audio(
+                            8000 + (int(d) % 3) * 4000, 500 + int(d) % 100, seed=int(d)
+                        )
+                        for d in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
+        .map_batches(
+            DecodeAudioStage,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+            fn_constructor_kwargs={"codec": "fake"},
+        )
+        .select_columns(["doc_id", "sample_rate", "n_samples", "duration_s"])
+        .sort("doc_id")
+    )
+
+
+def q_image_resize(sf_dir: str):
+    """Resize step of an image pipeline: FAKEIMG payload -> 4x4
+    nearest-neighbor re-encoded payload (ResizeImageStage) -> decode.
+    Output dims are pinned; mean_luma of the resized image is pytest
+    territory (rng pixels)."""
+    from ..stages.multimodal import (
+        DecodeImageStage,
+        ResizeImageStage,
+        make_fake_image,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "image": pa.array(
+                    [
+                        make_fake_image(8 + int(d) % 8, 6 + int(d) % 5, 3, seed=int(d))
+                        for d in ids
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
+        .map_batches(
+            ResizeImageStage,
+            batch_format="pyarrow",
+            batch_size=128,
+            concurrency=2,
+            fn_constructor_kwargs={"codec": "fake", "out_w": 4, "out_h": 4},
+        )
+        # decode as stateless tasks: chaining a second actor pool doubles
+        # the pool footprint for no state benefit
+        .map_batches(
+            DecodeImageStage(codec="fake"), batch_format="pyarrow", batch_size=128
+        )
+        .sort("doc_id")
+    )
+
+
 def _crawl_store_for(sf_dir: str) -> str:
     """Idempotently materialize the documents-derived page store under /tmp
     (hash-partitioned), keyed by sf_dir."""
@@ -5109,6 +5206,7 @@ SQL_QUERIES = {
     "dedup_survivors": q_dedup_survivors,
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
+    "audio_decode": q_audio_decode,
 }
 
 
@@ -5132,4 +5230,5 @@ NOSQL_QUERIES = {
     "crawl_ttr_time_sharded": q_crawl_ttr_time_sharded,
     "image_decode": q_image_decode,
     "frame_sample": q_frame_sample,
+    "image_resize": q_image_resize,
 }

@@ -85,3 +85,84 @@ def test_frame_sampling():
     out = FrameSampleStage(codec="fake", every=2)(t)
     assert out.column("frame_index").to_pylist() == [0, 2, 4]
     assert out.column("video_id").to_pylist() == [7, 7, 7]
+
+
+def test_audio_decode_stage():
+    import numpy as np
+
+    from blockchainspider_ray.stages.multimodal import (
+        DecodeAudioStage,
+        make_fake_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudioStage()(pa.table({"audio": pa.array([b""], pa.binary())}))
+
+    t = pa.table(
+        {
+            "audio_id": pa.array([1, 2], pa.int64()),
+            "audio": pa.array(
+                [make_fake_audio(8000, 400, seed=1), make_fake_audio(16000, 800, seed=2)],
+                pa.binary(),
+            ),
+        }
+    )
+    out = DecodeAudioStage(codec="fake")(t)
+    assert out.column("sample_rate").to_pylist() == [8000, 16000]
+    assert out.column("n_samples").to_pylist() == [400, 800]
+    assert out.column("duration_s").to_pylist() == [400 / 8000, 800 / 16000]
+    assert all(0 < r < 32768 for r in out.column("rms").to_pylist())
+    assert "audio" not in out.column_names
+
+
+def test_audio_window_stage_explodes_full_windows():
+    from blockchainspider_ray.stages.multimodal import (
+        AudioWindowStage,
+        make_fake_audio,
+    )
+
+    # 700 samples at window 256 -> 2 full windows (trailing 188 dropped)
+    t = pa.table(
+        {
+            "audio_id": pa.array([5], pa.int64()),
+            "audio": pa.array([make_fake_audio(8000, 700, seed=3)], pa.binary()),
+        }
+    )
+    out = AudioWindowStage(codec="fake", window=256)(t)
+    assert out.column("window_index").to_pylist() == [0, 1]
+    assert out.column("audio_id").to_pylist() == [5, 5]
+    assert all(r > 0 for r in out.column("rms").to_pylist())
+
+
+def test_resize_image_stage_reencodes():
+    from blockchainspider_ray.stages.multimodal import (
+        DecodeImageStage,
+        ResizeImageStage,
+        make_fake_image,
+    )
+
+    t = pa.table(
+        {
+            "image_id": pa.array([1], pa.int64()),
+            "image": pa.array([make_fake_image(8, 6, 3, seed=9)], pa.binary()),
+        }
+    )
+    resized = ResizeImageStage(codec="fake", out_w=4, out_h=4)(t)
+    assert "image" in resized.column_names  # payload replaced, not dropped
+    dec = DecodeImageStage(codec="fake")(resized)
+    assert dec.column("width").to_pylist() == [4]
+    assert dec.column("height").to_pylist() == [4]
+    assert dec.column("channels").to_pylist() == [3]
+    # nearest-neighbor keeps pixel values from the original
+    assert 0 <= dec.column("mean_luma").to_pylist()[0] <= 255
+
+
+def test_image_resize_query_pins_dims():
+    from blockchainspider_ray.pipelines.queries import q_image_resize
+
+    df = q_image_resize("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert (df["width"] == 4).all()
+    assert (df["height"] == 4).all()
+    assert (df["channels"] == 3).all()
+    assert df["mean_luma"].between(0, 255).all()
