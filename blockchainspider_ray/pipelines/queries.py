@@ -4222,6 +4222,24 @@ ORACLE_SQL["dsir_resample"] = f"""
     SELECT doc_id, es_key, rank FROM r WHERE rank <= 100 ORDER BY rank
 """
 
+# anchor_agg: the fixture's one link per doc carries anchor 'next <id>';
+# the canonical target equals the canonicalize_urls synthesis string.
+ORACLE_SQL["anchor_agg"] = f"""
+    WITH h AS (SELECT doc_id, {DOC_HTML_SQL} AS html FROM documents),
+    a AS (
+        SELECT 'site' || (doc_id % 10) || '.example' AS host,
+               'http://site' || (doc_id % 10) || '.example/d/'
+                 || ((doc_id * 7) % 500) || '?a=1&b=2' AS target,
+               regexp_extract(html, '<a [^>]*href="[^"]*"[^>]*>([^<]*)</a>', 1) AS anchor
+        FROM h
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(count(DISTINCT target) AS BIGINT) AS n_targets,
+           string_agg(anchor, '|' ORDER BY anchor) AS anchors
+    FROM a GROUP BY host ORDER BY host
+"""
+
 # audio_decode: the FAKEAUD header fields are exact functions of doc_id;
 # duration computed as n * 1.0 / rate on both sides (identical doubles).
 ORACLE_SQL["audio_decode"] = r"""
@@ -5112,6 +5130,56 @@ def q_crawl_ttr_time_sharded(sf_dir: str):
     )
 
 
+_RE_ANCHOR = re.compile(r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
+
+
+def q_anchor_agg(sf_dir: str):
+    """Per-host anchor-text profile over the extracted link graph — the
+    web-native aggregation search/training pipelines build (anchor text is
+    the classic off-page document description).  Extract (href, anchor)
+    pairs from html, canonicalize the href, group by target host:
+    in-link count, distinct-target count, codepoint-sorted anchor concat.
+    map_groups on the host key (10^5-ish hosts per shard at web scale;
+    anchors within one host fit a group)."""
+    ds = _docs_html_ds(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        hosts, targets, anchors = [], [], []
+        for h in b.column("html").to_pylist():
+            for href, anchor in _RE_ANCHOR.findall(h):
+                cu = canonicalize_url(href)
+                hosts.append(host_of(cu))
+                targets.append(cu)
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "target": pa.array(targets, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    def profile(g: pa.Table) -> pa.Table:
+        anchors = sorted(g.column("anchor").to_pylist())
+        return pa.table(
+            {
+                "host": pa.array([g.column("host")[0].as_py()], pa.string()),
+                "n_anchors": pa.array([g.num_rows], pa.int64()),
+                "n_targets": pa.array(
+                    [pc.count_distinct(g.column("target")).as_py()], pa.int64()
+                ),
+                "anchors": pa.array(["|".join(anchors)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(profile, batch_format="pyarrow")
+        .sort("host")
+    )
+
+
 def q_browser_render(sf_dir: str):
     """Browser-rendered fetch (reference middlewares/selenium.py:14-46) via
     the deterministic fake renderer: pages whose <body> appears within the
@@ -5207,6 +5275,7 @@ SQL_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "dsir_resample": q_dsir_resample,
     "audio_decode": q_audio_decode,
+    "anchor_agg": q_anchor_agg,
 }
 
 
