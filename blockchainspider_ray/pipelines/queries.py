@@ -1001,6 +1001,61 @@ def q_curation_pipeline(sf_dir: str, budget: int = 256, bucket: int = 64):
     return _assign_seq_ids(survivors, budget=budget, bucket=bucket)
 
 
+def q_pretrain_mix(sf_dir: str, budget: int = 256, bucket: int = 64, n_buckets: int = 64):
+    """The second composed flagship: the SAMPLING half of pretraining-data
+    assembly (the curation_pipeline covers the scrub/dedup half):
+
+      1. held-out split removal (md5(doc_id) % 97 == 0 never trains);
+      2. Gopher quality rules (q_gopher_quality thresholds);
+      3. 4-gram eval-set decontamination (q_decontaminate's blocklist);
+      4. DSIR selection — keep docs whose importance weight (rounded 6dp,
+         exactly q_dsir_weights) is positive, i.e. more target-like than
+         the raw corpus;
+      5. sequence packing (q_pack_sequences) over the selected docs.
+
+    One tokenize pass per doc; the DSIR table and blocklist are two small
+    broadcast reductions; packing reuses the distributed prefix-sum
+    helper.  The SQL mirror replays all five stages, so the oracle pins
+    the composition order."""
+    from ..stages.dedup import _stable_h64
+
+    full = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_gram, mod = 4, 97
+    bl_ref = _eval_blocklist(full, n_gram, mod)
+    lnr_ref = _dsir_lnr_ref(full, n_buckets)
+    tok_buckets = _dsir_tok_buckets(n_buckets)
+
+    def gate(b: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        lnr = ray.get(lnr_ref)
+        ids, ns = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if _stable_h64(str(d)) % mod == 0:
+                continue  # held-out split never trains
+            toks = _oracle_tokens(t)
+            if not _gopher_stats(toks)[4]:
+                continue
+            if any(
+                " ".join(toks[i : i + n_gram]) in bl
+                for i in range(len(toks) - n_gram + 1)
+            ):
+                continue
+            bk = tok_buckets(toks)
+            if _r([float(lnr[bk].sum() / len(bk))], 6)[0] <= 0:
+                continue
+            ids.append(d)
+            ns.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+            }
+        )
+
+    selected = full.map_batches(gate, batch_format="pyarrow")
+    return _assign_seq_ids(selected, budget=budget, bucket=bucket)
+
+
 def q_dup_span_fraction(sf_dir: str, n: int = 5):
     """Exact duplicate-span signal (the n-gram-granular cousin of Lee et
     al. 2022's exact substring dedup): for every doc, the fraction of its
@@ -4222,6 +4277,75 @@ ORACLE_SQL["dsir_resample"] = f"""
     SELECT doc_id, es_key, rank FROM r WHERE rank <= 100 ORDER BY rank
 """
 
+# pretrain_mix: held-out removal -> Gopher gate -> 4-gram decontamination
+# -> DSIR weight > 0 -> sequence packing, replayed stage for stage.
+ORACLE_SQL["pretrain_mix"] = r"""
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                                     i -> list_aggregate(t[i:i+3], 'string_agg', ' '))) AS g
+        FROM toks
+    ),
+    test AS (
+        SELECT DISTINCT g FROM grams
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 97 = 0
+    ),
+    contam AS (
+        SELECT DISTINCT gr.doc_id FROM grams gr JOIN test USING (g)
+        WHERE md5_number_lower(CAST(gr.doc_id AS VARCHAR)) % 97 <> 0
+    ),
+    w AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM bgc GROUP BY doc_id),
+    q AS (
+        SELECT ws.doc_id, ws.n FROM ws LEFT JOIN tp USING (doc_id)
+        WHERE ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+          AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+    ),
+    bkt AS (SELECT doc_id, lang,
+                   CAST(md5_number_lower(w) % 64 AS INT) AS bucket FROM w),
+    raw AS (SELECT bucket, count(*) AS c FROM bkt GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c FROM bkt WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM bkt) AS rtot,
+                   (SELECT count(*) FROM bkt WHERE lang = 'en') AS ttot),
+    lr AS (
+        SELECT raw.bucket,
+               ln((coalesce(tgt.c, 0) + 1.0) / (tot.ttot + 64)) -
+               ln((raw.c + 1.0) / (tot.rtot + 64)) AS lnr
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    wts AS (
+        SELECT bkt.doc_id, round(sum(lr.lnr) / count(*), 6) AS dw
+        FROM bkt JOIN lr USING (bucket) GROUP BY bkt.doc_id
+    ),
+    cand AS (
+        SELECT q.doc_id, q.n FROM q JOIN wts USING (doc_id)
+        WHERE md5_number_lower(CAST(q.doc_id AS VARCHAR)) % 97 <> 0
+          AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+          AND wts.dw > 0
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST((sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n) // 256 AS BIGINT) AS seq_id
+    FROM cand ORDER BY doc_id
+"""
+
 # anchor_agg: the fixture's one link per doc carries anchor 'next <id>';
 # the canonical target equals the canonicalize_urls synthesis string.
 ORACLE_SQL["anchor_agg"] = f"""
@@ -4537,20 +4661,10 @@ def q_dedup_survivors(sf_dir: str):
     )
 
 
-def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
-    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling"): per-doc mean
-    log-likelihood ratio between a hashed-unigram target distribution
-    (here: the ``lang='en'`` slice) and the raw corpus distribution, with
-    Laplace smoothing.  Pass 1 reduces the corpus to two B-bucket count
-    vectors (B=64 — KBs, broadcast via ray.put); pass 2 is a pure
-    vectorized map.  Token -> bucket uses the md5-low-64 hash so the SQL
-    mirror (md5_number_lower(token) % B) is bit-identical."""
-    import math
-
+def _dsir_tok_buckets(n_buckets: int):
+    """Per-worker cached token -> md5-low-64 % B bucketing kernel."""
     from ..stages.dedup import _stable_h64
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     bucket_cache: dict = {}
 
     def tok_buckets(toks):
@@ -4562,6 +4676,17 @@ def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
                 bucket_cache[w] = b
             out[i] = b
         return out
+
+    return tok_buckets
+
+
+def _dsir_lnr_ref(docs, n_buckets: int):
+    """Corpus -> broadcast ln-likelihood-ratio table (np.float64[B]):
+    pass 1 of DSIR, shared by q_dsir_weights and the pretrain_mix
+    composite so the target/raw definition cannot drift."""
+    import math
+
+    tok_buckets = _dsir_tok_buckets(n_buckets)
 
     def partial_counts(b: pa.Table) -> pa.Table:
         raw = np.zeros(n_buckets, dtype=np.int64)
@@ -4599,7 +4724,21 @@ def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
         ],
         dtype=np.float64,
     )
-    ref = ray.put(lnr)
+    return ray.put(lnr)
+
+
+def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-doc mean
+    log-likelihood ratio between a hashed-unigram target distribution
+    (here: the ``lang='en'`` slice) and the raw corpus distribution, with
+    Laplace smoothing.  Pass 1 reduces the corpus to two B-bucket count
+    vectors (B=64 — KBs, broadcast via ray.put); pass 2 is a pure
+    vectorized map.  Token -> bucket uses the md5-low-64 hash so the SQL
+    mirror (md5_number_lower(token) % B) is bit-identical."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ref = _dsir_lnr_ref(docs, n_buckets)
+    tok_buckets = _dsir_tok_buckets(n_buckets)
 
     def score(b: pa.Table) -> pa.Table:
         table = ray.get(ref)
@@ -5276,6 +5415,7 @@ SQL_QUERIES = {
     "dsir_resample": q_dsir_resample,
     "audio_decode": q_audio_decode,
     "anchor_agg": q_anchor_agg,
+    "pretrain_mix": q_pretrain_mix,
 }
 
 

@@ -204,3 +204,27 @@ def test_dsir_resample_is_weighted_without_replacement():
     m = sel.merge(w, on="doc_id")
     # E-S keys bias selection toward high-importance docs
     assert m["dsir_weight"].mean() > w["dsir_weight"].mean()
+
+
+def test_pretrain_mix_composes_gates_and_packs():
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines.queries import (
+        q_dsir_weights,
+        q_gopher_quality,
+        q_pretrain_mix,
+    )
+
+    mix = q_pretrain_mix(SF).to_pandas()
+    assert 0 < len(mix) < 500  # real attrition, non-empty selection
+    # every selected doc passed BOTH upstream gates
+    gq = q_gopher_quality(SF).to_pandas().set_index("doc_id")
+    dw = q_dsir_weights(SF).to_pandas().set_index("doc_id")
+    assert gq.loc[mix["doc_id"], "keep"].astype(bool).all()
+    assert (dw.loc[mix["doc_id"], "dsir_weight"] > 0).all()
+    # packing invariants: seq ids contiguous from 0, token budget honored
+    assert mix["seq_id"].min() == 0
+    assert set(mix["seq_id"]) == set(range(mix["seq_id"].max() + 1))
+    mix = mix.sort_values("doc_id")
+    csum = mix["n_tokens"].cumsum() - mix["n_tokens"]
+    assert ((csum // 256) == mix["seq_id"]).all()
