@@ -4360,7 +4360,7 @@ ORACLE_SQL["anchor_agg"] = f"""
     SELECT host,
            CAST(count(*) AS BIGINT) AS n_anchors,
            CAST(count(DISTINCT target) AS BIGINT) AS n_targets,
-           string_agg(anchor, '|' ORDER BY anchor) AS anchors
+           array_to_string((list_sort(list(anchor)))[1:32], '|') AS anchors_sample
     FROM a GROUP BY host ORDER BY host
 """
 
@@ -5272,14 +5272,23 @@ def q_crawl_ttr_time_sharded(sf_dir: str):
 _RE_ANCHOR = re.compile(r'<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
 
 
+ANCHOR_SAMPLE_K = 32
+
+
 def q_anchor_agg(sf_dir: str):
     """Per-host anchor-text profile over the extracted link graph — the
     web-native aggregation search/training pipelines build (anchor text is
-    the classic off-page document description).  Extract (href, anchor)
-    pairs from html, canonicalize the href, group by target host:
-    in-link count, distinct-target count, codepoint-sorted anchor concat.
-    map_groups on the host key (10^5-ish hosts per shard at web scale;
-    anchors within one host fit a group)."""
+    the classic off-page document description): in-link count, distinct
+    target count, and the K codepoint-smallest anchor texts as a bounded
+    sample.  Scale shape: a popular host has 10^8+ in-links, so nothing
+    ever groups raw anchor rows by host alone.  Counts pre-aggregate per
+    (host, target) inside each batch, shuffle as scalar rows, and fold to
+    per-host sums; the anchor sample keeps only the local top-K per batch
+    before the shuffle, so the merge group holds <= K rows per upstream
+    block, never the in-link set.  The full sorted concat the fixture
+    could afford is deliberately NOT offered — the capped sample is the
+    only output shape that survives a degenerate host (same rule as the
+    LSH bucket cap in stages/dedup.py)."""
     ds = _docs_html_ds(sf_dir)
 
     def pairs(b: pa.Table) -> pa.Table:
@@ -5298,23 +5307,113 @@ def q_anchor_agg(sf_dir: str):
             }
         )
 
-    def profile(g: pa.Table) -> pa.Table:
-        anchors = sorted(g.column("anchor").to_pylist())
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+
+    # counts: (host, target) partial counts per batch -> per-target sums
+    # -> per-host (n_targets, n_anchors); every shuffled row is scalars
+    def local_tc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(zip(b.column("host").to_pylist(), b.column("target").to_pylist()))
+        return pa.table(
+            {
+                "host": pa.array([k[0] for k in c], pa.string()),
+                "target": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "t_one": pa.array([1] * b.num_rows, pa.int64()),
+                "a_cnt": b.column("sum(c)").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        p.map_batches(local_tc, batch_format="pyarrow")
+        .groupby(["host", "target"])
+        .sum("c")
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["t_one", "a_cnt"])
+    )
+
+    # sample: local top-K smallest anchors per (host, batch) -> bounded
+    # per-host merge (<= K rows per upstream block in a group)
+    def local_topk(b: pa.Table) -> pa.Table:
+        buf: dict = {}
+        for h, a in zip(b.column("host").to_pylist(), b.column("anchor").to_pylist()):
+            buf.setdefault(h, []).append(a)
+        hosts, anchors = [], []
+        for h, al in buf.items():
+            for a in sorted(al)[:ANCHOR_SAMPLE_K]:
+                hosts.append(h)
+                anchors.append(a)
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "anchor": pa.array(anchors, pa.string())}
+        )
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        top = sorted(g.column("anchor").to_pylist())[:ANCHOR_SAMPLE_K]
         return pa.table(
             {
                 "host": pa.array([g.column("host")[0].as_py()], pa.string()),
-                "n_anchors": pa.array([g.num_rows], pa.int64()),
-                "n_targets": pa.array(
-                    [pc.count_distinct(g.column("target")).as_py()], pa.int64()
+                "anchors_sample": pa.array(["|".join(top)], pa.string()),
+            }
+        )
+
+    sample = (
+        p.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+    # zip the two per-host tables (one row per host each) without a
+    # driver-side join: union with null-padding + one bounded groupby fold
+    def pad_counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_targets": b.column("sum(t_one)").cast(pa.int64()),
+                "n_anchors": b.column("sum(a_cnt)").cast(pa.int64()),
+                "anchors_sample": pa.array([None] * b.num_rows, pa.string()),
+            }
+        )
+
+    def pad_sample(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_targets": pa.array([None] * b.num_rows, pa.int64()),
+                "n_anchors": pa.array([None] * b.num_rows, pa.int64()),
+                "anchors_sample": b.column("anchors_sample"),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.array([g.column("host")[0].as_py()], pa.string()),
+                "n_anchors": pa.array(
+                    [pc.max(g.column("n_anchors")).as_py()], pa.int64()
                 ),
-                "anchors": pa.array(["|".join(anchors)], pa.string()),
+                "n_targets": pa.array(
+                    [pc.max(g.column("n_targets")).as_py()], pa.int64()
+                ),
+                "anchors_sample": pa.array(
+                    [pc.max(g.column("anchors_sample")).as_py()], pa.string()
+                ),
             }
         )
 
     return (
-        ds.map_batches(pairs, batch_format="pyarrow")
+        counts.map_batches(pad_counts, batch_format="pyarrow")
+        .union(sample.map_batches(pad_sample, batch_format="pyarrow"))
         .groupby("host")
-        .map_groups(profile, batch_format="pyarrow")
+        .map_groups(fold, batch_format="pyarrow")
         .sort("host")
     )
 
