@@ -353,9 +353,17 @@ def engine_crawl(
     if not fetch_actors:
         fetch_actors = max(2, NUM_CPUS // 2)
     if strategy == "bfs":
+        # 8 seeds for the headline crawl; the big scaling job starts from 64
+        # (two per store partition) so the frontier is wide from round 1 —
+        # a production 10^10-url crawl seeds from millions of urls, and the
+        # scaling criterion is about steady-state rounds, not BFS warmup
+        n_seeds = 64 if big else 8
         seeds = [
-            pads.dataset(f"{store}/part={k}").to_table(columns=["url"]).column("url")[0].as_py()
-            for k in range(8)
+            pads.dataset(f"{store}/part={k % 32}")
+            .to_table(columns=["url"])
+            .column("url")[k // 32]
+            .as_py()
+            for k in range(n_seeds)
         ]
         strategy_kwargs = {"depth": 16}
     else:

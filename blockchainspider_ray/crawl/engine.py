@@ -629,14 +629,12 @@ class CrawlEngine:
             m["admitted"], m["deferred"] = adm.height, deferred.height
             _lap("admit")
 
-            if adm.height:
-                new_mask = self.seen.filter_new(url_hash64(adm["url"]))
-                m["already_seen"] = int((~new_mask).sum())
-                # a url is "new" if ANY of its occurrences passed the gate
-                # (scalar loop's new_of OR-fold)
-                adm = adm.with_columns(pl.Series("new", new_mask)).with_columns(
-                    pl.col("new").max().over("url")
-                )
+            # submit the seen wave now, collect AFTER fetch: the mask's only
+            # consumers (new_found / crawl order) run post-fetch, so the
+            # sharded contains-and-insert RPCs ride inside the fetch wall
+            seen_wave = (
+                self.seen.filter_new_async(url_hash64(adm["url"])) if adm.height else None
+            )
             _lap("seen")
 
             if adm.height == 0:
@@ -653,6 +651,13 @@ class CrawlEngine:
             urls = adm["url"].to_list()
             meta, texts, edges = self._fetch_and_parse(urls)
             _lap("fetch_parse")
+            new_mask = seen_wave()
+            m["already_seen"] = int((~new_mask).sum())
+            # a url is "new" if ANY of its occurrences passed the gate
+            # (scalar loop's new_of OR-fold)
+            adm = adm.with_columns(pl.Series("new", new_mask)).with_columns(
+                pl.col("new").max().over("url")
+            )
             found_list = meta.column("url").to_pylist()
             adm = adm.with_columns(pl.col("url").is_in(found_list).alias("found"))
             uniq = adm.unique(subset="url", keep="first", maintain_order=True)
@@ -678,9 +683,9 @@ class CrawlEngine:
                 j = a.join(e, left_on="url", right_on="src_url", how="inner").sort(
                     ["ai", "ei"]
                 )
-                self.strategy.push_edges(
-                    j["url"].to_list(), j["dst_url"].to_list(), j["depth"].to_list()
-                )
+                # columnar handoff: FIFO strategies enqueue the arrow arrays
+                # as-is and only materialize chunks a pop actually reaches
+                self.strategy.push_edges(j["url"], j["dst_url"], j["depth"])
             self.fetched += m["fetched"]
             _lap("push")
 
@@ -757,11 +762,12 @@ class CrawlEngine:
             # is still fetched+pushed so its residual drains, but it is NOT
             # re-emitted to crawl order / text outputs and doesn't recount.
             new_of: Dict[str, bool] = {}
-            if admitted:
-                new_mask = self.seen.filter_new(url_hash64([x.url for x in admitted]))
-                for x, n in zip(admitted, new_mask):
-                    new_of[x.url] = new_of.get(x.url, False) or bool(n)
-                m["already_seen"] = int(sum(1 for n in new_mask if not n))
+            # submit now, collect after fetch (mask consumers are post-fetch)
+            seen_wave = (
+                self.seen.filter_new_async(url_hash64([x.url for x in admitted]))
+                if admitted
+                else None
+            )
             _lap("seen")
 
             if not admitted:
@@ -775,6 +781,10 @@ class CrawlEngine:
             urls = [x.url for x in admitted]
             meta, texts, edges = self._fetch_and_parse(urls)
             _lap("fetch_parse")
+            new_mask = seen_wave()
+            for x, n in zip(admitted, new_mask):
+                new_of[x.url] = new_of.get(x.url, False) or bool(n)
+            m["already_seen"] = int(sum(1 for n in new_mask if not n))
             found = set(meta.column("url").to_pylist())
             new_found = [u for u in dict.fromkeys(urls) if u in found and new_of.get(u, True)]
             m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)

@@ -36,6 +36,112 @@ def _lookup_partition(files: List[str], urls: List[str], columns: Optional[List[
     return ds.to_table(filter=_pc.field("url").isin(urls), columns=columns)
 
 
+def _parse_pages(pages, include_scripts: bool = True):
+    """(meta, texts, edges) triple from a fetched page table — the fused
+    parse half of fetch_parse, shared by the shard actors and the balanced
+    stateless decode tasks.  Byte-identical text per url (reference
+    spiders/labels/web.py:118-123 regex chain) + canonical link edges."""
+    import pyarrow as _pa
+
+    from ..functions.links import decode_html
+    from ..functions.text import extract_text
+    from ..stages.parse import extract_links_stage
+
+    meta_cols = [c for c in ("url", "warc_ts") if c in pages.column_names]
+    meta = pages.select(meta_cols)
+    texts = _pa.table(
+        {
+            "url": pages.column("url"),
+            "text_extracted": _pa.array(
+                [extract_text(decode_html(h)) for h in pages.column("html").to_pylist()],
+                _pa.string(),
+            ),
+        }
+    )
+    edges = extract_links_stage(pages, include_scripts=include_scripts)
+    return meta, texts, edges
+
+
+# Per-WORKER-PROCESS caches for the stateless decode tasks: parquet file
+# handles (metadata parse once per worker) and decoded row groups (same
+# entry-count budget as the shard actors' LRU; a worker that re-decodes a
+# row group another worker already has pays the decode once — capacity
+# aggregates across the pool instead of pinning to partition owners).
+_PF_CACHE: Dict[str, object] = {}
+_RG_CACHE: "Dict[tuple, object]" = {}
+
+
+def _pf_of(path: str):
+    import pyarrow.parquet as _pq
+
+    f = _PF_CACHE.get(path)
+    if f is None:
+        f = _PF_CACHE[path] = _pq.ParquetFile(path)
+    return f
+
+
+def _read_rgs_cached(path: str, rgs: List[int], columns: Optional[List[str]] = None):
+    """Decoded tables for row groups of one file, worker-LRU-cached; misses
+    are fetched in ONE batched read_row_groups call then sliced per group.
+    ``columns`` prunes the decode — fetch_parse never needs the store's
+    pre-extracted ``text``/``lang`` columns, which are ~half the bytes."""
+    cache_max = int(os.environ.get("BCS_RG_CACHE_MAX", "192"))
+    cols_key = tuple(columns) if columns else None
+    f = _pf_of(path)
+    if cache_max <= 0:
+        return [f.read_row_groups(rgs, columns=columns)]
+    out, missing = [], []
+    for rg in rgs:
+        t = _RG_CACHE.get((path, rg, cols_key))
+        if t is not None:
+            out.append(t)
+        else:
+            missing.append(rg)
+    if missing:
+        batch = f.read_row_groups(missing, columns=columns)
+        md = f.metadata
+        off = 0
+        for rg in missing:
+            n = md.row_group(rg).num_rows
+            t = batch.slice(off, n)
+            off += n
+            _RG_CACHE[(path, rg, cols_key)] = t
+            out.append(t)
+        while len(_RG_CACHE) > cache_max:
+            _RG_CACHE.pop(next(iter(_RG_CACHE)))
+    return out
+
+
+#: the only columns the fused decode+parse consumes (meta + html source)
+_FETCH_PARSE_COLUMNS = ["url", "warc_ts", "html"]
+
+
+@ray.remote(num_cpus=1)
+def _decode_parse_bundle(bundle: List[tuple], include_scripts: bool = True):
+    """One balanced slice of a crawl round's decode+parse work.
+
+    ``bundle`` = [(path, rgs, urls)] resolved by the partition-owner shard
+    actors; this task is STATELESS (any worker, any node with storage
+    access) so Ray load-balances the heavy row-group decode + parse across
+    the whole cluster instead of pinning it to index owners — the owner
+    with the most row groups no longer sets the round's critical path."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    tables = []
+    for path, rgs, urls in bundle:
+        f = _pf_of(path)
+        cols = [c for c in _FETCH_PARSE_COLUMNS if c in f.schema_arrow.names]
+        parts_t = _read_rgs_cached(path, list(rgs), columns=cols)
+        t = parts_t[0] if len(parts_t) == 1 else _pa.concat_tables(parts_t)
+        t = t.filter(_pc.is_in(t.column("url"), value_set=_pa.array(urls)))
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return None
+    return _parse_pages(_pa.concat_tables(tables), include_scripts)
+
+
 @ray.remote(num_cpus=0)  # service actor: light routing/IO, zero CPU claim so
 # pools always schedule and can never deadlock compute tasks on small clusters
 class _FetchShard:
@@ -169,6 +275,34 @@ class _FetchShard:
                 cache.popitem(last=False)
         return out
 
+    def resolve(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]]):
+        """Index-probe only: map this shard's urls to the (file path, row
+        group) sets holding them, WITHOUT decoding anything.  Returns
+        [(path, rg, [urls])] work items the driver greedy-packs into
+        balanced stateless decode+parse bundles.  The index stays sharded
+        (O(rows/k) per actor — the 10^10-url shape); only the elastic
+        decode work leaves the owner."""
+        from ..functions.urls import url_hash64
+
+        items: Dict[tuple, List[str]] = {}
+        paths_of: Dict[int, List[str]] = {}
+        for part, urls in part_urls.items():
+            paths = part_files[part]
+            paths_of[part] = paths
+            self._open(part, paths)
+            h_sorted, fi_sorted, rg_sorted = self._rg_index(part, paths)
+            want = url_hash64(urls)
+            pos = np.searchsorted(h_sorted, want)
+            n = len(h_sorted)
+            for u, w, p in zip(urls, want, pos):
+                while p < n and h_sorted[p] == w:
+                    items.setdefault((part, int(fi_sorted[p]), int(rg_sorted[p])), []).append(u)
+                    p += 1
+        return [
+            (paths_of[part][fi], rg, sorted(set(us)))
+            for (part, fi, rg), us in items.items()
+        ]
+
     def lookup(self, part_files: Dict[int, List[str]], part_urls: Dict[int, List[str]], columns):
         import pyarrow as _pa
         import pyarrow.compute as _pc
@@ -227,28 +361,10 @@ class _FetchShard:
         the driver receives only (meta, texts, edges), all html-free.
         Mirrors the bulk-ingest fused design (bench.py fetch_parse_write)
         that the round-1 VERDICT found 25x faster than shipping html."""
-        import pyarrow as _pa
-
-        from ..functions.links import decode_html
-        from ..functions.text import extract_text
-        from ..stages.parse import extract_links_stage
-
         pages = self.lookup(part_files, part_urls, None)
         if pages is None:
             return None
-        meta_cols = [c for c in ("url", "warc_ts") if c in pages.column_names]
-        meta = pages.select(meta_cols)
-        texts = _pa.table(
-            {
-                "url": pages.column("url"),
-                "text_extracted": _pa.array(
-                    [extract_text(decode_html(h)) for h in pages.column("html").to_pylist()],
-                    _pa.string(),
-                ),
-            }
-        )
-        edges = extract_links_stage(pages, include_scripts=include_scripts)
-        return meta, texts, edges
+        return _parse_pages(pages, include_scripts)
 
 
 class FetchPool:
@@ -326,15 +442,47 @@ class FetchPool:
             per_actor.setdefault(p % self.k, {})[p] = us
         return per_actor
 
+    # Rounds above this many urls use the two-wave balanced path: the
+    # per-actor fused path pins each partition's decode+parse to its index
+    # owner, and the owner with the most row groups sets the round's
+    # critical path (measured: >50% of fetch_parse wall was straggler gap
+    # at 32 cpus).  Small rounds keep the single-wave actor path — lowest
+    # latency, and the point-lookup response LRU only helps there.
+    BALANCE_THRESHOLD = int(os.environ.get("BCS_FP_BALANCE_MIN", "512"))
+
     def fetch_parse(self, urls: Sequence[str], include_scripts: bool = True):
-        """Fused distributed fetch+parse: each shard looks up AND parses its
-        urls in-actor; the driver gathers only the html-free
-        (meta, texts, edges) triple.  One RPC per shard per round."""
+        """Fused distributed fetch+parse: the driver gathers only the
+        html-free (meta, texts, edges) triple.
+
+        Small rounds: one RPC per shard actor (lookup+parse in-actor).
+        Big rounds: wave 1 asks each shard to RESOLVE its urls against the
+        sharded hash->row-group index (microseconds, tiny payloads); the
+        driver greedy-packs the resolved (file, row group, urls) items into
+        cost-balanced bundles; wave 2 runs the heavy decode+parse as
+        stateless num_cpus=1 tasks Ray schedules anywhere — work no longer
+        skews to whichever owner drew the most row groups this round."""
         import pyarrow as pa
 
         urls = list(urls)
         metas, texts, edges = [], [], []
-        if urls:
+        if len(urls) > self.BALANCE_THRESHOLD:
+            per_actor = self._route(urls)
+            item_refs = [
+                self.actors[a].resolve.remote(
+                    {p: self.store._partition_files([p]) for p in pu}, pu
+                )
+                for a, pu in sorted(per_actor.items())
+            ]
+            items = [it for ref in ray.get(item_refs) for it in ref]
+            bundles = self._pack_bundles(items)
+            for r in ray.get(
+                [_decode_parse_bundle.remote(b, include_scripts) for b in bundles]
+            ):
+                if r is not None:
+                    metas.append(r[0])
+                    texts.append(r[1])
+                    edges.append(r[2])
+        elif urls:
             per_actor = self._route(urls)
             refs = [
                 self.actors[a].fetch_parse.remote(
@@ -373,6 +521,54 @@ class FetchPool:
             pa.concat_tables(edges),
         )
 
+    @staticmethod
+    def _pack_bundles(items: List[tuple]) -> List[List[tuple]]:
+        """Greedy-pack resolved (path, rg, urls) items into cost-balanced
+        decode bundles, ~3 per CPU so Ray's scheduler absorbs residual
+        imbalance.  Same-file row groups stay together (chunked in rg
+        order) so each task issues ONE batched read_row_groups per file;
+        chunks then LPT-pack by estimated cost (decode is per-row-group,
+        parse is per-url)."""
+        import heapq
+
+        if not items:
+            return []
+        cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+        n_bundles = max(1, min(3 * cpus, len(items)))
+        # measured at the bench store shape: ~6.5ms per row-group decode vs
+        # ~0.12ms per url parse -> decode dominates ~50:1; weighting urls
+        # higher lets rg counts per bundle skew 4x and the decode tail
+        # re-appears
+        cost = lambda rgs, n_urls: len(rgs) + 0.02 * n_urls  # noqa: E731
+        by_file: Dict[str, List[tuple]] = {}
+        for path, rg, urls in items:
+            by_file.setdefault(path, []).append((rg, urls))
+        total = sum(cost([rg], len(us)) for path, rg, us in items)
+        target = max(total / n_bundles, 1.0)
+        chunks: List[tuple] = []  # (cost, path, rgs, urls)
+        for path, rg_items in by_file.items():
+            rg_items.sort()
+            rgs: List[int] = []
+            us: List[str] = []
+            c = 0.0
+            for rg, urls in rg_items:
+                rgs.append(rg)
+                us.extend(urls)
+                c += cost([rg], len(urls))
+                if c >= target:
+                    chunks.append((c, path, rgs, us))
+                    rgs, us, c = [], [], 0.0
+            if rgs:
+                chunks.append((c, path, rgs, us))
+        chunks.sort(reverse=True)  # LPT: biggest chunk first
+        heap = [(0.0, i) for i in range(min(n_bundles, len(chunks)))]
+        bundles: List[List[tuple]] = [[] for _ in range(len(heap))]
+        for c, path, rgs, us in chunks:
+            load, i = heapq.heappop(heap)
+            bundles[i].append((path, rgs, us))
+            heapq.heappush(heap, (load + c, i))
+        return bundles
+
     def cache_stats(self) -> Dict[str, int]:
         """Aggregate response-LRU hit/miss counts across shards (the
         reference's periodic hit-rate report, cache.py:34-52)."""
@@ -405,13 +601,23 @@ class PageStore:
         return [str(self.store_dir / f"part={k}") for k in sorted(set(parts))]
 
     def _partition_files(self, parts: Sequence[int]) -> List[str]:
+        # memoized per partition-dir: the store is immutable for the life
+        # of a crawl and the fetch path asks for the same partitions every
+        # round — re-globbing is pure driver-serial overhead
+        cache = getattr(self, "_pf_cache", None)
+        if cache is None:
+            cache = self._pf_cache = {}
         files: List[str] = []
         for d in self._partition_paths(parts):
-            p = Path(d)
-            if p.is_dir():
-                files.extend(str(f) for f in sorted(p.glob("*.parquet")))
-            else:
-                files.append(d)
+            got = cache.get(d)
+            if got is None:
+                p = Path(d)
+                if p.is_dir():
+                    got = [str(f) for f in sorted(p.glob("*.parquet"))]
+                else:
+                    got = [d]
+                cache[d] = got
+            files.extend(got)
         return files
 
     def partitions_for(self, urls: Sequence[str]) -> np.ndarray:

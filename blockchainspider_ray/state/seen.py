@@ -150,6 +150,16 @@ class SeenSet:
         return [np.nonzero(shard_of == k)[0] for k in range(self.num_shards)]
 
     def filter_new(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter_new_async(hashes)()
+
+    def filter_new_async(self, hashes: np.ndarray):
+        """Submit the sharded contains-and-insert wave WITHOUT waiting;
+        returns a zero-arg callable that collects the mask.  The crawl
+        engine issues this before the fetch stage and collects after, so
+        the seen-gate RPC wave rides inside the fetch wall instead of
+        adding driver-serial time to every round.  Safe because the mask's
+        only consumers run post-fetch and no other seen-set call happens
+        in between (per-actor FIFO keeps shard state consistent)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         idx_per_shard = self._route(hashes)
         out = np.zeros(len(hashes), dtype=bool)
@@ -158,14 +168,18 @@ class SeenSet:
             for k, idx in enumerate(idx_per_shard):
                 if len(idx):
                     futures[k] = self.shards[k].contains_and_insert.remote(hashes[idx])
-            results = ray.get(list(futures.values()))
-            for (k, _), res in zip(futures.items(), results):
-                out[idx_per_shard[k]] = res
-        else:
-            for k, idx in enumerate(idx_per_shard):
-                if len(idx):
-                    out[idx] = self.shards[k].contains_and_insert(hashes[idx])
-        return out
+
+            def collect() -> np.ndarray:
+                results = ray.get(list(futures.values()))
+                for (k, _), res in zip(futures.items(), results):
+                    out[idx_per_shard[k]] = res
+                return out
+
+            return collect
+        for k, idx in enumerate(idx_per_shard):
+            if len(idx):
+                out[idx] = self.shards[k].contains_and_insert(hashes[idx])
+        return lambda: out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         hashes = np.asarray(hashes, dtype=np.uint64)

@@ -105,3 +105,47 @@ def test_hosts_of_array_parity():
     # pad above the vectorized-path threshold with canonical urls
     urls = battery + [f"http://host{i}.example.com/p/{i}" for i in range(300)]
     assert hosts_of_array(urls) == [host_of(u) for u in urls]
+
+
+def test_pop_array_vectorized_matches_scalar():
+    """The polars fast path in _FifoBase.pop_array (columnar chunks >=512
+    entries) must reproduce the scalar loop's outputs exactly: same urls,
+    same depths, same order, same consumption offsets across interleaved
+    pops — including intra-chunk duplicates, already-visited skips and the
+    BFS pop-time depth gate."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    import blockchainspider_ray.strategies.bfs as B
+    from blockchainspider_ray.strategies.bfs import BFS, Poison
+
+    random.seed(11)
+    for trial in range(25):
+        n = random.randint(1, 2000)
+        srcs = [f"u{random.randint(0, n // 2)}" for _ in range(n)]
+        dsts = [f"v{random.randint(0, n // 2)}" for _ in range(n)]
+        depths = [random.randint(0, 5) for _ in range(n)]
+        pushes = [("cols", (srcs, dsts, depths))]
+        if trial % 3 == 0:  # interleave a scalar push between bulk ones
+            pushes.append(("pairs", ("u1", [f"w{i}" for i in range(17)], 1)))
+            pushes.append(("cols", (dsts[:50], srcs[:50], depths[:50])))
+        pops = [random.randint(1, 700) for _ in range(4)]
+        for cls in (BFS, Poison):
+            fast = cls("seed", depth=4)
+            for kind, data in pushes:
+                if kind == "cols":
+                    fast.push_edges(pa.array(data[0]), pa.array(data[1]), np.asarray(data[2]))
+                else:
+                    fast.push_pairs(data[0], data[1], depth=data[2])
+            slow = cls("seed", depth=4)
+            for kind, data in pushes:
+                if kind == "cols":
+                    slow.push_edges(list(data[0]), list(data[1]), list(data[2]))
+                else:
+                    slow.push_pairs(data[0], data[1], depth=data[2])
+            for c in slow._queue._chunks:  # force every chunk onto the scalar path
+                B._ChunkQueue._touch(c)
+            for k in pops:
+                assert fast.pop_array(k) == slow.pop_array(k), (cls.__name__, trial, k)
