@@ -442,13 +442,27 @@ class FetchPool:
             per_actor.setdefault(p % self.k, {})[p] = us
         return per_actor
 
-    # Rounds above this many urls use the two-wave balanced path: the
-    # per-actor fused path pins each partition's decode+parse to its index
-    # owner, and the owner with the most row groups sets the round's
-    # critical path (measured: >50% of fetch_parse wall was straggler gap
-    # at 32 cpus).  Small rounds keep the single-wave actor path — lowest
-    # latency, and the point-lookup response LRU only helps there.
-    BALANCE_THRESHOLD = int(os.environ.get("BCS_FP_BALANCE_MIN", "512"))
+    @staticmethod
+    def _balance_threshold() -> int:
+        """Round size above which fetch_parse uses the two-wave balanced
+        path: the per-actor fused path pins each partition's decode+parse
+        to its index owner, and the owner with the most row groups sets
+        the round's critical path (measured: >50% of fetch_parse wall was
+        straggler gap at 32 cpus).
+
+        The threshold is cache-aware.  With the decoded row-group LRU
+        enabled, repeat-heavy crawls (small stores, re-visited row groups)
+        are faster on the OWNER actors — the LRU is partition-local, so
+        locality beats balance; stateless tasks scatter the same row
+        group's decode across many workers and the hit rate collapses.
+        With the cache disabled (the scaling protocol, and the honest
+        10^10-url regime where nothing repeats) balance wins everywhere,
+        so the threshold drops to the latency crossover."""
+        env = os.environ.get("BCS_FP_BALANCE_MIN")
+        if env is not None:
+            return int(env)
+        cache_on = int(os.environ.get("BCS_RG_CACHE_MAX", "192")) > 0
+        return 4096 if cache_on else 512
 
     def fetch_parse(self, urls: Sequence[str], include_scripts: bool = True):
         """Fused distributed fetch+parse: the driver gathers only the
@@ -465,7 +479,7 @@ class FetchPool:
 
         urls = list(urls)
         metas, texts, edges = [], [], []
-        if len(urls) > self.BALANCE_THRESHOLD:
+        if len(urls) > self._balance_threshold():
             per_actor = self._route(urls)
             item_refs = [
                 self.actors[a].resolve.remote(
