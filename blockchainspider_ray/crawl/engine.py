@@ -790,6 +790,7 @@ class CrawlEngine:
             m["fetched"], m["missing"] = len(new_found), len(urls) - len(found)
             m["edges"] = edges.num_rows
 
+            columnar_push = hasattr(self.strategy, "push_round_columnar")
             if self._fifo:
                 # dict-free edge flow: FIFO pushes only need (src -> [dst])
                 adj: Dict[str, list] = {}
@@ -798,6 +799,8 @@ class CrawlEngine:
                 ):
                     adj.setdefault(src, []).append(dst)
                 adjacency = None
+            elif columnar_push:
+                adjacency = None  # edge columns pass through untouched below
             else:
                 adjacency = self._edges_of_pages(meta, edges)
             emitted = set()
@@ -818,6 +821,14 @@ class CrawlEngine:
             if self._fifo:
                 for cand in admitted:
                     self.strategy.push_pairs(cand.url, adj.get(cand.url, ()), **cand.ctx)
+            elif columnar_push:
+                # web edge shape (value=1.0): the round's edge columns go to
+                # the strategy as-is — no per-edge dicts on the driver
+                self.strategy.push_round_columnar(
+                    [(c2.url, getattr(c2, "mass", None), c2.ctx) for c2 in admitted],
+                    edges.column("src_url").combine_chunks(),
+                    edges.column("dst_url").combine_chunks(),
+                )
             elif hasattr(self.strategy, "push_round"):
                 # sharded strategies: whole round in O(shards) RPCs
                 self.strategy.push_round(

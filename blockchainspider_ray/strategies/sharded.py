@@ -149,6 +149,118 @@ class ShardedHaircut(FrontierStrategy):
         if deltas:
             self.pool.apply_deltas(deltas)
 
+    def push_round_columnar(self, items, src_urls, dst_urls) -> None:
+        """:meth:`push_round` for the web link shape (every edge value is
+        1.0, so out-sum = out-degree) with the per-edge Python loop
+        replaced by polars/numpy — the engine passes the round's edge
+        table columns straight through, never building per-edge dicts.
+
+        Equivalence argument: the only sequential dependency in the
+        generic loop is in-round cascade — candidate i's scatter changing
+        a later candidate j's taken weight — which flows exclusively
+        through edges whose dst IS a candidate.  Those (rare on web
+        graphs: dsts are overwhelmingly unfetched urls) replay in a small
+        scalar pass with exact event indices; every edge to a
+        non-candidate only ever accumulates into ``net``, so its deltas
+        group-by-sum and its tie-break is the MIN event index — both
+        vectorized.  Event numbering mirrors the generic loop's one
+        ``_next_arrival()`` per restore/edge exactly.  Pinned by the
+        engine sharded-vs-local conformance suite."""
+        import polars as pl
+
+        def _series(name, x):
+            if isinstance(x, pl.Series):
+                return x.rename(name)
+            if hasattr(x, "type") or hasattr(x, "chunks"):  # arrow array
+                return pl.Series(name, pl.from_arrow(x))
+            return pl.Series(name, list(x))
+
+        uniq = list(dict.fromkeys(n for n, _, _ in items))
+        local = self.pool.take_many(uniq)
+        e = pl.DataFrame(
+            {"src": _series("src", src_urls), "dst": _series("dst", dst_urls)}
+        ).with_columns(pl.col("src").cum_count().over("src").alias("ord") - 1)
+        deg_of = dict(zip(*e.group_by("src").len().to_dict(as_series=False).values()))
+        # per-position event layout (a node admitted twice scatters its
+        # full edge set twice, exactly like adjacency.get(url) did)
+        nodes = [n for n, _, _ in items]
+        masses = [m for _, m, _ in items]
+        degs = [deg_of.get(n, 0) or 0 for n in nodes]
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+        net_seq: Dict[Any, float] = {}  # cascade-pass additions to candidates
+
+        def _first(n, ev):
+            if n not in first_arr:
+                first_arr[n] = ev
+                order.append(n)
+
+        # candidate-candidate cascade edges, grouped per src in edge order
+        cand_set = set(local)
+        cc = e.filter(pl.col("dst").is_in(list(cand_set)))
+        cc_of: Dict[Any, List[tuple]] = {}
+        for s_, d_, o_ in zip(cc["src"].to_list(), cc["dst"].to_list(), cc["ord"].to_list()):
+            cc_of.setdefault(s_, []).append((o_, d_))
+        ev = 0
+        w_pos = [0.0] * len(nodes)
+        ev_start = [0] * len(nodes)
+        scatter = [False] * len(nodes)
+        for p, (node, mass, deg) in enumerate(zip(nodes, masses, degs)):
+            if mass is not None:
+                local[node] += mass[1]
+                _first(node, ev)
+                ev += 1
+            if deg == 0:
+                continue
+            scatter[p] = True
+            w = local[node]
+            local[node] = 0.0
+            w_pos[p] = w
+            ev_start[p] = ev
+            for o_, d_ in cc_of.get(node, ()):
+                local[d_] += w / deg
+                _first(d_, ev + o_)
+            ev += deg
+        base = self._arrival
+        self._arrival += ev  # one _next_arrival() per event, reserved in bulk
+        # vectorized: per-(position, edge) weights to NON-candidate dsts
+        pos_df = pl.DataFrame(
+            {
+                "src": [n for p, n in enumerate(nodes) if scatter[p]],
+                "w_over_deg": [
+                    w_pos[p] / degs[p] for p in range(len(nodes)) if scatter[p]
+                ],
+                "ev0": [ev_start[p] for p in range(len(nodes)) if scatter[p]],
+            }
+        )
+        deltas: List[tuple] = []
+        if pos_df.height and e.height:
+            flat = pos_df.join(e, on="src", how="inner").filter(
+                ~pl.col("dst").is_in(list(cand_set))
+            )
+            if flat.height:
+                agg = (
+                    flat.with_columns((pl.col("ev0") + pl.col("ord")).alias("ev"))
+                    .group_by("dst")
+                    .agg(pl.col("w_over_deg").sum().alias("delta"), pl.col("ev").min())
+                )
+                deltas.extend(
+                    (n, d_, base + int(a_))
+                    for n, d_, a_ in zip(
+                        agg["dst"].to_list(), agg["delta"].to_list(), agg["ev"].to_list()
+                    )
+                )
+        deltas.extend((n, local[n], base + first_arr[n]) for n in order)
+        deltas.sort(key=lambda t: t[2])  # first-touch order, generic parity
+        # candidates taken but never touched again keep their weight
+        # (arrival 0 = keep existing arrival; appended last as in the
+        # generic tail)
+        for n in uniq:
+            if n not in first_arr and local[n]:
+                deltas.append((n, local[n], 0))
+        if deltas:
+            self.pool.apply_deltas(deltas)
+
     # engine batched-pop (pop_k>1) mass parking hooks
     def extract_mass(self, node):
         return ("haircut", self.pool.take(node))

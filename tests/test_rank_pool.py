@@ -294,3 +294,54 @@ def test_sharded_strategy_pickle_carries_state_not_handles(ray_session):
     assert s2.pool.ranks() == ranks_before
     node, ctx = s2.pop()  # restored pool must actually serve pops
     assert node == "b" and abs(ctx["weight"] - 0.75) < 1e-12
+
+
+def test_push_round_columnar_matches_generic():
+    """push_round_columnar (vectorized web-shape push: value=1.0 edges as
+    arrow columns) must reproduce push_round exactly — same ranks, same
+    arrival counter, same pop order — across rounds with duplicate
+    candidates, in-round cascades (candidate->candidate edges),
+    zero-out-degree candidates and parked-mass restores."""
+    import random
+
+    import pyarrow as pa
+
+    from blockchainspider_ray.strategies.sharded import ShardedHaircut
+
+    random.seed(3)
+    for trial in range(12):
+        n_nodes = random.randint(3, 40)
+        nodes = [f"n{i}" for i in range(n_nodes)]
+
+        def mk():
+            return ShardedHaircut("n0", min_weight=1e-12, num_shards=3, use_ray=False)
+
+        a, b = mk(), mk()
+        for rnd in range(3):
+            k = random.randint(1, 8)
+            cands = [random.choice(nodes) for _ in range(k)]
+            if random.random() < 0.5 and rnd:
+                cands.append(cands[0])
+            items = []
+            for c in cands:
+                mass = ("haircut", round(random.random(), 3)) if random.random() < 0.6 else None
+                items.append((c, mass, {}))
+            srcs, dsts = [], []
+            for c in cands:
+                for _ in range(random.randint(0, 4)):
+                    srcs.append(c)
+                    dsts.append(random.choice(nodes + [f"x{random.randint(0, 20)}"]))
+            adj = {}
+            for i, (s, d) in enumerate(zip(srcs, dsts)):
+                adj.setdefault(s, []).append(
+                    {"from": s, "to": d, "value": 1.0, "timeStamp": 0, "symbol": "", "hash": f"{s}#{i}"}
+                )
+            a.push_round([(c, m, ctx, adj.get(c, [])) for c, m, ctx in items])
+            b.push_round_columnar(items, pa.array(srcs, pa.string()), pa.array(dsts, pa.string()))
+            ra, rb = a.get_node_rank(), b.get_node_rank()
+            assert a._arrival == b._arrival
+            assert set(ra) == set(rb)
+            for kk in ra:
+                assert abs(ra[kk] - rb[kk]) < 1e-12
+            for _ in range(3):
+                assert a.pop()[0] == b.pop()[0]
