@@ -5434,6 +5434,223 @@ def q_browser_render(sf_dir: str):
     )
 
 
+def q_sitemap_parse(sf_dir: str):
+    """Sitemap-XML seed discovery — the crawl-side reader every production
+    frontier bootstraps from (the web analogue of the reference's seed-list
+    CSV reader, spiders/txs/__init__.py seed loading): parse
+    <urlset><url><loc/><lastmod/><priority/></url>... payloads into one
+    row per discovered url.  Payloads are synthesized deterministically
+    per doc_id (same convention as q_xml_labels); parsing is ElementTree
+    inside map_batches — stateless, embarrassingly parallel, no shuffle
+    until the output sort."""
+    import xml.etree.ElementTree as ET
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        xmls = []
+        for d in ids:
+            entries = "".join(
+                f"<url><loc>https://host{d % 50}.example/sitemap/{d}/{j}</loc>"
+                f"<lastmod>2024-{d % 12 + 1:02d}-01</lastmod>"
+                f"<priority>0.{j + 1}</priority></url>"
+                for j in range(d % 3 + 1)
+            )
+            xmls.append(f"<urlset>{entries}</urlset>")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "xml": pa.array(xmls, pa.string())}
+        )
+
+    def parse(b: pa.Table) -> pa.Table:
+        ds, locs, mods, prios = [], [], [], []
+        for d, x in zip(b.column("doc_id").to_pylist(), b.column("xml").to_pylist()):
+            for u in ET.fromstring(x).findall("url"):
+                ds.append(d)
+                locs.append(u.findtext("loc"))
+                mods.append(u.findtext("lastmod"))
+                prios.append(float(u.findtext("priority")))
+        return pa.table(
+            {
+                "doc_id": pa.array(ds, pa.int64()),
+                "loc": pa.array(locs, pa.string()),
+                "lastmod": pa.array(mods, pa.string()),
+                "priority": pa.array(prios, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(synth, batch_format="pyarrow")
+        .map_batches(parse, batch_format="pyarrow")
+        .sort(["doc_id", "loc"])
+    )
+
+
+ORACLE_SQL["sitemap_parse"] = """
+    WITH j AS (
+        SELECT doc_id, CAST(unnest(range(0, doc_id % 3 + 1)) AS BIGINT) AS j
+        FROM documents
+    )
+    SELECT doc_id,
+           'https://host' || (doc_id % 50) || '.example/sitemap/' || doc_id
+               || '/' || j AS loc,
+           '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-01'
+               AS lastmod,
+           CAST('0.' || (j + 1) AS DOUBLE) AS priority
+    FROM j ORDER BY doc_id, loc
+"""
+
+
+def q_dedup_spans_remove(sf_dir: str, n: int = 5):
+    """Exact duplicate-SPAN REMOVAL (Lee et al. 2022's exact substring
+    dedup, applied rather than just measured — the curation complement of
+    q_dup_span_fraction): every token position covered by an n-gram that
+    occurs in >= 2 distinct documents corpus-wide is dropped; the doc's
+    surviving tokens re-join into text_clean.
+
+    Shape: stage 1 is the dup-verdict shuffle from dup_span_fraction
+    ((gram, doc) rows unique per pair, 256-way gram-hash buckets, verdict
+    = group size inside the bucket group) emitting only the DUP (doc,
+    gram) pairs; stage 2 reunites those pairs with the doc text via a
+    null-padded union + per-doc map_groups — each group holds ONE doc's
+    text plus its dup grams (bounded by the doc's own gram count), never
+    a corpus-wide structure, and re-derives covered positions locally.
+    No join, no driver-side state; gram keys stay strings for exactness
+    (swap in _hash_strings64 at 10^10 docs)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.dedup import _hash_strings64
+
+    def emit(b: pa.Table) -> pa.Table:
+        gs, ds = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t or "")
+            seen_g = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                if g not in seen_g:
+                    seen_g.add(g)
+                    gs.append(g)
+                    ds.append(d)
+        gb = (_hash_strings64(gs) % np.uint64(256)).astype(np.int64)
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int64()),
+                "g": pa.array(gs, pa.string()),
+                "doc_id": pa.array(ds, pa.int64()),
+            }
+        )
+
+    def judge(b: pa.Table) -> pa.Table:
+        # rows unique per (gram, doc): group size == distinct docs
+        df = b.select(["g", "doc_id"]).to_pandas()
+        keep = df[df.groupby("g")["doc_id"].transform("size") >= 2]
+        return pa.table(
+            {
+                "doc_id": pa.array(keep["doc_id"].to_numpy(), pa.int64()),
+                "g": pa.array(keep["g"].to_numpy(), pa.string()),
+                "text": pa.array([None] * len(keep), pa.string()),
+            }
+        )
+
+    dup_rows = (
+        docs.map_batches(emit, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(judge, batch_format="pyarrow")
+    )
+
+    def pad_doc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "g": pa.array([None] * b.num_rows, pa.string()),
+                "text": b.column("text"),
+            }
+        )
+
+    def clean(gtbl: pa.Table) -> pa.Table:
+        doc_id = gtbl.column("doc_id")[0].as_py()
+        text = ""
+        dup = set()
+        for g, t in zip(gtbl.column("g").to_pylist(), gtbl.column("text").to_pylist()):
+            if g is not None:
+                dup.add(g)
+            elif t is not None:
+                text = t
+        toks = re.findall(r"\S+", text)
+        covered = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i : i + n]) in dup:
+                for p in range(i, i + n):
+                    covered[p] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "n_tokens": pa.array([len(toks)], pa.int64()),
+                "n_removed": pa.array([sum(covered)], pa.int64()),
+                "text_clean": pa.array([" ".join(kept)], pa.string()),
+            }
+        )
+
+    return (
+        dup_rows.select_columns(["doc_id", "g", "text"])
+        .union(docs.map_batches(pad_doc, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(clean, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+ORACLE_SQL["dedup_spans_remove"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t,
+               CAST(unnest(range(1, greatest(len(t) - 3, 1))) AS INT) AS i
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               list_aggregate(t[i:i+4], 'string_agg', ' ') AS g
+        FROM pos
+    ),
+    dg AS (
+        SELECT g FROM (SELECT g, doc_id FROM grams GROUP BY g, doc_id)
+        GROUP BY g HAVING count(*) >= 2
+    ),
+    occ AS (SELECT DISTINCT doc_id, i FROM grams JOIN dg USING (g)),
+    allpos0 AS (
+        SELECT doc_id, t,
+               CAST(unnest(range(1, len(t) + 1)) AS INT) AS p
+        FROM toks
+    ),
+    allpos AS (SELECT doc_id, t[p] AS token, p FROM allpos0),
+    cov AS (
+        SELECT DISTINCT a.doc_id, a.p
+        FROM allpos a JOIN occ o
+          ON a.doc_id = o.doc_id AND a.p >= o.i AND a.p <= o.i + 4
+    ),
+    agg AS (
+        SELECT a.doc_id,
+               count(*) AS n_tokens,
+               count(c.p) AS n_removed,
+               coalesce(string_agg(a.token, ' ' ORDER BY a.p)
+                            FILTER (WHERE c.p IS NULL), '') AS text_clean
+        FROM allpos a LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+        GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -5501,6 +5718,8 @@ SQL_QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "dup_span_fraction": q_dup_span_fraction,
+    "dedup_spans_remove": q_dedup_spans_remove,
+    "sitemap_parse": q_sitemap_parse,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,

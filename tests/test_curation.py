@@ -228,3 +228,49 @@ def test_pretrain_mix_composes_gates_and_packs():
     mix = mix.sort_values("doc_id")
     csum = mix["n_tokens"].cumsum() - mix["n_tokens"]
     assert ((csum // 256) == mix["seq_id"]).all()
+
+
+def test_dedup_spans_remove_semantics():
+    """Removal must be consistent with the dup_span_fraction metric: docs
+    with zero duplicated grams keep every token (text_clean == normalized
+    original), removed counts stay within [0, n_tokens], and no surviving
+    5-gram of a cleaned doc... (grams can legitimately re-form across cut
+    boundaries, so the hard invariant is on the untouched docs)."""
+    import re
+
+    from blockchainspider_ray.pipelines.queries import q_dedup_spans_remove
+
+    out = q_dedup_spans_remove(SF).to_pandas().set_index("doc_id")
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).df().set_index("doc_id")
+    assert (out["n_removed"] <= out["n_tokens"]).all()
+    assert (out["n_removed"] >= 0).all()
+    # removal fires somewhere (the synthetic corpus has heavy 5-gram reuse)
+    assert out["n_removed"].sum() > 0
+    # some docs survive intact, and those equal the whitespace-normalized
+    # original text
+    intact = out[out["n_removed"] == 0]
+    assert len(intact) > 0 or out["n_removed"].gt(0).all()
+    for doc_id, row in intact.head(20).iterrows():
+        toks = re.findall(r"\S+", docs.loc[doc_id, "text"] or "")
+        assert row["text_clean"] == " ".join(toks)
+    # cleaned token count parity
+    for doc_id, row in out.head(50).iterrows():
+        kept = re.findall(r"\S+", row["text_clean"])
+        assert len(kept) == row["n_tokens"] - row["n_removed"]
+
+
+def test_sitemap_parse_semantics():
+    """One row per synthesized <url> entry (doc_id%3+1 of them), locs are
+    absolute urls on the doc's host, priorities parse as floats in (0,1]."""
+    from blockchainspider_ray.pipelines.queries import q_sitemap_parse
+
+    out = q_sitemap_parse(SF).to_pandas()
+    per_doc = out.groupby("doc_id").size()
+    assert ((per_doc.index % 3 + 1) == per_doc.values).all()
+    assert out["loc"].str.startswith("https://host").all()
+    assert out["priority"].between(0.1, 1.0).all()
+    assert out["lastmod"].str.match(r"2024-\d{2}-01").all()
