@@ -5651,6 +5651,125 @@ ORACLE_SQL["dedup_spans_remove"] = r"""
 """
 
 
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution by POINTER JUMPING — the web-graph op a
+    crawler needs before canonical-url dedup (301 chains must collapse to
+    their terminal before urls are compared).  Every url points at its
+    redirect target (terminal urls point nowhere); log2(max-chain)
+    doubling rounds replace each pointer with its pointer's pointer,
+    accumulating hop counts, so a length-L chain resolves in ceil(log2 L)
+    shuffles instead of L sequential lookups — the only shape that works
+    when chains live across 10^10 rows.
+
+    Each round is ONE hash-shuffle: the current (u -> ptr, hops) state is
+    re-keyed by ptr and unioned with itself keyed by u, so each group
+    holds one node's own state plus everyone currently pointing at it —
+    a join expressed as groupby().map_groups over null-padded rows, the
+    same trick as anchor_agg/dedup_spans_remove.  Redirect graph is
+    synthesized deterministically (doc d redirects to d-1 unless
+    d % 7 == 0, giving chains of length 0..6); the oracle states the
+    closed-form fixpoint."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    rounds = 3  # ceil(log2(6 + 1)) — chains of length <= 6
+
+    def init(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        term = d % 7 == 0
+        ptr = np.where(term, d, d - 1)
+        return pa.table(
+            {
+                "u": pa.array(d, pa.int64()),
+                "ptr": pa.array(ptr, pa.int64()),
+                "hops": pa.array((~term).astype(np.int64), pa.int64()),
+                "done": pa.array(term, pa.bool_()),
+            }
+        )
+
+    state = docs.map_batches(init, batch_format="pyarrow")
+
+    def pad_query(b: pa.Table) -> pa.Table:
+        # rows asking "what does my ptr point at" — keyed by ptr
+        return pa.table(
+            {
+                "key": b.column("ptr"),
+                "u": b.column("u"),
+                "ptr": b.column("ptr"),
+                "hops": b.column("hops"),
+                "done": b.column("done"),
+                "is_self": pa.array([False] * b.num_rows, pa.bool_()),
+            }
+        )
+
+    def pad_self(b: pa.Table) -> pa.Table:
+        # each node's own state — keyed by u, answers the queries
+        return pa.table(
+            {
+                "key": b.column("u"),
+                "u": b.column("u"),
+                "ptr": b.column("ptr"),
+                "hops": b.column("hops"),
+                "done": b.column("done"),
+                "is_self": pa.array([True] * b.num_rows, pa.bool_()),
+            }
+        )
+
+    def jump(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        own = df[df["is_self"]]
+        q = df[~df["is_self"]]
+        if not len(q):
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "ptr": pa.array([], pa.int64()),
+                    "hops": pa.array([], pa.int64()),
+                    "done": pa.array([], pa.bool_()),
+                }
+            )
+        # the group key is this node; own holds its current (ptr, hops)
+        t_ptr = int(own["ptr"].iloc[0])
+        t_hops = int(own["hops"].iloc[0])
+        t_done = bool(own["done"].iloc[0])
+        new_ptr = np.where(q["done"], q["ptr"], t_ptr)
+        new_hops = np.where(q["done"], q["hops"], q["hops"] + t_hops)
+        new_done = np.where(q["done"], True, t_done)
+        return pa.table(
+            {
+                "u": pa.array(q["u"].to_numpy(), pa.int64()),
+                "ptr": pa.array(new_ptr, pa.int64()),
+                "hops": pa.array(new_hops, pa.int64()),
+                "done": pa.array(new_done, pa.bool_()),
+            }
+        )
+
+    for _ in range(rounds):
+        state = (
+            state.map_batches(pad_query, batch_format="pyarrow")
+            .union(state.map_batches(pad_self, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(jump, batch_format="pyarrow")
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url_id": b.column("u"),
+                "terminal": b.column("ptr"),
+                "hops": b.column("hops"),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow").sort("url_id")
+
+
+ORACLE_SQL["redirect_resolve"] = """
+    SELECT doc_id AS url_id,
+           doc_id - doc_id % 7 AS terminal,
+           doc_id % 7 AS hops
+    FROM documents ORDER BY url_id
+"""
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -5720,6 +5839,7 @@ SQL_QUERIES = {
     "dup_span_fraction": q_dup_span_fraction,
     "dedup_spans_remove": q_dedup_spans_remove,
     "sitemap_parse": q_sitemap_parse,
+    "redirect_resolve": q_redirect_resolve,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,

@@ -274,3 +274,17 @@ def test_sitemap_parse_semantics():
     assert out["loc"].str.startswith("https://host").all()
     assert out["priority"].between(0.1, 1.0).all()
     assert out["lastmod"].str.match(r"2024-\d{2}-01").all()
+
+
+def test_redirect_resolve_pointer_jumping():
+    """Chains collapse to their terminal with exact hop counts, and the
+    fixpoint is stable (every terminal has hops-0 self-resolution; every
+    url's terminal is itself terminal)."""
+    from blockchainspider_ray.pipelines.queries import q_redirect_resolve
+
+    out = q_redirect_resolve(SF).to_pandas()
+    assert (out["terminal"] % 7 == 0).all()
+    term_rows = out[out["url_id"] % 7 == 0]
+    assert (term_rows["hops"] == 0).all()
+    assert (term_rows["terminal"] == term_rows["url_id"]).all()
+    assert (out["hops"] == out["url_id"] % 7).all()
