@@ -5770,6 +5770,203 @@ ORACLE_SQL["redirect_resolve"] = """
 """
 
 
+def q_recrawl_schedule(sf_dir: str):
+    """Freshness-driven recrawl prioritization (Cho & Garcia-Molina
+    style): each key's capture history estimates its change rate as the
+    mean inter-capture interval — computable from (min, max, count)
+    alone, so the whole history never co-locates — and staleness is the
+    age of the newest capture in units of that interval.  Stale-er pages
+    get recrawled first.  Shape: one combiner groupby (Min/Max/Count per
+    key), one scalar global-horizon aggregate (max ts), one vectorized
+    finishing map — no history lists, no window shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "page_id": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    t = ds.map_batches(to_us, batch_format="pyarrow")
+    agg = t.groupby("page_id").aggregate(
+        Count(alias_name="n_captures"),
+        Min("ts_us", alias_name="first_us"),
+        Max("ts_us", alias_name="last_us"),
+    )
+    horizon = t.max("ts_us")  # one scalar to the driver
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_captures").to_numpy().astype(np.int64)
+        first = b.column("first_us").to_numpy().astype(np.int64)
+        last = b.column("last_us").to_numpy().astype(np.int64)
+        span_ok = (n > 1) & (last > first)
+        interval_s = np.where(span_ok, (last - first) / np.maximum(n - 1, 1) / 1e6, np.nan)
+        staleness = np.where(span_ok, (horizon - last) / 1e6 / interval_s, np.nan)
+        return pa.table(
+            {
+                "page_id": b.column("page_id"),
+                "n_captures": pa.array(n, pa.int64()),
+                "last_us": pa.array(last, pa.int64()),
+                "interval_s": pa.array(_r(interval_s, 6), pa.float64()),
+                "staleness": pa.array(_r(staleness, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("page_id")
+
+
+ORACLE_SQL["recrawl_schedule"] = """
+    WITH h AS (SELECT max(epoch_us(ts)) AS horizon FROM events),
+    a AS (
+        SELECT user_id AS page_id,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               min(epoch_us(ts)) AS first_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    )
+    SELECT page_id, n_captures, last_us,
+           CASE WHEN n_captures > 1 AND last_us > first_us
+                THEN round((last_us - first_us) * 1.0
+                           / (n_captures - 1) / 1e6, 6)
+                ELSE NULL END AS interval_s,
+           CASE WHEN n_captures > 1 AND last_us > first_us
+                THEN round((h.horizon - last_us) / 1e6
+                           / ((last_us - first_us) * 1.0
+                              / (n_captures - 1) / 1e6), 6)
+                ELSE NULL END AS staleness
+    FROM a CROSS JOIN h ORDER BY page_id
+"""
+
+
+POSTINGS_SAMPLE_K = 16
+
+
+def q_postings_build(sf_dir: str):
+    """Inverted-index build — the search-side batch job over crawled
+    text: per term, document frequency, total term frequency, and the K
+    lowest doc_ids as a bounded posting sample.  Scale shape mirrors
+    anchor_agg: df/tf fold from scalar (term, doc, tf) combiner rows, and
+    the posting sample keeps only the local bottom-K per batch before the
+    shuffle, so a stopword's merge group holds <= K rows per upstream
+    block — never the full corpus-sized posting list.  The full list the
+    fixture could afford is deliberately NOT offered (same no-unbounded-
+    group rule as the LSH bucket cap)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ts, ds, cs = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            for term, c in Counter(re.findall(r"\S+", t or "")).items():
+                ts.append(term)
+                ds.append(d)
+                cs.append(c)
+        return pa.table(
+            {
+                "term": pa.array(ts, pa.string()),
+                "doc_id": pa.array(ds, pa.int64()),
+                "tf": pa.array(cs, pa.int64()),
+            }
+        )
+
+    p = docs.map_batches(emit, batch_format="pyarrow")
+    counts = p.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="tf_total")
+    )
+
+    def local_bottomk(b: pa.Table) -> pa.Table:
+        buf: dict = {}
+        for t, d in zip(b.column("term").to_pylist(), b.column("doc_id").to_pylist()):
+            buf.setdefault(t, []).append(d)
+        ts, ds = [], []
+        for t, dl in buf.items():
+            for d in sorted(dl)[:POSTINGS_SAMPLE_K]:
+                ts.append(t)
+                ds.append(d)
+        return pa.table(
+            {"term": pa.array(ts, pa.string()), "doc_id": pa.array(ds, pa.int64())}
+        )
+
+    def merge_bottomk(g: pa.Table) -> pa.Table:
+        bottom = sorted(g.column("doc_id").to_pylist())[:POSTINGS_SAMPLE_K]
+        return pa.table(
+            {
+                "term": pa.array([g.column("term")[0].as_py()], pa.string()),
+                "postings_sample": pa.array(
+                    ["|".join(str(d) for d in bottom)], pa.string()
+                ),
+            }
+        )
+
+    sample = (
+        p.map_batches(local_bottomk, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(merge_bottomk, batch_format="pyarrow")
+    )
+
+    def pad_counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": b.column("term"),
+                "df": b.column("df").cast(pa.int64()),
+                "tf_total": b.column("tf_total").cast(pa.int64()),
+                "postings_sample": pa.array([None] * b.num_rows, pa.string()),
+            }
+        )
+
+    def pad_sample(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": b.column("term"),
+                "df": pa.array([None] * b.num_rows, pa.int64()),
+                "tf_total": pa.array([None] * b.num_rows, pa.int64()),
+                "postings_sample": b.column("postings_sample"),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": pa.array([g.column("term")[0].as_py()], pa.string()),
+                "df": pa.array([pc.max(g.column("df")).as_py()], pa.int64()),
+                "tf_total": pa.array([pc.max(g.column("tf_total")).as_py()], pa.int64()),
+                "postings_sample": pa.array(
+                    [pc.max(g.column("postings_sample")).as_py()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        counts.map_batches(pad_counts, batch_format="pyarrow")
+        .union(sample.map_batches(pad_sample, batch_format="pyarrow"))
+        .groupby("term")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("term")
+    )
+
+
+ORACLE_SQL["postings_build"] = r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents
+    ),
+    pg AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM w WHERE term <> '' GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           array_to_string((list_sort(list(doc_id)))[1:16], '|')
+               AS postings_sample
+    FROM pg GROUP BY term ORDER BY term
+"""
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -5840,6 +6037,8 @@ SQL_QUERIES = {
     "dedup_spans_remove": q_dedup_spans_remove,
     "sitemap_parse": q_sitemap_parse,
     "redirect_resolve": q_redirect_resolve,
+    "recrawl_schedule": q_recrawl_schedule,
+    "postings_build": q_postings_build,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,

@@ -288,3 +288,38 @@ def test_redirect_resolve_pointer_jumping():
     assert (term_rows["hops"] == 0).all()
     assert (term_rows["terminal"] == term_rows["url_id"]).all()
     assert (out["hops"] == out["url_id"] % 7).all()
+
+
+def test_recrawl_schedule_semantics():
+    """Staleness orders pages by age-in-change-intervals: single-capture
+    pages have null interval/staleness, the most-recently-captured page
+    has the lowest staleness among multi-capture pages of equal interval,
+    and intervals are positive."""
+    from blockchainspider_ray.pipelines.queries import q_recrawl_schedule
+
+    out = q_recrawl_schedule(SF).to_pandas()
+    multi = out[out["n_captures"] > 1].dropna(subset=["interval_s"])
+    assert len(multi) > 0
+    assert (multi["interval_s"] > 0).all()
+    assert (multi["staleness"] >= 0).all()
+    single = out[out["n_captures"] == 1]
+    assert single["interval_s"].isna().all()
+    # newest-captured page is never the stalest (sanity of the direction)
+    newest = multi.loc[multi["last_us"].idxmax()]
+    assert newest["staleness"] <= multi["staleness"].max()
+
+
+def test_postings_build_semantics():
+    """df counts distinct docs, tf_total >= df, the posting sample is
+    ascending, capped at K, and holds exactly min(df, K) entries."""
+    from blockchainspider_ray.pipelines.queries import (
+        POSTINGS_SAMPLE_K,
+        q_postings_build,
+    )
+
+    out = q_postings_build(SF).to_pandas()
+    assert (out["tf_total"] >= out["df"]).all()
+    for _, row in out.iterrows():
+        ids = [int(x) for x in row["postings_sample"].split("|") if x != ""]
+        assert ids == sorted(ids)
+        assert len(ids) == min(row["df"], POSTINGS_SAMPLE_K)
