@@ -5967,6 +5967,103 @@ ORACLE_SQL["postings_build"] = r"""
 """
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities over the crawl store's REAL extracted link
+    graph (Kleinberg 1999) — the query-independent hub/authority prior
+    next to q_pagerank's importance prior.  Same edge derivation as
+    q_pagerank (canonical found-page links), 2 alternating half-steps via
+    stages/graph.py hits (tagged-union message passes, L1 normalization
+    as one scalar aggregate); oracle unrolls the identical arithmetic in
+    SQL over the same closed-form link graph."""
+    import ray.data as rd
+
+    from ..stages.graph import hits
+    from ..stages.parse import extract_links_stage
+
+    store = _crawl_store_for(sf_dir)
+    pages = rd.read_parquet(store, partitioning=None).select_columns(["url", "html"])
+    pat = re.compile(r"^http://site\d+\.example/d/(\d+)$")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        links = extract_links_stage(b, include_scripts=False)
+        es, ed = [], []
+        for s, d in zip(
+            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
+        ):
+            ms, md = pat.match(s), pat.match(d)
+            if ms and md:
+                es.append(int(ms.group(1)))
+                ed.append(int(md.group(1)))
+        return pa.table(
+            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64())}
+        )
+
+    edges = (
+        pages.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    out = hits(edges, iters=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("node"),
+                "hub": pa.array(_r(b.column("hub").to_numpy(zero_copy_only=False), 6), pa.float64()),
+                "auth": pa.array(_r(b.column("auth").to_numpy(zero_copy_only=False), 6), pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """Unrolled HITS half-steps over the arithmetic crawl link graph —
+    a(v) = sum of h(u) over in-edges, h(u) = sum of a(v) over out-edges,
+    each L1-normalized; per-term math mirrors stages/graph.py hits."""
+    steps = []
+    prev_h = "h0"
+    for k in range(iters):
+        steps.append(f"""        a{k + 1}r AS (
+            SELECT nodes.d AS node, coalesce(c.s, 0) AS r
+            FROM nodes LEFT JOIN (
+                SELECT e.dst, sum(p.r) AS s
+                FROM edges e JOIN {prev_h} p ON p.node = e.src
+                GROUP BY e.dst) c ON c.dst = nodes.d
+        ),
+        a{k + 1}t AS (SELECT sum(r) AS t FROM a{k + 1}r),
+        a{k + 1} AS (SELECT node, r / t AS r FROM a{k + 1}r, a{k + 1}t),
+        h{k + 1}r AS (
+            SELECT nodes.d AS node, coalesce(c.s, 0) AS r
+            FROM nodes LEFT JOIN (
+                SELECT e.src, sum(p.r) AS s
+                FROM edges e JOIN a{k + 1} p ON p.node = e.dst
+                GROUP BY e.src) c ON c.src = nodes.d
+        ),
+        h{k + 1}t AS (SELECT sum(r) AS t FROM h{k + 1}r),
+        h{k + 1} AS (SELECT node, r / t AS r FROM h{k + 1}r, h{k + 1}t),""")
+        prev_h = f"h{k + 1}"
+    body = "\n".join(steps)
+    return f"""
+        WITH nodes AS (SELECT doc_id AS d FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM nodes, nn
+            UNION
+            SELECT d AS src, (d + 10) % nn.n AS dst FROM nodes, nn
+            WHERE ((d + 10) % nn.n) % 10 = d % 10
+        ),
+        h0 AS (SELECT d AS node, 1.0 / nn.n AS r FROM nodes, nn),
+{body}
+        fin AS (SELECT 1)
+        SELECT h.node AS doc_id, round(h.r, 6) AS hub, round(a.r, 6) AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["hits"] = _hits_oracle_sql()
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -6039,6 +6136,7 @@ SQL_QUERIES = {
     "redirect_resolve": q_redirect_resolve,
     "recrawl_schedule": q_recrawl_schedule,
     "postings_build": q_postings_build,
+    "hits": q_hits,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,

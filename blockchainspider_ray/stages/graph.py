@@ -169,3 +169,152 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
 
         ranks = folded.map_batches(fold, batch_format="pyarrow")
     return ranks
+
+
+def hits(edges, iters: int = 2):
+    """HITS hubs-and-authorities over an int64 ``(src, dst)`` edge Dataset
+    (Kleinberg 1999) — the second classic whole-web-graph score next to
+    :func:`pagerank`: authorities collect hub mass over IN-edges, hubs
+    collect authority mass over OUT-edges, L1-normalized each half-step.
+
+    Same dataflow discipline as pagerank: each half-step is ONE
+    tagged-union ``groupby`` that joins the current score onto the edge
+    endpoint that owns it and emits one scalar pair per edge, then one
+    ``groupby(node).sum()`` fold — no adjacency lists ever shuffle, and
+    the normalizer is a single driver-side scalar aggregate.  Returns a
+    Dataset ``(node, hub, auth)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("src").combine_chunks(), pa.int64())
+        d = pc.cast(b.column("dst").combine_chunks(), pa.int64())
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    def dedup_first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    edges = edges.materialize()
+    nodes = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(dedup_first, batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "hub": pa.array([], pa.float64()),
+                    "auth": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _const(v):
+        def init(b: pa.Table, _v=v) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "rank": pa.array([_v] * b.num_rows, pa.float64()),
+                }
+            )
+
+        return init
+
+    def _pass(ranks, key_col: str, emit_col: str):
+        """One half-step: spread each key-node's score along its edges to
+        the emit endpoint; zero self-rows keep scoreless nodes present."""
+
+        def rank_msgs(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": b.column("node"),
+                    "other": pa.nulls(b.num_rows, pa.int64()),
+                    "rank": b.column("rank"),
+                }
+            )
+
+        def edge_msgs(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(b.column(key_col).combine_chunks(), pa.int64()),
+                    "other": pc.cast(b.column(emit_col).combine_chunks(), pa.int64()),
+                    "rank": pa.nulls(b.num_rows, pa.float64()),
+                }
+            )
+
+        def spread(g: pa.Table) -> pa.Table:
+            rank = pc.min(g.column("rank")).as_py()  # exactly one rank row
+            outs = pc.drop_null(g.column("other").combine_chunks())
+            node = g.column("key")[0].as_py()
+            k = len(outs)
+            out_nodes = pa.concat_arrays([outs, pa.array([node], pa.int64())])
+            return pa.table(
+                {
+                    "node": out_nodes,
+                    "val": pa.array([rank] * k + [0.0], pa.float64()),
+                }
+            )
+
+        raw = (
+            ranks.map_batches(rank_msgs, batch_format="pyarrow")
+            .union(edges.map_batches(edge_msgs, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(spread, batch_format="pyarrow")
+            .groupby("node")
+            .sum("val")
+            .map_batches(
+                lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+        total = raw.aggregate(Sum("val"))["sum(val)"] or 0.0
+
+        def norm(b: pa.Table, _t=total) -> pa.Table:
+            v = b.column("val")
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "rank": pc.divide(v, _t) if _t else v,
+                }
+            )
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(_const(1.0 / n), batch_format="pyarrow").materialize()
+    auths = None
+    for _ in range(iters):
+        auths = _pass(hubs, "src", "dst")  # a(v) = sum of h(u) over u->v
+        hubs = _pass(auths, "dst", "src")  # h(u) = sum of a(v) over u->v
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "hub": b.column("rank") if name == "hub" else pa.nulls(b.num_rows, pa.float64()),
+                    "auth": b.column("rank") if name == "auth" else pa.nulls(b.num_rows, pa.float64()),
+                }
+            )
+
+        return f
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array([g.column("node")[0].as_py()], pa.int64()),
+                "hub": pa.array([pc.max(g.column("hub")).as_py() or 0.0], pa.float64()),
+                "auth": pa.array([pc.max(g.column("auth")).as_py() or 0.0], pa.float64()),
+            }
+        )
+
+    return (
+        hubs.map_batches(tag("hub"), batch_format="pyarrow")
+        .union(auths.map_batches(tag("auth"), batch_format="pyarrow"))
+        .groupby("node")
+        .map_groups(fold, batch_format="pyarrow")
+    )
