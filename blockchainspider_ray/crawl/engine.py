@@ -78,6 +78,48 @@ def _concat_blocks(tables: List[pa.Table]) -> pa.Table:
     return pa.concat_tables(nonempty) if nonempty else parts[0].slice(0, 0)
 
 
+@ray.remote(num_cpus=1, num_returns=2)
+def _join_push_chunk(adm_tbl: pa.Table, mode: str, max_depth: int, *edge_parts):
+    """Off-driver frontier push: join the admitted (url, depth) frame onto
+    the round's edge tables (passed as refs — the link graph never touches
+    the driver), sort to the reference (admitted-row, edge) push order,
+    apply the strategy's depth gate + edge shaping, and return the
+    ready-to-enqueue (urls, depths) chunk plus the edge count.  The chunk
+    lands in the frontier queue as an ObjectRef the pop path resolves
+    lazily, so the driver's push stage is one task submission."""
+    import polars as pl
+
+    from ..strategies.bfs import _FifoBase, _interleave_arrow
+
+    edges = _concat_blocks(list(edge_parts))
+    n_edges = edges.num_rows
+    if not n_edges or not adm_tbl.num_rows:
+        return None, n_edges
+    e = pl.from_arrow(edges.select(["src_url", "dst_url"])).with_row_index("ei")
+    a = pl.from_arrow(adm_tbl).with_row_index("ai")
+    j = a.join(e, left_on="url", right_on="src_url", how="inner").sort(["ai", "ei"])
+    s, t, d1 = _FifoBase._depth_filter_col(j["url"], j["dst_url"], j["depth"], max_depth)
+    if s is None:
+        return None, n_edges
+    if mode == "interleave":
+        return (_interleave_arrow(s, t), np.repeat(d1, 2)), n_edges
+    return (t, d1), n_edges
+
+
+@ray.remote(num_cpus=1)
+def _write_round_refs(
+    out_dir: str, round_no: int, keep_urls: Optional[List[str]], sub: str, *parts
+) -> None:
+    """Write one round-output table (texts filtered to keep_urls, or
+    edges) from object-store refs — the tables never visit the driver."""
+    t = _concat_blocks(list(parts))
+    if sub == "text" and keep_urls is not None:
+        t = t.filter(pc.is_in(t.column("url"), value_set=pa.array(keep_urls)))
+    d = Path(out_dir) / sub
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(t, d / f"round={round_no:04d}.parquet")
+
+
 @dataclass
 class CrawlConfig:
     strategy: str = "bfs"
@@ -147,6 +189,7 @@ class CrawlEngine:
         self._fetch_pool = None
         self._writer = None  # lazy single-thread async output writer
         self._write_futs: List = []
+        self._pending_edge_counts: List = []  # (metric dict, count ref) pairs
 
     @property
     def _fifo(self) -> bool:
@@ -407,7 +450,41 @@ class CrawlEngine:
     def _drain_writes(self) -> None:
         futs, self._write_futs = self._write_futs, []
         for f in futs:
-            f.result()  # re-raise writer errors on the driver
+            if hasattr(f, "result"):
+                f.result()  # writer-thread future: re-raise on the driver
+            else:
+                ray.get(f)  # ref-writing task: same error barrier
+
+    def _write_round_outputs_refs(self, text_refs, edge_refs, keep_urls) -> None:
+        """Round outputs written straight from object-store refs by tasks
+        (the refs regime) — text/edge tables never visit the driver; the
+        write refs join the same drain barrier as writer-thread futures."""
+        if not self.config.out_dir:
+            return
+        out = str(self.config.out_dir)
+        rn = self.round_no
+        self._write_futs.append(
+            _write_round_refs.remote(out, rn, list(keep_urls), "text", *text_refs)
+        )
+        self._write_futs.append(
+            _write_round_refs.remote(out, rn, None, "edges", *edge_refs)
+        )
+        ranks = self.strategy.get_node_rank()
+        if ranks:
+            items = sorted(ranks.items(), key=lambda kv: kv[1], reverse=True)
+            d = Path(out) / "ranks"
+
+            def job() -> None:
+                rt = pa.table(
+                    {
+                        "node": pa.array([k for k, _ in items], pa.string()),
+                        "score": pa.array([float(v) for _, v in items], pa.float64()),
+                    }
+                )
+                d.mkdir(parents=True, exist_ok=True)
+                pq.write_table(rt, d / f"round={rn:04d}.parquet")
+
+            self._submit_write(job)
 
     def _write_round_outputs(self, texts: pa.Table, edges: pa.Table) -> None:
         if not self.config.out_dir:
@@ -593,10 +670,17 @@ class CrawlEngine:
         defer = ranked.filter(pl.col("__r") >= budget).sort("__i").drop(["__i", "__r"])
         return adm, defer
 
+    def _resolve_edge_counts(self) -> None:
+        pending, self._pending_edge_counts = self._pending_edge_counts, []
+        if pending:
+            for (m_, _), n in zip(pending, ray.get([r for _, r in pending])):
+                m_["edges"] = int(n)
+
     def _run_tabular(self) -> CrawlResult:
         c = self.config
         deferred = self._deferred_to_df()
         while self.round_no < c.max_rounds:
+            self._resolve_edge_counts()  # last round's count is done by now
             if c.max_fetches is not None and self.fetched >= c.max_fetches:
                 break
             t0 = time.perf_counter()
@@ -649,7 +733,23 @@ class CrawlEngine:
                 continue
 
             urls = adm["url"].to_list()
-            meta, texts, edges = self._fetch_and_parse(urls)
+            # refs regime: big pool rounds keep texts/edges in the object
+            # store — the driver gathers ONLY the (url, warc_ts) meta; the
+            # push join and round-output writes run as tasks over the refs
+            pool = self._get_fetch_pool() if ray.is_initialized() else None
+            use_refs = (
+                pool is not None
+                and hasattr(self.strategy, "columnar_push_spec")
+                and len(urls) > pool._balance_threshold()
+                and len(urls) <= c.stream_threshold
+            )
+            if use_refs:
+                meta, text_refs, edge_refs = pool.fetch_parse_refs(
+                    urls, include_scripts=c.include_scripts
+                )
+                texts = edges = None
+            else:
+                meta, texts, edges = self._fetch_and_parse(urls)
             _lap("fetch_parse")
             new_mask = seen_wave()
             m["already_seen"] = int((~new_mask).sum())
@@ -664,7 +764,6 @@ class CrawlEngine:
             new_found = uniq.filter(pl.col("new") & pl.col("found"))
             m["fetched"] = new_found.height
             m["missing"] = adm.height - uniq.filter(pl.col("found")).height
-            m["edges"] = edges.num_rows
 
             order = uniq.filter(pl.col("new")).select(
                 pl.lit(self.round_no, dtype=pl.Int64).alias("round"),
@@ -677,7 +776,14 @@ class CrawlEngine:
 
             # push: admitted x out-edges, in admitted-row then edge order —
             # identical to the scalar per-candidate push_pairs sequence
-            if edges.num_rows:
+            edge_count_ref = None
+            if use_refs:
+                mode, md = self.strategy.columnar_push_spec()
+                chunk_ref, edge_count_ref = _join_push_chunk.remote(
+                    adm.select(["url", "depth"]).to_arrow(), mode, md, *edge_refs
+                )
+                self.strategy.push_chunk_ref(chunk_ref)
+            elif edges.num_rows:
                 e = pl.from_arrow(edges.select(["src_url", "dst_url"])).with_row_index("ei")
                 a = adm.select(["url", "depth"]).with_row_index("ai")
                 j = a.join(e, left_on="url", right_on="src_url", how="inner").sort(
@@ -689,13 +795,27 @@ class CrawlEngine:
             self.fetched += m["fetched"]
             _lap("push")
 
-            if new_found.height:
-                keep = pc.is_in(
-                    texts.column("url"), value_set=pa.array(new_found["url"].to_list())
+            if use_refs:
+                self._write_round_outputs_refs(
+                    text_refs, edge_refs, new_found["url"].to_list()
                 )
-                self._write_round_outputs(texts.filter(keep), edges)
+                # edge count rides on the push-join task; blocking here
+                # costs the task's full join latency, so resolve one round
+                # later (checkpointed crawls resolve in _end_round because
+                # the checkpoint persists round metrics)
+                m["edges"] = -1
+                self._pending_edge_counts.append((m, edge_count_ref))
+                if self.ckpt is not None:
+                    self._resolve_edge_counts()
             else:
-                self._write_round_outputs(texts.slice(0, 0), edges)
+                m["edges"] = edges.num_rows
+                if new_found.height:
+                    keep = pc.is_in(
+                        texts.column("url"), value_set=pa.array(new_found["url"].to_list())
+                    )
+                    self._write_round_outputs(texts.filter(keep), edges)
+                else:
+                    self._write_round_outputs(texts.slice(0, 0), edges)
             _lap("write")
             m["stage_s"] = stage_s
             m["elapsed_s"] = time.perf_counter() - t0
@@ -864,6 +984,7 @@ class CrawlEngine:
         return self._result()
 
     def _result(self) -> CrawlResult:
+        self._resolve_edge_counts()  # fill deferred per-round edge counts
         self._drain_writes()  # all round outputs durable before reporting
         ranks = dict(self.strategy.get_node_rank()) if self.strategy else {}
         order = self.crawl_order

@@ -116,12 +116,43 @@ def _read_rgs_cached(path: str, rgs: List[int], columns: Optional[List[str]] = N
 _FETCH_PARSE_COLUMNS = ["url", "warc_ts", "html"]
 
 
-@ray.remote(num_cpus=1)
-def _decode_parse_bundle(bundle: List[tuple], include_scripts: bool = True):
+def _empty_triple():
+    import pyarrow as _pa
+
+    meta = _pa.table({"url": _pa.array([], _pa.string())})
+    texts = _pa.table(
+        {"url": _pa.array([], _pa.string()), "text_extracted": _pa.array([], _pa.string())}
+    )
+    edges = _pa.table(
+        {
+            "src_url": _pa.array([], _pa.string()),
+            "dst_url": _pa.array([], _pa.string()),
+            "kind": _pa.array([], _pa.string()),
+            "dst_host": _pa.array([], _pa.string()),
+            "dst_hash": _pa.array([], _pa.uint64()),
+        }
+    )
+    return meta, texts, edges
+
+
+@ray.remote(num_cpus=1, num_returns=3)
+def _decode_parse_bundle3(bundle: List[tuple], include_scripts: bool = True):
+    """:func:`_decode_parse_bundle` with meta/texts/edges as THREE separate
+    object refs: the driver gathers only the (url, warc_ts) meta — texts
+    and edges stay in the object store for downstream tasks (round-output
+    writers, the frontier push join), so page text and the link graph
+    never stream through the driver at all."""
+    r = _decode_parse_bundle_impl(bundle, include_scripts)
+    if r is None:
+        return _empty_triple()
+    return r
+
+
+def _decode_parse_bundle_impl(bundle: List[tuple], include_scripts: bool = True):
     """One balanced slice of a crawl round's decode+parse work.
 
     ``bundle`` = [(path, rgs, urls)] resolved by the partition-owner shard
-    actors; this task is STATELESS (any worker, any node with storage
+    actors; runs in STATELESS tasks (any worker, any node with storage
     access) so Ray load-balances the heavy row-group decode + parse across
     the whole cluster instead of pinning it to index owners — the owner
     with the most row groups no longer sets the round's critical path."""
@@ -140,6 +171,13 @@ def _decode_parse_bundle(bundle: List[tuple], include_scripts: bool = True):
     if not tables:
         return None
     return _parse_pages(_pa.concat_tables(tables), include_scripts)
+
+
+@ray.remote(num_cpus=1)
+def _decode_parse_bundle(bundle: List[tuple], include_scripts: bool = True):
+    """Remote form of :func:`_decode_parse_bundle_impl` returning the
+    (meta, texts, edges) triple as one object."""
+    return _decode_parse_bundle_impl(bundle, include_scripts)
 
 
 @ray.remote(num_cpus=0)  # service actor: light routing/IO, zero CPU claim so
@@ -534,6 +572,41 @@ class FetchPool:
             pa.concat_tables(texts),
             pa.concat_tables(edges),
         )
+
+    def fetch_parse_refs(self, urls: Sequence[str], include_scripts: bool = True):
+        """Balanced fetch+parse that keeps texts and edges IN THE OBJECT
+        STORE: returns (meta_table, text_refs, edge_refs) where only the
+        html-free (url, warc_ts) meta is gathered to the driver.  Round
+        outputs and the frontier push join consume the refs in downstream
+        tasks, so page text and the link graph never stream through the
+        driver — the O(round-bytes) driver gather the plain fetch_parse
+        still pays.  Ref lists are in bundle order (deterministic), so a
+        consumer concatenating them reproduces fetch_parse's edge order
+        exactly."""
+        import pyarrow as pa
+
+        urls = list(urls)
+        if not urls:
+            m, t, e = _empty_triple()
+            return m, [ray.put(t)], [ray.put(e)]
+        per_actor = self._route(urls)
+        item_refs = [
+            self.actors[a].resolve.remote(
+                {p: self.store._partition_files([p]) for p in pu}, pu
+            )
+            for a, pu in sorted(per_actor.items())
+        ]
+        items = [it for ref in ray.get(item_refs) for it in ref]
+        bundles = self._pack_bundles(items)
+        if not bundles:
+            m, t, e = _empty_triple()
+            return m, [ray.put(t)], [ray.put(e)]
+        triples = [_decode_parse_bundle3.remote(b, include_scripts) for b in bundles]
+        metas = ray.get([t[0] for t in triples])
+        meta = pa.concat_tables([m for m in metas if m is not None and m.num_rows] or [
+            _empty_triple()[0]
+        ])
+        return meta, [t[1] for t in triples], [t[2] for t in triples]
 
     @staticmethod
     def _pack_bundles(items: List[tuple]) -> List[List[tuple]]:

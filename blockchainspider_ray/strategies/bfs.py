@@ -43,30 +43,53 @@ class _ChunkQueue:
     def __init__(self) -> None:
         self._chunks: deque = deque()
 
+    def _sized(self, c):
+        if type(c[0]).__name__ == "ObjectRef":
+            self._touch(c)  # length unknown until resolved (rare path)
+        return c
+
     def __bool__(self) -> bool:
-        return any(c[2] < len(c[0]) for c in self._chunks)
+        return any(c[2] < len(self._sized(c)[0]) for c in self._chunks)
 
     def __len__(self) -> int:
-        return sum(len(c[0]) - c[2] for c in self._chunks)
+        return sum(len(self._sized(c)[0]) - c[2] for c in self._chunks)
 
     def extend_chunk(self, urls, depths) -> None:
         if len(urls):
             self._chunks.append([urls, depths, 0])
 
+    def extend_chunk_ref(self, ref) -> None:
+        """Enqueue a chunk whose payload is still being computed in a Ray
+        task ((urls, depths) or None); resolved lazily at pop touch."""
+        self._chunks.append([ref, None, 0])
+
     @staticmethod
     def _touch(c) -> None:
-        """Materialize a columnar chunk to Python lists in place."""
-        if not isinstance(c[0], list):
-            c[0] = c[0].to_pylist() if hasattr(c[0], "to_pylist") else list(c[0])
-            c[1] = c[1].tolist() if hasattr(c[1], "tolist") else list(c[1])
+        """Materialize a columnar chunk to Python lists in place.  A chunk
+        may also be a Ray ObjectRef produced by the engine's off-driver
+        push-join task (payload: (urls_arrow, depths_numpy) or None) —
+        resolved only when a pop actually reaches it, by which point the
+        task finished rounds ago."""
+        if isinstance(c[0], list):
+            return
+        if type(c[0]).__name__ == "ObjectRef":
+            import ray as _ray
+
+            payload = _ray.get(c[0])
+            if payload is None:
+                c[0], c[1] = [], []
+                return
+            c[0], c[1] = payload
+        c[0] = c[0].to_pylist() if hasattr(c[0], "to_pylist") else list(c[0])
+        c[1] = c[1].tolist() if hasattr(c[1], "tolist") else list(c[1])
 
     def popleft(self):
         """Next (node, depth) or None when empty."""
         chunks = self._chunks
         while chunks:
             c = chunks[0]
+            self._touch(c)
             if c[2] < len(c[0]):
-                self._touch(c)
                 urls, depths, i = c
                 c[2] = i + 1
                 return urls[i], depths[i]
@@ -204,6 +227,19 @@ class _FifoBase(FrontierStrategy):
             s, t, d = s.filter(pm), t.filter(pm), d[mask]
         return s, t, d
 
+    def push_chunk_ref(self, ref) -> None:
+        """Enqueue an off-driver push-join result (ObjectRef of
+        (urls, depths) or None) — the engine's driver-edge-free round
+        path.  The producing task already applied this strategy's depth
+        gate and edge shaping (see :meth:`columnar_push_spec`)."""
+        self._queue.extend_chunk_ref(ref)
+
+    def columnar_push_spec(self) -> Tuple[str, int]:
+        """(edge shaping mode, max depth) the off-driver push task must
+        apply to reproduce push_edges: 'interleave' enqueues both
+        endpoints of every edge (BFS), 'dsts' only the targets (Poison)."""
+        raise NotImplementedError
+
     def get_node_rank(self) -> Dict:
         return {}
 
@@ -251,6 +287,9 @@ class BFS(_FifoBase):
             return
         self._queue.extend_chunk(_interleave_arrow(s, t), np.repeat(d1, 2))
 
+    def columnar_push_spec(self):
+        return ("interleave", self.max_depth)
+
     def get_context_snapshot(self) -> Dict:
         return {"source": self.source, "max_depth": self.max_depth, "vis": list(self._vis)}
 
@@ -291,6 +330,9 @@ class Poison(_FifoBase):
         if t is None:
             return
         self._queue.extend_chunk(t, d1)
+
+    def columnar_push_spec(self):
+        return ("dsts", self.depth)
 
     def get_context_snapshot(self) -> Dict:
         return {"source": self.source, "depth": self.depth, "vis": list(self._vis)}

@@ -149,3 +149,49 @@ def test_pop_array_vectorized_matches_scalar():
                 B._ChunkQueue._touch(c)
             for k in pops:
                 assert fast.pop_array(k) == slow.pop_array(k), (cls.__name__, trial, k)
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "poison"])
+def test_refs_regime_matches_inline(pages_store, tmp_path, strategy, monkeypatch):
+    """The driver-edge-free refs regime (fetch_parse_refs + off-driver
+    push-join task + ObjectRef frontier chunks + ref-writing round
+    outputs) must reproduce the inline tabular path exactly: same crawl
+    order, same metrics counts, same round-output parquet contents."""
+    import pyarrow.dataset as pads
+
+    seeds = [
+        pads.dataset(f"{pages_store}/part=0", partitioning=None)
+        .to_table(columns=["url"])
+        .column("url")[0]
+        .as_py()
+    ]
+
+    def run(out_dir, refs: bool):
+        # refs regime needs a fetch pool + rounds above the balance
+        # threshold; force the threshold to 1 url so every round uses it
+        monkeypatch.setenv("BCS_FP_BALANCE_MIN", "1" if refs else "1000000000")
+        cfg = CrawlConfig(
+            strategy=strategy,
+            strategy_kwargs={"depth": 6},
+            pop_k=96,
+            max_fetches=220,
+            max_rounds=40,
+            seen_use_ray=False,
+            seen_backend="exact",
+            fetch_actors=2,
+            tabular_threshold=0,
+            out_dir=str(out_dir),
+        )
+        return CrawlEngine(PageStore(pages_store), seeds=seeds, config=cfg).run()
+
+    a = run(tmp_path / "inline", refs=False)
+    b = run(tmp_path / "refs", refs=True)
+    assert [r["url"] for r in a.crawl_order] == [r["url"] for r in b.crawl_order]
+    assert a.fetched == b.fetched and a.rounds == b.rounds
+    ea = [m.get("edges", 0) for m in a.metrics]
+    eb = [m.get("edges", 0) for m in b.metrics]
+    assert ea == eb
+    for sub in ("text", "edges"):
+        ta = pq.read_table(f"{tmp_path}/inline/{sub}").sort_by("url" if sub == "text" else "src_url")
+        tb = pq.read_table(f"{tmp_path}/refs/{sub}").sort_by("url" if sub == "text" else "src_url")
+        assert ta.equals(tb), sub
