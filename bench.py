@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -497,6 +498,11 @@ def single_run(headline_only: bool = False) -> dict:
         b = bulk_fetch_parse(store, out_dir)
         if bulk is None or b["urls_per_sec"] > bulk["urls_per_sec"]:
             bulk = b
+        # the written corpus (~0.5GB per attempt) is only a side effect of
+        # timing the write path — a full bench (headline + 2 scaling
+        # protocols x reps x levels) would otherwise leak ~15GB of /tmp,
+        # which eventually fills the disk and kills later subprocesses
+        shutil.rmtree(out_dir, ignore_errors=True)
     bulk["cpu_control_s"] = round(cpu_control(), 3)
     bulk["mem_control_s"] = round(mem_control(), 3)
     _log(f"bulk: {bulk}")
