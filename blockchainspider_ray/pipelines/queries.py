@@ -6064,6 +6064,115 @@ def _hits_oracle_sql(iters: int = 2) -> str:
 ORACLE_SQL["hits"] = _hits_oracle_sql()
 
 
+def q_kcore(sf_dir: str):
+    """k-core decomposition — the classic dense-subgraph peel a web
+    pipeline runs over its link graph to locate densely interlinked cores
+    (link farms / boilerplate nav rings as spam priors, and conversely
+    well-embedded pages as quality priors).  Graph: a deterministic skewed
+    fixture over doc_ids — two arithmetic edges per node (quadratic
+    ``(d*d+1) % n`` hashes in-degree unevenly, affine ``(3d+7) % n`` keeps
+    it connected) plus a planted clique on ``d % 50 == 0`` so the core
+    numbers actually spread (2 / 3 / clique).  Edge generation is pure
+    per-batch arithmetic (the clique rows are emitted from each member's
+    batch — no cross-join, no driver set), dedup is one groupby, and
+    coreness runs the H-index iteration in stages/graph.py: per round one
+    estimate-onto-edges spread + one per-node H-index fold, all
+    (int64, int64) scalar rows.  6 fixed rounds (fixture converges in 3-4;
+    extra rounds are idempotent); the oracle unrolls the identical rounds
+    with window-function H-indexes."""
+    from ..stages.graph import coreness
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def to_edges(b: pa.Table, _n=n) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        a = np.concatenate([d, d])
+        bb = np.concatenate([(d * d + 1) % _n, (3 * d + 7) % _n])
+        # planted clique: each member emits its edges to HIGHER members —
+        # O(m^2/2) rows total, generated where the member's batch runs
+        cl_a, cl_b = [], []
+        for m in d[d % 50 == 0]:
+            ys = np.arange(m + 50, _n, 50)
+            cl_a.append(np.full(len(ys), m))
+            cl_b.append(ys)
+        if cl_a:
+            a = np.concatenate([a] + cl_a)
+            bb = np.concatenate([bb] + cl_b)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(a, bb), pa.int64()),
+                "v": pa.array(np.maximum(a, bb), pa.int64()),
+            }
+        )
+
+    edges = (
+        docs.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    out = coreness(edges, iters=6)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"), "core": b.column("core")}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
+def _kcore_oracle_sql(iters: int = 6) -> str:
+    """Unrolled H-index rounds: c0 = degree; c_{k+1}(v) = max rank r over
+    v's neighbours sorted by c_k desc with c_k >= r — per-round math
+    mirrors stages/graph.py coreness."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""        nb{k} AS (
+            SELECT e.u AS node, p.c AS c FROM edges e JOIN c{k - 1} p ON p.node = e.v
+            UNION ALL
+            SELECT e.v AS node, p.c AS c FROM edges e JOIN c{k - 1} p ON p.node = e.u
+        ),
+        r{k} AS (
+            SELECT node, c,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC) AS r
+            FROM nb{k}
+        ),
+        c{k} AS (
+            SELECT node, coalesce(max(CASE WHEN c >= r THEN r END), 0) AS c
+            FROM r{k} GROUP BY node
+        ),""")
+    body = "\n".join(steps)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        raw AS (
+            SELECT doc_id AS a, (doc_id * doc_id + 1) % nn.n AS b
+            FROM documents, nn
+            UNION ALL
+            SELECT doc_id, (3 * doc_id + 7) % nn.n FROM documents, nn
+            UNION ALL
+            SELECT x.doc_id, y.doc_id FROM documents x, documents y
+            WHERE x.doc_id % 50 = 0 AND y.doc_id % 50 = 0
+              AND x.doc_id < y.doc_id
+        ),
+        edges AS (
+            SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+            FROM raw WHERE a <> b
+        ),
+        c0 AS (
+            SELECT node, count(*) AS c FROM (
+                SELECT u AS node FROM edges
+                UNION ALL SELECT v AS node FROM edges
+            ) GROUP BY node
+        ),
+{body}
+        fin AS (SELECT 1)
+        SELECT node AS doc_id, CAST(c AS BIGINT) AS core
+        FROM c{iters} ORDER BY doc_id
+    """
+
+
+ORACLE_SQL["kcore"] = _kcore_oracle_sql()
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -6137,6 +6246,7 @@ SQL_QUERIES = {
     "recrawl_schedule": q_recrawl_schedule,
     "postings_build": q_postings_build,
     "hits": q_hits,
+    "kcore": q_kcore,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,

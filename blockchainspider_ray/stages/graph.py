@@ -318,3 +318,112 @@ def hits(edges, iters: int = 2):
         .groupby("node")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def coreness(edges, iters: int = 6):
+    """k-core decomposition of an undirected int64 ``(u, v)`` edge Dataset
+    via the H-index iteration (Lu et al. 2016, "The H-index of a network
+    node"): start every node at its degree, then repeatedly replace each
+    node's estimate with the H-index of its neighbours' estimates — the
+    largest h such that at least h neighbours currently score >= h.  The
+    sequence is per-node non-increasing and converges to the exact core
+    number, giving coreness as a fixed number of bulk rounds instead of
+    the inherently sequential min-degree peel.
+
+    Same shuffle discipline as :func:`pagerank` / ``connected_components``:
+    each round is one ``groupby(key)`` that joins the current estimate onto
+    the node's incident edges and emits it to each neighbour, then one
+    ``groupby(node).map_groups`` H-index fold — only (int64, int64) scalar
+    rows ever move, never adjacency lists, so power-law degree skew costs a
+    hot reducer key at worst.  ``iters`` is fixed so a SQL oracle can unroll
+    the identical rounds; real graphs settle in O(log-ish) rounds (the
+    fixture converges in 3-4) and the estimates simply stop changing once
+    converged, so extra rounds are idempotent.
+
+    Returns a Dataset ``(node, core)`` over every node incident to an edge.
+    Callers pass SIMPLE edges (deduplicated, no self-loops) — degree counts
+    edge rows.
+    """
+    import numpy as np
+
+    def symmetric(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column("u").combine_chunks(), pa.int64())
+        v = pc.cast(b.column("v").combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "key": pa.concat_arrays([u, v]),
+                "other": pa.concat_arrays([v, u]),
+            }
+        )
+
+    sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
+
+    # c0 = degree
+    def one(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b.column("key"), "c": pa.array([1] * b.num_rows, pa.int64())}
+        )
+
+    est = (
+        sym.map_batches(one, batch_format="pyarrow")
+        .groupby("node")
+        .sum("c")
+        .map_batches(lambda b: b.rename_columns(["node", "c"]), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def est_msgs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("node"),
+                "other": pa.nulls(b.num_rows, pa.int64()),
+                "c": b.column("c"),
+            }
+        )
+
+    def edge_msgs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "other": b.column("other"),
+                "c": pa.nulls(b.num_rows, pa.int64()),
+            }
+        )
+
+    def spread(g: pa.Table) -> pa.Table:
+        c = pc.min(g.column("c")).as_py()  # exactly one non-null estimate row
+        outs = pc.drop_null(g.column("other").combine_chunks())
+        return pa.table(
+            {
+                "node": outs,
+                "c": pa.array([c] * len(outs), pa.int64()),
+            }
+        )
+
+    def hindex(g: pa.Table) -> pa.Table:
+        vals = np.sort(g.column("c").to_numpy(zero_copy_only=False))[::-1]
+        ranks = np.arange(1, len(vals) + 1)
+        sat = ranks[vals >= ranks]
+        h = int(sat[-1]) if len(sat) else 0
+        return pa.table(
+            {
+                "node": pa.array([g.column("node")[0].as_py()], pa.int64()),
+                "c": pa.array([h], pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        est = (
+            est.map_batches(est_msgs, batch_format="pyarrow")
+            .union(sym.map_batches(edge_msgs, batch_format="pyarrow"))
+            .groupby("key")
+            .map_groups(spread, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(hindex, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return est.map_batches(
+        lambda b: pa.table({"node": b.column("node"), "core": b.column("c")}),
+        batch_format="pyarrow",
+    )

@@ -69,3 +69,86 @@ def test_hits_normalization_and_direction():
     assert out[1][1] > 0 and out[1][0] == 0
     # node 1 (two in-links) outranks node 2 (one) as an authority
     assert out[1][1] > out[2][1]
+
+
+def _peel_coreness(edge_list):
+    """Reference coreness via the sequential min-degree peel."""
+    import heapq
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    core, removed, k = {}, set(), 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue
+        k = max(k, d)
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return core
+
+
+def test_coreness_matches_sequential_peel(ray_session):
+    """H-index iteration == exact min-degree peel on a graph with a real
+    core spread: a pendant path (core 1), a cycle (core 2), and a 5-clique
+    (core 4), cross-linked."""
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.graph import coreness
+
+    edge_list = (
+        [(0, 1), (1, 2), (2, 3)]  # path
+        + [(3, 4), (4, 5), (5, 6), (6, 3)]  # cycle
+        + [(a, b) for a in range(7, 12) for b in range(a + 1, 12)]  # clique
+        + [(6, 7)]  # bridge
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([a for a, _ in edge_list], pa.int64()),
+                "v": pa.array([b for _, b in edge_list], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["core"] for r in coreness(edges, iters=8).take_all()}
+    want = _peel_coreness(edge_list)
+    assert got == want
+    assert sorted(set(got.values())) == [1, 2, 4]
+
+
+def test_coreness_fixture_converges_within_unroll(ray_session):
+    """The q_kcore fixture graph must reach its fixpoint strictly inside
+    the 6 rounds the SQL oracle unrolls (run 5 == run 6)."""
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.graph import coreness
+
+    n = 500
+    pairs = set()
+    for d in range(n):
+        for b in ((d * d + 1) % n, (3 * d + 7) % n):
+            if b != d:
+                pairs.add((min(d, b), max(d, b)))
+    cl = [d for d in range(n) if d % 50 == 0]
+    for i, x in enumerate(cl):
+        for y in cl[i + 1 :]:
+            pairs.add((x, y))
+    tbl = pa.table(
+        {
+            "u": pa.array([a for a, _ in sorted(pairs)], pa.int64()),
+            "v": pa.array([b for _, b in sorted(pairs)], pa.int64()),
+        }
+    )
+    r5 = {r["node"]: r["core"] for r in coreness(rd.from_arrow(tbl), iters=5).take_all()}
+    r6 = {r["node"]: r["core"] for r in coreness(rd.from_arrow(tbl), iters=6).take_all()}
+    assert r5 == r6
+    assert r5 == _peel_coreness(sorted(pairs))
