@@ -336,3 +336,32 @@ def ensure_pages_store(
     else:
         t = generate_pages(n_pages=n_pages, seed=seed, n_hosts=n_hosts, pad_to_bytes=pad_to_bytes)
     return write_pages_store(t, store_dir, num_partitions=num_partitions)
+
+
+def write_warc_store(documents: pa.Table, out_dir: str, num_files: int = 8) -> str:
+    """Deterministic WARC fixture derived from a ``documents`` table:
+    document ``d`` becomes one WARC/1.0 response record (payload =
+    :func:`doc_html`) in file ``part-(d % num_files).warc``, records
+    within a file ordered by doc_id, WARC-Date = 2026-01-01T00:00:00Z +
+    doc_id seconds.  The layout mirrors how Common Crawl shards a crawl
+    into many independent .warc files — the unit of read parallelism."""
+    import datetime as _dt
+    from pathlib import Path
+
+    from .functions.warc import build_warc_record
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    base = _dt.datetime(2026, 1, 1)
+    buckets: dict[int, list[bytes]] = {k: [] for k in range(num_files)}
+    ids = documents.column("doc_id").to_pylist()
+    texts = documents.column("text").to_pylist()
+    for d, text in sorted(zip(ids, texts)):
+        date = (base + _dt.timedelta(seconds=int(d))).strftime("%Y-%m-%dT%H:%M:%SZ")
+        rec = build_warc_record(
+            f"http://site{d % 10}.example/d/{d}", date, doc_html(d, text).encode()
+        )
+        buckets[d % num_files].append(rec)
+    for k, recs in buckets.items():
+        (out / f"part-{k}.warc").write_bytes(b"".join(recs))
+    return str(out)

@@ -6173,6 +6173,58 @@ def _kcore_oracle_sql(iters: int = 6) -> str:
 ORACLE_SQL["kcore"] = _kcore_oracle_sql()
 
 
+def _warc_store_for(sf_dir: str) -> str:
+    """Idempotently materialize the documents-derived WARC shard set under
+    /tmp, keyed by sf_dir."""
+    import hashlib as _hl
+    from pathlib import Path
+
+    import pyarrow.parquet as _pq
+
+    from ..fixtures import write_warc_store
+
+    key = _hl.md5(f"{sf_dir}|warc-v1".encode()).hexdigest()[:10]
+    store = f"/tmp/bcs_ray_warc_{key}"
+    if not (Path(store) / "part-0.warc").exists():
+        docs = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        write_warc_store(docs, store, num_files=8)
+    return store
+
+
+def q_warc_parse(sf_dir: str):
+    """WARC source reader — the Common-Crawl interchange format as an
+    ingest path next to the parquet page store: 8 deterministic .warc
+    shards (one response record per document, payload = the exact
+    doc_html bytes) are split by length-prefixed record framing, the
+    stored HTTP response unwrapped, and (url, warc_date, status,
+    content_length, title) surfaced per page.  One read task per file
+    group (`read_binary_files`), framing never scans payload bytes (a
+    body may legally contain "WARC/1.0"), and the title comes from the
+    decoded body so the oracle checks the payload octets round-trip, not
+    just the headers.  Oracle recomputes every field from `documents`."""
+    import ray.data as rd
+
+    from ..functions.warc import parse_warc_batch
+
+    store = _warc_store_for(sf_dir)
+    return (
+        rd.read_binary_files(store, include_paths=True)
+        .map_batches(parse_warc_batch, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
+ORACLE_SQL["warc_parse"] = f"""
+    SELECT 'http://site' || (doc_id % 10) || '.example/d/' || doc_id AS url,
+           strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           CAST(200 AS BIGINT) AS status,
+           CAST(strlen({DOC_HTML_SQL}) AS BIGINT) AS content_length,
+           'Doc ' || doc_id AS title
+    FROM documents ORDER BY url
+"""
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -6247,6 +6299,7 @@ SQL_QUERIES = {
     "postings_build": q_postings_build,
     "hits": q_hits,
     "kcore": q_kcore,
+    "warc_parse": q_warc_parse,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,
