@@ -6225,6 +6225,106 @@ ORACLE_SQL["warc_parse"] = f"""
 """
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """First BPE iteration, SQL-pinned: adjacent character-pair counts
+    over whitespace words weighted by corpus word frequency — the
+    corpus-scale half of tokenizer training (stages/bpe.py).  The corpus
+    reduces to a (word, f) vocab in one combiner+groupby pass; the pair
+    table is alphabet-bounded.  Top 50 by (count desc, pair asc)."""
+    from ..stages.bpe import pair_counts, vocab_from_docs
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    vocab = vocab_from_docs(docs).map_batches(
+        lambda b: pa.table(
+            {
+                "syms": pa.array(
+                    [list(w) for w in b.column("word").to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+                "f": b.column("f"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pair": pc.binary_join_element_wise(
+                    b.column("left").cast(pa.string()),
+                    b.column("right").cast(pa.string()),
+                    "",
+                ),
+                "n": b.column("n"),
+            }
+        )
+
+    return (
+        pair_counts(vocab)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(50)
+    )
+
+
+ORACLE_SQL["bpe_pair_counts"] = """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+        FROM (SELECT w, f, unnest(range(1, strlen(w))) AS i FROM wf)
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_bpe_train(sf_dir: str, k: int = 12):
+    """Learned BPE merge table over the corpus: k merge rounds on the
+    vocabulary Dataset, each one alphabet-bounded pair groupby + one
+    vocab rewrite (stages/bpe.py train_bpe).  Deterministic tie-break
+    (count desc, left asc, right asc); pinned in pytest against a
+    pure-Python reference BPE (no SQL mirror — the merge loop re-tokenizes
+    the vocab every round, which SQL cannot express un-unrolled)."""
+    from ..stages.bpe import train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(docs, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "n": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def q_bpe_encode(sf_dir: str, k: int = 12):
+    """Apply the learned merge table corpus-wide: BPEEncodeStage actor
+    pool (rank dict built once per actor, word->tokens cache) emitting
+    per-doc BPE token counts — the tokenize-and-count pass a pretraining
+    pipeline runs before packing.  Pinned in pytest against encoding
+    every doc with the pure-Python reference."""
+    from ..stages.bpe import BPEEncodeStage, train_bpe
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(docs, k=k)
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            BPEEncodeStage,
+            fn_constructor_kwargs={"merges": merges},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .sort("doc_id")
+    )
+
+
 SQL_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "filter_project": q_filter_project,
@@ -6300,6 +6400,7 @@ SQL_QUERIES = {
     "hits": q_hits,
     "kcore": q_kcore,
     "warc_parse": q_warc_parse,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,
@@ -6325,6 +6426,8 @@ NOSQL_QUERIES = {
     "solana_tx_lookup": q_solana_tx_lookup,  # tx-by-signature subset — tests/test_solana.py
     "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
     "ann_ivf": q_ann_ivf,
+    "bpe_train": q_bpe_train,  # merge loop — pinned vs pure-Python BPE in tests/test_bpe.py
+    "bpe_encode": q_bpe_encode,  # rank-ordered apply — pinned in tests/test_bpe.py
     "crawl_bfs": q_crawl_bfs,
     "crawl_haircut": q_crawl_haircut,
     "crawl_appr": q_crawl_appr,
