@@ -6282,6 +6282,105 @@ ORACLE_SQL["bpe_pair_counts"] = """
 """
 
 
+def q_ann_lsh(sf_dir: str, n_bits: int = 4, k: int = 5):
+    """LSH-bucketed ANN — the third scale path next to brute force and
+    IVF: hash every vector to a sign-bit bucket (coordinate hyperplanes
+    over the first ``n_bits`` dims), co-locate each bucket with ONE
+    ``groupby('bucket')`` shuffle, and compute exact cosine top-k inside
+    the bucket.  Queries (vec_id < 3) are corpus rows, so they arrive in
+    their own bucket's group — no broadcast, no driver-side candidate
+    set; per-group work is one float64 matmul over ~N/2^n_bits vectors.
+    Single-probe semantics on purpose (recall = P(neighbor shares the
+    bucket); multi-probe would union Hamming-1 buckets) — the oracle
+    mirrors exactly that, so the pruning itself is value-pinned."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucketize(b: pa.Table, _nb=n_bits) -> pa.Table:
+        m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        bits = (m[:, :_nb] >= 0.0).astype(np.int64)
+        bucket = bits @ (1 << np.arange(_nb, dtype=np.int64))
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "embedding": b.column("embedding"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def score_group(g: pa.Table, _k=k) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        qmask = ids < 3
+        if not qmask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        m = np.stack(g.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = m[qmask]
+        q_ids = ids[qmask]
+        sims = m @ q.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            col = sims[:, qi]
+            cand = np.flatnonzero(ids != qid)
+            order = np.lexsort((ids[cand], -col[cand]))[:_k]
+            for ni in cand[order]:
+                out_q.append(int(qid))
+                out_n.append(int(ids[ni]))
+                out_s.append(float(col[ni]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    df = (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = df.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    df["sim"] = _r(df["sim"].to_numpy(), 4)
+    return df
+
+
+ORACLE_SQL["ann_lsh"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+               (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, c.v) AS sim
+        FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= 5
+    ORDER BY query_id, sim DESC, neighbor_id
+"""
+
+
 def q_bpe_train(sf_dir: str, k: int = 12):
     """Learned BPE merge table over the corpus: k merge rounds on the
     vocabulary Dataset, each one alphabet-bounded pair groupby + one
@@ -6401,6 +6500,7 @@ SQL_QUERIES = {
     "kcore": q_kcore,
     "warc_parse": q_warc_parse,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "ann_lsh": q_ann_lsh,
     "vocab_topk": q_vocab_topk,
     "tfidf_topterms": q_tfidf_topterms,
     "shuffle_rank": q_shuffle_rank,
