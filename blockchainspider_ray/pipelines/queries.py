@@ -1836,6 +1836,77 @@ def q_range_join_partitioned(sf_dir: str):
     return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
 
 
+def q_hash_join(sf_dir: str):
+    """General partitioned equi-join with BOTH sides as Datasets (orders
+    fact x customer fact) — the join primitive Ray Data lacks, via one
+    hash shuffle (union + groupby + in-group polars join,
+    stages/joins.py hash_join).  Reference analogue: the driver-side dict
+    label joins (spiders/labels/solscan.py), re-expressed distributed."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    out = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+
+    def _post(b: pa.Table) -> pa.Table:
+        b = _round_col(b, "o_totalprice", 2)
+        return _round_col(b, "c_acctbal", 2)
+
+    return out.map_batches(_post, batch_format="pyarrow").sort("o_orderkey")
+
+
+def q_tpch_q3(sf_dir: str):
+    """Composed two-join analytics pipeline (TPC-H Q3 shape, adapted to the
+    synthetic columns): segment-filtered customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems → revenue per order → top 10.  Both joins run as
+    the partitioned hash_join (no broadcast side); the filters are pushed
+    into the parquet reads so only surviving rows enter the shuffles."""
+    from ..stages.joins import hash_join
+
+    cutoff = pc.scalar(pd.Timestamp("1998-06-01").to_datetime64())
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).select_columns(["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < cutoff),
+    )
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff),
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+        )
+
+    line = line.map_batches(_rev, batch_format="pyarrow")
+    co = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+    col = hash_join(
+        co.select_columns(["o_orderkey", "o_orderdate"]),
+        line,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        how="inner",
+    )
+    agg = col.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    # round BEFORE the top-k sort so near-tie float noise can't reorder the
+    # cut vs the SQL oracle (both sides rank by the 2-dp value)
+    agg = agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow")
+    top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+
 # ---------------------------------------------------------------------------
 # blockchain-ETL normalizer family over synthetic records
 # ---------------------------------------------------------------------------
@@ -3312,6 +3383,25 @@ ORACLE_SQL: Dict[str, str] = {
          AND l.l_shipdate >= o.o_orderdate
          AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+    "hash_join": """
+        SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice,
+               c.c_name, round(c.c_acctbal, 2) AS c_acctbal
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey
+    """,
+    "tpch_q3": """
+        SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
     """,
     "transfer_normalize": """
         WITH raw AS (
@@ -6460,6 +6550,8 @@ SQL_QUERIES = {
     "asof_join_partitioned": q_asof_join_partitioned,
     "range_join": q_range_join,
     "range_join_partitioned": q_range_join_partitioned,
+    "hash_join": q_hash_join,
+    "tpch_q3": q_tpch_q3,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,

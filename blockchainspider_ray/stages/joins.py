@@ -342,3 +342,87 @@ def range_join_count_partitioned(
 
     unioned = l_tagged.union(r_tagged)
     return unioned.groupby(key).map_groups(join_group, batch_format="pyarrow")
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    right_key: Optional[str] = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """General equi-join for TWO LARGE sides — the join primitive Ray Data
+    2.49 doesn't ship (its Dataset API has no ``join``; the reference's
+    equi-joins are all driver-side dict lookups, e.g. the label joins in
+    spiders/labels/solscan.py).
+
+    Shape: tag each side, union into one schema, hash-shuffle once via
+    ``groupby(key)``, and run a vectorized polars join inside each key
+    group — every row crosses the wire exactly once, neither side is
+    broadcast or materialized driver-side.  Output columns are all left
+    columns followed by the right payload (right key column folded into
+    ``key``).  ``how`` is ``inner`` or ``left``.
+
+    Partitioning assumption (same as any groupby): one key's rows fit in a
+    worker; salt hot keys upstream if a single key is object-store-sized.
+    Many-to-many keys multiply inside the group only.
+    """
+    import polars as pl
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    rk = right_key or key
+    lschema = left.schema()
+    rschema = right.schema()
+    r_payload = [n for n in rschema.names if n != rk]
+    clash = set(r_payload) & set(lschema.names)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    key_type = lschema.types[lschema.names.index(key)]
+
+    union_fields = list(zip(lschema.names, lschema.types))
+    union_fields += [
+        (n, rschema.types[rschema.names.index(n)]) for n in r_payload
+    ]
+    union_fields.append(("_side", pa.string()))
+    union_schema = pa.schema(union_fields)
+    out_schema = pa.schema([f for f in union_fields if f[0] != "_side"])
+
+    def _conform(tbl: pa.Table, side: str) -> pa.Table:
+        cols = []
+        for f in union_schema:
+            if f.name == "_side":
+                cols.append(pa.array([side] * tbl.num_rows, pa.string()))
+            elif f.name in tbl.column_names:
+                cols.append(tbl.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, f.type))
+        return pa.table(dict(zip(union_schema.names, cols)))
+
+    l_tagged = left.map_batches(lambda b: _conform(b, "L"), batch_format="pyarrow")
+    r_tagged = right.map_batches(
+        lambda b: _conform(
+            pa.table(
+                {key: b.column(rk).cast(key_type),
+                 **{n: b.column(n) for n in r_payload}}
+            ),
+            "R",
+        ),
+        batch_format="pyarrow",
+    )
+
+    left_cols = list(lschema.names)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        lmask = pa.compute.equal(g.column("_side"), "L")
+        lt = g.filter(lmask).select(left_cols)
+        if not lt.num_rows:
+            return out_schema.empty_table()
+        rt = g.filter(pa.compute.invert(lmask)).select([key] + r_payload)
+        j = pl.from_arrow(lt).join(
+            pl.from_arrow(rt), on=key, how=how, maintain_order="left"
+        )
+        return j.select(out_schema.names).to_arrow().cast(out_schema)
+
+    unioned = l_tagged.union(r_tagged)
+    return unioned.groupby(key).map_groups(join_group, batch_format="pyarrow")

@@ -164,3 +164,34 @@ def test_function_selector_and_event_topics():
     # the decoder's hardcoded dispatch topics ARE keccak of the signatures
     assert event_topic("Transfer(address,address,uint256)") == TOPIC_TRANSFER
     assert event_topic("Approval(address,address,uint256)") == TOPIC_APPROVAL
+
+
+def test_hash_join_left_and_collision(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from blockchainspider_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                  "lv": pa.array(["a", "b", "c", "d"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4], pa.int64()),
+                  "rv": pa.array([10.0, 20.0, 30.0])})
+    )
+    inner = hash_join(left, right, key="k", right_key="rk", how="inner").to_pandas()
+    # many-to-many: k=2 has 2 left x 2 right = 4 rows
+    assert len(inner) == 4 and set(inner["k"]) == {2}
+    assert sorted(inner["rv"]) == [10.0, 10.0, 20.0, 20.0]
+
+    lj = hash_join(left, right, key="k", right_key="rk", how="left").to_pandas()
+    assert len(lj) == 6  # 1,3 survive unmatched; 2x2 expands
+    assert lj[lj["k"] == 1]["rv"].isna().all()
+
+    import pytest
+
+    bad = ray.data.from_arrow(pa.table({"rk": pa.array([1], pa.int64()),
+                                        "lv": pa.array(["x"])}))
+    with pytest.raises(ValueError, match="collide"):
+        hash_join(left, bad, key="k", right_key="rk")
