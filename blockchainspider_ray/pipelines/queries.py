@@ -1247,6 +1247,78 @@ def q_vocab_topk(sf_dir: str, k: int = 50):
     )
 
 
+def q_bigram_topk(sf_dir: str, k: int = 50):
+    """Corpus-wide top-k bigrams (n-gram LM / contamination-fingerprint
+    primitive).  Same combiner shape as vocab_topk: each batch collapses to
+    its own (bigram, partial count) rows — consecutive-token pairs never
+    leave the batch un-aggregated — and the groupby moves only partials.
+    Deterministic under any partitioning (ties broken by bigram text)."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            cnt.update(f"{a} {b2}" for a, b2 in zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array(list(cnt.keys()), pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(vc, batch_format="pyarrow").groupby("bigram").sum("cnt")
+    return (
+        agg.map_batches(lambda b: b.rename_columns(["bigram", "cnt"]), batch_format="pyarrow")
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Two-snapshot presence diff (the recrawl delta shape: which keys
+    appeared, vanished, or persisted between two crawl windows).  The
+    events range splits at its midpoint; per user the early/late presence
+    bits reduce inside each batch (0/1 max combiner) so the shuffle moves
+    one row per (batch, user), and the status is a post-agg case map."""
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    mm = ev.aggregate(Min("ts"), Max("ts"))
+    to_us = lambda v: int(pd.Timestamp(v).value // 1000)  # noqa: E731
+    mn, mx = to_us(mm["min(ts)"]), to_us(mm["max(ts)"])
+    mid_us = mn + (mx - mn) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        early = pc.cast(pc.less(us, pa.scalar(mid_us, pa.int64())), pa.int64())
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "early": early,
+                "late": pc.subtract(pa.scalar(1, pa.int64()), early),
+            }
+        )
+        # per-batch combiner: one row per user before the shuffle
+        return t.group_by("user_id").aggregate([("early", "max"), ("late", "max")])
+
+    agg = (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("early_max", alias_name="early"), Max("late_max", alias_name="late"))
+    )
+
+    def status(b: pa.Table) -> pa.Table:
+        e = b.column("early").to_numpy()
+        l = b.column("late").to_numpy()
+        s = np.where(e & l, "retained", np.where(l.astype(bool), "added", "removed"))
+        return pa.table(
+            {"user_id": b.column("user_id"), "status": pa.array(s.tolist(), pa.string())}
+        )
+
+    return agg.map_batches(status, batch_format="pyarrow").sort("user_id")
+
+
 def q_tfidf_topterms(sf_dir: str, topn: int = 3):
     """Per-doc top-3 TF-IDF terms (keyword/quality-feature primitive).
     Two-pass: pass 1 reduces to the document-frequency table + corpus size
@@ -4249,6 +4321,37 @@ ORACLE_SQL["vocab_topk"] = r"""
 # tfidf = (tf / doc_len) * ln(N / df), same operation order as the Ray
 # side; ranks are row_number() with (tfidf DESC, term) — the Python sort
 # key (-tfidf, term) produces the identical permutation.
+ORACLE_SQL["bigram_topk"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM pairs GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 50
+"""
+
+ORACLE_SQL["snapshot_delta"] = r"""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    f AS (
+        SELECT user_id,
+               max(CASE WHEN epoch_us(ts) < mn + (mx - mn) // 2 THEN 1 ELSE 0 END) AS early,
+               max(CASE WHEN epoch_us(ts) >= mn + (mx - mn) // 2 THEN 1 ELSE 0 END) AS late
+        FROM events, b GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN early = 1 AND late = 1 THEN 'retained'
+                WHEN late = 1 THEN 'added'
+                ELSE 'removed' END AS status
+    FROM f ORDER BY user_id
+"""
+
 ORACLE_SQL["tfidf_topterms"] = r"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -6552,6 +6655,8 @@ SQL_QUERIES = {
     "range_join_partitioned": q_range_join_partitioned,
     "hash_join": q_hash_join,
     "tpch_q3": q_tpch_q3,
+    "bigram_topk": q_bigram_topk,
+    "snapshot_delta": q_snapshot_delta,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,
@@ -6610,7 +6715,33 @@ SQL_QUERIES = {
 }
 
 
+def q_hll_distinct(sf_dir: str):
+    """Shuffle-free distinct-count estimates (HyperLogLog p=12,
+    stages/sketch.py): each batch folds to one 4 KB register row, merged by
+    elementwise max on the driver — deterministic and identical under any
+    partitioning (pinned in tests/test_sketch.py vs exact counts and across
+    repartitions).  The 10^10-scale replacement for exact unique() crawl
+    bookkeeping."""
+    from ..stages.sketch import hll_distinct
+
+    rows = [
+        ("lineitem.l_orderkey",
+         hll_distinct(_read(sf_dir, "lineitem", columns=["l_orderkey"]), "l_orderkey")),
+        ("events.user_id",
+         hll_distinct(_read(sf_dir, "events", columns=["user_id"]), "user_id")),
+        ("documents.doc_id",
+         hll_distinct(_read(sf_dir, "documents", columns=["doc_id"]), "doc_id")),
+    ]
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "estimate": pa.array([_r(r[1], 2) for r in rows], pa.float64()),
+        }
+    )
+
+
 NOSQL_QUERIES = {
+    "hll_distinct": q_hll_distinct,  # sketch estimate — pinned in tests/test_sketch.py
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py

@@ -1,0 +1,108 @@
+"""Distributed cardinality sketch: HyperLogLog over a Dataset column.
+
+At the 10^10-URL frontier scale an exact ``unique()`` is an all-to-all
+shuffle of every key; crawl bookkeeping (distinct URLs seen, distinct
+hosts contacted) only needs a cardinality *estimate*.  HLL gives it with
+ZERO shuffle: each batch reduces to a fixed 2^p-byte register array, the
+arrays merge by elementwise max (associative + commutative, so the result
+is identical under any partitioning / cluster size), and only
+``num_batches`` 4 KB rows ever reach the driver.
+
+The reference has no sketch (its seen set is exact, cf. the filter classes
+BlockchainSpider re-exposes); this is a beyond-reference scale operator per
+the brief's custom-operator clause.  Hashing is splitmix64 — fixed
+constants, version-stable (the same policy as the blake2b MinHash tokens:
+no reliance on Python's salted hash()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    z = x.astype(_U64, copy=True)
+    with np.errstate(over="ignore"):
+        z += _U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _hash_column(arr: pa.ChunkedArray) -> np.ndarray:
+    """Column -> uint64 hashes.  Integer columns vectorize straight through
+    splitmix64; strings/binary take a per-value blake2b loop (still one
+    pass per batch, and the batch collapses to 2^p bytes right after)."""
+    typ = arr.type
+    if pa.types.is_integer(typ):
+        return _splitmix64(arr.cast(pa.uint64()).to_numpy(zero_copy_only=False))
+    import hashlib
+
+    vals = arr.to_pylist()
+    out = np.empty(len(vals), dtype=_U64)
+    for i, v in enumerate(vals):
+        b = v if isinstance(v, bytes) else str(v).encode()
+        out[i] = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+    return out
+
+
+def batch_registers(arr: pa.ChunkedArray, p: int = 12) -> np.ndarray:
+    """One batch's HLL registers: uint8[2^p]."""
+    h = _hash_column(arr)
+    m = 1 << p
+    idx = (h >> _U64(64 - p)).astype(np.int64)
+    rest = h << _U64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading zeros of the remaining bits + 1 (capped at 64-p+1)
+    rho = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        # MSB position via 32-bit halves: float64 log2 is exact-safe below
+        # 2^32 (a whole uint64 -> float64 cast rounds near 2^64)
+        r = rest[nz]
+        hi = (r >> _U64(32)).astype(np.float64)
+        lo = (r & _U64(0xFFFFFFFF)).astype(np.float64)
+        pos = np.where(
+            hi > 0,
+            32 + np.floor(np.log2(np.maximum(hi, 1.0))),
+            np.floor(np.log2(np.maximum(lo, 1.0))),
+        ).astype(np.int64)
+        rho[nz] = (63 - pos + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(e)
+
+
+def hll_distinct(ds: "object", column: str, p: int = 12) -> float:
+    """Estimate the number of distinct values in ``ds[column]``.
+
+    Per-batch registers stream to the driver as one 2^p-byte row each
+    (shuffle-free); the driver folds them by elementwise max.  The result
+    is deterministic and partition-independent for a fixed ``p``.
+    """
+
+    def regs_of(b: pa.Table) -> pa.Table:
+        r = batch_registers(b.column(column), p)
+        return pa.table({"regs": pa.array([r.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    reg_ds = ds.map_batches(regs_of, batch_format="pyarrow")
+    for batch in reg_ds.iter_batches(batch_format="pyarrow"):
+        for blob in batch.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return hll_estimate(merged)
