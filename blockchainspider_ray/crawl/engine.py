@@ -127,6 +127,10 @@ class CrawlConfig:
     pop_k: int = 1  # 1 = reference-ordering conformance; >1 = BSP throughput
     host_budget: int = 0  # max fetches per host per round; <=0 unlimited
     obey_robots: bool = False
+    # robots Crawl-delay honoring (only when obey_robots): a host with
+    # Crawl-delay d admits at most max(1, crawl_delay_round_s / d) fetches
+    # per round — the BSP analogue of a d-second inter-request interval
+    crawl_delay_round_s: float = 1.0
     allowed_hosts: Optional[Set[str]] = None
     max_rounds: int = 1000
     max_fetches: Optional[int] = None
@@ -257,6 +261,19 @@ class CrawlEngine:
         return True
 
     # -- helpers ----------------------------------------------------------
+    def _delay_budgets(self, hosts) -> Optional[Dict[str, int]]:
+        """Per-host admission caps from robots Crawl-delay (None when not
+        obeying robots or no host declares a delay).  Rules are cached per
+        host in RobotsCache, so this is O(new hosts) point lookups."""
+        if not self.config.obey_robots:
+            return None
+        out: Dict[str, int] = {}
+        for h in set(hosts):
+            d = self.robots.crawl_delay(h)
+            if d:
+                out[h] = max(1, int(self.config.crawl_delay_round_s / d))
+        return out or None
+
     def _priority_of(self, ctx: dict) -> float:
         for key in ("residual", "weight"):
             if key in ctx:
@@ -657,17 +674,32 @@ class CrawlEngine:
         self, frontier: "pl.DataFrame", budget: int
     ) -> Tuple["pl.DataFrame", "pl.DataFrame"]:
         """Vectorized admit_per_host over a frontier frame: rank within
-        host by (priority desc, arrival asc); first ``budget`` admit;
-        both outputs keep frontier order (== arrival order)."""
-        if budget <= 0 or frontier.height == 0:
+        host by (priority desc, arrival asc); first ``budget`` (or the
+        host's robots Crawl-delay cap) admit; both outputs keep frontier
+        order (== arrival order)."""
+        from ..stages.politeness import _budget_expr
+
+        host_budgets = (
+            self._delay_budgets(frontier["host"].unique().to_list())
+            if self.config.obey_robots and frontier.height
+            else None
+        )
+        if (budget <= 0 and not host_budgets) or frontier.height == 0:
             return frontier, frontier.clear()
         ranked = (
             frontier.with_row_index("__i")
             .sort(["priority", "__i"], descending=[True, False])
-            .with_columns(pl.int_range(pl.len()).over("host").alias("__r"))
+            .with_columns(
+                pl.int_range(pl.len()).over("host").alias("__r"),
+                _budget_expr(budget, host_budgets).alias("__cap"),
+            )
         )
-        adm = ranked.filter(pl.col("__r") < budget).sort("__i").drop(["__i", "__r"])
-        defer = ranked.filter(pl.col("__r") >= budget).sort("__i").drop(["__i", "__r"])
+        adm = ranked.filter(pl.col("__r") < pl.col("__cap")).sort("__i").drop(
+            ["__i", "__r", "__cap"]
+        )
+        defer = ranked.filter(pl.col("__r") >= pl.col("__cap")).sort("__i").drop(
+            ["__i", "__r", "__cap"]
+        )
         return adm, defer
 
     def _resolve_edge_counts(self) -> None:
@@ -872,7 +904,10 @@ class CrawlEngine:
                 cands = [x for x in cands if self.robots.allowed(x.url)]
                 m["robots_dropped"] = before - len(cands)
 
-            admitted, self.deferred = admit_per_host(cands, c.host_budget)
+            admitted, self.deferred = admit_per_host(
+                cands, c.host_budget,
+                host_budgets=self._delay_budgets(x.host for x in cands),
+            )
             m["admitted"], m["deferred"] = len(admitted), len(self.deferred)
             _lap("admit")
 

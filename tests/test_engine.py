@@ -283,3 +283,94 @@ def test_fetch_pool_response_lru(ray_session, pages_store):
     s1 = pool.cache_stats()
     assert s1["hits"] >= len(urls)  # all served from the LRU
     assert first.equals(second)  # byte-identical rows from cache
+
+
+def test_crawl_delay_parse_and_admission():
+    """Crawl-delay parses from the * group and caps that host's admissions."""
+    from blockchainspider_ray.stages.politeness import Candidate, admit_per_host
+    from blockchainspider_ray.stages.robots import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+    assert parse_crawl_delay("User-agent: bot\nCrawl-delay: 9\n") is None
+    assert parse_crawl_delay("Crawl-delay: nope\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+
+    cands = [
+        Candidate(url=f"http://slow.example/p{i}", host="slow.example",
+                  priority=-float(i), arrival=i)
+        for i in range(4)
+    ] + [
+        Candidate(url=f"http://fast.example/p{i}", host="fast.example",
+                  priority=-float(i), arrival=10 + i)
+        for i in range(4)
+    ]
+    # global budget unlimited, but slow.example capped at 1 by its delay
+    adm, deferred = admit_per_host(cands, 0, host_budgets={"slow.example": 1})
+    assert sum(c.host == "slow.example" for c in adm) == 1
+    assert sum(c.host == "fast.example" for c in adm) == 4
+    assert all(c.host == "slow.example" for c in deferred)
+    # highest-priority slow candidate is the one admitted
+    assert [c.url for c in adm if c.host == "slow.example"] == ["http://slow.example/p0"]
+
+    # override below the global budget wins; other hosts keep the global cap
+    adm2, _ = admit_per_host(cands, 2, host_budgets={"slow.example": 1})
+    assert sum(c.host == "slow.example" for c in adm2) == 1
+    assert sum(c.host == "fast.example" for c in adm2) == 2
+
+
+def test_engine_crawl_delay(pages_table, tmp_path):
+    """A host whose robots.txt declares Crawl-delay admits at most
+    round_s/delay of its urls per round; the rest defer (not drop)."""
+    import pyarrow as pa
+
+    from blockchainspider_ray.fixtures import PAGES_SCHEMA, write_pages_store
+
+    seed = pages_table.column("url")[0].as_py()
+    host = seed.split("/")[2]
+    robots_row = pa.table(
+        {
+            "url": [f"http://{host}/robots.txt"],
+            "warc_ts": pa.array([pages_table.column("warc_ts")[0].as_py()], pa.timestamp("ms")),
+            "html": [b"User-agent: *\nCrawl-delay: 1\n"],
+            "text": [""],
+            "lang": [""],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    table = pa.concat_tables([pages_table, robots_row])
+    store_dir = write_pages_store(table, str(tmp_path / "cd_store"), num_partitions=4)
+
+    def run(obey: bool, pop_k: int = 16):
+        engine = CrawlEngine(
+            PageStore(store_dir),
+            seeds=[seed],
+            config=CrawlConfig(
+                strategy="bfs",
+                strategy_kwargs={"depth": 3},
+                pop_k=pop_k,
+                obey_robots=obey,
+                crawl_delay_round_s=1.0,
+                max_fetches=40,
+                max_rounds=60,
+                seen_use_ray=False,
+            ),
+        )
+        return engine.run()
+
+    def max_per_round(res):
+        per_round = {}
+        for r in res.crawl_order:
+            if r["url"].split("/")[2] == host:
+                per_round[r["round"]] = per_round.get(r["round"], 0) + 1
+        return max(per_round.values()) if per_round else 0
+
+    res = run(True)
+    # per round, at most 1 url of the delayed host was newly crawled
+    assert max_per_round(res) == 1
+    # nothing lost: the unconstrained crawl reaches the same url set
+    base = run(False)
+    assert {r["url"] for r in res.crawl_order} == {r["url"] for r in base.crawl_order}
+    # tabular (array-native) round loop honors the same cap
+    res_tab = run(True, pop_k=128)
+    assert max_per_round(res_tab) == 1
+    assert {r["url"] for r in res_tab.crawl_order} == {r["url"] for r in base.crawl_order}
