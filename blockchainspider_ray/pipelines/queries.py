@@ -3856,6 +3856,22 @@ ORACLE_SQL["minhash_dedup_pairs"] = (
         ORDER BY doc_a, doc_b"""
 )
 
+# incremental variant: odd (new) docs probed against even (base) docs only —
+# identical band construction, cross-half join instead of the doubled self-join
+ORACLE_SQL["minhash_incremental"] = (
+    f"WITH {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        )
+        SELECT DISTINCT n.doc_id AS doc_new, b.doc_id AS doc_base
+        FROM band n JOIN band b
+          ON n.band_id = b.band_id AND n.bucket = b.bucket
+         AND n.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ORDER BY doc_new, doc_base"""
+)
+
 # connected components over the same LSH pair set: transitive closure via
 # recursive CTE (UNION-distinct terminates it), cluster = min reachable
 # node.  Closure volume is sum(|component|^2) — bounded at oracle scale
@@ -4710,6 +4726,69 @@ def q_minhash_dedup_pairs(sf_dir: str):
     return pa.concat_tables(
         [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536)]
     )
+
+
+def q_minhash_incremental(sf_dir: str):
+    """INCREMENTAL near-dup: the streaming complement of minhash_dedup_pairs.
+    Even doc_ids play the already-crawled base corpus — their band rows
+    insert into a sharded LSH index actor pool (stages/dedup.LSHIndexShard,
+    O(rows/shards) memory per actor).  Odd doc_ids play the new crawl
+    round — probed against the index, emitting cross-half candidate pairs
+    WITHOUT re-shuffling the base corpus (the continuous-crawl shape: each
+    round costs O(new docs), not O(corpus)).  The phase barrier is the
+    materialization of the insert pipeline."""
+    from ..stages.dedup import (
+        LSHIndexProber,
+        LSHIndexShard,
+        LSHIndexWriter,
+        MinHashBands,
+        MinHasher,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    def bands_of(ds):
+        return ds.map_batches(_cached_stage(MinHasher), batch_format="pyarrow").map_batches(
+            _cached_stage(MinHashBands), batch_format="pyarrow"
+        )
+
+    shards = [LSHIndexShard.remote() for _ in range(4)]
+    try:
+        # phase 1: index the base half; count() is the insert barrier
+        bands_of(half(0)).map_batches(
+            LSHIndexWriter(shards), batch_format="pyarrow"
+        ).count()
+        # phase 2: probe the new half, distinct the candidate pairs
+        pairs = (
+            bands_of(half(1))
+            .map_batches(LSHIndexProber(shards), batch_format="pyarrow")
+            .groupby(["doc_new", "doc_base"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .sort(["doc_new", "doc_base"])
+        )
+        out = pa.concat_tables(
+            [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        )
+        stats = ray.get([s.stats.remote() for s in shards])
+        dropped = sum(s["dropped"] for s in stats)
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "incremental LSH index dropped %d over-cap bucket members", dropped
+            )
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return out
 
 
 def q_pagerank(sf_dir: str):
@@ -6657,6 +6736,7 @@ SQL_QUERIES = {
     "tpch_q3": q_tpch_q3,
     "bigram_topk": q_bigram_topk,
     "snapshot_delta": q_snapshot_delta,
+    "minhash_incremental": q_minhash_incremental,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,

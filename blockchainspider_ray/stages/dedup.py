@@ -31,6 +31,7 @@ from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 _RE_TOKEN = re.compile(r"\S+")
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -426,3 +427,103 @@ def jaccard_tokens(a: str, b: str) -> float:
     sa, sb = set(tokens_of(a)), set(tokens_of(b))
     u = len(sa | sb)
     return len(sa & sb) / u if u else 0.0
+
+
+@ray.remote(num_cpus=0.25)
+class LSHIndexShard:
+    """One shard of the INCREMENTAL near-dup index: (band_id, bucket) ->
+    member doc_ids.  The streaming complement of the batch LSH pipeline —
+    a continuous crawl inserts each new round's band rows and probes the
+    next round against everything seen so far, instead of re-shuffling the
+    whole corpus.  Sharding key is the bucket hash (already uniform), so
+    inserts/probes touch one shard per row and the index memory is
+    O(rows/shards) per actor — the 10^10-doc shape.
+
+    Buckets cap at ``cap`` members (the same no-silent-caps policy as
+    emit_bucket_pairs): a degenerate boilerplate bucket keeps its first
+    ``cap`` members as representatives and counts the rest in ``dropped``
+    (reported via stats(), logged by the caller)."""
+
+    def __init__(self, cap: int = LSH_BUCKET_CAP):
+        self.buckets: dict = {}
+        self.cap = cap
+        self.dropped = 0
+
+    def insert(self, keys: list, ids: list) -> int:
+        for k, i in zip(keys, ids):
+            lst = self.buckets.setdefault(k, [])
+            if len(lst) < self.cap:
+                lst.append(i)
+            else:
+                self.dropped += 1
+        return len(ids)
+
+    def query(self, keys: list, ids: list):
+        """All (query_id, member_id) candidate pairs for the given band
+        rows against the current index contents."""
+        qa, qb = [], []
+        for k, i in zip(keys, ids):
+            for m in self.buckets.get(k, ()):
+                qa.append(i)
+                qb.append(m)
+        return qa, qb
+
+    def stats(self) -> dict:
+        return {"buckets": len(self.buckets), "dropped": self.dropped}
+
+
+def _shard_of(bucket: np.ndarray, k: int) -> np.ndarray:
+    return (bucket % np.uint64(k)).astype(np.int64)
+
+
+class LSHIndexWriter:
+    """map_batches stage: route each band row to its index shard and
+    insert.  ray.get inside the call is the per-batch write barrier; the
+    phase barrier (all inserts durable before any probe) is the Dataset
+    consumption between the two pipelines."""
+
+    def __init__(self, shards: list):
+        self.shards = shards
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        band = b.column("band_id").to_numpy().astype(np.int64)
+        bucket = b.column("bucket").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        sh = _shard_of(bucket, len(self.shards))
+        refs = []
+        for s in np.unique(sh):
+            m = sh == s
+            keys = list(zip(band[m].tolist(), bucket[m].tolist()))
+            refs.append(self.shards[int(s)].insert.remote(keys, ids[m].tolist()))
+        ray.get(refs)
+        return pa.table({"inserted": pa.array([int(len(ids))], pa.int64())})
+
+
+class LSHIndexProber:
+    """map_batches stage: probe each band row's shard, emit candidate
+    (doc_new, doc_base) rows.  Pairs de-dup downstream (a pair surfaces
+    once per matching band)."""
+
+    def __init__(self, shards: list):
+        self.shards = shards
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        band = b.column("band_id").to_numpy().astype(np.int64)
+        bucket = b.column("bucket").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        sh = _shard_of(bucket, len(self.shards))
+        refs = []
+        for s in np.unique(sh):
+            m = sh == s
+            keys = list(zip(band[m].tolist(), bucket[m].tolist()))
+            refs.append(self.shards[int(s)].query.remote(keys, ids[m].tolist()))
+        qa, qb = [], []
+        for a, bb in ray.get(refs):
+            qa.extend(a)
+            qb.extend(bb)
+        return pa.table(
+            {
+                "doc_new": pa.array(qa, pa.int64()),
+                "doc_base": pa.array(qb, pa.int64()),
+            }
+        )

@@ -125,3 +125,68 @@ def test_connected_components_labels_min_of_component(ray_session):
         for r in connected_components(edges).take_all()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_incremental_lsh_index_cross_half_pairs(ray_session):
+    """LSHIndexShard/Writer/Prober: probes see exactly the indexed base —
+    an injected base/new near-dup pair must surface, new-vs-new must not."""
+    import ray
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.dedup import (
+        LSHIndexProber,
+        LSHIndexShard,
+        LSHIndexWriter,
+        MinHashBands,
+        MinHasher,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    base = pa.table({"doc_id": pa.array([0, 2], pa.int64()),
+                     "text": [text, "completely different content here entirely " * 8]})
+    # doc 1 duplicates doc 0 (cross-half dup); docs 3,5 duplicate each other
+    # (new-vs-new: must NOT pair — neither is indexed)
+    new = pa.table({"doc_id": pa.array([1, 3, 5], pa.int64()),
+                    "text": [text, "novel page body " * 10, "novel page body " * 10]})
+
+    def bands_of(tbl):
+        return (
+            rd.from_arrow(tbl)
+            .map_batches(MinHasher(), batch_format="pyarrow")
+            .map_batches(MinHashBands(), batch_format="pyarrow")
+        )
+
+    shards = [LSHIndexShard.remote() for _ in range(2)]
+    try:
+        bands_of(base).map_batches(LSHIndexWriter(shards), batch_format="pyarrow").count()
+        pairs = (
+            bands_of(new)
+            .map_batches(LSHIndexProber(shards), batch_format="pyarrow")
+            .to_pandas()
+            .drop_duplicates()
+        )
+        got = set(map(tuple, pairs.values.tolist()))
+        assert (1, 0) in got
+        assert all(b in (0, 2) for _, b in got)  # only base docs on the right
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+
+def test_incremental_lsh_index_bucket_cap():
+    """Over-cap inserts are dropped (counted in stats), probes still match
+    the retained representatives."""
+    import ray
+
+    from blockchainspider_ray.stages.dedup import LSHIndexShard
+
+    s = LSHIndexShard.remote(cap=3)
+    try:
+        keys = [(0, 7)] * 5
+        ray.get(s.insert.remote(keys, [10, 11, 12, 13, 14]))
+        st = ray.get(s.stats.remote())
+        assert st == {"buckets": 1, "dropped": 2}
+        qa, qb = ray.get(s.query.remote([(0, 7)], [99]))
+        assert qa == [99, 99, 99] and qb == [10, 11, 12]
+    finally:
+        ray.kill(s)
