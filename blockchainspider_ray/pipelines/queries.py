@@ -3462,6 +3462,12 @@ ORACLE_SQL: Dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY o.o_orderkey
     """,
+    "bloom_semijoin": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY l_orderkey, l_linenumber
+    """,
     "tpch_q3": """
         SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -4725,6 +4731,43 @@ def q_minhash_dedup_pairs(sf_dir: str):
         ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
     return pa.concat_tables(
         [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    )
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered semi-join: keep lineitems of high-value orders.
+    The build side reduces to per-batch bitmaps OR-folded into one 128 KB
+    Bloom filter (stages/sketch.py build_bloom — shuffle-free, the
+    broadcast-seen-set shape: at 10^10 keys the filter, not the key set,
+    is what every node can hold).  The probe side drops ~80% of rows
+    BEFORE any shuffle; the few survivors then exact-confirm through the
+    partitioned hash_join, so Bloom false positives never reach the
+    output — the result is exact and the oracle is a plain IN-subquery."""
+    from ..stages.joins import hash_join
+    from ..stages.sketch import BloomFilter, build_bloom
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+    ).select_columns(["o_orderkey"])
+    bloom = build_bloom(keys, "o_orderkey", m_bits=1 << 20)
+    bloom_ref = ray.put((bloom.m, bloom.k, bloom.bits))
+
+    class Probe:
+        def __init__(self):
+            m, k, bits = ray.get(bloom_ref)
+            self.f = BloomFilter(m, k, bits=bits)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(self.f.contains(b.column("l_orderkey"))))
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    survivors = line.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    out = hash_join(survivors, keys, key="l_orderkey", right_key="o_orderkey", how="inner")
+    return (
+        out.map_batches(lambda b: _round_col(b, "l_extendedprice", 2), batch_format="pyarrow")
+        .sort(["l_orderkey", "l_linenumber"])
     )
 
 
@@ -6737,6 +6780,7 @@ SQL_QUERIES = {
     "bigram_topk": q_bigram_topk,
     "snapshot_delta": q_snapshot_delta,
     "minhash_incremental": q_minhash_incremental,
+    "bloom_semijoin": q_bloom_semijoin,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,

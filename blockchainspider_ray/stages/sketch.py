@@ -106,3 +106,54 @@ def hll_distinct(ds: "object", column: str, p: int = 12) -> float:
         for blob in batch.column("regs").to_pylist():
             np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over uint64-hashable values (double hashing:
+    idx_i = (h1 + i*h2) mod m).  Fixed splitmix64 hashing — deterministic
+    across processes and cluster sizes, like the HLL above."""
+
+    def __init__(self, m_bits: int, k: int = 7, bits: np.ndarray | None = None):
+        assert m_bits % 8 == 0
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+
+    def _indices(self, arr: pa.ChunkedArray) -> np.ndarray:
+        h1 = _hash_column(arr)
+        h2 = _splitmix64(h1 ^ _U64(0xA5A5A5A5A5A5A5A5)) | _U64(1)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [((h1 + _U64(i) * h2) % _U64(self.m)).astype(np.int64) for i in range(self.k)]
+            )
+
+    def add(self, arr: pa.ChunkedArray) -> None:
+        idx = self._indices(arr).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains(self, arr: pa.ChunkedArray) -> np.ndarray:
+        idx = self._indices(arr)
+        hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def build_bloom(ds: "object", column: str, m_bits: int = 1 << 23, k: int = 7) -> BloomFilter:
+    """Distributed Bloom build: each batch reduces to its own m/8-byte
+    bitmap (shuffle-free, the HLL pattern), OR-folded on the driver."""
+
+    def bits_of(b: pa.Table) -> pa.Table:
+        f = BloomFilter(m_bits, k)
+        f.add(b.column(column))
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    out = BloomFilter(m_bits, k)
+    for batch in ds.map_batches(bits_of, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in batch.column("bits").to_pylist():
+            np.bitwise_or(out.bits, np.frombuffer(blob, dtype=np.uint8), out=out.bits)
+    return out

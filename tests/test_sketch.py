@@ -58,3 +58,38 @@ def test_hll_distinct_dataset_accuracy_and_repartition(ray_session):
 def test_duplicates_do_not_inflate():
     a = pa.chunked_array([pa.array(np.zeros(50_000, dtype=np.int64))])
     assert hll_estimate(batch_registers(a)) == pytest.approx(1.0, abs=0.5)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from blockchainspider_ray.stages.sketch import BloomFilter
+
+    f = BloomFilter(1 << 18, k=7)
+    members = pa.chunked_array([pa.array(np.arange(0, 5_000, dtype=np.int64))])
+    probes = pa.chunked_array([pa.array(np.arange(0, 50_000, dtype=np.int64))])
+    f.add(members)
+    hits = f.contains(probes)
+    assert hits[:5_000].all()  # zero false negatives, ever
+    assert hits[5_000:].mean() < 0.01  # m/n = 52 bits/key -> fp well under 1%
+
+
+def test_bloom_build_partition_independent(ray_session):
+    import ray
+
+    from blockchainspider_ray.stages.sketch import build_bloom
+
+    vals = np.arange(7_000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)}))
+    b1 = build_bloom(ds, "k", m_bits=1 << 16)
+    b2 = build_bloom(ds.repartition(11), "k", m_bits=1 << 16)
+    assert np.array_equal(b1.bits, b2.bits)
+
+
+def test_bloom_strings():
+    from blockchainspider_ray.stages.sketch import BloomFilter
+
+    f = BloomFilter(1 << 14, k=5)
+    f.add(pa.chunked_array([pa.array([f"http://h{i}.example/p" for i in range(100)])]))
+    hits = f.contains(
+        pa.chunked_array([pa.array(["http://h3.example/p", "http://nope.example/x"])])
+    )
+    assert bool(hits[0]) is True
