@@ -9,8 +9,10 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (86 of
-                     the 106 queries, incl. full-value MinHash/SimHash/LSH-
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (96 of
+                     the 119 queries, incl. the partitioned hash equi-join
+                     + TPC-H-Q3 flagship, Bloom-prefiltered exact semi-join,
+                     incremental LSH near-dup, and full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/
                      dedup-cluster/exact-IVF mirrors, the recursive-CTE
                      crawl-BFS mirrors, and the web-text curation set:

@@ -416,6 +416,9 @@ def run_queries() -> dict:
         "simhash": q.q_simhash,
         "ann_bruteforce": q.q_ann_bruteforce,
         "token_count": q.q_token_count,
+        "hash_join": q.q_hash_join,
+        "tpch_q3": q.q_tpch_q3,
+        "bloom_semijoin": q.q_bloom_semijoin,
     }
     import pandas as pd
     import pyarrow as pa

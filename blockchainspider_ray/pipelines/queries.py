@@ -6864,8 +6864,40 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+def q_cms_token_counts(sf_dir: str):
+    """Count-Min frequency estimates for the corpus's exact top-20 tokens
+    (stages/sketch.py CountMinSketch).  The sketch builds shuffle-free —
+    per-batch tables SUM-fold on the driver, partition-independent — and
+    the probe set comes from the exact vocab_topk pipeline, so the output
+    pairs every heavy hitter with its (over-)estimate.  Estimates are
+    >= truth by construction (pinned in tests/test_sketch.py); at this
+    width (2^16 counters vs ~10^4 vocab) collisions are absent and the
+    estimates equal the exact counts."""
+    from ..stages.sketch import build_cms
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend(_oracle_tokens(t))
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    cms = build_cms(docs.map_batches(toks, batch_format="pyarrow"), "token", w=1 << 16)
+    top = q_vocab_topk(sf_dir, k=20).to_pandas()
+    probe = pa.chunked_array([pa.array(top["token"].tolist(), pa.string())])
+    est = cms.estimate(probe)
+    return pa.table(
+        {
+            "token": pa.array(top["token"].tolist(), pa.string()),
+            "est_cnt": pa.array(est, pa.int64()),
+        }
+    ).sort_by([("est_cnt", "descending"), ("token", "ascending")])
+
+
 NOSQL_QUERIES = {
     "hll_distinct": q_hll_distinct,  # sketch estimate — pinned in tests/test_sketch.py
+    "cms_token_counts": q_cms_token_counts,  # overestimate-only — tests/test_sketch.py
     "keywords_summary": q_keywords_summary,  # TextRank — pinned in pytest
     "validated_entities": q_validated_entities,  # keccak/base58check — pinned in pytest
     "motif_vector": q_motif_vector,  # MoTS 16-dim — pinned in tests/test_motifs.py

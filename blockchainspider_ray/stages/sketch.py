@@ -157,3 +157,56 @@ def build_bloom(ds: "object", column: str, m_bits: int = 1 << 23, k: int = 7) ->
         for blob in batch.column("bits").to_pylist():
             np.bitwise_or(out.bits, np.frombuffer(blob, dtype=np.uint8), out=out.bits)
     return out
+
+
+class CountMinSketch:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan): d rows of w
+    counters; add = +1 at one counter per row, estimate = min over rows
+    (an OVERestimate, never under).  Per-batch sketches sum elementwise —
+    associative + commutative like the HLL/Bloom merges above, so the
+    estimates are identical under any partitioning.  Same fixed splitmix64
+    hashing policy."""
+
+    def __init__(self, w: int = 1 << 14, d: int = 4, table: np.ndarray | None = None):
+        self.w = w
+        self.d = d
+        self.table = table if table is not None else np.zeros((d, w), dtype=np.int64)
+
+    def _indices(self, arr: pa.ChunkedArray) -> np.ndarray:
+        h1 = _hash_column(arr)
+        h2 = _splitmix64(h1 ^ _U64(0xC3C3C3C3C3C3C3C3)) | _U64(1)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [((h1 + _U64(i) * h2) % _U64(self.w)).astype(np.int64) for i in range(self.d)]
+            )
+
+    def add(self, arr: pa.ChunkedArray) -> None:
+        idx = self._indices(arr)
+        for r in range(self.d):
+            np.add.at(self.table[r], idx[r], 1)
+
+    def estimate(self, arr: pa.ChunkedArray) -> np.ndarray:
+        idx = self._indices(arr)
+        return np.stack([self.table[r][idx[r]] for r in range(self.d)]).min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+
+def build_cms(ds: "object", column: str, w: int = 1 << 14, d: int = 4) -> CountMinSketch:
+    """Distributed CMS build: per-batch sketches stream to the driver as
+    one (d*w*8)-byte row each and SUM-fold (shuffle-free)."""
+
+    def sketch_of(b: pa.Table) -> pa.Table:
+        s = CountMinSketch(w, d)
+        s.add(b.column(column))
+        return pa.table({"tbl": pa.array([s.table.tobytes()], pa.binary())})
+
+    out = CountMinSketch(w, d)
+    for batch in ds.map_batches(sketch_of, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in batch.column("tbl").to_pylist():
+            out.table += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+    return out

@@ -93,3 +93,33 @@ def test_bloom_strings():
         pa.chunked_array([pa.array(["http://h3.example/p", "http://nope.example/x"])])
     )
     assert bool(hits[0]) is True
+
+
+def test_cms_overestimate_only_and_exact_when_sparse():
+    from collections import Counter
+
+    from blockchainspider_ray.stages.sketch import CountMinSketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 300, size=40_000, dtype=np.int64)
+    true = Counter(vals.tolist())
+    s = CountMinSketch(w=1 << 14, d=4)
+    s.add(pa.chunked_array([pa.array(vals)]))
+    keys = np.array(sorted(true), dtype=np.int64)
+    est = s.estimate(pa.chunked_array([pa.array(keys)]))
+    exact = np.array([true[k] for k in keys.tolist()])
+    assert (est >= exact).all()  # CMS never underestimates
+    # 300 keys in 16384 counters x4 rows: collisions essentially impossible
+    assert (est == exact).all()
+
+
+def test_cms_build_partition_independent(ray_session):
+    import ray
+
+    from blockchainspider_ray.stages.sketch import build_cms
+
+    vals = np.arange(9_000, dtype=np.int64) % 700
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(vals)}))
+    c1 = build_cms(ds, "k", w=1 << 12)
+    c2 = build_cms(ds.repartition(9), "k", w=1 << 12)
+    assert np.array_equal(c1.table, c2.table)
