@@ -1969,9 +1969,21 @@ def q_tpch_q3(sf_dir: str):
         right_key="l_orderkey",
         how="inner",
     )
-    agg = col.groupby(["o_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue")
-    )
+    # the revenue sum needs NO third shuffle: hash_join's output blocks are
+    # bucket-complete (every row of an o_orderkey lands in one block), so a
+    # per-block groupby-sum is already the exact global aggregate.
+    # batch_size=None keeps whole blocks as batches (no key splitting).
+    def _local_agg(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b)
+            .group_by(["o_orderkey", "o_orderdate"])
+            .agg(pl.col("rev").sum().alias("revenue"))
+            .to_arrow()
+        )
+
+    agg = col.map_batches(_local_agg, batch_format="pyarrow", batch_size=None)
     # round BEFORE the top-k sort so near-tie float noise can't reorder the
     # cut vs the SQL oracle (both sides rank by the 2-dp value)
     agg = agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow")
