@@ -6552,6 +6552,58 @@ ORACLE_SQL["warc_parse"] = f"""
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC write→read round-trip: documents render to (url, warc_date,
+    payload) rows, a DISTRIBUTED WarcDatasink (stages/warc_sink.py — one
+    atomic .warc shard per write task, the Common-Crawl layout) writes
+    them, and the length-prefixed reader ingests the shards back.  The
+    oracle recomputes every surfaced field from `documents`, so a single
+    corrupted octet anywhere in the writer's framing breaks the
+    content_length/title parity."""
+    import hashlib as _hl
+    import shutil
+
+    import ray.data as rd
+
+    from ..functions.warc import parse_warc_batch
+    from ..stages.warc_sink import write_warc
+
+    key = _hl.md5(f"{sf_dir}|warc-rt-v1".encode()).hexdigest()[:10]
+    out = f"/tmp/bcs_ray_warc_rt_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        dates = (
+            pd.Timestamp("2026-01-01") + pd.to_timedelta(ids, unit="s")
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"http://site{d % 10}.example/d/{d}" for d in ids.tolist()],
+                    pa.string(),
+                ),
+                "warc_date": pa.array(list(dates), pa.string()),
+                "payload": pa.array(
+                    [doc_html(int(d), t).encode() for d, t in zip(ids.tolist(), texts)],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    write_warc(docs.map_batches(to_rows, batch_format="pyarrow"), out)
+    return (
+        rd.read_binary_files(out, include_paths=True)
+        .map_batches(parse_warc_batch, batch_format="pyarrow")
+        .sort("url")
+    )
+
+
+ORACLE_SQL["warc_roundtrip"] = ORACLE_SQL["warc_parse"]
+
+
 def q_bpe_pair_counts(sf_dir: str):
     """First BPE iteration, SQL-pinned: adjacent character-pair counts
     over whitespace words weighted by corpus word frequency — the
@@ -6832,6 +6884,7 @@ SQL_QUERIES = {
     "hits": q_hits,
     "kcore": q_kcore,
     "warc_parse": q_warc_parse,
+    "warc_roundtrip": q_warc_roundtrip,
     "bpe_pair_counts": q_bpe_pair_counts,
     "ann_lsh": q_ann_lsh,
     "vocab_topk": q_vocab_topk,

@@ -79,3 +79,34 @@ def test_fixture_writer_shards_by_doc_id(tmp_path):
     assert [h["warc-target-uri"] for h, _ in recs] == [
         f"http://site{d % 10}.example/d/{d}" for d in (1, 5, 9, 13, 17)
     ]
+
+
+def test_warc_sink_roundtrip_and_idempotent_rerun(ray_session, tmp_path):
+    """Distributed WarcDatasink: payload octets survive write->read
+    byte-for-byte; a rerun overwrites shards instead of appending."""
+    import ray.data as rd
+
+    from blockchainspider_ray.functions.warc import parse_warc_batch
+    from blockchainspider_ray.stages.warc_sink import write_warc
+
+    payloads = [b"<html><title>T0</title>x</html>", b"WARC/1.0 inside body \r\n\r\n ok"]
+    rows = pa.table(
+        {
+            "url": ["http://a.example/0", "http://b.example/1"],
+            "warc_date": ["2026-01-01T00:00:00Z", "2026-01-01T00:00:01Z"],
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = str(tmp_path / "warc_out")
+    for _ in range(2):  # second run must not append/duplicate
+        write_warc(rd.from_arrow(rows), out)
+        got = (
+            rd.read_binary_files(out, include_paths=True)
+            .map_batches(parse_warc_batch, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 2
+        assert got["content_length"].tolist() == [len(p) for p in payloads]
+        assert got["title"].tolist()[0] == "T0"
