@@ -2782,6 +2782,108 @@ def q_wedge_count(sf_dir: str):
     return deg.map_batches(wedges, batch_format="pyarrow").sort("node")
 
 
+def q_triangle_count(sf_dir: str):
+    """Per-node triangle count over the events graph — the 3-clique step
+    up from wedge_count in the MoTS motif family (reference
+    plugins/mots/highorder.py counts triangle-containing 4-motifs).
+
+    Distributed shape (the GraphFrames/MCE standard): distinct undirected
+    edges u<v → per-node neighbor lists (groupby) → attach N(u) and N(v)
+    to every edge via two partitioned hash_joins (list-typed payloads) →
+    per-edge |N(u)∩N(v)| vectorized in-batch → each common neighbor forms
+    one triangle counted at both endpoints; per-node sum halves to the
+    triangle count.  Every stage is a batch op; nothing driver-side."""
+    from ..stages.joins import hash_join
+
+    edges = _events_edges(sf_dir)
+
+    def und(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), pa.int64()),
+                "v": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    e = (
+        edges.map_batches(und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    # adjacency: emit both directions, one groupby co-locates each node's
+    # neighbor rows, the group folds to a single list row
+    def emit_dirs(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), pa.int64()),
+                "nb": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    adj = (
+        e.map_batches(emit_dirs, batch_format="pyarrow")
+        .groupby("node")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "node": pa.array([g.column("node")[0].as_py()], pa.int64()),
+                    "nbrs": pa.array(
+                        [sorted(g.column("nb").to_pylist())], pa.list_(pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    ue = hash_join(e, adj, key="u", right_key="node", how="inner").map_batches(
+        lambda b: b.rename_columns(["u", "v", "nbrs_u"]),  # output order is fixed
+        batch_format="pyarrow",
+    )
+    uv = hash_join(ue, adj, key="v", right_key="node", how="inner")
+
+    def common(b: pa.Table) -> pa.Table:
+        us = b.column("u").to_numpy()
+        vs = b.column("v").to_numpy()
+        nu = b.column("nbrs_u").to_pylist()
+        nv = b.column("nbrs").to_pylist()
+        m = np.fromiter(
+            (len(set(a) & set(bb)) for a, bb in zip(nu, nv)), dtype=np.int64, count=len(nu)
+        )
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, vs]), pa.int64()),
+                "m": pa.array(np.concatenate([m, m]), pa.int64()),
+            }
+        )
+
+    per_node = (
+        uv.map_batches(common, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("m", alias_name="m2"))
+    )
+
+    def halve(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": b.column("node"),
+                "triangles": pa.array(b.column("m2").to_numpy() // 2, pa.int64()),
+            }
+        )
+        # nodes on edges but in no triangle: the SQL mirror (a closed-
+        # triple enumeration) never emits them — drop the zeros here too
+        return t.filter(pc.greater(t.column("triangles"), 0))
+
+    return per_node.map_batches(halve, batch_format="pyarrow").sort("node")
+
+
 def q_motif_vector(sf_dir: str):
     """16-dim MoTS higher-order motif vector per edge group (reference
     plugins/mots/highorder.py:27-224 with motif_size=4, driven per tx-group
@@ -3473,6 +3575,27 @@ ORACLE_SQL: Dict[str, str] = {
                c.c_name, round(c.c_acctbal, 2) AS c_acctbal
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY o.o_orderkey
+    """,
+    "triangle_count": """
+        WITH d AS (
+            SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+            FROM events
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM d WHERE src <> dst
+        ),
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM und a
+            JOIN und b ON b.u = a.v
+            JOIN und c ON c.u = a.u AND c.v = b.v
+        ),
+        pernode AS (
+            SELECT unnest([x, y, z]) AS node FROM tri
+        )
+        SELECT node, count(*) AS triangles
+        FROM pernode GROUP BY node ORDER BY node
     """,
     "bloom_semijoin": """
         SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
@@ -6845,6 +6968,7 @@ SQL_QUERIES = {
     "snapshot_delta": q_snapshot_delta,
     "minhash_incremental": q_minhash_incremental,
     "bloom_semijoin": q_bloom_semijoin,
+    "triangle_count": q_triangle_count,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
     "sign_pages": q_sign_pages,
