@@ -3997,6 +3997,26 @@ ORACLE_SQL["minhash_dedup_pairs"] = (
         ORDER BY doc_a, doc_b"""
 )
 
+# fuzzy decontamination: survivors = non-eval docs sharing NO band bucket
+# with an eval (doc_id % 17 == 0) doc — same band CTE, anti-join form
+ORACLE_SQL["decontaminate_fuzzy"] = (
+    f"WITH {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        ),
+        contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM band t JOIN band e
+              ON t.band_id = e.band_id AND t.bucket = e.bucket
+             AND e.doc_id % 17 = 0 AND t.doc_id % 17 <> 0
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY doc_id"""
+)
+
 # incremental variant: odd (new) docs probed against even (base) docs only —
 # identical band construction, cross-half join instead of the doubled self-join
 ORACLE_SQL["minhash_incremental"] = (
@@ -4967,6 +4987,53 @@ def q_minhash_incremental(sf_dir: str):
         for s in shards:
             ray.kill(s)
     return out
+
+
+def q_decontaminate_fuzzy(sf_dir: str):
+    """NEAR-duplicate eval-set decontamination — the fuzzy complement of
+    the exact n-gram `decontaminate` op: a training doc is contaminated if
+    it shares ANY MinHash-LSH band bucket with an eval doc (eval set =
+    doc_id % 17 == 0).  One band shuffle marks contaminated ids inside
+    each (band, bucket) group; survivors come from a distributed LEFT
+    hash_join against the contaminated set (match → dropped), so neither
+    the corpus nor the contaminated set is ever driver-side."""
+    from ..stages.dedup import MinHashBands, MinHasher
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = docs.map_batches(_cached_stage(MinHasher), batch_format="pyarrow").map_batches(
+        _cached_stage(MinHashBands), batch_format="pyarrow"
+    )
+
+    def contaminated_of(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+        is_eval = ids % 17 == 0
+        out = np.unique(ids[~is_eval]) if is_eval.any() else np.array([], dtype=np.int64)
+        return pa.table({"bad_id": pa.array(out, pa.int64())})
+
+    contaminated = (
+        bands.groupby(["band_id", "bucket"])
+        .map_groups(contaminated_of, batch_format="pyarrow")
+        .groupby("bad_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column("hit", pa.array([1] * b.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    )
+
+    # training candidates = non-eval docs
+    def non_eval(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.select(["doc_id"]).filter(pa.array(ids % 17 != 0))
+
+    train = docs.map_batches(non_eval, batch_format="pyarrow")
+    marked = hash_join(train, contaminated, key="doc_id", right_key="bad_id", how="left")
+    survivors = marked.map_batches(
+        lambda b: b.select(["doc_id"]).filter(pc.is_null(b.column("hit"))),
+        batch_format="pyarrow",
+    )
+    return survivors.sort("doc_id")
 
 
 def q_pagerank(sf_dir: str):
@@ -6968,6 +7035,7 @@ SQL_QUERIES = {
     "snapshot_delta": q_snapshot_delta,
     "minhash_incremental": q_minhash_incremental,
     "bloom_semijoin": q_bloom_semijoin,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "triangle_count": q_triangle_count,
     "transfer_normalize": q_transfer_normalize,
     "labelcloud_parse": q_labelcloud_parse,
