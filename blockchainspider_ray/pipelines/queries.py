@@ -1592,6 +1592,28 @@ def q_jaccard_pairs(sf_dir: str):
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (stages/similarity.py PQCodebook): 8
+    subspaces x 256 centroids fit on the unbiased hash sample, vectors
+    encoded to 8-byte codes, queries scored by ADC table lookups — the
+    memory-scale path where 10^10 raw vectors can't be held but their
+    codes can.  Same query set as ann_bruteforce (vec_id < 3, top-5);
+    rows-only in the driver gate (approximation), recall-vs-brute-force
+    pinned in tests/test_similarity.py."""
+    from ..stages.similarity import pq_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 3").to_pandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    out = pq_topk(emb, q_ids, q_mat, k=5, m=8)
+    return out.set_column(
+        out.column_names.index("sim"),
+        "sim",
+        pa.array(_r(out.column("sim").to_numpy(), 4), pa.float64()),
+    )
+
+
 def q_ann_bruteforce(sf_dir: str):
     """Brute-force cosine top-5 for query vectors vec_id<3: numpy matmul per
     batch against a broadcast query matrix (the baseline ANN path)."""
@@ -7162,6 +7184,7 @@ NOSQL_QUERIES = {
     "solana_tx_lookup": q_solana_tx_lookup,  # tx-by-signature subset — tests/test_solana.py
     "dcfg_parse": q_dcfg_parse,  # tracer JSON shaping — tests/test_dcfg.py
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,  # PQ/ADC approximation — recall pinned in tests/test_similarity.py
     "bpe_train": q_bpe_train,  # merge loop — pinned vs pure-Python BPE in tests/test_bpe.py
     "bpe_encode": q_bpe_encode,  # rank-ordered apply — pinned in tests/test_bpe.py
     "crawl_bfs": q_crawl_bfs,

@@ -319,3 +319,130 @@ class IVFIndex:
             return self.search(query_ids, query_vecs, k=k)
         finally:
             self._bucketed = prev
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path for 10^10-vector ANN.
+# A float32 d=768 vector is 3 KB; its PQ code is m bytes (m=8-64) — the
+# whole corpus's codes fit where the raw vectors never could, and ADC
+# (asymmetric distance computation) scores a query against codes with m
+# table lookups per vector instead of a d-dim dot product.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd(sub: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
+    """Plain (un-normalized) Lloyd iterations for one PQ subspace."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(sub))
+    cents = sub[np.sort(rng.choice(len(sub), size=k, replace=False))].copy()
+    for _ in range(n_iter):
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sub[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+class PQCodebook:
+    """Per-subspace centroid tables fit on an unbiased hash-sampled subset
+    (the same _sample_vectors policy IVF uses — no first-blocks bias)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids  # (m, k, d/m)
+        self.m, self.k, self.sub_d = centroids.shape
+
+    @classmethod
+    def fit(
+        cls, sample: np.ndarray, m: int = 8, k: int = 256, n_iter: int = 8, seed: int = 42
+    ) -> "PQCodebook":
+        v = _normalize(np.asarray(sample, np.float64))
+        d = v.shape[1]
+        assert d % m == 0, f"dim {d} not divisible by m={m}"
+        sub_d = d // m
+        cents = np.stack(
+            [
+                _lloyd(v[:, j * sub_d : (j + 1) * sub_d], k, n_iter, seed + j)
+                for j in range(m)
+            ]
+        )
+        return cls(cents)
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) -> (n, m) uint8 codes (nearest centroid per subspace)."""
+        v = _normalize(np.asarray(mat, np.float64))
+        codes = np.empty((len(v), self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = v[:, j * self.sub_d : (j + 1) * self.sub_d]
+            # |x-c|^2 = |x|^2 - 2xc + |c|^2; argmin over c drops |x|^2
+            d2 = (self.centroids[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                sub @ self.centroids[j].T
+            )
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def adc_table(self, q: np.ndarray) -> np.ndarray:
+        """(d,) query -> (m, k) lookup of subspace dot products; the ADC
+        score of code row c is sum_j table[j, c[j]] ~= cosine(q, x)."""
+        qn = _normalize(np.asarray(q, np.float64)[None, :])[0]
+        return np.stack(
+            [
+                self.centroids[j] @ qn[j * self.sub_d : (j + 1) * self.sub_d]
+                for j in range(self.m)
+            ]
+        )
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    m: int = 8,
+    sample_size: int = 4096,
+) -> pa.Table:
+    """Approximate top-k cosine neighbours via PQ/ADC.
+
+    Fit on a hash-sampled subset (driver, broadcast once), encode +
+    score inside map_batches (each batch emits only its own per-query
+    top-k partials — never n x q rows), final reduce on the k x q x
+    blocks partials.  At 10^10 vectors the encode pass would persist
+    codes once and searches would touch codes only."""
+    sample = _sample_vectors(ds, sample_size)
+    book = PQCodebook.fit(sample, m=m)
+    luts = np.stack([book.adc_table(qv) for qv in np.asarray(query_vecs, np.float64)])
+    ref = ray.put((book.centroids, np.asarray(query_ids), luts))
+
+    class Scorer:
+        def __init__(self):
+            cents, self.qids, self.luts = ray.get(ref)
+            self.book = PQCodebook(cents)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy()
+            codes = self.book.encode(_stack(b.column("embedding")))
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                lut = self.luts[qi]
+                scores = lut[np.arange(self.book.m)[:, None], codes.T].sum(axis=0)
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], scores[mask]
+                top = np.argsort(-cand_s)[:k]
+                out_q.extend([qid] * len(top))
+                out_n.extend(cand_ids[top].tolist())
+                out_s.extend(cand_s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    scored = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 8))
+    df = scored.to_pandas()
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    return pa.Table.from_pandas(
+        df.groupby("query_id").head(k).reset_index(drop=True), preserve_index=False
+    )

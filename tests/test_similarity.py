@@ -164,3 +164,34 @@ def test_ivf_unbiased_sample_on_clustered_disk_layout(ray_session):
 
     assert good >= 0.9, f"unbiased build recall {good}"
     assert good > bad, f"biased {bad} should degrade vs unbiased {good}"
+
+
+def test_pq_topk_recall_vs_bruteforce(ray_session):
+    """PQ/ADC top-5 must recover most of the exact top-5 (8 subspaces x
+    256 centroids on 64-dim vectors is a fine quantization), and encode/
+    score must be deterministic across repartitionings."""
+    import pandas as pd
+    import ray
+
+    from blockchainspider_ray.stages.similarity import brute_force_topk, pq_topk
+
+    SF = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id < 3").to_pandas()
+    q_ids = q["vec_id"].to_numpy()
+    q_mat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+
+    exact = brute_force_topk(emb, q_ids, q_mat, k=5).to_pandas()
+    approx = pq_topk(emb, q_ids, q_mat, k=5).to_pandas()
+    recalls = []
+    for qid in q_ids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    again = pq_topk(emb.repartition(7), q_ids, q_mat, k=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+        again.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+    )
