@@ -7201,3 +7201,214 @@ NOSQL_QUERIES = {
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: corpus-mix / recency / semantic-dedup primitives
+# ---------------------------------------------------------------------------
+
+def q_host_cap(sf_dir: str, cap: int = 20):
+    """Per-host page-quota cap (the Common-Crawl "max N pages per host"
+    corpus-balance rule; the distributed analogue of the reference's
+    per-domain scope limits, settings.py DOWNLOAD-scope knobs): keep the
+    ``cap`` docs per source with the smallest (md5_low64(doc_id), doc_id)
+    key — deterministic, seedless, partitioning-independent.  Combiner
+    shape: every batch first reduces to <= cap rows per source it contains,
+    so the ``groupby('source')`` shuffle moves O(cap * sources) rows, never
+    the corpus; the per-group finalize repeats the identical top-k rule."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _cap_tbl(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy(),
+                "source": t.column("source").to_pylist(),
+            }
+        )
+        df["h"] = [_stable_h64(str(i)) for i in df["doc_id"]]
+        kept = (
+            df.sort_values(["source", "h", "doc_id"]).groupby("source").head(cap)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(kept["source"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(_cap_tbl, batch_format="pyarrow")  # partial per batch
+        .groupby("source")
+        .map_groups(_cap_tbl, batch_format="pyarrow")  # exact per host
+        .sort(["source", "doc_id"])
+    )
+
+
+_STRATA_RATES = {"en": 60, "de": 40, "fr": 40, "es": 40, "zh": 20}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Language-stratified subsampling (corpus-mix reweighting): each doc is
+    kept iff md5_low64(doc_id) % 100 < rate[lang] — per-stratum rates, one
+    shared deterministic hash coin.  Pure per-row filter: no shuffle, no RNG
+    state, identical output under any partitioning / cluster size, and the
+    realized per-language proportions converge to the rate table at scale."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        langs = b.column("lang").to_pylist()
+        mask = pa.array(
+            [
+                _stable_h64(str(i)) % 100 < _STRATA_RATES.get(lg, 10)
+                for i, lg in zip(ids, langs)
+            ],
+            pa.bool_(),
+        )
+        return b.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def q_latest_event(sf_dir: str):
+    """Keep-latest-per-key dedup (the recrawl "newest snapshot wins" rule
+    over a multi-capture log): one row per user — the max-(ts, event_id)
+    event.  Combiner shape again: per batch reduce to one candidate row per
+    user present, then one small ``groupby('user_id')`` finalize; the
+    shuffle carries at most users-per-batch rows.  ts is emitted as epoch
+    micros so both sides hash identical int64s."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def _latest(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        kept = df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id").tail(1)
+        return pa.Table.from_pandas(kept, preserve_index=False).cast(t.schema)
+
+    out = (
+        ev.map_batches(_latest, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_latest, batch_format="pyarrow")
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "value": pc.round(pc.cast(t.column("value"), pa.float64()), 2),
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow").sort("user_id")
+
+
+def q_semdedup(sf_dir: str, tau: float = 0.4, n_bits: int = 4):
+    """SemDeDup-style semantic pruning over the embedding column: vectors
+    land in sign-bit LSH buckets (coordinate hyperplanes, same geometry as
+    ``ann_lsh``), and inside each bucket a vector is DROPPED iff some
+    lower-vec_id bucketmate has cosine >= tau to it.  Deterministic
+    drop-against-all-earlier rule (not greedy keep-set chaining) on purpose:
+    it is order-free, partitioning-independent and SQL-expressible, while
+    preserving the SemDeDup shape — cluster cheaply, prune pairwise only
+    within clusters, O(sum b_i^2) instead of O(N^2).  One groupby shuffle;
+    per-bucket work is a single float64 matmul."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucketize(b: pa.Table, _nb=n_bits) -> pa.Table:
+        m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        bits = (m[:, :_nb] >= 0.0).astype(np.int64)
+        bucket = bits @ (1 << np.arange(_nb, dtype=np.int64))
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "embedding": b.column("embedding"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def prune(g: pa.Table, _tau=tau) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(g.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )[order]
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        dropped = np.any(np.tril(sims >= _tau, k=-1), axis=1)
+        keep = ~dropped
+        bucket = g.column("bucket").to_numpy()[order][keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(prune, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+SQL_QUERIES["host_cap"] = q_host_cap
+SQL_QUERIES["stratified_sample"] = q_stratified_sample
+SQL_QUERIES["latest_event"] = q_latest_event
+SQL_QUERIES["semdedup"] = q_semdedup
+
+ORACLE_SQL["host_cap"] = """
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    ORDER BY source, doc_id
+"""
+
+ORACLE_SQL["stratified_sample"] = """
+    SELECT doc_id, lang FROM documents
+    WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 <
+          CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40
+                    WHEN 'es' THEN 40 WHEN 'zh' THEN 20 ELSE 10 END
+    ORDER BY doc_id
+"""
+
+ORACLE_SQL["latest_event"] = """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+           round(CAST(value AS DOUBLE), 2) AS value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+"""
+
+ORACLE_SQL["semdedup"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (
+        SELECT vec_id, v,
+               (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM e
+    )
+    SELECT x.vec_id, x.bucket FROM b x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b y
+        WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+          AND list_cosine_similarity(y.v, x.v) >= 0.4
+    )
+    ORDER BY x.vec_id
+"""
