@@ -7316,7 +7316,11 @@ def q_semdedup(sf_dir: str, tau: float = 0.4, n_bits: int = 4):
     it is order-free, partitioning-independent and SQL-expressible, while
     preserving the SemDeDup shape — cluster cheaply, prune pairwise only
     within clusters, O(sum b_i^2) instead of O(N^2).  One groupby shuffle;
-    per-bucket work is a single float64 matmul."""
+    per-bucket work is a single float64 matmul.  Scale contract: n_bits
+    must grow with the corpus so E[bucket] stays matmul-sized
+    (n_bits ~ log2(N / 1e4) keeps buckets ~10^4 at any N); a degenerate
+    bucket (mass-duplicated embeddings) needs the same segment-cap
+    treatment as the LSH pair emitter in stages/dedup.py."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def bucketize(b: pa.Table, _nb=n_bits) -> pa.Table:
@@ -7411,4 +7415,50 @@ ORACLE_SQL["semdedup"] = """
           AND list_cosine_similarity(y.v, x.v) >= 0.4
     )
     ORDER BY x.vec_id
+"""
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-document token-distribution entropy (the Shannon-entropy quality
+    feature next to gopher_quality's ratio rules: near-zero entropy = spam /
+    keyword-stuffed boilerplate, which length or stopword ratios miss).
+    Embarrassingly parallel map_batches — one Counter + vectorized
+    p*log2(p) fold per doc, no shuffle; rounded 4dp on both sides so the
+    hash survives summation-order noise."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            toks = re.findall(r"\S+", t)
+            if not toks:
+                out.append(0.0)
+                continue
+            _, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            p = counts / counts.sum()
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "entropy": pc.round(pa.array(out, pa.float64()), 4),
+            }
+        )
+
+    return docs.map_batches(ent, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["token_entropy"] = q_token_entropy
+
+ORACLE_SQL["token_entropy"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy
+    FROM cnt JOIN tot USING (doc_id)
+    GROUP BY cnt.doc_id
+    ORDER BY cnt.doc_id
 """
