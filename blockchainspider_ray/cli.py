@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -22,8 +23,12 @@ def _init_ray(num_cpus: int | None) -> None:
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "log_to_driver": False}
-        if num_cpus:
+        # Under `ray job submit` RAY_ADDRESS points at the cluster; standalone
+        # (and in this sandbox, where RAY_ADDRESS=local is preset) it starts a
+        # fresh local instance.  num_cpus only applies to the local case.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "include_dashboard": False, "log_to_driver": False}
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
 
