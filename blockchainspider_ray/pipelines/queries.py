@@ -7462,3 +7462,370 @@ ORACLE_SQL["token_entropy"] = r"""
     GROUP BY cnt.doc_id
     ORDER BY cnt.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning + corpus-wide boilerplate removal
+# ---------------------------------------------------------------------------
+# The synthetic corpus is one line of words per doc, so (exactly like
+# q_pii_redact's contact line) both sides synthesize the SAME deterministic
+# line structure from doc_id: the doc text terminated with '.', plus the
+# noise lines C4's line filters exist to kill (a javascript notice, a bare
+# nav word, a copyright footer, a code fragment, and for every third doc a
+# punctuation-less legal line).
+
+def _c4_lines(d: int, text: str) -> list:
+    lines = [
+        text + ".",
+        "please enable javascript to view this page.",
+        "menu",
+        f"copyright {2000 + d % 24} example corp all rights reserved.",
+        "function() { return 0; }",
+    ]
+    if d % 3 == 0:
+        lines.append("terms of use")
+    return lines
+
+
+_C4_LINES_SQL = """
+    base AS (
+        SELECT doc_id,
+               text || '.' || chr(10)
+                 || 'please enable javascript to view this page.' || chr(10)
+                 || 'menu' || chr(10)
+                 || 'copyright ' || (2000 + doc_id % 24)
+                 || ' example corp all rights reserved.' || chr(10)
+                 || 'function() {{ return 0; }}'
+                 || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'terms of use'
+                         ELSE '' END AS s
+        FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(s, chr(10)) AS l FROM base),
+    lines AS (
+        SELECT doc_id, unnest(l) AS line,
+               unnest(generate_series(1, len(l))) AS ord
+        FROM ls
+    )
+"""
+
+
+def _c4_line_kept(line: str) -> bool:
+    """The C4 keep rule per line (Raffel et al. 2020 §2.2): >=5 words,
+    terminal punctuation, and none of the js-notice / curly-brace /
+    lorem-ipsum markers."""
+    return bool(
+        len(re.findall(r"\S+", line)) >= 5
+        and line
+        and line[-1] in '.!?"'
+        and "javascript" not in line
+        and "{" not in line
+        and "lorem ipsum" not in line
+    )
+
+
+def q_c4_filter(sf_dir: str):
+    """C4-style line-level cleaning (Raffel et al. 2020): per line keep
+    only >=5-word sentences with terminal punctuation and without the
+    javascript / curly-brace / lorem-ipsum markers; per doc report line
+    counts, surviving word count, the cleaned text, and the >=2-kept-lines
+    doc verdict.  Pure per-row map — no shuffle; the line loop is over the
+    ~6 synthesized lines per doc, not the corpus."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        n_lines, n_kept, kept_words, cleans, keeps = [], [], [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            lines = _c4_lines(d, t)
+            kept = [l for l in lines if _c4_line_kept(l)]
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            kept_words.append(sum(len(re.findall(r"\S+", l)) for l in kept))
+            cleans.append("\n".join(kept))
+            keeps.append(int(len(kept) >= 2))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "kept_words": pa.array(kept_words, pa.int64()),
+                "clean": pa.array(cleans, pa.string()),
+                "keep": pa.array(keeps, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["c4_filter"] = q_c4_filter
+
+ORACLE_SQL["c4_filter"] = (
+    "WITH " + _C4_LINES_SQL.format() + r""",
+    judged AS (
+        SELECT doc_id, line, ord,
+               len(regexp_extract_all(line, '\S+')) AS wc,
+               (len(regexp_extract_all(line, '\S+')) >= 5
+                AND regexp_matches(line, '[.!?"]$')
+                AND NOT contains(line, 'javascript')
+                AND NOT contains(line, '{')
+                AND NOT contains(line, 'lorem ipsum')) AS kept
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                                  AS n_lines,
+           CAST(coalesce(count(*) FILTER (kept), 0) AS BIGINT)       AS n_kept,
+           CAST(coalesce(sum(wc) FILTER (kept), 0) AS BIGINT)        AS kept_words,
+           coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (kept), '')
+                                                                     AS clean,
+           CAST(count(*) FILTER (kept) >= 2 AS BIGINT)               AS keep
+    FROM judged GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+def q_boilerplate_lines(sf_dir: str, min_docs: int = 10):
+    """CCNet-style corpus-wide boilerplate removal: a line is boilerplate
+    when its exact text occurs in >= min_docs documents; drop those lines,
+    keep the rest in order.  Distributed shape: flat-map to (doc_id, line,
+    ord) rows, per-batch partial line counts, one small groupby to total
+    them, then the frequent-line set (bounded by total_lines/min_docs and
+    in practice tiny — nav/footer vocab) is broadcast via ray.put and the
+    drop is a per-row map.  At a scale where the frequent set itself is
+    huge, swap the broadcast for stages.joins.hash_join on line — same
+    downstream; the broadcast is the documented fast path."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        ids, lns, ords = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            for j, l in enumerate(_c4_lines(d, t)):
+                ids.append(d)
+                lns.append(l)
+                ords.append(j)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "line": pa.array(lns, pa.string()),
+                "ord": pa.array(ords, pa.int64()),
+            }
+        )
+
+    lines = docs.map_batches(to_lines, batch_format="pyarrow")
+
+    # partial per-batch counts -> one small groupby (combiner pattern)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(b.column("line").to_pylist())
+        return pa.table(
+            {
+                "line": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        lines.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    frequent = set(
+        counts.filter(lambda r: r["n"] >= min_docs).to_pandas()["line"]
+    )
+    freq_ref = ray.put(frequent)
+
+    def strip(b: pa.Table) -> pa.Table:
+        boiler = ray.get(freq_ref)
+        out_id, out_nb, out_clean = [], [], []
+        # rows arrive grouped per doc from to_lines; re-group defensively
+        import collections
+
+        per_doc: dict = collections.defaultdict(list)
+        for d, l, o in zip(
+            b.column("doc_id").to_pylist(),
+            b.column("line").to_pylist(),
+            b.column("ord").to_pylist(),
+        ):
+            per_doc[d].append((o, l))
+        for d, ls in per_doc.items():
+            ls.sort()
+            kept = [l for _, l in ls if l not in boiler]
+            out_id.append(d)
+            out_nb.append(len(ls) - len(kept))
+            out_clean.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_boiler": pa.array(out_nb, pa.int64()),
+                "clean": pa.array(out_clean, pa.string()),
+            }
+        )
+
+    return lines.map_batches(strip, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["boilerplate_lines"] = q_boilerplate_lines
+
+ORACLE_SQL["boilerplate_lines"] = (
+    "WITH " + _C4_LINES_SQL.format() + """,
+    freq AS (SELECT line, count(*) AS n FROM lines GROUP BY line)
+    SELECT lines.doc_id,
+           CAST(coalesce(count(*) FILTER (n >= 10), 0) AS BIGINT) AS n_boiler,
+           coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (n < 10), '')
+                                                                  AS clean
+    FROM lines JOIN freq USING (line)
+    GROUP BY lines.doc_id ORDER BY lines.doc_id
+"""
+)
+
+
+def q_text_normalize(sf_dir: str):
+    """Unicode NFC normalization + whitespace collapse + lowercasing — the
+    canonical pre-tokenization cleanup.  The ASCII corpus would make NFC a
+    no-op, so both sides append the same deterministic decomposed-form
+    suffix (combining acute/diaeresis/grave, NFC-composes to 3 precomposed
+    chars) exactly as q_pii_redact synthesizes PII.  Whitespace class is
+    the explicit ASCII [ \\t\\n\\r\\f] on both engines (python re and RE2
+    disagree on unicode \\s); char counts are code points, which DuckDB's
+    length() and python len() agree on (verified: 'cafe'+U+0301 -> NFC 4)."""
+    import unicodedata
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ws = re.compile(r"[ \t\n\r\f]+")
+
+    def norm(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        raw_n, clean_s, clean_n = [], [], []
+        for d, t in zip(ids, b.column("text").to_pylist()):
+            s = f"{t} café {d % 7}\tnaïve  nò "
+            raw_n.append(len(s))
+            c = ws.sub(" ", unicodedata.normalize("NFC", s)).strip(" ").lower()
+            clean_s.append(c)
+            clean_n.append(len(c))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "clean": pa.array(clean_s, pa.string()),
+                "n_raw": pa.array(raw_n, pa.int64()),
+                "n_clean": pa.array(clean_n, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["text_normalize"] = q_text_normalize
+
+ORACLE_SQL["text_normalize"] = r"""
+    WITH base AS (
+        SELECT doc_id,
+               text || ' cafe' || chr(769) || ' ' || (doc_id % 7) || chr(9)
+                    || 'nai' || chr(776) || 've  no' || chr(768) || ' ' AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           lower(trim(regexp_replace(nfc_normalize(s), '[ \t\n\r\f]+', ' ', 'g')))
+                                        AS clean,
+           CAST(length(s) AS BIGINT)    AS n_raw,
+           CAST(length(lower(trim(regexp_replace(nfc_normalize(s),
+                '[ \t\n\r\f]+', ' ', 'g')))) AS BIGINT) AS n_clean
+    FROM base ORDER BY doc_id
+"""
+
+
+def q_url_features(sf_dir: str):
+    """URL structural features for crawl prioritization (path depth, query
+    param count, fragment flag, length, host) — the priors frontier
+    schedulers rank by (short shallow URLs first).  The Ray side PARSES a
+    deterministically synthesized per-doc URL with urllib.parse (the same
+    splitter functions/urls.py canonicalization uses); the SQL mirror
+    derives each feature from the doc_id formula, so the check is parse
+    vs construction, not string-op vs string-op."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        hosts, depths, npar, frag, ulen = [], [], [], [], []
+        for d in ids:
+            url = (
+                f"http://site{d % 10}.example"
+                + "".join(f"/s{j}" for j in range(d % 4))
+                + f"/page{d}"
+                + ("?b=2&a=1" if d % 3 == 0 else "")
+                + ("#frag" if d % 5 == 0 else "")
+            )
+            sp = urlsplit(url)
+            hosts.append(sp.hostname or "")
+            depths.append(len([p for p in sp.path.split("/") if p]))
+            npar.append(len(parse_qsl(sp.query)))
+            frag.append(int(bool(sp.fragment)))
+            ulen.append(len(url))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "host": pa.array(hosts, pa.string()),
+                "path_depth": pa.array(depths, pa.int64()),
+                "n_params": pa.array(npar, pa.int64()),
+                "has_fragment": pa.array(frag, pa.int64()),
+                "url_len": pa.array(ulen, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["url_features"] = q_url_features
+
+ORACLE_SQL["url_features"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'http://site' || (doc_id % 10) || '.example'
+                 || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/s0'
+                        WHEN 2 THEN '/s0/s1' ELSE '/s0/s1/s2' END
+                 || '/page' || doc_id
+                 || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           'site' || (doc_id % 10) || '.example'             AS host,
+           CAST((doc_id % 4) + 1 AS BIGINT)                  AS path_depth,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                                                             AS n_params,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                                                             AS has_fragment,
+           CAST(length(url) AS BIGINT)                       AS url_len
+    FROM u ORDER BY doc_id
+"""
+
+
+def q_zlib_ratio(sf_dir: str):
+    """Compression-ratio quality signal (CCNet/Gopher-adjacent): highly
+    repetitive or template text compresses far below organic prose, so
+    deflate-ratio is a cheap spam prior.  zlib level 6 is deterministic
+    for a given zlib build, but NOT SQL-expressible — rows-only driver
+    check; exact values + the repetitive-text-compresses-more invariant
+    are pinned in tests/test_curation.py."""
+    import zlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column("text").to_pylist():
+            raw = t.encode("utf-8")
+            out.append(
+                float(_r(len(zlib.compress(raw, 6)) / max(1, len(raw)), 4))
+            )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "zlib_ratio": pa.array(out, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(ratio, batch_format="pyarrow").sort("doc_id")
+
+
+NOSQL_QUERIES["zlib_ratio"] = q_zlib_ratio

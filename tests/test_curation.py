@@ -323,3 +323,104 @@ def test_postings_build_semantics():
         ids = [int(x) for x in row["postings_sample"].split("|") if x != ""]
         assert ids == sorted(ids)
         assert len(ids) == min(row["df"], POSTINGS_SAMPLE_K)
+
+
+def test_c4_filter_line_rules():
+    from blockchainspider_ray.pipelines.queries import q_c4_filter
+
+    df = q_c4_filter(SF).to_pandas()
+    assert len(df) == 500
+    # the js notice, nav word and code fragment are synthesized into EVERY
+    # doc and must never survive
+    assert not df["clean"].str.contains("javascript").any()
+    assert not df["clean"].str.contains("menu").any()
+    assert not df["clean"].str.contains("{", regex=False).any()
+    # every surviving line ends in terminal punctuation and has >=5 words
+    for clean in df["clean"].head(50):
+        for line in filter(None, clean.split("\n")):
+            assert line[-1] in '.!?"'
+            assert len(line.split()) >= 5
+    # the copyright footer is a kept line for every doc, so every doc keeps
+    # at least one line; normal docs keep the text line too
+    assert (df["n_kept"] >= 1).all()
+    assert (df["keep"] == (df["n_kept"] >= 2).astype("int64")).all()
+    # line count follows the doc_id%3 synthesis
+    assert set(df["n_lines"]) == {5, 6}
+
+
+def test_boilerplate_lines_removes_frequent_keeps_rare():
+    from blockchainspider_ray.pipelines.queries import q_boilerplate_lines
+
+    df = q_boilerplate_lines(SF).to_pandas().set_index("doc_id")
+    # corpus-wide lines ('menu', js notice, code fragment) occur in all 500
+    # docs -> boilerplate; 'terms of use' occurs in every third -> boiler-
+    # plate; the copyright footer has 24 variants (~21 docs each) -> also
+    # over the 10-doc threshold.  The doc's own text line is unique -> kept.
+    assert not df["clean"].str.contains("menu").any()
+    assert not df["clean"].str.contains("javascript").any()
+    assert not df["clean"].str.contains("terms of use").any()
+    assert not df["clean"].str.contains("copyright").any()
+    # every non-blank doc keeps exactly its own (unique) text line
+    import duckdb
+
+    texts = (
+        duckdb.sql(f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')")
+        .df()
+        .set_index("doc_id")["text"]
+    )
+    uniq = texts[~texts.duplicated(keep=False)]
+    sample = uniq.head(30)
+    for d, t in sample.items():
+        assert df.loc[d, "clean"] == t + "."
+    assert (df["n_boiler"] >= 4).all()
+
+
+def test_text_normalize_nfc_and_whitespace():
+    from blockchainspider_ray.pipelines.queries import q_text_normalize
+
+    df = q_text_normalize(SF).to_pandas()
+    # NFC composed the decomposed suffix chars
+    assert df["clean"].str.contains("café", regex=False).all()
+    assert df["clean"].str.contains("naïve", regex=False).all()
+    assert df["clean"].str.contains("nò", regex=False).all()
+    # collapsed whitespace: no tabs, no double spaces, no edge whitespace
+    assert not df["clean"].str.contains("\t").any()
+    assert not df["clean"].str.contains("  ", regex=False).any()
+    assert (df["clean"] == df["clean"].str.strip()).all()
+    # NFC composition shortens by exactly the 3 combining marks; collapse
+    # removes at least the double space + trailing space
+    assert (df["n_clean"] <= df["n_raw"] - 5).all()
+
+
+def test_url_features_parse_matches_formula():
+    from blockchainspider_ray.pipelines.queries import q_url_features
+
+    df = q_url_features(SF).to_pandas().set_index("doc_id")
+    for d in list(df.index[:50]):
+        row = df.loc[d]
+        assert row["host"] == f"site{d % 10}.example"
+        assert row["path_depth"] == (d % 4) + 1
+        assert row["n_params"] == (2 if d % 3 == 0 else 0)
+        assert row["has_fragment"] == int(d % 5 == 0)
+
+
+def test_zlib_ratio_signal():
+    import zlib
+
+    from blockchainspider_ray.pipelines.queries import q_zlib_ratio
+
+    df = q_zlib_ratio(SF).to_pandas()
+    assert len(df) == 500
+    assert ((df["zlib_ratio"] > 0) & (df["zlib_ratio"] <= 1.5)).all()
+    # pin one exact value against an in-process recompute
+    import duckdb
+
+    t = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet') WHERE doc_id = 3"
+    ).fetchone()[0]
+    want = round(len(zlib.compress(t.encode(), 6)) / max(1, len(t.encode())), 4)
+    got = float(df.set_index("doc_id").loc[3, "zlib_ratio"])
+    assert abs(got - want) < 1e-9
+    # repetitive text compresses harder than the corpus median doc
+    rep = len(zlib.compress(b"spam " * 100, 6)) / 500
+    assert rep < df["zlib_ratio"].median()
