@@ -7829,3 +7829,139 @@ def q_zlib_ratio(sf_dir: str):
 
 
 NOSQL_QUERIES["zlib_ratio"] = q_zlib_ratio
+
+
+def q_host_topk(sf_dir: str, k: int = 3):
+    """Grouped top-k with in-group rank — the ROW_NUMBER() OVER (PARTITION
+    BY source ORDER BY n_chars DESC, doc_id) window shape Ray Data has no
+    native operator for.  Combiner pattern: every batch first reduces to
+    <= k rows per source it contains (argsort on the composite order), so
+    the groupby shuffle moves O(k * sources) rows; the per-group finalize
+    re-applies the identical rule and emits rank 1..k.  Deterministic under
+    any partitioning because the order (n_chars DESC, doc_id ASC) is a
+    total order."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["source", "n_chars", "doc_id"], ascending=[True, False, True])
+            .groupby("source", sort=False)
+            .head(k)
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_top(t.to_pandas()), preserve_index=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = _top(t.to_pandas()).reset_index(drop=True)
+        df["rk"] = df.groupby("source").cumcount() + 1
+        return pa.table(
+            {
+                "source": pa.array(df["source"].tolist(), pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+                "rk": pa.array(df["rk"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(combine, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort(["source", "rk"])
+    )
+
+
+SQL_QUERIES["host_topk"] = q_host_topk
+
+ORACLE_SQL["host_topk"] = """
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 3 ORDER BY source, rk
+"""
+
+
+def q_mix_proportions(sf_dir: str):
+    """Corpus mixing to target source weights (the "20% wiki / 80% web"
+    pretraining-mix step): given per-source target fractions, compute the
+    LARGEST feasible corpus C = min_s(count_s / frac_s) with no source
+    oversampled, then admit each doc by deterministic hash coin at rate
+    frac_s * C / count_s.  Two tiny all-to-alls (per-batch partial counts
+    -> small groupby; rates broadcast back via ray.put); the admit itself
+    is a pure per-row filter, so the corpus never re-shuffles.  Targets:
+    even-numbered sources 3x the weight of odd (renormalized)."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(b.column("source").to_pylist())
+        return pa.table(
+            {
+                "source": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+
+    def _weight(src: str) -> float:
+        return 3.0 if int(src[3:]) % 2 == 0 else 1.0
+
+    w = counts["source"].map(_weight)
+    frac = w / w.sum()
+    cap = float((counts["n"] / frac).min())
+    rates = {
+        s: min(1.0, f * cap / n)
+        for s, f, n in zip(counts["source"], frac, counts["n"])
+    }
+    rates_ref = ray.put(rates)
+
+    def admit(b: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        keep = [
+            (_stable_h64(str(d)) % 10_000) / 10_000.0 < r[s]
+            for d, s in zip(b.column("doc_id").to_pylist(), b.column("source").to_pylist())
+        ]
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+            }
+        )
+
+    return docs.map_batches(admit, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["mix_proportions"] = q_mix_proportions
+
+ORACLE_SQL["mix_proportions"] = """
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    wts AS (
+        SELECT source, n,
+               CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                    THEN 3.0 ELSE 1.0 END AS w
+        FROM cnt
+    ),
+    norm AS (SELECT source, n, w / (SELECT sum(w) FROM wts) AS frac FROM wts),
+    feas AS (SELECT min(n / frac) AS cap FROM norm),
+    rates AS (
+        SELECT source, least(1.0, frac * (SELECT cap FROM feas) / n) AS rate
+        FROM norm
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000) / 10000.0 < r.rate
+    ORDER BY d.doc_id
+"""

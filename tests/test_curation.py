@@ -424,3 +424,43 @@ def test_zlib_ratio_signal():
     # repetitive text compresses harder than the corpus median doc
     rep = len(zlib.compress(b"spam " * 100, 6)) / 500
     assert rep < df["zlib_ratio"].median()
+
+
+def test_host_topk_rank_semantics():
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import q_host_topk
+
+    df = q_host_topk(SF).to_pandas()
+    # exactly k=3 ranked rows per source, ranks 1..3
+    per = df.groupby("source")["rk"].agg(["count", "min", "max"])
+    assert (per["count"] == 3).all()
+    assert (per["min"] == 1).all() and (per["max"] == 3).all()
+    # rank 1 really is the per-source max n_chars
+    top = (
+        duckdb.sql(
+            f"SELECT source, max(n_chars) m FROM read_parquet('{SF}/documents.parquet') GROUP BY source"
+        )
+        .df()
+        .set_index("source")["m"]
+    )
+    r1 = df[df["rk"] == 1].set_index("source")["n_chars"]
+    assert (r1 == top[r1.index]).all()
+    # n_chars non-increasing within each source's ranks
+    for _, g in df.groupby("source"):
+        v = g.sort_values("rk")["n_chars"].to_numpy()
+        assert (v[:-1] >= v[1:]).all()
+
+
+def test_mix_proportions_hits_target_mix():
+    from blockchainspider_ray.pipelines.queries import q_mix_proportions
+
+    df = q_mix_proportions(SF).to_pandas()
+    even = df["source"].str[3:].astype(int) % 2 == 0
+    # even sources are the binding constraint (rate 1.0): all 250 kept
+    assert even.sum() == 250
+    # odd sources admitted at ~1/3 by hash coin
+    assert 50 <= (~even).sum() <= 115
+    # realized mix is near the 3:1 target
+    ratio = even.sum() / max(1, (~even).sum())
+    assert 2.1 <= ratio <= 4.5
