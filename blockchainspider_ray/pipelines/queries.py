@@ -7965,3 +7965,178 @@ ORACLE_SQL["mix_proportions"] = """
     WHERE (md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 10000) / 10000.0 < r.rate
     ORDER BY d.doc_id
 """
+
+
+def q_sssp(sf_dir: str, hops: int = 4):
+    """Bounded-hop weighted single-source shortest paths (Bellman-Ford,
+    ``hops`` relaxation rounds) over the events-derived edge graph from
+    node 0 — the weighted generalization of bfs_reachable, and the
+    iterative-relaxation shape (frontier broadcast -> edge map -> min
+    groupby per round) that delta-stepping engines distribute.  Parallel
+    edges are min-reduced first (min is monotone under the later +d, so
+    results are float-identical to relaxing every edge).  The vertex set
+    here is dimension-sized (50 nodes), so the per-round distance table is
+    broadcast via ray.put; on a 10^10-node graph the broadcast becomes a
+    per-round stages.joins.hash_join of (node, dist) against edges — same
+    rounds, one extra shuffle each.  Path sums accumulate left-associated
+    on both sides, so doubles (and therefore mins) match bit-exactly."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        e = b.column("event_id").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(u % 50, pa.int64()),
+                "dst": pa.array((u * 13 + e) % 50, pa.int64()),
+                "weight": b.column("value"),
+            }
+        )
+
+    edges = (
+        ds.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Min("weight", alias_name="w"))
+        .materialize()
+    )
+
+    dist: dict = {0: 0.0}
+    for _ in range(hops):
+        dist_ref = ray.put(dict(dist))
+
+        def relax(b: pa.Table, _ref=dist_ref) -> pa.Table:
+            d = ray.get(_ref)
+            best: dict = {}
+            for s, t, w in zip(
+                b.column("src").to_pylist(),
+                b.column("dst").to_pylist(),
+                b.column("w").to_pylist(),
+            ):
+                ds_ = d.get(s)
+                if ds_ is None:
+                    continue
+                cand = ds_ + w
+                if t not in best or cand < best[t]:
+                    best[t] = cand
+            return pa.table(
+                {
+                    "node": pa.array(list(best.keys()), pa.int64()),
+                    "d": pa.array(list(best.values()), pa.float64()),
+                }
+            )
+
+        cand = (
+            edges.map_batches(relax, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("d", alias_name="d"))
+            .to_pandas()
+        )
+        for v, dv in zip(cand["node"], cand["d"]):
+            if v not in dist or dv < dist[v]:
+                dist[int(v)] = float(dv)
+
+    out = pd.DataFrame(
+        {"node": sorted(dist), "dist": [_r(dist[v], 4) for v in sorted(dist)]}
+    )
+    out["node"] = out["node"].astype("int64")
+    return out
+
+
+SQL_QUERIES["sssp"] = q_sssp
+
+
+def _sssp_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM {prev}
+            UNION ALL
+            SELECT e2.dst AS node, {prev}.d + e2.w AS d
+            FROM {prev} JOIN e2 ON e2.src = {prev}.node
+        ) GROUP BY node
+    )"""
+
+
+ORACLE_SQL["sssp"] = (
+    f"WITH e AS ({EDGES_SQL}),\n"
+    "    e2 AS (SELECT src, dst, min(weight) AS w FROM e GROUP BY src, dst),\n"
+    "    d0(node, d) AS (SELECT 0, CAST(0 AS DOUBLE)),"
+    + ",".join(_sssp_round_sql(f"d{i}", f"d{i+1}") for i in range(4))
+    + "\n    SELECT node, round(d, 4) AS dist FROM d4 ORDER BY node"
+)
+
+
+def q_hist_quantiles(sf_dir: str, bins: int = 32):
+    """Mergeable histogram-sketch quantiles over n_chars — the 100-TB-scale
+    complement of token_quantiles' exact path: pass 1 reduces to (min, max,
+    count), pass 2 to ``bins`` equi-width bin counts (a per-batch
+    np.bincount combiner, so the groupby moves O(bins * batches) rows and
+    merging partitions is addition — partition-independent by
+    construction), then each quantile is linear interpolation inside its
+    bin.  Every arithmetic step (width, bucket floor, interpolation) is
+    ordered identically in the SQL mirror, so the doubles match exactly."""
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+
+    stats = docs.aggregate(Min("n_chars"), Max("n_chars"), Count())
+    mn, mx, n = stats["min(n_chars)"], stats["max(n_chars)"], stats["count()"]
+    width = (mx - mn) / float(bins)
+
+    def binc(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy()
+        idx = np.minimum(np.floor((x - mn) / width).astype(np.int64), bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "c": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(binc, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["c"].cumsum()
+    out_q, out_est = [], []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        target = q * n
+        i = int(np.searchsorted(cum.to_numpy(), target, side="left"))
+        cum_prev = float(cum.iloc[i - 1]) if i > 0 else 0.0
+        b = float(hist["bin"].iloc[i])
+        c = float(hist["c"].iloc[i])
+        out_q.append(q)
+        out_est.append(_r(mn + width * (b + (target - cum_prev) / c), 4))
+    return pd.DataFrame({"q": out_q, "est": out_est})
+
+
+SQL_QUERIES["hist_quantiles"] = q_hist_quantiles
+
+ORACLE_SQL["hist_quantiles"] = """
+    WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx,
+                      count(*) AS n FROM documents),
+    b AS (
+        SELECT least(CAST(floor((n_chars - s.mn) / ((s.mx - s.mn) / 32.0))
+                     AS BIGINT), 31) AS bin
+        FROM documents, s
+    ),
+    c AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+    cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+                   sum(c) OVER (ORDER BY bin) - c AS cum_prev
+            FROM c),
+    q(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+    pick AS (
+        SELECT q.q, min(cum.bin) AS bin
+        FROM q JOIN cum ON cum.cum >= q.q * (SELECT n FROM s)
+        GROUP BY q.q
+    )
+    SELECT pick.q AS q,
+           round(s.mn + ((s.mx - s.mn) / 32.0)
+                 * (pick.bin + (pick.q * s.n - cum.cum_prev) / cum.c), 4) AS est
+    FROM pick JOIN cum USING (bin), s
+    ORDER BY q
+"""

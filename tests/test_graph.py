@@ -152,3 +152,54 @@ def test_coreness_fixture_converges_within_unroll(ray_session):
     r6 = {r["node"]: r["core"] for r in coreness(rd.from_arrow(tbl), iters=6).take_all()}
     assert r5 == r6
     assert r5 == _peel_coreness(sorted(pairs))
+
+
+def test_sssp_matches_inprocess_bellman_ford():
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import q_sssp
+
+    sf = "/root/testdata/sf0.001"
+    got = q_sssp(sf)
+    got = got if not hasattr(got, "to_pandas") or isinstance(got, __import__("pandas").DataFrame) else got.to_pandas()
+    edges = duckdb.sql(
+        f"""SELECT src, dst, min(w) AS w FROM (
+              SELECT user_id % 50 AS src, (user_id*13 + event_id) % 50 AS dst,
+                     value AS w
+              FROM read_parquet('{sf}/events.parquet')) GROUP BY src, dst"""
+    ).df()
+    dist = {0: 0.0}
+    for _ in range(4):
+        upd = dict(dist)
+        for s, t, w in edges.itertuples(index=False):
+            if s in dist:
+                c = dist[s] + w
+                if t not in upd or c < upd[t]:
+                    upd[int(t)] = c
+        dist = upd
+    assert dict(zip(got["node"], got["dist"])) == {
+        v: round(d, 4) for v, d in dist.items()
+    }
+    assert got.set_index("node")["dist"][0] == 0.0
+
+
+def test_hist_quantiles_bracket_exact():
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import q_hist_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    df = q_hist_quantiles(sf)
+    # monotone in q, inside the data range
+    assert (df["est"].diff().dropna() >= 0).all()
+    mn, mx = duckdb.sql(
+        f"SELECT min(n_chars), max(n_chars) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()
+    assert (df["est"] >= mn).all() and (df["est"] <= mx).all()
+    # sketch error is bounded by one bin width
+    width = (mx - mn) / 32.0
+    for q, est in zip(df["q"], df["est"]):
+        exact = duckdb.sql(
+            f"SELECT quantile_cont(n_chars, {q}) FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert abs(est - exact) <= width + 1e-9
