@@ -8140,3 +8140,147 @@ ORACLE_SQL["hist_quantiles"] = """
     FROM pick JOIN cum USING (bin), s
     ORDER BY q
 """
+
+
+def q_running_total(sf_dir: str, n_buckets: int = 64):
+    """Distributed prefix scan — running total of event value in (ts,
+    event_id) order, the SUM() OVER (ORDER BY ...) window Ray Data has no
+    operator for.  Two-phase scan: rows bucket by ts range (same-ts rows
+    can never split across buckets, so bucket-local order concatenates to
+    the global order), pass 1 reduces per-bucket sums so the driver holds
+    only n_buckets offsets, pass 2 finishes the cumsum inside each bucket
+    group.  Values are scanned as integer CENTS (round-half-away of
+    value*100, = the SQL mirror's CAST(round(value*100) AS BIGINT)) so the
+    accumulation is associative and exact — a float cumsum's answer would
+    depend on partition boundaries."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    lohi = ev.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(lohi["min(ts)"], "us").astype(np.int64))
+    hi = int(np.datetime64(lohi["max(ts)"], "us").astype(np.int64))
+    w = (hi - lo + 1) // n_buckets + 1
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _r(b.column("value").to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "bkt": pa.array((ts - lo) // w, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    bs = (
+        rows.groupby("bkt")
+        .sum("cents")
+        .to_pandas()
+        .sort_values("bkt")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(
+            bs["bkt"].astype("int64"),
+            bs["sum(cents)"].cumsum().shift(1, fill_value=0).astype("int64"),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        run = int(off[int(df["bkt"].iloc[0])]) + df["cents"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "running": _r(run.to_numpy() / 100.0, 2),
+            }
+        )
+
+    return rows.groupby("bkt").map_groups(scan, batch_format="pandas").sort("event_id")
+
+
+SQL_QUERIES["running_total"] = q_running_total
+
+ORACLE_SQL["running_total"] = """
+    SELECT event_id,
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                     OVER (ORDER BY ts, event_id) / 100.0, 2) AS running
+    FROM events ORDER BY event_id
+"""
+
+
+def q_span_merge(sf_dir: str):
+    """Interval coalescing (gaps-and-islands) — merging overlapping or
+    touching [start, end) spans per document, the primitive behind
+    redaction-span merging, WARC byte-range compaction and dedup-span
+    removal.  Spans are synthesized deterministically from doc_id on both
+    sides (3-5 per doc, colliding starts); each doc's spans colocate, so
+    the merge is a pure per-row map — no shuffle.  The SQL mirror is the
+    classic windowed form: island starts where start > max(end) over all
+    preceding spans."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        out_id, out_ns, out_nm, out_cov = [], [], [], []
+        for d in b.column("doc_id").to_pylist():
+            spans = []
+            for j in range(3 + d % 3):
+                s = (d * 7 + j * 37) % 120
+                spans.append((s, s + 15 + (j * 11) % 20))
+            spans.sort()
+            islands = []
+            for s, e in spans:
+                if islands and s <= islands[-1][1]:
+                    islands[-1][1] = max(islands[-1][1], e)
+                else:
+                    islands.append([s, e])
+            out_id.append(d)
+            out_ns.append(len(spans))
+            out_nm.append(len(islands))
+            out_cov.append(sum(e - s for s, e in islands))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_spans": pa.array(out_ns, pa.int64()),
+                "n_merged": pa.array(out_nm, pa.int64()),
+                "covered": pa.array(out_cov, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(merge, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["span_merge"] = q_span_merge
+
+ORACLE_SQL["span_merge"] = """
+    WITH spans AS (
+        SELECT doc_id,
+               (doc_id * 7 + j * 37) % 120 AS s,
+               (doc_id * 7 + j * 37) % 120 + 15 + (j * 11) % 20 AS e
+        FROM documents, unnest(generate_series(0, 2 + doc_id % 3)) AS t(j)
+    ),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s <= max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM spans
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+        FROM marked
+    ),
+    merged AS (
+        SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+        FROM islands GROUP BY doc_id, isl
+    )
+    SELECT doc_id,
+           CAST(3 + doc_id % 3 AS BIGINT)   AS n_spans,
+           CAST(count(*) AS BIGINT)         AS n_merged,
+           CAST(sum(me - ms) AS BIGINT)     AS covered
+    FROM merged GROUP BY doc_id ORDER BY doc_id
+"""

@@ -464,3 +464,40 @@ def test_mix_proportions_hits_target_mix():
     # realized mix is near the 3:1 target
     ratio = even.sum() / max(1, (~even).sum())
     assert 2.1 <= ratio <= 4.5
+
+
+def test_running_total_bucket_independence_and_final_sum():
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import q_running_total
+
+    a = q_running_total(SF, n_buckets=64).to_pandas()
+    b = q_running_total(SF, n_buckets=7).to_pandas()
+    # the scan must not depend on how the ts range is bucketed
+    assert a.equals(b)
+    # the last running value (in ts order = max running position) equals the
+    # exact integer-cents corpus total
+    total = duckdb.sql(
+        f"SELECT sum(CAST(round(value*100) AS BIGINT)) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    last_eid = duckdb.sql(
+        f"SELECT event_id FROM read_parquet('{SF}/events.parquet') ORDER BY ts DESC, event_id DESC LIMIT 1"
+    ).fetchone()[0]
+    got = float(a.set_index("event_id").loc[last_eid, "running"])
+    assert abs(got - round(total / 100.0, 2)) < 1e-9
+
+
+def test_span_merge_invariants():
+    from blockchainspider_ray.pipelines.queries import q_span_merge
+
+    df = q_span_merge(SF).to_pandas()
+    assert (df["n_spans"] == 3 + df["doc_id"] % 3).all()
+    assert (df["n_merged"] <= df["n_spans"]).all()
+    assert (df["n_merged"] >= 1).all()
+    # covered is at least the longest single span and at most the sum of
+    # span lengths
+    for d, ns, cov in df[["doc_id", "n_spans", "covered"]].itertuples(index=False):
+        lens = [15 + (j * 11) % 20 for j in range(ns)]
+        assert max(lens) <= cov <= sum(lens)
+    # merging actually fires somewhere (overlapping starts exist by design)
+    assert (df["n_merged"] < df["n_spans"]).any()
