@@ -8284,3 +8284,70 @@ ORACLE_SQL["span_merge"] = """
            CAST(sum(me - ms) AS BIGINT)     AS covered
     FROM merged GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered multi-step funnel (view -> click -> purchase with strictly
+    increasing timestamps per user) — the sequential-pattern aggregate
+    sessionize doesn't cover.  Predicate-pushed read of the three step
+    types, one groupby(user_id) shuffle, per-group vectorized first-
+    completion scan; timestamps surface as epoch micros (-1 = step not
+    reached) so the value hash is null-free and tz-stable."""
+    steps_set = pa.array(["view", "click", "purchase"])
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"), value_set=steps_set)),
+        batch_format="pyarrow",
+    )
+
+    def fun(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        et = df["event_type"]
+        uid = int(df["user_id"].iloc[0])
+
+        def first_after(kind: str, after: int) -> int:
+            m = ts[(et == kind) & (ts > after)]
+            return int(m.min()) if len(m) else -1
+
+        t1 = first_after("view", -(2**62))
+        t2 = first_after("click", t1) if t1 >= 0 else -1
+        t3 = first_after("purchase", t2) if t2 >= 0 else -1
+        steps = (t1 >= 0) + (t2 >= 0) + (t3 >= 0)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "steps": np.array([steps], dtype="int64"),
+                "t_view_us": np.array([t1], dtype="int64"),
+                "t_click_us": np.array([t2], dtype="int64"),
+                "t_purchase_us": np.array([t3], dtype="int64"),
+            }
+        )
+
+    return (
+        ev.groupby("user_id").map_groups(fun, batch_format="pandas").sort("user_id")
+    )
+
+
+SQL_QUERIES["funnel_steps"] = q_funnel_steps
+
+ORACLE_SQL["funnel_steps"] = """
+    WITH f AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM f),
+    v AS (SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'view'
+          GROUP BY user_id),
+    c AS (SELECT f.user_id, min(f.ts) AS t2 FROM f JOIN v USING (user_id)
+          WHERE f.event_type = 'click' AND f.ts > v.t1 GROUP BY f.user_id),
+    p AS (SELECT f.user_id, min(f.ts) AS t3 FROM f JOIN c USING (user_id)
+          WHERE f.event_type = 'purchase' AND f.ts > c.t2 GROUP BY f.user_id)
+    SELECT u.user_id,
+           CAST((v.t1 IS NOT NULL)::INT + (c.t2 IS NOT NULL)::INT
+                + (p.t3 IS NOT NULL)::INT AS BIGINT)     AS steps,
+           coalesce(epoch_us(v.t1), -1)                  AS t_view_us,
+           coalesce(epoch_us(c.t2), -1)                  AS t_click_us,
+           coalesce(epoch_us(p.t3), -1)                  AS t_purchase_us
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    ORDER BY u.user_id
+"""

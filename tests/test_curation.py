@@ -501,3 +501,26 @@ def test_span_merge_invariants():
         assert max(lens) <= cov <= sum(lens)
     # merging actually fires somewhere (overlapping starts exist by design)
     assert (df["n_merged"] < df["n_spans"]).any()
+
+
+def test_funnel_steps_ordering_semantics():
+    import duckdb
+
+    from blockchainspider_ray.pipelines.queries import q_funnel_steps
+
+    df = q_funnel_steps(SF).to_pandas()
+    assert df["steps"].between(0, 3).all()
+    # step timestamps strictly increase where reached
+    r2 = df[df["steps"] >= 2]
+    assert (r2["t_click_us"] > r2["t_view_us"]).all()
+    r3 = df[df["steps"] == 3]
+    assert (r3["t_purchase_us"] > r3["t_click_us"]).all()
+    # unreached steps are -1 and imply later steps unreached too
+    assert (df.loc[df["steps"] < 3, "t_purchase_us"] == -1).all()
+    assert (df.loc[df["steps"] < 2, "t_click_us"] == -1).all()
+    # the universe is exactly the users having at least one funnel event
+    n = duckdb.sql(
+        f"""SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('view','click','purchase')"""
+    ).fetchone()[0]
+    assert len(df) == n
