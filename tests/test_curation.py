@@ -524,3 +524,33 @@ def test_funnel_steps_ordering_semantics():
             WHERE event_type IN ('view','click','purchase')"""
     ).fetchone()[0]
     assert len(df) == n
+
+
+def test_new_combiner_ops_partitioning_independent(monkeypatch):
+    """host_topk / hist_quantiles / boilerplate_lines / mix_proportions use
+    per-batch combiners — their results must not depend on how the input is
+    blocked.  Re-run each with the read forced to 17 skewed partitions and
+    compare against the natural blocking."""
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    def _df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {
+        name: _df(Q.SQL_QUERIES[name](SF))
+        for name in ("host_topk", "hist_quantiles", "boilerplate_lines", "mix_proportions")
+    }
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
