@@ -231,3 +231,18 @@ def event_topic(signature: str) -> str:
     from .checksums import keccak256
 
     return "0x" + keccak256(signature.encode("ascii")).hex()
+
+
+def merge_intervals(spans: List[tuple]) -> List[List[int]]:
+    """Coalesce overlapping-or-touching [start, end) intervals (sorted-scan
+    gaps-and-islands; the kernel behind q_span_merge and any redaction-span
+    / byte-range compaction).  Touching intervals (next.start == cur.end)
+    merge; the result is sorted and pairwise disjoint with gaps > 0."""
+    islands: List[List[int]] = []
+    for s, e in sorted(spans):
+        if islands and s <= islands[-1][1]:
+            if e > islands[-1][1]:
+                islands[-1][1] = e
+        else:
+            islands.append([s, e])
+    return islands

@@ -8221,6 +8221,8 @@ def q_span_merge(sf_dir: str):
     the merge is a pure per-row map — no shuffle.  The SQL mirror is the
     classic windowed form: island starts where start > max(end) over all
     preceding spans."""
+    from ..functions.etl import merge_intervals
+
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def merge(b: pa.Table) -> pa.Table:
@@ -8230,13 +8232,7 @@ def q_span_merge(sf_dir: str):
             for j in range(3 + d % 3):
                 s = (d * 7 + j * 37) % 120
                 spans.append((s, s + 15 + (j * 11) % 20))
-            spans.sort()
-            islands = []
-            for s, e in spans:
-                if islands and s <= islands[-1][1]:
-                    islands[-1][1] = max(islands[-1][1], e)
-                else:
-                    islands.append([s, e])
+            islands = merge_intervals(spans)
             out_id.append(d)
             out_ns.append(len(spans))
             out_nm.append(len(islands))

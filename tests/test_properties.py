@@ -142,3 +142,30 @@ def test_minhash_simhash_deterministic(text):
     mh = MinHasher(num_perm=32)
     assert (mh.signature(text) == MinHasher(num_perm=32).signature(text)).all()
     assert SimHasher().simhash64(text) == SimHasher().simhash64(text)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 40)).map(
+            lambda p: (p[0], p[0] + p[1])
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_merge_intervals_properties(spans):
+    from blockchainspider_ray.functions.etl import merge_intervals
+
+    merged = merge_intervals(spans)
+    # sorted, disjoint with real gaps, each interval non-empty
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+    assert all(s < e for s, e in merged)
+    # coverage is exactly the union of the inputs (brute-force point set)
+    pts = set()
+    for s, e in spans:
+        pts.update(range(s, e))
+    mpts = set()
+    for s, e in merged:
+        mpts.update(range(s, e))
+    assert mpts == pts
