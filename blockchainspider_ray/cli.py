@@ -108,6 +108,20 @@ def cmd_gen_store(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .stages.compact import compact_store
+
+    stats = compact_store(
+        args.store,
+        args.out,
+        row_group_size=args.row_group_size,
+        keep_latest=args.keep_latest,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     import pandas as pd
@@ -191,6 +205,17 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--head", type=int, default=20, help="preview rows when no --out")
     q.add_argument("--list", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "compact",
+        help="rewrite a page store partition-per-partition into single sorted files",
+    )
+    c.add_argument("--store", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--row-group-size", type=int, default=256)
+    c.add_argument("--keep-latest", action="store_true",
+                   help="keep only the newest warc_ts version of each url")
+    c.set_defaults(fn=cmd_compact)
     return p
 
 
