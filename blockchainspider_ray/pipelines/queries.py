@@ -8347,3 +8347,106 @@ ORACLE_SQL["funnel_steps"] = """
            LEFT JOIN p USING (user_id)
     ORDER BY u.user_id
 """
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Corpus-fitted bigram LM score with add-1 smoothing — the next rung
+    above q_unigram_logprob toward CCNet's KenLM perplexity filter:
+    mean over positions i>=2 of ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)).
+    Pass 1 reduces the corpus to the bigram + unigram count tables (vocab-
+    sized broadcasts, same contract as q_unigram_logprob); pass 2 is a pure
+    map.  Docs with fewer than two tokens score 0.0 on both sides."""
+    import math
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        uni, bi = Counter(), Counter()
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            uni.update(toks)
+            bi.update(
+                toks[i] + "\x01" + toks[i + 1] for i in range(len(toks) - 1)
+            )
+        keys = list(uni.keys()) + list(bi.keys())
+        kinds = [0] * len(uni) + [1] * len(bi)
+        vals = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.string()),
+                "kind": pa.array(kinds, pa.int64()),
+                "c": pa.array(vals, pa.int64()),
+            }
+        )
+
+    tab = (
+        docs.map_batches(vc, batch_format="pyarrow")
+        .groupby(["k", "kind"])
+        .sum("c")
+        .to_pandas()
+    )
+    uni = dict(
+        zip(tab.loc[tab["kind"] == 0, "k"], tab.loc[tab["kind"] == 0, "sum(c)"].astype(int))
+    )
+    bi = dict(
+        zip(tab.loc[tab["kind"] == 1, "k"], tab.loc[tab["kind"] == 1, "sum(c)"].astype(int))
+    )
+    V = len(uni)
+    uref, bref = ray.put(uni), ray.put(bi)
+
+    def score(b: pa.Table) -> pa.Table:
+        cu, cb = ray.get(uref), ray.get(bref)
+        ids, lps = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            if len(toks) < 2:
+                ids.append(d)
+                lps.append(0.0)
+                continue
+            s = sum(
+                math.log(
+                    (cb.get(toks[i] + "\x01" + toks[i + 1], 0) + 1.0)
+                    / (cu[toks[i]] + V)
+                )
+                for i in range(len(toks) - 1)
+            )
+            ids.append(d)
+            lps.append(s / (len(toks) - 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "logprob": pa.array(_r(lps, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["bigram_logprob"] = q_bigram_logprob
+
+ORACLE_SQL["bigram_logprob"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    cnt AS (SELECT token, count(*) AS c FROM w GROUP BY token),
+    v AS (SELECT count(DISTINCT token) AS v FROM w),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || chr(1) || t[i+1])) AS big,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev
+        FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (SELECT big, count(*) AS cb FROM bg GROUP BY big),
+    scored AS (
+        SELECT bg.doc_id,
+               sum(ln((bcnt.cb + 1.0) / (cnt.c + v.v))) / count(*) AS lp
+        FROM bg JOIN bcnt USING (big) JOIN cnt ON cnt.token = bg.prev
+             CROSS JOIN v
+        GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id, round(coalesce(s.lp, 0.0), 6) AS logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
+"""
