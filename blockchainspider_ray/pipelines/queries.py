@@ -8450,3 +8450,70 @@ ORACLE_SQL["bigram_logprob"] = r"""
     SELECT d.doc_id, round(coalesce(s.lp, 0.0), 6) AS logprob
     FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY d.doc_id
 """
+
+
+def q_url_templates(sf_dir: str, trap_threshold: int = 12):
+    """URL-template mining for crawler-trap / infinite-space detection:
+    collapse every digit run in the path to '{n}', count urls per (host,
+    template), and flag templates whose population explodes (calendar
+    pages, session-id echoes, faceted search).  Uses the same synthesized
+    per-doc URL as q_url_features.  Combiner shape: per-batch partial
+    (host, template) counts, one tiny groupby — the corpus never
+    re-shuffles; the RE2 digit collapse runs as a pyarrow kernel over the
+    whole column."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def tmpl(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        hosts, paths = [], []
+        for d in ids:
+            hosts.append(f"site{d % 10}.example")
+            paths.append(
+                "".join(f"/s{j}" for j in range(d % 4)) + f"/page{d}"
+                + ("?b=2&a=1" if d % 3 == 0 else "")
+            )
+        t = pc.replace_substring_regex(pa.array(paths, pa.string()), r"[0-9]+", "{n}")
+        import collections
+
+        c = collections.Counter(zip(hosts, t.to_pylist()))
+        return pa.table(
+            {
+                "host": pa.array([k[0] for k in c], pa.string()),
+                "template": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(tmpl, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .aggregate(Sum("c", alias_name="n_urls"))
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "trap",
+            pc.cast(pc.greater_equal(b.column("n_urls"), trap_threshold), pa.int64()),
+        )
+
+    return agg.map_batches(flag, batch_format="pyarrow").sort(["host", "template"])
+
+
+SQL_QUERIES["url_templates"] = q_url_templates
+
+ORACLE_SQL["url_templates"] = """
+    WITH u AS (
+        SELECT doc_id,
+               'site' || (doc_id % 10) || '.example' AS host,
+               regexp_replace(
+                   CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/s0'
+                        WHEN 2 THEN '/s0/s1' ELSE '/s0/s1/s2' END
+                   || '/page' || doc_id
+                   || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END,
+                   '[0-9]+', '{n}', 'g') AS template
+        FROM documents
+    )
+    SELECT host, template, count(*) AS n_urls,
+           CAST(count(*) >= 12 AS BIGINT) AS trap
+    FROM u GROUP BY host, template ORDER BY host, template
+"""

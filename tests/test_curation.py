@@ -573,3 +573,18 @@ def test_bigram_logprob_orders_repetitive_text_higher():
     # (sanity: same scale, no -inf from smoothing)
     assert bi.mean() > uni.mean() - 10
     assert np.isfinite(bi).all()
+
+
+def test_url_templates_collapse_and_trap_flag():
+    from blockchainspider_ray.pipelines.queries import q_url_templates
+
+    df = q_url_templates(SF).to_pandas()
+    # all digit runs collapsed
+    assert not df["template"].str.contains(r"\d", regex=True).any()
+    assert df["template"].str.contains("{n}", regex=False).all()
+    # per host: 4 depth variants x (param / no param) minus modular overlap
+    assert (df.groupby("host").size() == 4).all()
+    # trap templates are exactly those over the threshold, and the
+    # synthesized corpus has both kinds
+    assert ((df["n_urls"] >= 12) == (df["trap"] == 1)).all()
+    assert 0 < df["trap"].sum() < len(df)
