@@ -8517,3 +8517,325 @@ ORACLE_SQL["url_templates"] = """
            CAST(count(*) >= 12 AS BIGINT) AS trap
     FROM u GROUP BY host, template ORDER BY host, template
 """
+
+
+def q_heavy_hitters(sf_dir: str, phi: float = 0.02):
+    """Exact heavy hitters via the two-pass candidate/verify scheme
+    (Misra-Gries / SpaceSaving candidate generation + exact count pass):
+    every token whose corpus frequency is >= phi of all token positions,
+    with its EXACT count.  Pass 1 reduces each batch to (a) its local
+    candidates — tokens with batch count >= batch_len/k where k = 2/phi,
+    a superset of the global heavy hitters by weighted pigeonhole (if
+    sum c_i >= phi * sum m_i then some batch has c_i >= phi * m_i >=
+    m_i/k) — and (b) one batch-total row; only candidates + totals
+    shuffle, never the token stream.  Pass 2 counts ONLY the broadcast
+    candidate set exactly (combiner shape) and filters at the exact
+    threshold, so the output is deterministic and oracle-checkable
+    despite the sketchy first pass.  At 10^10 docs the candidate set is
+    <= k per batch and the exact pass is a broadcast semi-join."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    k = int(np.ceil(2.0 / phi))
+
+    def candidates(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(_oracle_tokens(t))
+        m = sum(cnt.values())
+        toks = [w for w, c in cnt.items() if c * k >= m]
+        return pa.table(
+            {
+                "token": pa.array(toks + [""], pa.string()),
+                "n": pa.array([0] * len(toks) + [m], pa.int64()),
+                "is_total": pa.array([0] * len(toks) + [1], pa.int64()),
+            }
+        )
+
+    p1 = docs.map_batches(candidates, batch_format="pyarrow").materialize()
+    total = sum(
+        r["n"] for r in p1.filter(lambda r: r["is_total"] == 1).take_all()
+    )
+    cand = set(
+        r["token"]
+        for r in p1.filter(lambda r: r["is_total"] == 0).select_columns(["token"]).take_all()
+    )
+    threshold = int(np.ceil(phi * total))
+    cand_ref = ray.put(cand)
+
+    def exact(b: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref) if isinstance(cand_ref, ray.ObjectRef) else cand_ref
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(w for w in _oracle_tokens(t) if w in cs)
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(exact, batch_format="pyarrow").groupby("token").sum("c")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["token", "cnt"])
+        return b.filter(pc.greater_equal(b.column("cnt"), threshold))
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+    )
+
+
+SQL_QUERIES["heavy_hitters"] = q_heavy_hitters
+
+ORACLE_SQL["heavy_hitters"] = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS n FROM tc)
+    SELECT token, cnt FROM tc, tot
+    WHERE cnt >= ceil(0.02 * tot.n)
+    ORDER BY cnt DESC, token
+"""
+
+
+def q_nb_classify(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained and scored
+    distributed (the CCNet/fastText-style quality/language filter shape):
+    per-(lang, token) counts reduce combiner-style to a dim-sized model
+    table, the driver assembles log-prob matrices once (V x C doubles),
+    broadcasts them via ray.put, and scoring is one vectorized
+    counts @ log P(w|c) matmul per batch.  Laplace(+1) smoothing over the
+    corpus vocabulary; prediction ties break on lang name.  The model is
+    the only thing that moves twice; the corpus streams once per pass."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        for lang, t in zip(b.column("lang").to_pylist(), b.column("text").to_pylist()):
+            for w in _oracle_tokens(t):
+                cnt[(lang, w)] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "token": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    tok_counts = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .sum("c")
+    ).to_pandas()
+    tok_counts.columns = ["lang", "token", "c"]
+    # class priors: one tiny count groupby over the lang column only
+    dc = _read(sf_dir, "documents", columns=["lang"]).groupby("lang").count().to_pandas()
+    doc_counts = dc.set_index("lang").iloc[:, 0].sort_index()
+    classes = list(doc_counts.index)
+    vocab = sorted(tok_counts["token"].unique())
+    v_of = {w: i for i, w in enumerate(vocab)}
+    c_of = {c: j for j, c in enumerate(classes)}
+    V, C = len(vocab), len(classes)
+    cnt_m = np.zeros((V, C), np.float64)
+    cnt_m[
+        tok_counts["token"].map(v_of).to_numpy(),
+        tok_counts["lang"].map(c_of).to_numpy(),
+    ] = tok_counts["c"].to_numpy()
+    tot_c = cnt_m.sum(axis=0)
+    logp = np.log((cnt_m + 1.0) / (tot_c + V))
+    prior = np.log(doc_counts.to_numpy() / doc_counts.sum())
+    model_ref = ray.put((v_of, classes, logp, prior))
+
+    def score(b: pa.Table) -> pa.Table:
+        v_of_, classes_, logp_, prior_ = ray.get(model_ref)
+        ids = b.column("doc_id").to_numpy()
+        preds, scores = [], []
+        for t in b.column("text").to_pylist():
+            cnt = Counter(_oracle_tokens(t))
+            idx = np.fromiter((v_of_[w] for w in cnt), np.int64, len(cnt))
+            n = np.fromiter(cnt.values(), np.float64, len(cnt))
+            s = prior_ + n @ logp_[idx]
+            # argmax with lang-name tie-break (matches row_number ORDER BY
+            # s DESC, lang): classes_ is sorted, argmax takes the first max
+            j = int(np.argmax(s))
+            preds.append(classes_[j])
+            scores.append(s[j])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pred_lang": pa.array(preds, pa.string()),
+                "score": pa.array(_r(scores, 4), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["nb_classify"] = q_nb_classify
+
+ORACLE_SQL["nb_classify"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    cls_tok AS (
+        SELECT d.lang, t.w, sum(t.c) AS cnt
+        FROM tc t JOIN documents d USING (doc_id) GROUP BY d.lang, t.w
+    ),
+    cls_tot AS (SELECT lang, sum(cnt) AS tot FROM cls_tok GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+    scores AS (
+        SELECT t.doc_id, l.lang,
+               ln(l.n_docs * 1.0 / (SELECT sum(n_docs) FROM langs))
+               + sum(t.c * ln((coalesce(ct.cnt, 0) + 1.0) / (ctot.tot + v.v))) AS s
+        FROM tc t
+        CROSS JOIN langs l
+        JOIN cls_tot ctot ON ctot.lang = l.lang
+        CROSS JOIN vocab v
+        LEFT JOIN cls_tok ct ON ct.lang = l.lang AND ct.w = t.w
+        GROUP BY t.doc_id, l.lang, l.n_docs, ctot.tot, v.v
+    )
+    SELECT doc_id, lang AS pred_lang, round(s, 4) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+          FROM scores)
+    WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_event_interarrival(sf_dir: str):
+    """Per-user inter-arrival statistics (lag-window shape): sort each
+    user's events by (ts, event_id), diff consecutive timestamps, report
+    event count plus max/mean gap.  Gaps are integer microseconds so max
+    is exact; the mean rounds at 2dp.  groupby(user).map_groups — a
+    user's events co-locate by the shuffle, the window never spans
+    groups (at web scale: sessions/users are the natural partition key
+    and skewed users salt like q_salted_host_agg)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def gaps_of_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        uid = int(g.column("user_id")[0].as_py())
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(ts)
+        if n < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_events": pa.array([n], pa.int64()),
+                    "max_gap_us": pa.array([None], pa.int64()),
+                    "mean_gap_us": pa.array([None], pa.float64()),
+                }
+            )
+        d = np.diff(ts)
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "max_gap_us": pa.array([int(d.max())], pa.int64()),
+                "mean_gap_us": pa.array([float(_r(d.sum() / len(d), 2))], pa.float64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(gaps_of_user, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+SQL_QUERIES["event_interarrival"] = q_event_interarrival
+
+ORACLE_SQL["event_interarrival"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           max(gap) AS max_gap_us, round(avg(gap), 2) AS mean_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Per-node link reciprocity over the events-derived directed graph:
+    among a node's distinct out-edges, the fraction whose reverse edge
+    exists.  Join-free formulation: each distinct edge maps to its
+    unordered pair key plus a direction flag; one groupby over the pair
+    key decides reciprocation locally inside the group (both directions
+    of a pair co-locate by construction), then a per-src rollup.  The
+    shuffle moves one row per distinct edge — never the event stream —
+    and needs no self-join."""
+    edges = _events_edges(sf_dir).groupby(["src", "dst"]).count()
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "src": pa.array(s, pa.int64()),
+                "fwd": pa.array((s <= d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = edges.map_batches(pair_rows, batch_format="pyarrow")
+
+    def judge(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy()
+        fwd = group.column("fwd").to_numpy()
+        lo = int(group.column("lo")[0].as_py())
+        hi = int(group.column("hi")[0].as_py())
+        # self-loop reciprocates itself; otherwise need both directions
+        recip = 1 if (lo == hi or (fwd.min() == 0 and fwd.max() == 1)) else 0
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "recip": pa.array(np.full(len(src), recip, np.int64), pa.int64()),
+            }
+        )
+
+    per_edge = pairs.groupby(["lo", "hi"]).map_groups(judge, batch_format="pyarrow")
+    agg = per_edge.groupby("src").aggregate(
+        Count(alias_name="n_out"), Sum("recip", alias_name="n_recip")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_out").to_numpy()
+        r = b.column("n_recip").to_numpy()
+        return pa.table(
+            {
+                "node": b.column("src"),
+                "n_out": b.column("n_out"),
+                "n_recip": b.column("n_recip"),
+                "reciprocity": pa.array(_r(r / n, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+SQL_QUERIES["link_reciprocity"] = q_link_reciprocity
+
+ORACLE_SQL["link_reciprocity"] = f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL})),
+    r AS (
+        SELECT e.src, CASE WHEN ex.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+        FROM e LEFT JOIN e ex ON ex.src = e.dst AND ex.dst = e.src
+    )
+    SELECT src AS node, count(*) AS n_out, sum(recip) AS n_recip,
+           round(sum(recip) * 1.0 / count(*), 6) AS reciprocity
+    FROM r GROUP BY src ORDER BY node
+"""

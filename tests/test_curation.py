@@ -588,3 +588,33 @@ def test_url_templates_collapse_and_trap_flag():
     # synthesized corpus has both kinds
     assert ((df["n_urls"] >= 12) == (df["trap"] == 1)).all()
     assert 0 < df["trap"].sum() < len(df)
+
+
+def test_new_ops_r3_partitioning_independent(monkeypatch):
+    """heavy_hitters (sketchy candidate pass + exact verify), nb_classify
+    (combiner-trained model), event_interarrival and link_reciprocity must
+    produce identical results under any input blocking — heavy_hitters in
+    particular: the per-batch candidate threshold moves with batch size,
+    but the superset guarantee + exact second pass make the OUTPUT exact."""
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("heavy_hitters", "nb_classify", "event_interarrival", "link_reciprocity")
+
+    def _df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(13)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
