@@ -8839,3 +8839,166 @@ ORACLE_SQL["link_reciprocity"] = f"""
            round(sum(recip) * 1.0 / count(*), 6) AS reciprocity
     FROM r GROUP BY src ORDER BY node
 """
+
+
+#: Static substring blocklist for q_badwords_filter (multi-pattern filter).
+#: Mirrored verbatim in ORACLE_SQL["badwords_filter"]'s VALUES list.
+BADWORDS = (
+    "slow join",
+    "error",
+    "dup",
+    "spark window",
+    "big hash",
+    "customer line",
+    "stream stream",
+    "query row",
+)
+
+
+def q_badwords_filter(sf_dir: str):
+    """Multi-pattern substring blocklist filter (the bad-words /
+    fineweb-style curation gate): for every doc, how many blocklist
+    patterns occur as raw substrings, plus the lexicographically first
+    match.  One vectorized ``pc.match_substring`` kernel pass per pattern
+    over the Arrow column — O(P) passes, zero Python per row; at P in the
+    thousands the same stage swaps to an Aho-Corasick automaton built once
+    per actor (__init__), the plumbing is identical."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pats = sorted(BADWORDS)
+
+    def scan(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        hit = np.zeros((b.num_rows, len(pats)), dtype=bool)
+        for j, p in enumerate(pats):
+            hit[:, j] = pc.match_substring(text, p).to_numpy(zero_copy_only=False)
+        n = hit.sum(axis=1).astype(np.int64)
+        first_idx = np.where(n > 0, hit.argmax(axis=1), -1)
+        first = [pats[i] if i >= 0 else None for i in first_idx]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_matched": pa.array(n, pa.int64()),
+                "first_pat": pa.array(first, pa.string()),
+                "flagged": pa.array((n > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["badwords_filter"] = q_badwords_filter
+
+ORACLE_SQL["badwords_filter"] = """
+    WITH pats AS (
+        SELECT * FROM (VALUES ('slow join'), ('error'), ('dup'),
+                              ('spark window'), ('big hash'), ('customer line'),
+                              ('stream stream'), ('query row')) AS t(pat)
+    ),
+    hits AS (
+        SELECT d.doc_id, p.pat
+        FROM documents d JOIN pats p ON position(p.pat IN d.text) > 0
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_matched, min(pat) AS first_pat
+        FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_matched, 0) AS n_matched,
+           a.first_pat,
+           CAST(a.n_matched IS NOT NULL AS BIGINT) AS flagged
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+def q_length_zscore(sf_dir: str):
+    """Per-group standardization (the per-language length normalization a
+    mixing pipeline applies before thresholding): z-score of n_chars
+    within each lang.  Two passes: a dim-sized groupby for (mean, sample
+    stddev) per lang, broadcast into a vectorized map — the corpus never
+    shuffles."""
+    from ray.data.aggregate import Std
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    stats = (
+        docs.groupby("lang")
+        .aggregate(Mean("n_chars", alias_name="mu"), Std("n_chars", ddof=1, alias_name="sd"))
+        .to_pandas()
+    )
+    mu_of = dict(zip(stats["lang"], stats["mu"]))
+    sd_of = dict(zip(stats["lang"], stats["sd"]))
+    stats_ref = ray.put((mu_of, sd_of))
+
+    def z(b: pa.Table) -> pa.Table:
+        mu_, sd_ = ray.get(stats_ref)
+        langs = b.column("lang").to_pylist()
+        x = b.column("n_chars").to_numpy().astype(np.float64)
+        mu = np.fromiter((mu_[l] for l in langs), np.float64, len(langs))
+        sd = np.fromiter((sd_[l] for l in langs), np.float64, len(langs))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "z": pa.array(_r((x - mu) / sd, 4), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(z, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["length_zscore"] = q_length_zscore
+
+ORACLE_SQL["length_zscore"] = """
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 4) AS z
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_host_gini(sf_dir: str):
+    """Host-concentration Gini coefficient — the frontier-skew diagnostic
+    a crawl scheduler watches (a Gini near 1 means one host dominates the
+    queue and politeness will serialize the crawl), measured over per-host
+    total BYTES (url counts are uniform-by-construction in this corpus, so
+    bytes is the non-degenerate load measure).  The corpus reduces to
+    per-host sums (tiny) via one combiner groupby; the Gini closed form
+    over the sorted loads runs on the dim-sized result."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        hosts = b.column("doc_id").to_numpy() % 10
+        nc = b.column("n_chars").to_numpy()
+        agg = np.zeros(10, np.int64)
+        np.add.at(agg, hosts, nc)
+        present = np.nonzero(agg)[0]
+        return pa.table(
+            {
+                "host": pa.array([f"site{h}.example" for h in present], pa.string()),
+                "c": pa.array(agg[present], pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(host_rows, batch_format="pyarrow").groupby("host").sum("c")
+    ).to_pandas()
+    c = np.sort(counts.iloc[:, 1].to_numpy().astype(np.float64))
+    n, s = len(c), c.sum()
+    gini = (2.0 * np.dot(np.arange(1, n + 1), c)) / (n * s) - (n + 1.0) / n
+    return pd.DataFrame(
+        {"n_hosts": [int(n)], "total_bytes": [int(s)], "gini": [float(_r(gini, 6))]}
+    )
+
+
+SQL_QUERIES["host_gini"] = q_host_gini
+
+ORACLE_SQL["host_gini"] = """
+    WITH hc AS (
+        SELECT doc_id % 10 AS host, sum(n_chars) AS c FROM documents GROUP BY host
+    ),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c, host) AS i FROM hc)
+    SELECT count(*) AS n_hosts, sum(c) AS total_bytes,
+           round(2.0 * sum(i * c) / (count(*) * sum(c))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+"""

@@ -600,7 +600,10 @@ def test_new_ops_r3_partitioning_independent(monkeypatch):
 
     from blockchainspider_ray.pipelines import queries as Q
 
-    names = ("heavy_hitters", "nb_classify", "event_interarrival", "link_reciprocity")
+    names = (
+        "heavy_hitters", "nb_classify", "event_interarrival", "link_reciprocity",
+        "badwords_filter", "length_zscore", "host_gini",
+    )
 
     def _df(x):
         return x if isinstance(x, pd.DataFrame) else x.to_pandas()
