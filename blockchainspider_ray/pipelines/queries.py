@@ -9002,3 +9002,229 @@ ORACLE_SQL["host_gini"] = """
                  - (count(*) + 1.0) / count(*), 6) AS gini
     FROM ranked
 """
+
+
+def _emb_matrix(b: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish fixed-width list -> (n, 64) float64 matrix."""
+    lst = b.column(col).combine_chunks()
+    flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+    return flat.reshape(b.num_rows, -1).astype(np.float64)
+
+
+def q_pca_power(sf_dir: str, iters: int = 3):
+    """Distributed power iteration for the corpus embedding matrix's top
+    principal direction (uncentered PCA) — the linear-algebra reduce shape
+    (X^T X v as a per-batch matvec combiner, 64 partial rows per batch,
+    one tiny groupby per iteration; the 10^10-vector matrix never
+    re-shuffles).  Start vector fixed at 1/8 per dim; 3 unrolled
+    iterations; output the normalized eigenvector plus the final Rayleigh
+    norm — both sides round after identical arithmetic on float64-cast
+    inputs."""
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    v = np.full(64, 0.125, np.float64)
+    lam = 0.0
+    for _ in range(iters):
+        v_ref = ray.put(v)
+
+        def matvec(b: pa.Table, v_ref=v_ref) -> pa.Table:
+            vv = ray.get(v_ref)
+            X = _emb_matrix(b)
+            w = X.T @ (X @ vv)
+            return pa.table(
+                {"j": pa.array(np.arange(1, 65), pa.int64()),
+                 "w": pa.array(w, pa.float64())}
+            )
+
+        wdf = (
+            emb.map_batches(matvec, batch_format="pyarrow")
+            .groupby("j").sum("w").to_pandas()
+        )
+        wdf.columns = ["j", "w"]
+        w = wdf.sort_values("j")["w"].to_numpy()
+        lam = float(np.sqrt(np.dot(w, w)))
+        v = w / lam
+    return pd.DataFrame(
+        {
+            "j": np.arange(1, 65, dtype=np.int64),
+            "v": _r(v, 6),
+            "lam": np.full(64, _r(lam, 4), np.float64),
+        }
+    )
+
+
+SQL_QUERIES["pca_power"] = q_pca_power
+
+ORACLE_SQL["pca_power"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    dims AS (SELECT unnest(range(1, 65)) AS j),
+    d1 AS (SELECT vec_id, sum(x[CAST(j AS INT)] * 0.125) AS d FROM e, dims GROUP BY vec_id),
+    w1 AS (SELECT j, sum(d * x[CAST(j AS INT)]) AS w
+           FROM e JOIN d1 USING (vec_id), dims GROUP BY j),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+    v1 AS (SELECT j, w / nrm AS v FROM w1, n1),
+    d2 AS (SELECT vec_id, sum(x[CAST(v1.j AS INT)] * v1.v) AS d FROM e, v1 GROUP BY vec_id),
+    w2 AS (SELECT j, sum(d * x[CAST(j AS INT)]) AS w
+           FROM e JOIN d2 USING (vec_id), dims GROUP BY j),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+    v2 AS (SELECT j, w / nrm AS v FROM w2, n2),
+    d3 AS (SELECT vec_id, sum(x[CAST(v2.j AS INT)] * v2.v) AS d FROM e, v2 GROUP BY vec_id),
+    w3 AS (SELECT j, sum(d * x[CAST(j AS INT)]) AS w
+           FROM e JOIN d3 USING (vec_id), dims GROUP BY j),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3)
+    SELECT j, round(w / nrm, 6) AS v, round(nrm, 4) AS lam
+    FROM w3, n3 ORDER BY j
+"""
+
+
+def q_kmeans_assign(sf_dir: str, k: int = 8):
+    """Nearest-centroid assignment (the k-means / IVF routing step as a
+    standalone oracle-checked op): centroids are the embeddings of
+    vec_id 0..k-1, broadcast once; each batch computes a vectorized
+    (n, k) distance matrix and argmins with centroid-id tie-break.  The
+    corpus streams once; only the k x 64 centroid block moves."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+    )
+    C = np.array([r["embedding"] for r in cent_rows], np.float64)
+    c_ref = ray.put(C)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        X = _emb_matrix(b)
+        # (n, k) euclidean distances; argmin takes the FIRST min = smallest
+        # centroid id (matches ORDER BY d, cid in the oracle)
+        d = np.sqrt(((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2))
+        j = d.argmin(axis=1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "cluster": pa.array(j.astype(np.int64), pa.int64()),
+                "d": pa.array(_r(d[np.arange(len(j)), j], 4), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
+SQL_QUERIES["kmeans_assign"] = q_kmeans_assign
+
+ORACLE_SQL["kmeans_assign"] = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cx FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(e.embedding::DOUBLE[], c.cx) AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.embedding::DOUBLE[], c.cx), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, cid AS cluster, round(d, 4) AS d
+    FROM d WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization (outlier clipping at the exact p05/p95, the
+    robust-stats normalization step): thresholds come from the same
+    distinct-value histogram scheme as q_token_quantiles (per event_type,
+    positional quantile at ceil(q*N)), broadcast; pass 2 clips and
+    aggregates.  Only (type, value, count) histogram rows shuffle."""
+    import math
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["event_type", "value"]).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    h = (
+        ev.map_batches(vc, batch_format="pyarrow")
+        .groupby(["event_type", "value"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    h.columns = ["event_type", "value", "cnt"]
+    lo_of, hi_of = {}, {}
+    for et, grp in h.groupby("event_type"):
+        grp = grp.sort_values("value")
+        cum = grp["cnt"].cumsum().to_numpy()
+        total = int(cum[-1])
+        vals = grp["value"].to_numpy()
+        lo_of[et] = float(vals[int(np.searchsorted(cum, math.ceil(0.05 * total)))])
+        hi_of[et] = float(vals[int(np.searchsorted(cum, math.ceil(0.95 * total)))])
+    thr_ref = ray.put((lo_of, hi_of))
+
+    def clip(b: pa.Table) -> pa.Table:
+        lo_, hi_ = ray.get(thr_ref)
+        df = b.to_pandas()
+        lo = df["event_type"].map(lo_).to_numpy()
+        hi = df["event_type"].map(hi_).to_numpy()
+        x = df["value"].to_numpy()
+        cx = np.clip(x, lo, hi)
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": 1,
+                "n_lo": (x < lo).astype(np.int64),
+                "n_hi": (x > hi).astype(np.int64),
+                "s": cx,
+            }
+        )
+        part = out.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        ev.map_batches(clip, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_lo", alias_name="n_clipped_lo"),
+            Sum("n_hi", alias_name="n_clipped_hi"),
+            Sum("s", alias_name="s"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy()
+        n = b.column("n").to_numpy()
+        lo = [lo_of[t] for t in b.column("event_type").to_pylist()]
+        hi = [hi_of[t] for t in b.column("event_type").to_pylist()]
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "p05": pa.array(lo, pa.float64()),
+                "p95": pa.array(hi, pa.float64()),
+                "n_clipped_lo": b.column("n_clipped_lo"),
+                "n_clipped_hi": b.column("n_clipped_hi"),
+                "clipped_mean": pa.array(_r(s / n, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
+
+
+SQL_QUERIES["winsorize"] = q_winsorize
+
+ORACLE_SQL["winsorize"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS total
+        FROM events
+    ),
+    thr AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.05 * total) AS BIGINT) THEN value END) AS p05,
+               max(CASE WHEN rn = CAST(ceil(0.95 * total) AS BIGINT) THEN value END) AS p95
+        FROM r GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n, t.p05, t.p95,
+           sum(CASE WHEN e.value < t.p05 THEN 1 ELSE 0 END) AS n_clipped_lo,
+           sum(CASE WHEN e.value > t.p95 THEN 1 ELSE 0 END) AS n_clipped_hi,
+           round(avg(greatest(t.p05, least(t.p95, e.value))), 4) AS clipped_mean
+    FROM events e JOIN thr t USING (event_type)
+    GROUP BY e.event_type, t.p05, t.p95 ORDER BY e.event_type
+"""
