@@ -9228,3 +9228,129 @@ ORACLE_SQL["winsorize"] = """
     FROM events e JOIN thr t USING (event_type)
     GROUP BY e.event_type, t.p05, t.p95 ORDER BY e.event_type
 """
+
+
+def q_lpa_communities(sf_dir: str, iters: int = 3):
+    """Frequency-based label propagation communities (synchronous LPA,
+    ties to the smallest label) over the undirected events-derived graph
+    — the community-detection complement of min-label connected
+    components (q_dedup_clusters).  Each of the 3 synchronous rounds is
+    a hash_join (labels onto edge sources) + a (node, label) vote count
+    + a per-node argmax; only (int64, int64) rows ever shuffle, the
+    label table is a Dataset (NOT broadcast — at web scale it is
+    node-sized), and iteration count is fixed so the oracle unrolls."""
+    from ..stages.joins import hash_join
+
+    e0 = (
+        _events_edges(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {"src": b.column("src"), "dst": b.column("dst")}
+            ).filter(pc.not_equal(b.column("src"), b.column("dst"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([s, d]), pa.int64()),
+                "nbr": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    # distinct undirected adjacency, materialized once (re-used per round)
+    edges = (
+        e0.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby(["node", "nbr"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+    labels = edges.select_columns(["node"]).groupby("node").count().map_batches(
+        lambda b: pa.table({"node": b.column("node"), "label": b.column("node")}),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        # neighbor votes: label(nbr) arrives at node; mode with min tie-break
+        msgs = hash_join(edges, labels, key="nbr", right_key="node")
+        votes = msgs.groupby(["node", "label"]).count()
+
+        def argmax(g: pa.Table) -> pa.Table:
+            df = g.to_pandas().sort_values(
+                ["count()", "label"], ascending=[False, True]
+            )
+            return pa.table(
+                {
+                    "node": pa.array([int(df["node"].iloc[0])], pa.int64()),
+                    "label": pa.array([int(df["label"].iloc[0])], pa.int64()),
+                }
+            )
+
+        labels = votes.groupby("node").map_groups(argmax, batch_format="pyarrow")
+    out = labels.sort("node").to_pandas()
+    out.columns = ["node", "community"]
+    return out
+
+
+SQL_QUERIES["lpa_communities"] = q_lpa_communities
+
+ORACLE_SQL["lpa_communities"] = f"""
+    WITH e0 AS (SELECT DISTINCT src, dst FROM ({EDGES_SQL}) WHERE src != dst),
+    e AS (SELECT src AS node, dst AS nbr FROM e0
+          UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT node, node AS label FROM e),
+    v1 AS (SELECT node, label FROM (
+        SELECT e.node, l.label,
+               row_number() OVER (PARTITION BY e.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM e JOIN l0 l ON l.node = e.nbr GROUP BY e.node, l.label) WHERE rn = 1),
+    v2 AS (SELECT node, label FROM (
+        SELECT e.node, l.label,
+               row_number() OVER (PARTITION BY e.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM e JOIN v1 l ON l.node = e.nbr GROUP BY e.node, l.label) WHERE rn = 1),
+    v3 AS (SELECT node, label FROM (
+        SELECT e.node, l.label,
+               row_number() OVER (PARTITION BY e.node
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM e JOIN v2 l ON l.node = e.nbr GROUP BY e.node, l.label) WHERE rn = 1)
+    SELECT node, label AS community FROM v3 ORDER BY node
+"""
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round-trip (the lingua franca format of LLM
+    data pipelines): write the documents projection to line-delimited
+    JSON with ``Dataset.write_json`` (one shard per task — resumable,
+    never one giant file), read it back with ``ray.data.read_json``, and
+    aggregate per lang — proving values survive the codec.  The oracle
+    aggregates the original parquet directly."""
+    import shutil
+    import uuid
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    d = f"/tmp/bsr_jsonl_{uuid.uuid4().hex[:8]}"
+    docs.write_json(d)
+    try:
+        back = ray.data.read_json(d)
+        agg = (
+            back.groupby("lang")
+            .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+            .sort("lang")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return agg
+
+
+SQL_QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+
+ORACLE_SQL["jsonl_roundtrip"] = """
+    SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""
