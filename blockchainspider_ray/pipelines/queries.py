@@ -9354,3 +9354,166 @@ ORACLE_SQL["jsonl_roundtrip"] = """
     SELECT lang, count(*) AS n, sum(n_chars) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def q_similarity_join(sf_dir: str, t: float = 0.2, n: int = 5):
+    """EXACT set-similarity self-join with prefix filtering (the
+    Vernica/PPJoin MapReduce shape; the exact complement of MinHash-LSH):
+    all doc pairs whose distinct-5-gram-shingle Jaccard >= t, with the
+    exact similarity.  Stage 1: global shingle document frequencies
+    (combiner groupby) define one global rarity order; each doc keeps
+    only its first L = n_grams - ceil(t*n_grams) + 1 prefix shingles
+    under that order — any pair with J >= t provably shares a prefix
+    shingle, so candidates come from a groupby over PREFIX shingles only
+    (rare ones, by construction), never the full posting lists.  Stage 2
+    verifies candidates exactly against the full shingle sets attached
+    via two partitioned hash_joins — no doc-set broadcast.  The rarity
+    dictionary is the only broadcast (df >= 2 entries only; shingles
+    unique to one doc can't create pairs and rank after all shared ones
+    by convention)."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        gs, ds = [], []
+        for d, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(txt)
+            if len(toks) < n:
+                continue
+            for g in set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)):
+                gs.append(g)
+                ds.append(d)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "doc_id": pa.array(ds, pa.int64())}
+        )
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    # global rarity order over SHARED shingles only (df >= 2): the
+    # candidate stage can't pair on a df=1 shingle, and keeping the
+    # broadcast dict to shared shingles bounds it by the collision space
+    df_tbl = grams.groupby("g").count().filter(lambda r: r["count()"] >= 2).to_pandas()
+    df_tbl.columns = ["g", "df"]
+    order = df_tbl.sort_values(["df", "g"]).reset_index(drop=True)
+    rank_of = {g: i for i, g in enumerate(order["g"])}
+    rank_ref = ray.put(rank_of)
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        import math
+
+        rk = ray.get(rank_ref)
+        gs, ds, ns = [], [], []
+        for d, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(txt)
+            if len(toks) < n:
+                continue
+            gset = set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            L = len(gset) - math.ceil(t * len(gset)) + 1
+            # order: shared shingles by global rarity first; df=1 shingles
+            # (absent from the dict) sort last and can't seed a pair anyway
+            ordered = sorted(gset, key=lambda g: (rk.get(g, 1 << 60), g))[:L]
+            for g in ordered:
+                if g in rk:  # only shared shingles can generate candidates
+                    gs.append(g)
+                    ds.append(d)
+                    ns.append(len(gset))
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "doc_id": pa.array(ds, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "da": pa.array(ids[a], pa.int64()),
+                "db": pa.array(ids[b], pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.groupby("g")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["da", "db"])
+        .map_groups(lambda gg: gg.slice(0, 1), batch_format="pyarrow")
+    )
+
+    # verify: attach both docs' full shingle lists via partitioned joins
+    def list_of_doc(g: pa.Table) -> pa.Table:
+        d = int(g.column("doc_id")[0].as_py())
+        return pa.table(
+            {
+                "doc_id": pa.array([d], pa.int64()),
+                "grams": pa.array([g.column("g").to_pylist()], pa.list_(pa.string())),
+            }
+        )
+
+    doclists = grams.groupby("doc_id").map_groups(list_of_doc, batch_format="pyarrow")
+    j1 = hash_join(cand, doclists, key="da", right_key="doc_id").map_batches(
+        lambda b: b.rename_columns(["da", "db", "grams_a"]), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, doclists, key="db", right_key="doc_id").map_batches(
+        lambda b: b.rename_columns(["da", "db", "grams_a", "grams_b"]),
+        batch_format="pyarrow",
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        das, dbs, sims = [], [], []
+        for da, db_, ga, gb in zip(
+            b.column("da").to_pylist(),
+            b.column("db").to_pylist(),
+            b.column("grams_a").to_pylist(),
+            b.column("grams_b").to_pylist(),
+        ):
+            sa, sb = set(ga), set(gb)
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= t:
+                das.append(da)
+                dbs.append(db_)
+                sims.append(j)
+        return pa.table(
+            {
+                "da": pa.array(das, pa.int64()),
+                "db": pa.array(dbs, pa.int64()),
+                "jaccard": pa.array(_r(sims, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["da", "db"])
+
+
+SQL_QUERIES["similarity_join"] = q_similarity_join
+
+ORACLE_SQL["similarity_join"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(a[i:i+4], ' ')
+                                     FOR i IN range(1, len(a) - 3)])) AS w
+        FROM toks WHERE len(a) >= 5
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM g a JOIN g b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da
+    JOIN sz sb ON sb.doc_id = db
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+    ORDER BY da, db
+"""
