@@ -9517,3 +9517,153 @@ ORACLE_SQL["similarity_join"] = r"""
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
     ORDER BY da, db
 """
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source round-trip (reference sinks are CSV-first —
+    AccountTransfer2csv etc., BlockchainSpider/items -> csv pipelines):
+    write the documents projection with ``Dataset.write_csv`` (one shard
+    per task), read back with ``ray.data.read_csv``, aggregate per
+    source.  Proves the CSV codec surface end-to-end; oracle aggregates
+    the original parquet."""
+    import shutil
+    import uuid
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    d = f"/tmp/bsr_csv_{uuid.uuid4().hex[:8]}"
+    docs.write_csv(d)
+    try:
+        back = ray.data.read_csv(d)
+        agg = (
+            back.groupby("source")
+            .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+            .sort("source")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return agg
+
+
+SQL_QUERIES["csv_roundtrip"] = q_csv_roundtrip
+
+ORACLE_SQL["csv_roundtrip"] = """
+    SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_window_hopping(sf_dir: str):
+    """Hopping (sliding) windows — size 2h, hop 1h — over the event
+    stream: each event lands in exactly two windows; per (window_start,
+    event_type) report count and value sum.  The tumbling complement is
+    q_events_window; here the combiner emits BOTH window assignments per
+    batch pre-aggregated, so the shuffle moves (window, type, partials)
+    rows only."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    HOP = 3_600_000_000  # 1h in us
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        w1 = (ts // HOP) * HOP
+        df = pd.DataFrame(
+            {
+                "window_start": np.concatenate([w1, w1 - HOP]),
+                "event_type": np.tile(b.column("event_type").to_numpy(zero_copy_only=False), 2),
+                "n": 1,
+                "s": np.tile(b.column("value").to_numpy(), 2),
+            }
+        )
+        part = df.groupby(["window_start", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    b.column("window_start").to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "sum_value": pa.array(_r(b.column("s").to_numpy(), 2), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["window_start", "event_type"]
+    )
+
+
+SQL_QUERIES["window_hopping"] = q_window_hopping
+
+ORACLE_SQL["window_hopping"] = """
+    WITH w AS (
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 - 3600000000),
+               event_type, value FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM w GROUP BY window_start, event_type ORDER BY window_start, event_type
+"""
+
+
+def q_pivot_counts(sf_dir: str):
+    """Wide pivot (contingency matrix as columns): event counts per
+    event_type x quarter-of-day, one column per quarter — the reshape a
+    reporting layer wants.  Combiner shape: per-batch crosstab partials,
+    one dim-sized groupby, then the pivot itself is a column projection
+    (never a shuffle)."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def crosstab(b: pa.Table) -> pa.Table:
+        hours = (
+            b.column("ts").to_numpy().astype("datetime64[h]").astype(np.int64) % 24
+        )
+        df = pd.DataFrame(
+            {"event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+             "q": (hours // 6).astype(np.int64), "n": 1}
+        )
+        part = df.groupby(["event_type", "q"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    long = (
+        ev.map_batches(crosstab, batch_format="pyarrow")
+        .groupby(["event_type", "q"])
+        .sum("n")
+        .to_pandas()
+    )
+    long.columns = ["event_type", "q", "n"]
+    wide = (
+        long.pivot(index="event_type", columns="q", values="n")
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+    )
+    wide.columns = ["event_type"] + [f"q{int(c)}" for c in wide.columns[1:]]
+    for c in ("q0", "q1", "q2", "q3"):
+        if c not in wide.columns:
+            wide[c] = 0
+    return wide[["event_type", "q0", "q1", "q2", "q3"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+SQL_QUERIES["pivot_counts"] = q_pivot_counts
+
+ORACLE_SQL["pivot_counts"] = """
+    SELECT event_type,
+           sum(CASE WHEN hour(ts) // 6 = 0 THEN 1 ELSE 0 END) AS q0,
+           sum(CASE WHEN hour(ts) // 6 = 1 THEN 1 ELSE 0 END) AS q1,
+           sum(CASE WHEN hour(ts) // 6 = 2 THEN 1 ELSE 0 END) AS q2,
+           sum(CASE WHEN hour(ts) // 6 = 3 THEN 1 ELSE 0 END) AS q3
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

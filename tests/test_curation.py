@@ -604,7 +604,7 @@ def test_new_ops_r3_partitioning_independent(monkeypatch):
         "heavy_hitters", "nb_classify", "event_interarrival", "link_reciprocity",
         "badwords_filter", "length_zscore", "host_gini",
         "pca_power", "kmeans_assign", "winsorize", "lpa_communities",
-        "similarity_join",
+        "similarity_join", "window_hopping", "pivot_counts",
     )
 
     def _df(x):
