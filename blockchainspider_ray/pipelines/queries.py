@@ -5068,38 +5068,9 @@ def q_pagerank(sf_dir: str):
     arithmetic link graph (t1 = 7d+1, same-host t3 = d+10 — the
     query-string/dangling/cdn links canonicalize to non-store URLs and are
     filtered) with 3 unrolled iterations in SQL."""
-    import ray.data as rd
-
     from ..stages.graph import pagerank
-    from ..stages.parse import extract_links_stage
 
-    store = _crawl_store_for(sf_dir)
-    # partitioning=None + columns= together trip a ray 2.49 parquet-reader
-    # bug (UnboundLocalError in _infer_data_and_partition_columns);
-    # select_columns gets projection-pushed by the optimizer instead
-    pages = rd.read_parquet(store, partitioning=None).select_columns(["url", "html"])
-    pat = re.compile(r"^http://site\d+\.example/d/(\d+)$")
-
-    def to_edges(b: pa.Table) -> pa.Table:
-        links = extract_links_stage(b, include_scripts=False)
-        es, ed = [], []
-        for s, d in zip(
-            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
-        ):
-            ms, md = pat.match(s), pat.match(d)
-            if ms and md:
-                es.append(int(ms.group(1)))
-                ed.append(int(md.group(1)))
-        return pa.table(
-            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64())}
-        )
-
-    edges = (
-        pages.map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-    ranks = pagerank(edges, iters=3, damping=0.85).sort("node").to_pandas()
+    ranks = pagerank(_link_edges(sf_dir), iters=3, damping=0.85).sort("node").to_pandas()
     ranks = ranks.rename(columns={"node": "doc_id", "rank": "pagerank"})
     ranks["pagerank"] = _r(ranks["pagerank"].to_numpy(), 6)
     return ranks
@@ -5667,6 +5638,82 @@ def _crawl_store_for(sf_dir: str) -> str:
     return store
 
 
+def _distinct_rows(ds, cols):
+    """Distinct rows of an all-int64 column subset via bucketed vectorized
+    dedup: hash-bucket on the first column, ONE polars ``unique`` per
+    bucket (64 Python calls total) — the per-distinct-key
+    ``groupby(cols).map_groups(slice)`` form costs one Python call per
+    distinct key and dominated the graph queries' wall time."""
+    first = cols[0]
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column(first).combine_chunks(), pa.int64())
+        bkt = pc.bit_wise_and(key, pa.scalar(63, pa.int64()))
+        return b.select(cols).append_column("__b", bkt)
+
+    def uniq(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g.select(cols))
+            .unique(maintain_order=False)
+            .to_arrow()
+            .cast(pa.schema([(c, pa.int64()) for c in cols]))
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+_LINK_EDGES_MEMO: Dict[tuple, "ray.data.Dataset"] = {}
+
+
+def _link_edges(sf_dir: str) -> "ray.data.Dataset":
+    """The crawl store's canonical found-page link graph as a materialized
+    deduped int64 ``(src, dst)`` Dataset — shared (memoized per Ray job)
+    by pagerank / HITS / any other whole-graph query so the parse +
+    extract + dedup pipeline runs once per session, not once per query."""
+    import ray.data as rd
+
+    from ..stages.parse import extract_links_stage
+
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (sf_dir, job)
+    cached = _LINK_EDGES_MEMO.get(key)
+    if cached is not None:
+        return cached
+
+    store = _crawl_store_for(sf_dir)
+    # partitioning=None + columns= together trip a ray 2.49 parquet-reader
+    # bug (UnboundLocalError in _infer_data_and_partition_columns);
+    # select_columns gets projection-pushed by the optimizer instead
+    pages = rd.read_parquet(store, partitioning=None).select_columns(["url", "html"])
+    pat = re.compile(r"^http://site\d+\.example/d/(\d+)$")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        links = extract_links_stage(b, include_scripts=False)
+        es, ed = [], []
+        for s, d in zip(
+            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
+        ):
+            ms, md = pat.match(s), pat.match(d)
+            if ms and md:
+                es.append(int(ms.group(1)))
+                ed.append(int(md.group(1)))
+        return pa.table(
+            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64())}
+        )
+
+    edges = _distinct_rows(
+        pages.map_batches(to_edges, batch_format="pyarrow"), ["src", "dst"]
+    ).materialize()
+    _LINK_EDGES_MEMO[key] = edges
+    return edges
+
+
 def _run_crawl(sf_dir: str, strategy: str, _cfg: dict | None = None, **strategy_kwargs):
     from ..crawl.engine import CrawlConfig, CrawlEngine
     from ..stages.fetch import PageStore
@@ -6224,12 +6271,22 @@ def q_redirect_resolve(sf_dir: str):
             }
         )
 
-    state = docs.map_batches(init, batch_format="pyarrow")
+    # state is consumed TWICE per round (query + answer side of the
+    # union) and re-unioned every round: pin it per round or the lazy DAG
+    # doubles per doubling — 2^rounds replays of everything upstream
+    state = docs.map_batches(init, batch_format="pyarrow").materialize()
+
+    def _bkt(arr) -> pa.Array:
+        return pc.bit_wise_and(
+            pc.cast(arr.combine_chunks() if hasattr(arr, "combine_chunks") else arr, pa.int64()),
+            pa.scalar(63, pa.int64()),
+        )
 
     def pad_query(b: pa.Table) -> pa.Table:
         # rows asking "what does my ptr point at" — keyed by ptr
         return pa.table(
             {
+                "b": _bkt(b.column("ptr")),
                 "key": b.column("ptr"),
                 "u": b.column("u"),
                 "ptr": b.column("ptr"),
@@ -6243,6 +6300,7 @@ def q_redirect_resolve(sf_dir: str):
         # each node's own state — keyed by u, answers the queries
         return pa.table(
             {
+                "b": _bkt(b.column("u")),
                 "key": b.column("u"),
                 "u": b.column("u"),
                 "ptr": b.column("ptr"),
@@ -6252,41 +6310,47 @@ def q_redirect_resolve(sf_dir: str):
             }
         )
 
-    def jump(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        own = df[df["is_self"]]
-        q = df[~df["is_self"]]
-        if not len(q):
-            return pa.table(
-                {
-                    "u": pa.array([], pa.int64()),
-                    "ptr": pa.array([], pa.int64()),
-                    "hops": pa.array([], pa.int64()),
-                    "done": pa.array([], pa.bool_()),
-                }
+    def jump_bucket(g: pa.Table) -> pa.Table:
+        """One bucket's queries joined onto its answer rows — vectorized
+        polars join per bucket instead of one Python call per node."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "u", "ptr", "hops", "done", "is_self"]))
+        own = df.filter(pl.col("is_self")).select(
+            pl.col("key"),
+            pl.col("ptr").alias("t_ptr"),
+            pl.col("hops").alias("t_hops"),
+            pl.col("done").alias("t_done"),
+        )
+        q = df.filter(~pl.col("is_self"))
+        j = q.join(own, on="key", how="inner").select(
+            pl.col("u"),
+            pl.when(pl.col("done")).then(pl.col("ptr")).otherwise(pl.col("t_ptr")).alias("ptr"),
+            pl.when(pl.col("done"))
+            .then(pl.col("hops"))
+            .otherwise(pl.col("hops") + pl.col("t_hops"))
+            .alias("hops"),
+            (pl.col("done") | pl.col("t_done")).alias("done"),
+        )
+        return j.to_arrow().cast(
+            pa.schema(
+                [
+                    ("u", pa.int64()),
+                    ("ptr", pa.int64()),
+                    ("hops", pa.int64()),
+                    ("done", pa.bool_()),
+                ]
             )
-        # the group key is this node; own holds its current (ptr, hops)
-        t_ptr = int(own["ptr"].iloc[0])
-        t_hops = int(own["hops"].iloc[0])
-        t_done = bool(own["done"].iloc[0])
-        new_ptr = np.where(q["done"], q["ptr"], t_ptr)
-        new_hops = np.where(q["done"], q["hops"], q["hops"] + t_hops)
-        new_done = np.where(q["done"], True, t_done)
-        return pa.table(
-            {
-                "u": pa.array(q["u"].to_numpy(), pa.int64()),
-                "ptr": pa.array(new_ptr, pa.int64()),
-                "hops": pa.array(new_hops, pa.int64()),
-                "done": pa.array(new_done, pa.bool_()),
-            }
         )
 
     for _ in range(rounds):
         state = (
             state.map_batches(pad_query, batch_format="pyarrow")
             .union(state.map_batches(pad_self, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(jump, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(jump_bucket, batch_format="pyarrow")
+            .repartition(32)
+            .materialize()
         )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -6514,35 +6578,9 @@ def q_hits(sf_dir: str):
     stages/graph.py hits (tagged-union message passes, L1 normalization
     as one scalar aggregate); oracle unrolls the identical arithmetic in
     SQL over the same closed-form link graph."""
-    import ray.data as rd
-
     from ..stages.graph import hits
-    from ..stages.parse import extract_links_stage
 
-    store = _crawl_store_for(sf_dir)
-    pages = rd.read_parquet(store, partitioning=None).select_columns(["url", "html"])
-    pat = re.compile(r"^http://site\d+\.example/d/(\d+)$")
-
-    def to_edges(b: pa.Table) -> pa.Table:
-        links = extract_links_stage(b, include_scripts=False)
-        es, ed = [], []
-        for s, d in zip(
-            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
-        ):
-            ms, md = pat.match(s), pat.match(d)
-            if ms and md:
-                es.append(int(ms.group(1)))
-                ed.append(int(md.group(1)))
-        return pa.table(
-            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64())}
-        )
-
-    edges = (
-        pages.map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
-    out = hits(edges, iters=2)
+    out = hits(_link_edges(sf_dir), iters=2)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -6647,10 +6685,8 @@ def q_kcore(sf_dir: str):
             }
         )
 
-    edges = (
-        docs.map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    edges = _distinct_rows(
+        docs.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"]
     )
     out = coreness(edges, iters=6)
     return out.map_batches(
@@ -9241,16 +9277,11 @@ def q_lpa_communities(sf_dir: str, iters: int = 3):
     node-sized), and iteration count is fixed so the oracle unrolls."""
     from ..stages.joins import hash_join
 
-    e0 = (
-        _events_edges(sf_dir)
-        .map_batches(
-            lambda b: pa.table(
-                {"src": b.column("src"), "dst": b.column("dst")}
-            ).filter(pc.not_equal(b.column("src"), b.column("dst"))),
-            batch_format="pyarrow",
-        )
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    e0 = _events_edges(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src"), "dst": b.column("dst")}
+        ).filter(pc.not_equal(b.column("src"), b.column("dst"))),
+        batch_format="pyarrow",
     )
 
     def both_dirs(b: pa.Table) -> pa.Table:
@@ -9264,33 +9295,55 @@ def q_lpa_communities(sf_dir: str, iters: int = 3):
         )
 
     # distinct undirected adjacency, materialized once (re-used per round)
-    edges = (
-        e0.map_batches(both_dirs, batch_format="pyarrow")
-        .groupby(["node", "nbr"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
+    edges = _distinct_rows(
+        e0.map_batches(both_dirs, batch_format="pyarrow"), ["node", "nbr"]
+    ).materialize()
+    labels = (
+        edges.select_columns(["node"])
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"node": b.column("node"), "label": b.column("node")}),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+        .materialize()  # each round starts from pinned state, not a replay
     )
-    labels = edges.select_columns(["node"]).groupby("node").count().map_batches(
-        lambda b: pa.table({"node": b.column("node"), "label": b.column("node")}),
-        batch_format="pyarrow",
-    )
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(
+                pc.cast(b.column("node").combine_chunks(), pa.int64()),
+                pa.scalar(63, pa.int64()),
+            ),
+        )
+
+    def argmax_bucket(g: pa.Table) -> pa.Table:
+        """Per-node mode-with-min-tie-break, vectorized over one bucket."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["node", "label", "count()"]))
+        out = (
+            df.sort(["node", "count()", "label"], descending=[False, True, False])
+            .unique(subset="node", keep="first", maintain_order=True)
+            .select("node", "label")
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        )
+
     for _ in range(iters):
         # neighbor votes: label(nbr) arrives at node; mode with min tie-break
         msgs = hash_join(edges, labels, key="nbr", right_key="node")
         votes = msgs.groupby(["node", "label"]).count()
-
-        def argmax(g: pa.Table) -> pa.Table:
-            df = g.to_pandas().sort_values(
-                ["count()", "label"], ascending=[False, True]
-            )
-            return pa.table(
-                {
-                    "node": pa.array([int(df["node"].iloc[0])], pa.int64()),
-                    "label": pa.array([int(df["label"].iloc[0])], pa.int64()),
-                }
-            )
-
-        labels = votes.groupby("node").map_groups(argmax, batch_format="pyarrow")
+        labels = (
+            votes.map_batches(tag_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(argmax_bucket, batch_format="pyarrow")
+            .repartition(8)
+            .materialize()
+        )
     out = labels.sort("node").to_pandas()
     out.columns = ["node", "community"]
     return out

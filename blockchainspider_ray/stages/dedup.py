@@ -339,6 +339,12 @@ def connected_components(edges, max_iters: int = 64):
             }
         )
 
+    def bucket_of(arr):
+        # 64 is a power of two and doc ids are non-negative: mod == bitmask
+        return pa.compute.bit_wise_and(
+            pa.compute.cast(arr, pa.int64()), pa.scalar(63, pa.int64())
+        )
+
     sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
 
     # initial labels: each node labelled by itself (groupby-min dedups the
@@ -346,6 +352,8 @@ def connected_components(edges, max_iters: int = 64):
     def self_labels(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("key"), "label": b.column("key")})
 
+    # state tables are re-unioned with the edge set every round; cap their
+    # block count (a no-shuffle merge) so rounds stay O(1) task count
     labels = (
         sym.map_batches(self_labels, batch_format="pyarrow")
         .groupby("node")
@@ -353,35 +361,50 @@ def connected_components(edges, max_iters: int = 64):
         .map_batches(
             lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
+        .repartition(32)
         .materialize()
     )
 
     def as_label_msgs(b: pa.Table) -> pa.Table:
+        key = b.column("node").combine_chunks()
         return pa.table(
             {
-                "key": b.column("node"),
+                "b": bucket_of(key),
+                "key": key,
                 "other": pa.nulls(b.num_rows, pa.int64()),
                 "label": b.column("label"),
             }
         )
 
     def as_edge_msgs(b: pa.Table) -> pa.Table:
+        key = b.column("key").combine_chunks()
         return pa.table(
             {
-                "key": b.column("key"),
+                "b": bucket_of(key),
+                "key": key,
                 "other": b.column("other"),
                 "label": pa.nulls(b.num_rows, pa.int64()),
             }
         )
 
-    def spread(g: pa.Table) -> pa.Table:
-        # exactly one label row per group (labels cover every edge endpoint)
-        lbl = pa.compute.min(g.column("label")).as_py()
-        targets = pa.compute.drop_null(g.column("other").combine_chunks())
-        node = g.column("key")[0].as_py()
-        out = pa.concat_arrays([targets, pa.array([node], pa.int64())])
-        return pa.table(
-            {"node": out, "label": pa.array([lbl] * len(out), pa.int64())}
+    def spread_bucket(g: pa.Table) -> pa.Table:
+        """One bucket's labels + incident edges → each key's label sent to
+        its neighbours plus a self-row, vectorized polars (one Python call
+        per bucket, pre-min-folded by target within the bucket)."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "other", "label"]))
+        lbls = df.filter(pl.col("label").is_not_null()).select("key", "label")
+        edges_b = df.filter(pl.col("label").is_null()).select("key", "other")
+        j = edges_b.join(lbls, on="key", how="inner").select(
+            pl.col("other").alias("node"), pl.col("label")
+        )
+        selfr = lbls.select(pl.col("key").alias("node"), pl.col("label"))
+        out = (
+            pl.concat([j, selfr]).group_by("node").agg(pl.col("label").min())
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("label", pa.int64())])
         )
 
     prev_sum = None
@@ -389,8 +412,8 @@ def connected_components(edges, max_iters: int = 64):
         msgs = (
             labels.map_batches(as_label_msgs, batch_format="pyarrow")
             .union(sym.map_batches(as_edge_msgs, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(spread, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
         )
         labels = (
             msgs.groupby("node")
@@ -398,6 +421,7 @@ def connected_components(edges, max_iters: int = 64):
             .map_batches(
                 lambda b: b.rename_columns(["node", "label"]), batch_format="pyarrow"
             )
+            .repartition(32)
             .materialize()
         )
         cur = labels.aggregate(Sum("label"))["sum(label)"]

@@ -8,25 +8,61 @@ an already-extracted edge Dataset, the form a training-data pipeline uses
 to score an entire 10^10-URL link graph offline (page importance as a
 quality prior, crawl-frontier seeding, spam demotion).
 
-Dataflow per iteration (``pagerank``): one tagged-union ``groupby(src)``
-that joins each node's current rank onto its out-edges and emits
-``damping * rank / outdeg`` per edge, then one ``groupby(node).sum()``
-that folds incoming contributions — every shuffled row is a pair of
-int64/float64 scalars, never adjacency lists, so skewed in-degree (the
-web's power law) costs one hot reducer key at worst, and out-degree skew
-is bounded by the per-group edge fan-out of a single src.  Dangling-node
-mass is folded via a sentinel key + O(1) driver-side scalar, matching the
-standard PageRank formulation.  Iteration count is a fixed parameter (the
-SQL oracle unrolls the same count); convergence-driven stopping would
-just compare successive rank sums the way connected_components does.
+Dataflow per iteration (``pagerank``): one tagged-union ``groupby`` keyed
+on a HASH BUCKET of the score-owning endpoint — each group holds one
+bucket's ranks AND incident edges, so the rank→edge join runs as one
+vectorized polars join per bucket (64 Python calls per pass, NOT one per
+node; the per-distinct-key ``map_groups`` form was 10-40× slower from
+per-group call overhead alone) — followed by one native ``groupby(node)
+.sum()`` fold.  Every shuffled row is a pair of int64/float64 scalars,
+never adjacency lists, so skewed in-degree (the web's power law) costs a
+hot reducer key at worst.  Dangling-node mass is folded via a sentinel
+key + O(1) driver-side scalar, matching the standard PageRank
+formulation.  Iteration count is a fixed parameter (the SQL oracle
+unrolls the same count).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _DANGLING_KEY = -1
+_NUM_BUCKETS = 64
+# node-state tables (ranks / estimates) are re-unioned with the edge set
+# every iteration; without a cap their block count grows by the edge
+# block count per pass (groupby preserves input blocks), and hundreds of
+# tiny-block tasks dominate wall time.  Coalesce state to a fixed block
+# count each iteration — a no-shuffle merge pass.
+_STATE_BLOCKS = 32
+
+
+def _distinct_nodes(edges):
+    """(node) Dataset over every endpoint — native count aggregate, no
+    per-node Python."""
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(b.column_names[0]).combine_chunks(), pa.int64())
+        d = pc.cast(b.column(b.column_names[1]).combine_chunks(), pa.int64())
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .repartition(_STATE_BLOCKS)
+        .materialize()
+    )
+
+
+def _bucket_col(arr: pa.ChunkedArray) -> pa.Array:
+    # NUM_BUCKETS is a power of two and keys are non-negative, so the
+    # modulus is a bitmask (pyarrow.compute ships no mod kernel)
+    return pc.bit_wise_and(
+        pc.cast(arr, pa.int64()), pa.scalar(_NUM_BUCKETS - 1, pa.int64())
+    )
 
 
 def pagerank(edges, iters: int = 3, damping: float = 0.85):
@@ -38,26 +74,12 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
     """
     from ray.data.aggregate import Sum
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        s = pc.cast(b.column("src").combine_chunks(), pa.int64())
-        d = pc.cast(b.column("dst").combine_chunks(), pa.int64())
-        return pa.table({"node": pa.concat_arrays([s, d])})
-
-    def dedup_first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     # pin the edge list once: it is consumed by nodes, the dangling probe
     # and every iteration's union — left lazy, each consumer would re-run
     # the caller's whole upstream pipeline (parse, link extraction, ...).
     # Edges are two int64 columns; the object store spills them if needed.
     edges = edges.materialize()
-
-    nodes = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(dedup_first, batch_format="pyarrow")
-        .materialize()
-    )
+    nodes = _distinct_nodes(edges)
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -80,70 +102,90 @@ def pagerank(edges, iters: int = 3, damping: float = 0.85):
     # iteration instead of three (the common web-graph case after link
     # filtering; fixed per-execution overhead dominates small inputs)
     n_srcs = (
-        edges.map_batches(
+        edges.select_columns(["src"])
+        .map_batches(
             lambda b: pa.table(
                 {"node": pc.cast(b.column("src").combine_chunks(), pa.int64())}
             ),
             batch_format="pyarrow",
         )
         .groupby("node")
-        .map_groups(dedup_first, batch_format="pyarrow")
+        .count()
         .count()
     )
     has_dangling = n_srcs < n
 
     def as_rank_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("node").combine_chunks(), pa.int64())
         return pa.table(
             {
-                "key": b.column("node"),
+                "b": _bucket_col(key),
+                "key": key,
                 "dst": pa.nulls(b.num_rows, pa.int64()),
                 "rank": b.column("rank"),
             }
         )
 
     def as_edge_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("src").combine_chunks(), pa.int64())
         return pa.table(
             {
-                "key": pc.cast(b.column("src").combine_chunks(), pa.int64()),
+                "b": _bucket_col(key),
+                "key": key,
                 "dst": pc.cast(b.column("dst").combine_chunks(), pa.int64()),
                 "rank": pa.nulls(b.num_rows, pa.float64()),
             }
         )
 
-    def spread(g: pa.Table, _damping=damping) -> pa.Table:
-        rank = pc.min(g.column("rank")).as_py()  # exactly one non-null rank row
-        outs = pc.drop_null(g.column("dst").combine_chunks())
-        node = g.column("key")[0].as_py()
-        k = len(outs)
-        if k == 0:
-            # dangling: whole rank routed to the sentinel collector key
-            return pa.table(
-                {
-                    "node": pa.array([node, _DANGLING_KEY], pa.int64()),
-                    "val": pa.array([0.0, rank], pa.float64()),
-                }
-            )
-        # zero self-row keeps zero-in-degree nodes in the next rank set
-        out_nodes = pa.concat_arrays([outs, pa.array([node], pa.int64())])
-        contrib = _damping * rank / k
-        return pa.table(
-            {
-                "node": out_nodes,
-                "val": pa.array([contrib] * k + [0.0], pa.float64()),
-            }
+    def spread_bucket(g: pa.Table, _damping=damping) -> pa.Table:
+        """One bucket's ranks + out-edges → per-edge contributions, a zero
+        self-row per rank key, and sentinel rows for dangling keys — all
+        vectorized polars, pre-summed by target node within the bucket."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "dst", "rank"]))
+        ranks_b = df.filter(pl.col("rank").is_not_null()).select(
+            "key", "rank"
+        )
+        edges_b = df.filter(pl.col("rank").is_null()).select("key", "dst")
+        deg = edges_b.group_by("key").agg(pl.len().alias("k"))
+        r = ranks_b.join(deg, on="key", how="left").with_columns(
+            pl.col("k").fill_null(0)
+        )
+        j = edges_b.join(
+            r.filter(pl.col("k") > 0), on="key", how="inner"
+        ).select(
+            pl.col("dst").alias("node"),
+            (pl.lit(_damping) * pl.col("rank") / pl.col("k")).alias("val"),
+        )
+        zero = ranks_b.select(
+            pl.col("key").alias("node"), pl.lit(0.0, dtype=pl.Float64).alias("val")
+        )
+        dang = r.filter(pl.col("k") == 0).select(
+            pl.lit(_DANGLING_KEY, dtype=pl.Int64).alias("node"),
+            pl.col("rank").alias("val"),
+        )
+        out = (
+            pl.concat([j, zero, dang])
+            .group_by("node")
+            .agg(pl.col("val").sum())
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("val", pa.float64())])
         )
 
     for _ in range(iters):
         sums = (
             ranks.map_batches(as_rank_msgs, batch_format="pyarrow")
             .union(edges.map_batches(as_edge_msgs, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(spread, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
             .groupby("node")
             .sum("val")
             .map_batches(
                 lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
             )
+            .repartition(_STATE_BLOCKS)
             .materialize()
         )
         if has_dangling:
@@ -177,30 +219,16 @@ def hits(edges, iters: int = 2):
     :func:`pagerank`: authorities collect hub mass over IN-edges, hubs
     collect authority mass over OUT-edges, L1-normalized each half-step.
 
-    Same dataflow discipline as pagerank: each half-step is ONE
-    tagged-union ``groupby`` that joins the current score onto the edge
-    endpoint that owns it and emits one scalar pair per edge, then one
-    ``groupby(node).sum()`` fold — no adjacency lists ever shuffle, and
-    the normalizer is a single driver-side scalar aggregate.  Returns a
-    Dataset ``(node, hub, auth)``.
+    Same dataflow discipline as pagerank: each half-step is one bucketed
+    tagged-union ``groupby`` (vectorized polars join per bucket) that
+    spreads the current score along edges, then one native
+    ``groupby(node).sum()`` fold; the normalizer is a single driver-side
+    scalar aggregate.  Returns a Dataset ``(node, hub, auth)``.
     """
     from ray.data.aggregate import Sum
 
-    def endpoints(b: pa.Table) -> pa.Table:
-        s = pc.cast(b.column("src").combine_chunks(), pa.int64())
-        d = pc.cast(b.column("dst").combine_chunks(), pa.int64())
-        return pa.table({"node": pa.concat_arrays([s, d])})
-
-    def dedup_first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     edges = edges.materialize()
-    nodes = (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(dedup_first, batch_format="pyarrow")
-        .materialize()
-    )
+    nodes = _distinct_nodes(edges)
     n = nodes.count()
     if n == 0:
         return nodes.map_batches(
@@ -230,46 +258,56 @@ def hits(edges, iters: int = 2):
         the emit endpoint; zero self-rows keep scoreless nodes present."""
 
         def rank_msgs(b: pa.Table) -> pa.Table:
+            key = pc.cast(b.column("node").combine_chunks(), pa.int64())
             return pa.table(
                 {
-                    "key": b.column("node"),
+                    "b": _bucket_col(key),
+                    "key": key,
                     "other": pa.nulls(b.num_rows, pa.int64()),
                     "rank": b.column("rank"),
                 }
             )
 
         def edge_msgs(b: pa.Table) -> pa.Table:
+            key = pc.cast(b.column(key_col).combine_chunks(), pa.int64())
             return pa.table(
                 {
-                    "key": pc.cast(b.column(key_col).combine_chunks(), pa.int64()),
+                    "b": _bucket_col(key),
+                    "key": key,
                     "other": pc.cast(b.column(emit_col).combine_chunks(), pa.int64()),
                     "rank": pa.nulls(b.num_rows, pa.float64()),
                 }
             )
 
-        def spread(g: pa.Table) -> pa.Table:
-            rank = pc.min(g.column("rank")).as_py()  # exactly one rank row
-            outs = pc.drop_null(g.column("other").combine_chunks())
-            node = g.column("key")[0].as_py()
-            k = len(outs)
-            out_nodes = pa.concat_arrays([outs, pa.array([node], pa.int64())])
-            return pa.table(
-                {
-                    "node": out_nodes,
-                    "val": pa.array([rank] * k + [0.0], pa.float64()),
-                }
+        def spread_bucket(g: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(g.select(["key", "other", "rank"]))
+            ranks_b = df.filter(pl.col("rank").is_not_null()).select("key", "rank")
+            edges_b = df.filter(pl.col("rank").is_null()).select("key", "other")
+            j = edges_b.join(ranks_b, on="key", how="inner").select(
+                pl.col("other").alias("node"), pl.col("rank").alias("val")
+            )
+            zero = ranks_b.select(
+                pl.col("key").alias("node"),
+                pl.lit(0.0, dtype=pl.Float64).alias("val"),
+            )
+            out = pl.concat([j, zero]).group_by("node").agg(pl.col("val").sum())
+            return out.to_arrow().cast(
+                pa.schema([("node", pa.int64()), ("val", pa.float64())])
             )
 
         raw = (
             ranks.map_batches(rank_msgs, batch_format="pyarrow")
             .union(edges.map_batches(edge_msgs, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(spread, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
             .groupby("node")
             .sum("val")
             .map_batches(
                 lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
             )
+            .repartition(_STATE_BLOCKS)
             .materialize()
         )
         total = raw.aggregate(Sum("val"))["sum(val)"] or 0.0
@@ -283,7 +321,8 @@ def hits(edges, iters: int = 2):
                 }
             )
 
-        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+        # raw is pinned; norm is a cheap lazy map re-run by consumers
+        return raw.map_batches(norm, batch_format="pyarrow")
 
     hubs = nodes.map_batches(_const(1.0 / n), batch_format="pyarrow").materialize()
     auths = None
@@ -293,31 +332,28 @@ def hits(edges, iters: int = 2):
 
     def tag(name):
         def f(b: pa.Table) -> pa.Table:
+            zeros = pa.array(np.zeros(b.num_rows), pa.float64())
             return pa.table(
                 {
                     "node": b.column("node"),
-                    "hub": b.column("rank") if name == "hub" else pa.nulls(b.num_rows, pa.float64()),
-                    "auth": b.column("rank") if name == "auth" else pa.nulls(b.num_rows, pa.float64()),
+                    "hub": b.column("rank") if name == "hub" else zeros,
+                    "auth": b.column("rank") if name == "auth" else zeros,
                 }
             )
 
         return f
 
-    def fold(g: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.array([g.column("node")[0].as_py()], pa.int64()),
-                "hub": pa.array([pc.max(g.column("hub")).as_py() or 0.0], pa.float64()),
-                "auth": pa.array([pc.max(g.column("auth")).as_py() or 0.0], pa.float64()),
-            }
-        )
+    # each node appears exactly once per side, zero-filled on the other —
+    # a native Sum fold replaces the per-node Python max fold
+    from ray.data.aggregate import Sum as _Sum
 
-    return (
+    folded = (
         hubs.map_batches(tag("hub"), batch_format="pyarrow")
         .union(auths.map_batches(tag("auth"), batch_format="pyarrow"))
         .groupby("node")
-        .map_groups(fold, batch_format="pyarrow")
+        .aggregate(_Sum("hub", alias_name="hub"), _Sum("auth", alias_name="auth"))
     )
+    return folded
 
 
 def coreness(edges, iters: int = 6):
@@ -331,95 +367,112 @@ def coreness(edges, iters: int = 6):
     the inherently sequential min-degree peel.
 
     Same shuffle discipline as :func:`pagerank` / ``connected_components``:
-    each round is one ``groupby(key)`` that joins the current estimate onto
-    the node's incident edges and emits it to each neighbour, then one
-    ``groupby(node).map_groups`` H-index fold — only (int64, int64) scalar
-    rows ever move, never adjacency lists, so power-law degree skew costs a
-    hot reducer key at worst.  ``iters`` is fixed so a SQL oracle can unroll
-    the identical rounds; real graphs settle in O(log-ish) rounds (the
-    fixture converges in 3-4) and the estimates simply stop changing once
-    converged, so extra rounds are idempotent.
+    each round is one bucketed ``groupby`` that joins the current estimate
+    onto the node's incident edges (vectorized polars per bucket) and one
+    bucketed H-index fold — for sorted-desc estimates the H-index is just
+    ``count(c_r >= r)``, a prefix property, so the fold is a vectorized
+    cumcount comparison per bucket, not a Python call per node.  Only
+    (int64, int64) scalar rows ever move, never adjacency lists.
+    ``iters`` is fixed so a SQL oracle can unroll the identical rounds;
+    real graphs settle in O(log-ish) rounds (the fixture converges in 3-4)
+    and converged estimates are idempotent under extra rounds.
 
     Returns a Dataset ``(node, core)`` over every node incident to an edge.
     Callers pass SIMPLE edges (deduplicated, no self-loops) — degree counts
     edge rows.
     """
-    import numpy as np
 
     def symmetric(b: pa.Table) -> pa.Table:
         u = pc.cast(b.column("u").combine_chunks(), pa.int64())
         v = pc.cast(b.column("v").combine_chunks(), pa.int64())
+        key = pa.concat_arrays([u, v])
         return pa.table(
             {
-                "key": pa.concat_arrays([u, v]),
+                "b": _bucket_col(pa.chunked_array([key])),
+                "key": key,
                 "other": pa.concat_arrays([v, u]),
             }
         )
 
     sym = edges.map_batches(symmetric, batch_format="pyarrow").materialize()
 
-    # c0 = degree
-    def one(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {"node": b.column("key"), "c": pa.array([1] * b.num_rows, pa.int64())}
-        )
-
+    # c0 = degree (native count aggregate)
     est = (
-        sym.map_batches(one, batch_format="pyarrow")
-        .groupby("node")
-        .sum("c")
+        sym.select_columns(["key"])
+        .groupby("key")
+        .count()
         .map_batches(lambda b: b.rename_columns(["node", "c"]), batch_format="pyarrow")
         .materialize()
     )
 
     def est_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("node").combine_chunks(), pa.int64())
         return pa.table(
             {
-                "key": b.column("node"),
+                "b": _bucket_col(key),
+                "key": key,
                 "other": pa.nulls(b.num_rows, pa.int64()),
-                "c": b.column("c"),
+                "c": pc.cast(b.column("c"), pa.int64()),
             }
         )
 
     def edge_msgs(b: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "b": b.column("b"),
                 "key": b.column("key"),
                 "other": b.column("other"),
                 "c": pa.nulls(b.num_rows, pa.int64()),
             }
         )
 
-    def spread(g: pa.Table) -> pa.Table:
-        c = pc.min(g.column("c")).as_py()  # exactly one non-null estimate row
-        outs = pc.drop_null(g.column("other").combine_chunks())
+    def spread_bucket(g: pa.Table) -> pa.Table:
+        """Send each key's estimate to its neighbours, re-bucketed by the
+        RECEIVER so the fold groups on the same column."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "other", "c"]))
+        ests = df.filter(pl.col("c").is_not_null()).select("key", "c")
+        edges_b = df.filter(pl.col("c").is_null()).select("key", "other")
+        j = edges_b.join(ests, on="key", how="inner").select(
+            pl.col("other").alias("node"), pl.col("c")
+        )
+        out = j.to_arrow().cast(pa.schema([("node", pa.int64()), ("c", pa.int64())]))
         return pa.table(
             {
-                "node": outs,
-                "c": pa.array([c] * len(outs), pa.int64()),
+                "b": _bucket_col(out.column("node")),
+                "node": out.column("node"),
+                "c": out.column("c"),
             }
         )
 
-    def hindex(g: pa.Table) -> pa.Table:
-        vals = np.sort(g.column("c").to_numpy(zero_copy_only=False))[::-1]
-        ranks = np.arange(1, len(vals) + 1)
-        sat = ranks[vals >= ranks]
-        h = int(sat[-1]) if len(sat) else 0
-        return pa.table(
-            {
-                "node": pa.array([g.column("node")[0].as_py()], pa.int64()),
-                "c": pa.array([h], pa.int64()),
-            }
+    def hindex_bucket(g: pa.Table) -> pa.Table:
+        """Vectorized per-node H-index over one bucket: with estimates
+        sorted desc within node, c_r >= r is a prefix property, so
+        h = count(c_r >= r)."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["node", "c"]))
+        out = (
+            df.sort(["node", "c"], descending=[False, True])
+            .with_columns((pl.int_range(pl.len()).over("node") + 1).alias("r"))
+            .with_columns((pl.col("c") >= pl.col("r")).alias("ok"))
+            .group_by("node")
+            .agg(pl.col("ok").sum().alias("c"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("c", pa.int64())])
         )
 
     for _ in range(iters):
         est = (
             est.map_batches(est_msgs, batch_format="pyarrow")
             .union(sym.map_batches(edge_msgs, batch_format="pyarrow"))
-            .groupby("key")
-            .map_groups(spread, batch_format="pyarrow")
-            .groupby("node")
-            .map_groups(hindex, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(hindex_bucket, batch_format="pyarrow")
+            .repartition(_STATE_BLOCKS)
             .materialize()
         )
 
