@@ -9499,17 +9499,35 @@ def q_similarity_join(sf_dir: str, t: float = 0.2, n: int = 5):
         .map_groups(lambda gg: gg.slice(0, 1), batch_format="pyarrow")
     )
 
-    # verify: attach both docs' full shingle lists via partitioned joins
-    def list_of_doc(g: pa.Table) -> pa.Table:
-        d = int(g.column("doc_id")[0].as_py())
-        return pa.table(
-            {
-                "doc_id": pa.array([d], pa.int64()),
-                "grams": pa.array([g.column("g").to_pylist()], pa.list_(pa.string())),
-            }
+    # verify: attach both docs' full shingle lists via partitioned joins.
+    # List-building is bucketed (64 vectorized polars calls), not one
+    # Python call per doc.
+    def tag_doc_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(
+                pc.cast(b.column("doc_id").combine_chunks(), pa.int64()),
+                pa.scalar(63, pa.int64()),
+            ),
         )
 
-    doclists = grams.groupby("doc_id").map_groups(list_of_doc, batch_format="pyarrow")
+    def lists_of_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(g.select(["doc_id", "g"]))
+            .group_by("doc_id")
+            .agg(pl.col("g").alias("grams"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.string()))])
+        )
+
+    doclists = (
+        grams.map_batches(tag_doc_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lists_of_bucket, batch_format="pyarrow")
+    )
     j1 = hash_join(cand, doclists, key="da", right_key="doc_id").map_batches(
         lambda b: b.rename_columns(["da", "db", "grams_a"]), batch_format="pyarrow"
     )
