@@ -9738,3 +9738,97 @@ ORACLE_SQL["pivot_counts"] = """
            sum(CASE WHEN hour(ts) // 6 = 3 THEN 1 ELSE 0 END) AS q3
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_graph_features(sf_dir: str):
+    """Composed per-page graph-feature table — the whole-graph scoring
+    pass a training-data pipeline materializes once and joins everywhere
+    (quality priors, crawl seeds, spam demotion): PageRank, HITS hub +
+    authority, out-/in-degree per doc over the SAME shared link graph
+    (_link_edges, derived once per session).  The five feature sources
+    fold through ONE tagged-union groupby (each node appears at most once
+    per source, zero-filled elsewhere, so a native Sum reconstructs every
+    column) — no join chain, one shuffle."""
+    from ..stages.graph import hits, pagerank
+
+    edges = _link_edges(sf_dir)
+    pr = pagerank(edges, iters=3, damping=0.85)
+    ht = hits(edges, iters=2)
+    outdeg = edges.groupby("src").count()
+    indeg = edges.groupby("dst").count()
+
+    Z = ("pagerank", "hub", "auth", "outdeg", "indeg")
+
+    def tagged(cols_of):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            data = {"node": pc.cast(b.column(cols_of["node"]).combine_chunks(), pa.int64())}
+            for z in Z:
+                if z in cols_of:
+                    data[z] = pc.cast(b.column(cols_of[z]), pa.float64())
+                else:
+                    data[z] = pa.array(np.zeros(n), pa.float64())
+            return pa.table(data)
+
+        return f
+
+    parts = [
+        pr.map_batches(tagged({"node": "node", "pagerank": "rank"}), batch_format="pyarrow"),
+        ht.map_batches(
+            tagged({"node": "node", "hub": "hub", "auth": "auth"}), batch_format="pyarrow"
+        ),
+        outdeg.map_batches(
+            tagged({"node": "src", "outdeg": "count()"}), batch_format="pyarrow"
+        ),
+        indeg.map_batches(
+            tagged({"node": "dst", "indeg": "count()"}), batch_format="pyarrow"
+        ),
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    agg = u.groupby("node").aggregate(
+        *[Sum(z, alias_name=z) for z in Z]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("node"),
+                "pagerank": pa.array(
+                    _r(b.column("pagerank").to_numpy(), 6), pa.float64()
+                ),
+                "hub": pa.array(_r(b.column("hub").to_numpy(), 6), pa.float64()),
+                "auth": pa.array(_r(b.column("auth").to_numpy(), 6), pa.float64()),
+                "outdeg": pc.cast(pc.round(b.column("outdeg")), pa.int64()),
+                "indeg": pc.cast(pc.round(b.column("indeg")), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["graph_features"] = q_graph_features
+
+ORACLE_SQL["graph_features"] = f"""
+    WITH p AS ({_pagerank_oracle_sql()}),
+    h AS ({_hits_oracle_sql()}),
+    nodes2 AS (SELECT doc_id AS d FROM documents),
+    nn2 AS (SELECT count(*) AS n FROM documents),
+    edges2 AS (
+        SELECT d AS src, (7 * d + 1) % nn2.n AS dst FROM nodes2, nn2
+        UNION
+        SELECT d AS src, (d + 10) % nn2.n AS dst FROM nodes2, nn2
+        WHERE ((d + 10) % nn2.n) % 10 = d % 10
+    ),
+    od AS (SELECT src, count(*) AS outdeg FROM edges2 GROUP BY src),
+    idg AS (SELECT dst, count(*) AS indeg FROM edges2 GROUP BY dst)
+    SELECT p.doc_id, p.pagerank, h.hub, h.auth,
+           coalesce(od.outdeg, 0) AS outdeg,
+           coalesce(idg.indeg, 0) AS indeg
+    FROM p
+    JOIN h USING (doc_id)
+    LEFT JOIN od ON od.src = p.doc_id
+    LEFT JOIN idg ON idg.dst = p.doc_id
+    ORDER BY p.doc_id
+"""
