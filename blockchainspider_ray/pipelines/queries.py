@@ -9832,3 +9832,67 @@ ORACLE_SQL["graph_features"] = f"""
     LEFT JOIN idg ON idg.dst = p.doc_id
     ORDER BY p.doc_id
 """
+
+
+def q_chunk_texts(sf_dir: str, size: int = 32, stride: int = 24):
+    """Fixed-token chunking with overlap (the RAG / context-window prep
+    op): each doc's token stream splits into windows of ``size`` tokens
+    every ``stride`` (overlap = size - stride), the final short remainder
+    kept.  Pure per-row flat-map — no shuffle; output one row per chunk
+    with its bounds and a content fingerprint (first/last token), the
+    columns a chunk store indexes."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids, cix, starts, ns, firsts, lasts = [], [], [], [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            i, c = 0, 0
+            while True:
+                w = toks[i : i + size]
+                if not w:
+                    break
+                ids.append(d)
+                cix.append(c)
+                starts.append(i)
+                ns.append(len(w))
+                firsts.append(w[0])
+                lasts.append(w[-1])
+                if i + size >= len(toks):
+                    break
+                i += stride
+                c += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cix, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(ns, pa.int64()),
+                "first_tok": pa.array(firsts, pa.string()),
+                "last_tok": pa.array(lasts, pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+
+
+SQL_QUERIES["chunk_texts"] = q_chunk_texts
+
+ORACLE_SQL["chunk_texts"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+    ),
+    starts AS (
+        -- chunk c starts at token c*24 (0-based); the last chunk is the
+        -- first one whose window reaches the end of the doc
+        SELECT doc_id, a, c.c AS chunk_id, c.c * 24 AS start_tok
+        FROM toks, LATERAL (SELECT unnest(range(0, len(a))) AS c) c
+        WHERE c.c * 24 < len(a)
+          AND (c.c = 0 OR (c.c - 1) * 24 + 32 < len(a))
+    )
+    SELECT doc_id, chunk_id, start_tok,
+           least(32, len(a) - start_tok) AS n_tokens,
+           a[start_tok + 1] AS first_tok,
+           a[least(start_tok + 32, len(a))] AS last_tok
+    FROM starts ORDER BY doc_id, chunk_id
+"""
