@@ -9896,3 +9896,295 @@ ORACLE_SQL["chunk_texts"] = r"""
            a[least(start_tok + 32, len(a))] AS last_tok
     FROM starts ORDER BY doc_id, chunk_id
 """
+
+
+# ---------------------------------------------------------------------------
+# statistics / collocation / multi-level-aggregate primitives
+# ---------------------------------------------------------------------------
+
+def q_pmi_bigrams(sf_dir: str, k: int = 50, min_count: int = 5):
+    """Top-k word pairs by pointwise mutual information (collocation
+    mining — the phrase-detection primitive behind tokenizer phrase
+    merges and word2vec-style phrase corpora).  Two combiner
+    aggregations: unigram counts and (bigram, w1, w2) counts each reduce
+    inside every batch before their groupby moves (token, partial)
+    rows.  The finished unigram table is vocab-sized, so it broadcasts
+    via ray.put and PMI is scored inside map_batches over the bigram
+    aggregate — no join shuffle.  pmi = ln((cxy/nb) / ((cx/nu)*(cy/nu)))
+    evaluated in that exact operation order on both sides (identical
+    doubles), rounded 6dp, ties at the cut broken by bigram text."""
+    import math
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def ucount(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        n = 0
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            n += len(toks)
+            cnt.update(toks)
+        return pa.table(
+            {
+                "w": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(ucount, batch_format="pyarrow")
+        .groupby("w")
+        .sum("c")
+        .to_pandas()
+    )
+    ucnt = dict(zip(uni["w"], uni["sum(c)"]))
+    nu = int(uni["sum(c)"].sum())
+    ucnt_ref = ray.put(ucnt)
+
+    def bcount(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            cnt.update(zip(toks, toks[1:]))
+        w1, w2, c = [], [], []
+        for (a, b2), v in cnt.items():
+            w1.append(a)
+            w2.append(b2)
+            c.append(v)
+        return pa.table(
+            {
+                "bigram": pa.array([f"{a} {b2}" for a, b2 in zip(w1, w2)], pa.string()),
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    bi = (
+        docs.map_batches(bcount, batch_format="pyarrow")
+        .groupby(["bigram", "w1", "w2"])
+        .sum("c")
+    )
+    # total bigram occurrences = total tokens - one per doc (every doc has
+    # >= 1 token under _oracle_tokens, so each contributes len-1 pairs)
+    ndocs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    nb = nu - ndocs
+
+    class Score:
+        def __init__(self):
+            self.ucnt = ray.get(ucnt_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep_bg, keep_c, keep_p = [], [], []
+            for bg, a, b2, c in zip(
+                b.column("bigram").to_pylist(),
+                b.column("w1").to_pylist(),
+                b.column("w2").to_pylist(),
+                b.column("sum(c)").to_pylist(),
+            ):
+                if c < min_count:
+                    continue
+                p = math.log((c / nb) / ((self.ucnt[a] / nu) * (self.ucnt[b2] / nu)))
+                keep_bg.append(bg)
+                keep_c.append(c)
+                keep_p.append(round(p, 6))
+            return pa.table(
+                {
+                    "bigram": pa.array(keep_bg, pa.string()),
+                    "cnt": pa.array(keep_c, pa.int64()),
+                    "pmi": pa.array(keep_p, pa.float64()),
+                }
+            )
+
+    return (
+        bi.map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .sort(["pmi", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_QUERIES["pmi_bigrams"] = q_pmi_bigrams
+
+ORACLE_SQL["pmi_bigrams"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS a FROM documents
+    ),
+    uni AS (SELECT unnest(a) AS w FROM toks),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT count(*) AS n FROM uni),
+    bi AS (
+        SELECT a[i] AS w1, a[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) g
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    nb AS (SELECT count(*) AS n FROM bi)
+    SELECT bcnt.w1 || ' ' || bcnt.w2 AS bigram, bcnt.c AS cnt,
+           round(ln((bcnt.c / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))), 6) AS pmi
+    FROM bcnt, nb, nu
+    JOIN ucnt u1 ON u1.w = bcnt.w1
+    JOIN ucnt u2 ON u2.w = bcnt.w2
+    WHERE bcnt.c >= 5
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation over lineitem's numeric measures
+    (feature-diagnostics primitive: spot redundant quality signals before
+    training a filter model).  Two-pass sufficient-statistics plan — the
+    numerically stable distributed shape: pass 1 reduces each batch to
+    (n, sum_x) partials and the driver forms the means (a 4-number
+    broadcast); pass 2 reduces each batch to centered cross-products
+    sum((x-mx)*(y-my)), so the groupby-less global sum moves one 11-column
+    row per batch and no cancellation-prone raw moments (n*sxy - sx*sy)
+    are ever formed.  corr = cxy / sqrt(cxx * cyy) in the same operation
+    order as the SQL mirror, rounded 6dp."""
+    cols = _CORR_COLS
+    li = _read(sf_dir, "lineitem", columns=cols)
+
+    def sums(b: pa.Table) -> pa.Table:
+        d = {"n": pa.array([b.num_rows], pa.int64())}
+        for c in cols:
+            d[f"s_{c}"] = pa.array([pc.sum(b.column(c)).as_py()], pa.float64())
+        return pa.table(d)
+
+    tot = li.map_batches(sums, batch_format="pyarrow").sum(
+        ["n"] + [f"s_{c}" for c in cols]
+    )
+    n = tot["sum(n)"]
+    means = {c: tot[f"sum(s_{c})"] / n for c in cols}
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def centered(b: pa.Table) -> pa.Table:
+        arrs = {c: b.column(c).to_numpy() - means[c] for c in cols}
+        d = {}
+        for c in cols:
+            d[f"v_{c}"] = pa.array([float(np.sum(arrs[c] * arrs[c]))], pa.float64())
+        for a, b2 in pairs:
+            d[f"x_{a}_{b2}"] = pa.array([float(np.sum(arrs[a] * arrs[b2]))], pa.float64())
+        return pa.table(d)
+
+    cs = li.map_batches(centered, batch_format="pyarrow").sum(
+        [f"v_{c}" for c in cols] + [f"x_{a}_{b2}" for a, b2 in pairs]
+    )
+    import math
+
+    rows = []
+    for a, b2 in pairs:
+        cxy = cs[f"sum(x_{a}_{b2})"]
+        corr = cxy / math.sqrt(cs[f"sum(v_{a})"] * cs[f"sum(v_{b2})"])
+        rows.append({"col_x": a, "col_y": b2, "corr": round(corr, 6)})
+    out = pd.DataFrame(rows).sort_values(["col_x", "col_y"]).reset_index(drop=True)
+    return out
+
+
+SQL_QUERIES["corr_matrix"] = q_corr_matrix
+
+ORACLE_SQL["corr_matrix"] = r"""
+    WITH m AS (
+        SELECT sum(l_quantity) / count(*) AS mq,
+               sum(l_extendedprice) / count(*) AS me,
+               sum(l_discount) / count(*) AS md,
+               sum(l_tax) / count(*) AS mt
+        FROM lineitem
+    ),
+    c AS (
+        SELECT
+            sum((l_quantity - mq) * (l_quantity - mq)) AS vq,
+            sum((l_extendedprice - me) * (l_extendedprice - me)) AS ve,
+            sum((l_discount - md) * (l_discount - md)) AS vd,
+            sum((l_tax - mt) * (l_tax - mt)) AS vt,
+            sum((l_quantity - mq) * (l_extendedprice - me)) AS xqe,
+            sum((l_quantity - mq) * (l_discount - md)) AS xqd,
+            sum((l_quantity - mq) * (l_tax - mt)) AS xqt,
+            sum((l_extendedprice - me) * (l_discount - md)) AS xed,
+            sum((l_extendedprice - me) * (l_tax - mt)) AS xet,
+            sum((l_discount - md) * (l_tax - mt)) AS xdt
+        FROM lineitem, m
+    )
+    SELECT * FROM (
+        SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+               round(xqe / sqrt(vq * ve), 6) AS corr FROM c
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount', round(xqd / sqrt(vq * vd), 6) FROM c
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax', round(xqt / sqrt(vq * vt), 6) FROM c
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount', round(xed / sqrt(ve * vd), 6) FROM c
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax', round(xet / sqrt(ve * vt), 6) FROM c
+        UNION ALL
+        SELECT 'l_discount', 'l_tax', round(xdt / sqrt(vd * vt), 6) FROM c
+    ) ORDER BY col_x, col_y
+"""
+
+
+def q_rollup_agg(sf_dir: str):
+    """Multi-level subtotal aggregate — GROUP BY ROLLUP(l_returnflag,
+    l_linestatus) — the reporting shape behind per-host / per-lang /
+    grand-total corpus dashboards.  Distributed plan: ONE shuffle computes
+    the finest (flag, status) aggregate (a handful of rows); the coarser
+    rollup levels are derived from that finished aggregate driver-side,
+    which is the correct plan at any scale because the finest level is
+    already group-cardinality-sized.  l_quantity is integer-valued so the
+    re-summed subtotals are float-exact; sums rounded 2dp."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(), Sum("l_quantity"))
+        .to_pandas()
+        .rename(columns={"count()": "cnt", "sum(l_quantity)": "qty"})
+    )
+    rows = [
+        {
+            "returnflag": r.l_returnflag,
+            "linestatus": r.l_linestatus,
+            "cnt": int(r.cnt),
+            "sum_qty": round(r.qty, 2),
+        }
+        for r in fine.itertuples()
+    ]
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
+        cnt=("cnt", "sum"), qty=("qty", "sum")
+    )
+    rows += [
+        {
+            "returnflag": r.l_returnflag,
+            "linestatus": "ALL",
+            "cnt": int(r.cnt),
+            "sum_qty": round(r.qty, 2),
+        }
+        for r in by_flag.itertuples()
+    ]
+    rows.append(
+        {
+            "returnflag": "ALL",
+            "linestatus": "ALL",
+            "cnt": int(fine["cnt"].sum()),
+            "sum_qty": round(fine["qty"].sum(), 2),
+        }
+    )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["returnflag", "linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["rollup_agg"] = q_rollup_agg
+
+ORACLE_SQL["rollup_agg"] = r"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+"""
