@@ -10188,3 +10188,154 @@ ORACLE_SQL["rollup_agg"] = r"""
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# collapsed-graph / crawl-prioritization analytics
+# ---------------------------------------------------------------------------
+
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank: collapse the crawl store's page link graph to
+    its host graph (parallel page edges become one weighted edge) and run
+    weighted power iteration — the domain-authority prior a crawler uses
+    for frontier seeding and per-host quality weighting.  The collapse is
+    one distributed groupby over (src_host, dst_host) pairs; the rank pass
+    is stages/graph.py pagerank_weighted (tagged-union bucket message
+    pass, contribution = 0.85 * rank * w / wout in SQL-mirrorable
+    operation order).  Store pages live on hosts site{d % 10}.example, so
+    host ids are page_id % 10 on both sides."""
+    from ..stages.graph import pagerank_weighted
+
+    def collapse(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(b.column("src").to_numpy() % 10, pa.int64()),
+                "dst": pa.array(b.column("dst").to_numpy() % 10, pa.int64()),
+            }
+        )
+
+    hedges = (
+        _link_edges(sf_dir)
+        .map_batches(collapse, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["src", "dst", "weight"]),
+            batch_format="pyarrow",
+        )
+    )
+    ranks = pagerank_weighted(hedges, iters=3, damping=0.85).sort("node").to_pandas()
+    ranks = ranks.rename(columns={"node": "host", "rank": "pagerank"})
+    ranks["pagerank"] = _r(ranks["pagerank"].to_numpy(), 6)
+    return ranks
+
+
+def _host_pagerank_oracle_sql(iters: int = 3) -> str:
+    """Unrolled weighted power iteration over the host-collapsed
+    arithmetic link graph (same page-edge definition as the pagerank
+    oracle, grouped by endpoint % 10 with multiplicity weights)."""
+    it = "\n".join(
+        f"""        r{k + 1} AS (
+            SELECT hosts.h AS node, 0.15 / hn.n + coalesce(c.s, 0) AS rank
+            FROM hosts CROSS JOIN hn LEFT JOIN (
+                SELECT e.dst, sum(0.85 * p.rank * e.w / dg.wout) AS s
+                FROM edges e JOIN r{k} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst) c ON c.dst = hosts.h
+        ),"""
+        for k in range(iters)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id AS d FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        pedges AS (
+            SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM docs, nn
+            UNION
+            SELECT d AS src, (d + 10) % nn.n AS dst FROM docs, nn
+            WHERE ((d + 10) % nn.n) % 10 = d % 10
+        ),
+        edges AS (
+            SELECT src % 10 AS src, dst % 10 AS dst, count(*) AS w
+            FROM pedges GROUP BY src % 10, dst % 10
+        ),
+        hosts AS (
+            SELECT DISTINCT h FROM (
+                SELECT src AS h FROM edges UNION ALL SELECT dst FROM edges
+            )
+        ),
+        hn AS (SELECT count(*) AS n FROM hosts),
+        deg AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+        r0 AS (SELECT h AS node, 1.0 / hn.n AS rank FROM hosts, hn),
+{it}
+        fin AS (SELECT * FROM r{iters})
+        SELECT node AS host, round(rank, 6) AS pagerank
+        FROM fin ORDER BY node
+    """
+
+
+SQL_QUERIES["host_pagerank"] = q_host_pagerank
+ORACLE_SQL["host_pagerank"] = _host_pagerank_oracle_sql()
+
+
+def q_opic_priority(sf_dir: str):
+    """OPIC crawl prioritization (Abiteboul et al., WWW 2003 — "Adaptive
+    On-Line Page Importance Computation"): the frontier-ordering signal a
+    crawler can maintain INCREMENTALLY while crawling, unlike full
+    PageRank.  Each page carries cash (recent flow) and history
+    (accumulated importance); per synchronous round every page banks its
+    cash and spreads it uniformly over its out-links.  3 batch rounds via
+    stages/graph.py opic (bucketed message pass + one tagged-union state
+    fold per round; only scalar rows shuffle).  The store graph is
+    dangling-free (every page links to 7d+1), in-degree <= 2, so the fold
+    sums are order-exact against the unrolled SQL mirror."""
+    from ..stages.graph import opic
+
+    st = opic(_link_edges(sf_dir), iters=3).sort("node").to_pandas()
+    st = st.rename(columns={"node": "doc_id"})
+    st["cash"] = _r(st["cash"].to_numpy(), 6)
+    st["history"] = _r(st["history"].to_numpy(), 6)
+    return st[["doc_id", "cash", "history"]]
+
+
+def _opic_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous OPIC over the arithmetic link graph: cash
+    spread c{k+1} = sum_in(c{k}/outdeg), history h{k+1} = h{k} + c{k}."""
+    it = "\n".join(
+        f"""        c{k + 1} AS (
+            SELECT docs.d AS node, coalesce(s.s, 0) AS cash
+            FROM docs LEFT JOIN (
+                SELECT e.dst, sum(p.cash / dg.outdeg) AS s
+                FROM edges e JOIN c{k} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst) s ON s.dst = docs.d
+        ),
+        h{k + 1} AS (
+            SELECT h{k}.node, h{k}.h + c{k}.cash AS h
+            FROM h{k} JOIN c{k} ON c{k}.node = h{k}.node
+        ),"""
+        for k in range(iters)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id AS d FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM docs, nn
+            UNION
+            SELECT d AS src, (d + 10) % nn.n AS dst FROM docs, nn
+            WHERE ((d + 10) % nn.n) % 10 = d % 10
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        c0 AS (SELECT d AS node, 1.0 / nn.n AS cash FROM docs, nn),
+        h0 AS (SELECT d AS node, 0.0 AS h FROM docs),
+{it}
+        fin AS (
+            SELECT c{iters}.node, c{iters}.cash, h{iters}.h
+            FROM c{iters} JOIN h{iters} ON h{iters}.node = c{iters}.node
+        )
+        SELECT node AS doc_id, round(cash, 6) AS cash, round(h, 6) AS history
+        FROM fin ORDER BY node
+    """
+
+
+SQL_QUERIES["opic_priority"] = q_opic_priority
+ORACLE_SQL["opic_priority"] = _opic_oracle_sql()

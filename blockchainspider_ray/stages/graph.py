@@ -480,3 +480,266 @@ def coreness(edges, iters: int = 6):
         lambda b: pa.table({"node": b.column("node"), "core": b.column("c")}),
         batch_format="pyarrow",
     )
+
+
+def pagerank_weighted(edges, iters: int = 3, damping: float = 0.85):
+    """Power-iteration PageRank over a weighted ``(src, dst, weight)``
+    edge Dataset — the collapsed-graph form (host graph, domain graph):
+    after a groupby collapse, parallel page edges become one edge with a
+    multiplicity weight, and each node spreads rank proportionally to
+    edge weight instead of uniformly.
+
+    Same dataflow as :func:`pagerank` (tagged-union bucket groupby, one
+    vectorized polars join per bucket, scalar-pair shuffle rows); the
+    per-edge contribution is ``damping * rank * w / wout`` evaluated
+    left-associatively so an SQL mirror computes identical doubles.
+    Nodes with zero outgoing weight fold through the dangling sentinel
+    exactly as in the unweighted form.  Ranks sum to 1.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    nodes = _distinct_nodes(edges)
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column("rank", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+
+    ranks = nodes.map_batches(
+        lambda b, _n=n: pa.table(
+            {
+                "node": b.column("node"),
+                "rank": pa.array([1.0 / _n] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def as_rank_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("node").combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "b": _bucket_col(key),
+                "key": key,
+                "dst": pa.nulls(b.num_rows, pa.int64()),
+                "w": pa.nulls(b.num_rows, pa.float64()),
+                "rank": b.column("rank"),
+            }
+        )
+
+    def as_edge_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("src").combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "b": _bucket_col(key),
+                "key": key,
+                "dst": pc.cast(b.column("dst").combine_chunks(), pa.int64()),
+                "w": pc.cast(b.column("weight").combine_chunks(), pa.float64()),
+                "rank": pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def spread_bucket(g: pa.Table, _damping=damping) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "dst", "w", "rank"]))
+        ranks_b = df.filter(pl.col("rank").is_not_null()).select("key", "rank")
+        edges_b = df.filter(pl.col("rank").is_null()).select("key", "dst", "w")
+        deg = edges_b.group_by("key").agg(pl.col("w").sum().alias("wout"))
+        r = ranks_b.join(deg, on="key", how="left").with_columns(
+            pl.col("wout").fill_null(0.0)
+        )
+        j = edges_b.join(r.filter(pl.col("wout") > 0), on="key", how="inner").select(
+            pl.col("dst").alias("node"),
+            (pl.lit(_damping) * pl.col("rank") * pl.col("w") / pl.col("wout")).alias(
+                "val"
+            ),
+        )
+        zero = ranks_b.select(
+            pl.col("key").alias("node"), pl.lit(0.0, dtype=pl.Float64).alias("val")
+        )
+        dang = r.filter(pl.col("wout") == 0).select(
+            pl.lit(_DANGLING_KEY, dtype=pl.Int64).alias("node"),
+            pl.col("rank").alias("val"),
+        )
+        out = pl.concat([j, zero, dang]).group_by("node").agg(pl.col("val").sum())
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("val", pa.float64())])
+        )
+
+    for _ in range(iters):
+        sums = (
+            ranks.map_batches(as_rank_msgs, batch_format="pyarrow")
+            .union(edges.map_batches(as_edge_msgs, batch_format="pyarrow"))
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
+            .groupby("node")
+            .sum("val")
+            .map_batches(
+                lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
+            )
+            .repartition(_STATE_BLOCKS)
+            .materialize()
+        )
+        dangling = (
+            sums.filter(expr=f"node == {_DANGLING_KEY}").aggregate(Sum("val"))["sum(val)"]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        folded = sums.filter(expr=f"node != {_DANGLING_KEY}")
+
+        def fold(b: pa.Table, _base=base) -> pa.Table:
+            return pa.table(
+                {"node": b.column("node"), "rank": pc.add(b.column("val"), _base)}
+            )
+
+        ranks = folded.map_batches(fold, batch_format="pyarrow")
+    return ranks
+
+
+def opic(edges, iters: int = 3):
+    """On-line Page Importance Computation (Abiteboul/Preda/Cobena, WWW
+    2003) — the crawl-frontier prioritizer that estimates page importance
+    WHILE crawling, without waiting for a full PageRank convergence: each
+    node carries ``cash`` (recent importance flow) and ``history``
+    (accumulated importance).  Synchronous batch rounds: every node banks
+    its cash into history and spreads it equally over its out-edges;
+    dangling cash is redistributed uniformly (the virtual-root edge of the
+    paper).
+
+    Two tagged-union groupbys per round over scalar-pair rows: the cash
+    spread reuses :func:`pagerank`'s bucket message pass (damping 1.0, no
+    base term), and the state fold merges (cash_in, hist_carry) rows by
+    node.  Returns ``(node, cash, history)``; cash sums to 1 every round
+    and history grows by 1 per round.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()
+    nodes = _distinct_nodes(edges)
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "cash": pa.array([], pa.float64()),
+                    "history": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    state = nodes.map_batches(
+        lambda b, _n=n: pa.table(
+            {
+                "node": b.column("node"),
+                "cash": pa.array([1.0 / _n] * b.num_rows, pa.float64()),
+                "history": pa.array([0.0] * b.num_rows, pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def as_cash_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("node").combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "b": _bucket_col(key),
+                "key": key,
+                "dst": pa.nulls(b.num_rows, pa.int64()),
+                "rank": b.column("cash"),
+            }
+        )
+
+    def as_edge_msgs(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("src").combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "b": _bucket_col(key),
+                "key": key,
+                "dst": pc.cast(b.column("dst").combine_chunks(), pa.int64()),
+                "rank": pa.nulls(b.num_rows, pa.float64()),
+            }
+        )
+
+    def spread_bucket(g: pa.Table) -> pa.Table:
+        """Identical to pagerank's spread with damping 1.0: cash/outdeg per
+        out-edge, zero self-rows, dangling cash to the sentinel."""
+        import polars as pl
+
+        df = pl.from_arrow(g.select(["key", "dst", "rank"]))
+        cash_b = df.filter(pl.col("rank").is_not_null()).select("key", "rank")
+        edges_b = df.filter(pl.col("rank").is_null()).select("key", "dst")
+        deg = edges_b.group_by("key").agg(pl.len().alias("k"))
+        r = cash_b.join(deg, on="key", how="left").with_columns(pl.col("k").fill_null(0))
+        j = edges_b.join(r.filter(pl.col("k") > 0), on="key", how="inner").select(
+            pl.col("dst").alias("node"),
+            (pl.col("rank") / pl.col("k")).alias("val"),
+        )
+        zero = cash_b.select(
+            pl.col("key").alias("node"), pl.lit(0.0, dtype=pl.Float64).alias("val")
+        )
+        dang = r.filter(pl.col("k") == 0).select(
+            pl.lit(_DANGLING_KEY, dtype=pl.Int64).alias("node"),
+            pl.col("rank").alias("val"),
+        )
+        out = pl.concat([j, zero, dang]).group_by("node").agg(pl.col("val").sum())
+        return out.to_arrow().cast(
+            pa.schema([("node", pa.int64()), ("val", pa.float64())])
+        )
+
+    for _ in range(iters):
+        sums = (
+            state.select_columns(["node", "cash"])
+            .map_batches(as_cash_msgs, batch_format="pyarrow")
+            .union(edges.map_batches(as_edge_msgs, batch_format="pyarrow"))
+            .groupby("b")
+            .map_groups(spread_bucket, batch_format="pyarrow")
+            .groupby("node")
+            .sum("val")
+            .map_batches(
+                lambda b: b.rename_columns(["node", "val"]), batch_format="pyarrow"
+            )
+            .repartition(_STATE_BLOCKS)
+            .materialize()
+        )
+        dangling = (
+            sums.filter(expr=f"node == {_DANGLING_KEY}").aggregate(Sum("val"))["sum(val)"]
+            or 0.0
+        )
+        share = dangling / n
+        incoming = sums.filter(expr=f"node != {_DANGLING_KEY}")
+
+        # state fold: new cash = incoming (+ uniform dangling share),
+        # history = old history + old cash — a tagged union so both merge
+        # in one native groupby over (node, cash_in, hist_carry) rows
+        def cash_rows(b: pa.Table, _share=share) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "cash": pc.add(b.column("val"), _share),
+                    "history": pa.array([0.0] * b.num_rows, pa.float64()),
+                }
+            )
+
+        def hist_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "cash": pa.array([0.0] * b.num_rows, pa.float64()),
+                    "history": pc.add(b.column("history"), b.column("cash")),
+                }
+            )
+
+        state = (
+            incoming.map_batches(cash_rows, batch_format="pyarrow")
+            .union(state.map_batches(hist_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("cash", alias_name="cash"), Sum("history", alias_name="history"))
+            .repartition(_STATE_BLOCKS)
+            .materialize()
+        )
+    return state

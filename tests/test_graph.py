@@ -203,3 +203,84 @@ def test_hist_quantiles_bracket_exact():
             f"SELECT quantile_cont(n_chars, {q}) FROM read_parquet('{sf}/documents.parquet')"
         ).fetchone()[0]
         assert abs(est - exact) <= width + 1e-9
+
+
+def test_pagerank_weighted_matches_dense_reference(ray_session):
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.graph import pagerank_weighted
+
+    # weighted digraph with one zero-out-weight (dangling) node 3
+    edge_list = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 5.0), (2, 3, 1.0)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _, _ in edge_list], pa.int64()),
+                "dst": pa.array([b for _, b, _ in edge_list], pa.int64()),
+                "weight": pa.array([w for _, _, w in edge_list], pa.float64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_weighted(edges, iters=4, damping=0.85).take_all()
+    }
+
+    nodes = [0, 1, 2, 3]
+    wout = {0: 4.0, 1: 2.0, 2: 6.0, 3: 0.0}
+    r = {n: 0.25 for n in nodes}
+    for _ in range(4):
+        nxt = {n: 0.0 for n in nodes}
+        dangling = 0.0
+        for a, b, w in edge_list:
+            nxt[b] += 0.85 * r[a] * w / wout[a]
+        dangling = r[3]
+        r = {n: nxt[n] + 0.15 / 4 + 0.85 * dangling / 4 for n in nodes}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - r[n]) < 1e-12, (n, got[n], r[n])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_opic_invariants_and_dense_reference(ray_session):
+    import ray.data as rd
+
+    from blockchainspider_ray.stages.graph import opic
+
+    # includes a dangling node (3) whose cash redistributes uniformly
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edge_list], pa.int64()),
+                "dst": pa.array([b for _, b in edge_list], pa.int64()),
+            }
+        )
+    )
+    iters = 3
+    rows = opic(edges, iters=iters).take_all()
+    got = {r["node"]: (r["cash"], r["history"]) for r in rows}
+
+    nodes = [0, 1, 2, 3]
+    out = {0: [1, 2], 1: [2], 2: [3], 3: []}
+    cash = {n: 0.25 for n in nodes}
+    hist = {n: 0.0 for n in nodes}
+    for _ in range(iters):
+        nxt = {n: 0.0 for n in nodes}
+        dangling = 0.0
+        for a in nodes:
+            if out[a]:
+                for b in out[a]:
+                    nxt[b] += cash[a] / len(out[a])
+            else:
+                dangling += cash[a]
+        hist = {n: hist[n] + cash[n] for n in nodes}
+        cash = {n: nxt[n] + dangling / len(nodes) for n in nodes}
+
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n][0] - cash[n]) < 1e-12, ("cash", n)
+        assert abs(got[n][1] - hist[n]) < 1e-12, ("hist", n)
+    # cash stays a unit of flow; history banks exactly 1 per round
+    assert abs(sum(v for v, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - float(iters)) < 1e-9
