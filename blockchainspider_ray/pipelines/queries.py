@@ -10339,3 +10339,370 @@ def _opic_oracle_sql(iters: int = 3) -> str:
 
 SQL_QUERIES["opic_priority"] = q_opic_priority
 ORACLE_SQL["opic_priority"] = _opic_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# model-eval / data-mixing / curriculum primitives
+# ---------------------------------------------------------------------------
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix — the classifier-evaluation shape
+    (predicted lang vs labelled lang, cell counts).  Pure combiner plan:
+    each batch predicts with the same n-gram heuristic the ``langid``
+    query pins and reduces to its own (lang, lang_pred, n) cells, so the
+    groupby moves O(langs^2) rows per batch, never documents.  The SQL
+    mirror nests the full-value langid oracle as a CTE — both sides'
+    predictions come from independently-implemented identical rules."""
+    from ..stages.textstats import predict_lang
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        preds = pa.array(
+            [predict_lang(t) for t in b.column("text").to_pylist()], pa.string()
+        )
+        t = pa.table({"lang": b.column("lang"), "lang_pred": preds})
+        return t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+
+    agg = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .sum("count_all")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["lang", "lang_pred", "cnt"]),
+        batch_format="pyarrow",
+    ).sort(["lang", "lang_pred"])
+
+
+SQL_QUERIES["langid_confusion"] = q_langid_confusion
+
+
+def q_hard_negatives(sf_dir: str, n_queries: int = 10, k: int = 3):
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT label
+    (the negatives that sit closest to the decision boundary).  Same
+    distributed shape as ann_bruteforce — broadcast query matrix via
+    ray.put, per-batch numpy matmul with a label-mismatch mask, per-batch
+    partial top-k so only k rows per (query, block) reach the driver-side
+    tail merge."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    queries = emb.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = queries["vec_id"].to_numpy()
+    q_labels = queries["label"].to_numpy()
+    q_mat = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, q_labels, q_mat))
+
+    def score(b: pa.Table, _ref=q_ref) -> pa.Table:
+        q_ids, q_labels, q = ray.get(_ref)
+        ids = b.column("vec_id").to_numpy()
+        labels = b.column("label").to_numpy()
+        m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ q.T
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi, (qid, qlab) in enumerate(zip(q_ids, q_labels)):
+            col = sims[:, qi]
+            cand = np.flatnonzero(labels != qlab)
+            if len(cand) > k:
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                cand = cand[order]
+            for ni in cand:
+                out_q.append(int(qid))
+                out_n.append(int(ids[ni]))
+                out_l.append(int(labels[ni]))
+                out_s.append(float(col[ni]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    df = emb.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    top = df.groupby("query_id").head(k).reset_index(drop=True)
+    top["sim"] = top["sim"].round(4)
+    return top[["query_id", "neighbor_id", "label", "sim"]]
+
+
+SQL_QUERIES["hard_negatives"] = q_hard_negatives
+
+ORACLE_SQL["hard_negatives"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q CROSS JOIN embeddings e
+        WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label,
+           round(sim, 4) AS sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= 3
+    ORDER BY query_id, sim DESC, neighbor_id
+"""
+
+
+def q_rare_category_merge(sf_dir: str, min_support: int = 5):
+    """Tail-category coalescing (the feature-engineering rule that folds
+    long-tail categories into 'other' before training): (source, lang)
+    cells below ``min_support`` docs merge into 'other'.  Two tiny
+    aggregates: the cell-count table is category-cardinality-sized, so
+    the merge verdict and re-aggregation happen on the finished aggregate
+    — the correct plan at any corpus size."""
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+
+    agg = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "cnt"})
+    )
+    cat = np.where(
+        agg["cnt"] >= min_support, agg["source"] + "/" + agg["lang"], "other"
+    )
+    out = (
+        pd.DataFrame({"category": cat, "cnt": agg["cnt"]})
+        .groupby("category", as_index=False)["cnt"]
+        .sum()
+        .sort_values("category")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+SQL_QUERIES["rare_category_merge"] = q_rare_category_merge
+
+ORACLE_SQL["rare_category_merge"] = """
+    WITH cells AS (
+        SELECT source, lang, count(*) AS cnt
+        FROM documents GROUP BY source, lang
+    )
+    SELECT CASE WHEN cnt >= 5 THEN source || '/' || lang ELSE 'other' END
+               AS category,
+           CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1 ORDER BY category
+"""
+
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum ordering for training: docs ranked easiest-first by a
+    quality proxy (n_chars asc), split into 10 deciles, then SHUFFLED
+    within each decile by a seeded md5 key — the 'sort by difficulty,
+    randomize within stage' curriculum-learning recipe.  The global rank
+    is distributed exactly like shuffle_rank: an order-preserving 256-way
+    range bucket on n_chars (pass 1 reduces per-bucket counts so the
+    driver computes exclusive offsets; pass 2 argsorts inside each
+    bucket), and the within-decile position is one more
+    groupby(decile).map_groups argsort over md5 keys."""
+    from ray.data.aggregate import Max, Min
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    mm = docs.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    span = max(1, hi - lo + 1)
+    n = docs.count()
+
+    def keyed(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "bkt": pa.array((nc - lo) * 256 // span, pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = keyed_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    offsets = dict(
+        zip(
+            bc["bkt"].astype(int),
+            bc["count()"].cumsum().shift(1, fill_value=0).astype(int),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def rank(b: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = b.to_pandas().sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        base = off[int(df["bkt"].iloc[0])]
+        r = base + np.arange(len(df), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "decile": pa.array(r * 10 // n, pa.int64()),
+            }
+        )
+
+    ranked = keyed_ds.groupby("bkt").map_groups(rank, batch_format="pyarrow")
+
+    def shuffle_key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return b.append_column(
+            "k", pa.array([hashlib.md5(str(d).encode()).hexdigest() for d in ids])
+        )
+
+    def pos_in_decile(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["k", "doc_id"]).reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "decile": pa.array(df["decile"].to_numpy(), pa.int64()),
+                "pos": pa.array(np.arange(len(df), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(shuffle_key, batch_format="pyarrow")
+        .groupby("decile")
+        .map_groups(pos_in_decile, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_QUERIES["curriculum_order"] = q_curriculum_order
+
+ORACLE_SQL["curriculum_order"] = """
+    WITH ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r
+        FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    dec AS (SELECT doc_id, (r * 10) // nn.n AS decile FROM ranked, nn),
+    keyed AS (
+        SELECT doc_id, decile, md5(CAST(doc_id AS VARCHAR)) AS k FROM dec
+    )
+    SELECT doc_id, decile,
+           row_number() OVER (PARTITION BY decile ORDER BY k, doc_id) - 1 AS pos
+    FROM keyed ORDER BY doc_id
+"""
+
+
+def q_mix_temperature(sf_dir: str, alpha: float = 0.5, total: int = 200):
+    """Temperature-scaled source mixing (the multilingual-pretraining
+    sampling rule: p_s proportional to n_s^alpha flattens the source
+    distribution): each source's quota is floor(total * p_s), filled with
+    the quota docs holding the smallest (md5(doc_id), doc_id) keys —
+    deterministic, seedless, partitioning-independent.  The source-count
+    table is category-sized (driver math for the quotas); the selection
+    itself is the host_cap combiner shape: every batch pre-reduces to at
+    most quota rows per source it contains, so the groupby moves
+    O(quota x sources) rows."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return b.group_by("source").aggregate([([], "count_all")])
+
+    counts = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "n"})
+        .sort_values("source")
+    )
+    # integer-exact quota math (identical on both sides, no float-sum
+    # order sensitivity at the floor boundary): w_s = floor(n_s^alpha *
+    # 1e6) as an int, z = sum(w), quota_s = (total * w_s) // z
+    import math
+
+    w = {
+        s: int(math.floor(float(nv) ** alpha * 1_000_000))
+        for s, nv in zip(counts["source"], counts["n"])
+    }
+    z = sum(w.values())
+    quota = {s: (total * wv) // z for s, wv in w.items()}
+    quota_ref = ray.put(quota)
+
+    def pick(df: pd.DataFrame, q: dict) -> pd.DataFrame:
+        df = df.copy()
+        df["k"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+        df = df.sort_values(["k", "doc_id"])
+        rn = df.groupby("source").cumcount()
+        lim = df["source"].map(lambda s: q.get(s, 0)).to_numpy()
+        return df[rn.to_numpy() < lim]
+
+    def cap_batch(b: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        kept = pick(b.to_pandas(), q)
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(kept["source"], pa.string()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        kept = pick(g.to_pandas(), q)
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(kept["source"], pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(cap_batch, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_QUERIES["mix_temperature"] = q_mix_temperature
+
+ORACLE_SQL["mix_temperature"] = """
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (
+        SELECT source,
+               CAST(floor(power(n, 0.5) * 1000000) AS BIGINT) AS wv
+        FROM counts
+    ),
+    tot AS (SELECT sum(wv) AS z FROM w),
+    quota AS (
+        SELECT source, (200 * wv) // tot.z AS q FROM w, tot
+    ),
+    keyed AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS k FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rn <= quota.q
+    ORDER BY r.doc_id
+"""
+
+
+# the confusion mirror nests the full-value langid oracle as a CTE so both
+# sides' predictions come from the complete (independently implemented)
+# rule set
+ORACLE_SQL["langid_confusion"] = (
+    "WITH pred AS (" + ORACLE_SQL["langid"] + """)
+    SELECT d.lang, p.lang_pred, count(*) AS cnt
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY d.lang, p.lang_pred
+"""
+)
