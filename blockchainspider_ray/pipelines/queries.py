@@ -10706,3 +10706,135 @@ ORACLE_SQL["langid_confusion"] = (
     ORDER BY d.lang, p.lang_pred
 """
 )
+
+
+def q_tpch_q18(sf_dir: str, threshold: float = 200.0, k: int = 100):
+    """TPC-H Q18 (large-volume customers): orders whose line quantities sum
+    past a threshold, joined back to customer, top-k by order value.  The
+    scale-correct plan: pass 1 is a combiner groupby (each batch pre-sums
+    its own l_orderkey quantities, the shuffle moves partials); the HAVING
+    survivors are threshold-rare by construction, so they broadcast via
+    ray.put as an isin filter over orders (semi-join, no shuffle), and the
+    customer side is filtered to the survivors' custkeys before a
+    driver-side merge of two already-tiny tables."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+
+    hot = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("l_quantity_sum")
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "sum_qty"]),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"sum_qty > {threshold}")
+        .to_pandas()
+    )
+    qty = dict(zip(hot["l_orderkey"].astype(int), hot["sum_qty"]))
+    qty_ref = ray.put(qty)
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        q = ray.get(qty_ref)
+        mask = pc.is_in(
+            b.column("o_orderkey"), pa.array(list(q.keys()), pa.int64())
+        )
+        return b.filter(mask)
+
+    ords = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(pick_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    custkeys = set(ords["o_custkey"].astype(int))
+    ck_arr = pa.array(sorted(custkeys), pa.int64())
+
+    def pick_cust(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("c_custkey"), ck_arr))
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick_cust, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ords.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["o_orderkey"].map(qty).round(2)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+    ).head(k)
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+SQL_QUERIES["tpch_q18"] = q_tpch_q18
+
+ORACLE_SQL["tpch_q18"] = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+
+def q_ngram_hash_features(sf_dir: str, dim: int = 64):
+    """fastText-style hashed unigram featurization: every doc becomes a
+    ``dim``-bucket sparse count vector (bucket = md5_low64(token) % dim),
+    emitted long-form (doc_id, bucket, cnt) — the input shape for training
+    linear quality/lang classifiers over web text.  Embarrassingly
+    parallel: each row is a whole doc, so per-doc counts finish inside the
+    batch and NO shuffle happens at any corpus size; the token hash is the
+    version-stable md5 low half, recomputable in SQL as
+    md5_number_lower."""
+    from collections import Counter
+
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        ids, buckets, cnts = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            cnt = Counter(_stable_h64(w) % dim for w in _oracle_tokens(t))
+            for bk in sorted(cnt):
+                ids.append(d)
+                buckets.append(bk)
+                cnts.append(cnt[bk])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow").sort(["doc_id", "bucket"])
+
+
+SQL_QUERIES["ngram_hash_features"] = q_ngram_hash_features
+
+ORACLE_SQL["ngram_hash_features"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    )
+    SELECT doc_id, CAST(md5_number_lower(w) % 64 AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM toks GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+"""
