@@ -10838,3 +10838,207 @@ ORACLE_SQL["ngram_hash_features"] = r"""
     FROM toks GROUP BY doc_id, bucket
     ORDER BY doc_id, bucket
 """
+
+
+def q_group_percentiles(sf_dir: str):
+    """Per-group percentile rank (quantile normalization within language:
+    the per-lang difficulty/quality percentile a curriculum or filter
+    compares across languages).  Distributed exactly like
+    curriculum_order's global rank, but keyed per (lang, range-bucket):
+    pass 1 reduces per-key counts so the driver computes per-lang
+    exclusive offsets and totals; pass 2 finishes with an in-bucket
+    argsort.  pct = rank / (n_lang - 1) like SQL percent_rank, rounded
+    6dp."""
+    from ray.data.aggregate import Max, Min
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    mm = docs.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    span = max(1, hi - lo + 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "n_chars": b.column("n_chars"),
+                "bkt": pa.array((nc - lo) * 64 // span, pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = (
+        keyed_ds.groupby(["lang", "bkt"])
+        .count()
+        .to_pandas()
+        .sort_values(["lang", "bkt"])
+    )
+    bc["offset"] = bc.groupby("lang")["count()"].cumsum() - bc["count()"]
+    offsets = {
+        (l, int(b)): int(o) for l, b, o in zip(bc["lang"], bc["bkt"], bc["offset"])
+    }
+    totals = bc.groupby("lang")["count()"].sum().astype(int).to_dict()
+    meta_ref = ray.put((offsets, totals))
+
+    def rank(g: pa.Table) -> pa.Table:
+        offs, tots = ray.get(meta_ref)
+        df = g.to_pandas().sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        lang = df["lang"].iloc[0]
+        base = offs[(lang, int(df["bkt"].iloc[0]))]
+        n = tots[lang]
+        r = base + np.arange(len(df), dtype=np.int64)
+        pct = np.round(r / (n - 1), 6) if n > 1 else np.zeros(len(df))
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "pct": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return (
+        keyed_ds.groupby(["lang", "bkt"])
+        .map_groups(rank, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_QUERIES["group_percentiles"] = q_group_percentiles
+
+ORACLE_SQL["group_percentiles"] = """
+    SELECT doc_id, lang,
+           round(percent_rank() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id), 6) AS pct
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_dist_divergence(sf_dir: str):
+    """Per-source distribution drift: KL(source's lang mix || corpus lang
+    mix) — the mixture-monitoring signal that flags a web source whose
+    language balance departed from the corpus (crawl rot, spam floods).
+    One combiner groupby builds the (source, lang) cell table; the KL
+    fold runs on that category-sized aggregate.  Both sides sum
+    p*ln(p/q) over the lang list in lang order, rounded 6dp."""
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        return b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+
+    agg = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "n"})
+    )
+    import math
+
+    total = int(agg["n"].sum())
+    corpus = agg.groupby("lang")["n"].sum().astype(int).to_dict()
+    rows = []
+    for source, g in agg.groupby("source"):
+        ns = int(g["n"].sum())
+        kl = 0.0
+        # lang-order fold so the SQL mirror's ordered sum is bit-identical
+        for lang in sorted(g["lang"]):
+            c = int(g.loc[g["lang"] == lang, "n"].iloc[0])
+            p = c / ns
+            q = corpus[lang] / total
+            kl += p * math.log(p / q)
+        rows.append({"source": source, "kl": round(kl, 6)})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+SQL_QUERIES["dist_divergence"] = q_dist_divergence
+
+ORACLE_SQL["dist_divergence"] = """
+    WITH cells AS (
+        SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+    ),
+    src AS (SELECT source, sum(c) AS ns FROM cells GROUP BY source),
+    corpus AS (SELECT lang, sum(c) AS cq FROM cells GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM documents),
+    terms AS (
+        SELECT cells.source, cells.lang,
+               (cells.c / src.ns) * ln((cells.c / src.ns) / (corpus.cq / tot.n))
+                   AS term
+        FROM cells
+        JOIN src USING (source)
+        JOIN corpus USING (lang)
+        CROSS JOIN tot
+    )
+    SELECT source, round(sum(term ORDER BY lang), 6) AS kl
+    FROM terms GROUP BY source ORDER BY source
+"""
+
+
+def q_burst_windows(sf_dir: str):
+    """Burst detection over the event stream: hourly buckets whose count
+    exceeds mean + 2*stddev for that event_type (rate-anomaly flagging —
+    crawler-trap spikes, abuse bursts).  Two passes over the tiny hourly
+    aggregate: the bucket-count table reduces via combiner groupby; means
+    come from (sum, n) and the variance from centered squares — the same
+    cancellation-free plan as corr_matrix — then the flag filter runs on
+    the finished aggregate.  Population stddev on both sides."""
+    import math
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def buckets(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"event_type": b.column("event_type"), "hour": hour})
+        return t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+
+    hourly = (
+        ev.map_batches(buckets, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "cnt"})
+    )
+    stats = hourly.groupby("event_type")["cnt"].agg(["sum", "count"]).reset_index()
+    stats["mean"] = stats["sum"] / stats["count"]
+    mean = dict(zip(stats["event_type"], stats["mean"]))
+    hourly["dev2"] = (hourly["cnt"] - hourly["event_type"].map(mean)) ** 2
+    var = hourly.groupby("event_type")["dev2"].sum() / stats.set_index("event_type")[
+        "count"
+    ]
+    thresh = {
+        t: mean[t] + 2.0 * math.sqrt(v) for t, v in var.items()
+    }
+    out = hourly[hourly["cnt"] > hourly["event_type"].map(thresh)]
+    return (
+        out[["event_type", "hour", "cnt"]]
+        .astype({"hour": "int64", "cnt": "int64"})
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["burst_windows"] = q_burst_windows
+
+ORACLE_SQL["burst_windows"] = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY event_type, hour
+    ),
+    m AS (
+        SELECT event_type, sum(cnt) / count(*) AS mean, count(*) AS n
+        FROM hourly GROUP BY event_type
+    ),
+    v AS (
+        SELECT h.event_type,
+               sum((h.cnt - m.mean) * (h.cnt - m.mean)) / m.n AS var
+        FROM hourly h JOIN m USING (event_type)
+        GROUP BY h.event_type, m.n
+    )
+    SELECT h.event_type, h.hour, h.cnt
+    FROM hourly h JOIN m USING (event_type) JOIN v USING (event_type)
+    WHERE h.cnt > m.mean + 2.0 * sqrt(v.var)
+    ORDER BY h.event_type, h.hour
+"""
