@@ -11042,3 +11042,122 @@ ORACLE_SQL["burst_windows"] = """
     WHERE h.cnt > m.mean + 2.0 * sqrt(v.var)
     ORDER BY h.event_type, h.hour
 """
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event sequences
+    (behavior-sequence modeling prep: P(next event type | current)).
+    groupby(user_id).map_groups orders each user's events by (ts,
+    event_id) and emits consecutive-pair cells pre-counted per user, so
+    the second groupby moves O(types^2) rows per user; probabilities are
+    computed on the finished types^2-sized aggregate.  p = cnt /
+    from-type total, rounded 6dp — identical division on both sides."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"])
+        t = df["event_type"].to_numpy()
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        sub = pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+        cnt = sub.value_counts().reset_index(name="c")
+        return pa.table(
+            {
+                "from_type": pa.array(cnt["from_type"], pa.string()),
+                "to_type": pa.array(cnt["to_type"], pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "cnt"})
+    )
+    totals = agg.groupby("from_type")["cnt"].sum().astype(int).to_dict()
+    agg["p"] = [
+        round(int(c) / totals[f], 6) for f, c in zip(agg["from_type"], agg["cnt"])
+    ]
+    return (
+        agg[["from_type", "to_type", "cnt", "p"]]
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["event_transitions"] = q_event_transitions
+
+ORACLE_SQL["event_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type AS from_type, nxt AS to_type, count(*) AS cnt
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    ),
+    tot AS (SELECT from_type, sum(cnt) AS n FROM cells GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.cnt, round(c.cnt / t.n, 6) AS p
+    FROM cells c JOIN tot t USING (from_type)
+    ORDER BY c.from_type, c.to_type
+"""
+
+
+def q_window_rolling_avg(sf_dir: str, window: int = 3):
+    """Per-user rolling mean of the last ``window`` event values ordered
+    by (ts, event_id) — the classic ROWS BETWEEN n PRECEDING sliding
+    aggregate.  Users are independent, so groupby(user_id).map_groups
+    computes each user's rolling sums vectorized (cumsum difference); at
+    10^10 events the partition key keeps every window inside one group
+    task.  avg = window_sum / window_len with the sum accumulated in ts
+    order on both sides, rounded 6dp."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def roll(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = df["value"].to_numpy()
+        # ordered prefix sums == SQL's ordered-frame accumulation
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(0, np.arange(n) - (window - 1))
+        sums = cs[np.arange(n) + 1] - cs[lo]
+        lens = np.arange(n) + 1 - lo
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "roll_avg": pa.array(np.round(sums / lens, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(roll, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )
+
+
+SQL_QUERIES["window_rolling_avg"] = q_window_rolling_avg
+
+ORACLE_SQL["window_rolling_avg"] = """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS roll_avg
+    FROM events
+    ORDER BY user_id, event_id
+"""
