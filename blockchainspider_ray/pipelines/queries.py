@@ -11161,3 +11161,107 @@ ORACLE_SQL["window_rolling_avg"] = """
     FROM events
     ORDER BY user_id, event_id
 """
+
+
+def q_nonedge_sample(sf_dir: str, probes: int = 8, k: int = 4):
+    """Negative sampling for link prediction: per page, up to ``k``
+    deterministic pseudo-random NON-neighbors (candidates that are real
+    out-edges are anti-joined away) — the negative-pair generator a
+    graph-embedding trainer needs.  Probe ``j`` of node ``d`` is
+    md5_low64('d:j') % n (seedless, partitioning-independent).  The
+    anti-join is one tagged-union groupby over (src, dst): candidate rows
+    and edge rows co-group, and a group survives only if no edge row is
+    present — no broadcast of the edge set, both sides shuffle once by
+    the same key.  Survivors keep the smallest probe indices per node
+    via the host_cap combiner shape."""
+    from ..stages.dedup import _stable_h64
+
+    edges = _link_edges(sf_dir)
+    n = _read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def candidates(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        src, probe, dst = [], [], []
+        for d in ids:
+            for j in range(probes):
+                c = _stable_h64(f"{d}:{j}") % n
+                if c != d:
+                    src.append(d)
+                    probe.append(j)
+                    dst.append(c)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "probe": pa.array(probe, pa.int64()),
+                "is_edge": pa.array([0] * len(src), pa.int64()),
+            }
+        )
+
+    cand = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        candidates, batch_format="pyarrow"
+    )
+    edge_rows = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "probe": pa.array([-1] * b.num_rows, pa.int64()),
+                "is_edge": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def survivors(g: pa.Table) -> pa.Table:
+        # one (src, dst) group: candidates survive only edge-free groups
+        if pc.sum(g.column("is_edge")).as_py():
+            return g.slice(0, 0).select(["src", "dst", "probe"])
+        return g.filter(pc.equal(g.column("is_edge"), 0)).select(
+            ["src", "dst", "probe"]
+        )
+
+    surv = cand.union(edge_rows).groupby(["src", "dst"]).map_groups(
+        survivors, batch_format="pyarrow"
+    )
+
+    def cap(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["probe", "dst"])
+        rn = df.groupby("src").cumcount()
+        return pa.Table.from_pandas(
+            df[rn.to_numpy() < k], preserve_index=False
+        ).select(["src", "dst", "probe"])
+
+    return (
+        surv.map_batches(cap, batch_format="pyarrow")
+        .groupby("src")
+        .map_groups(cap, batch_format="pyarrow")
+        .sort(["src", "probe"])
+    )
+
+
+SQL_QUERIES["nonedge_sample"] = q_nonedge_sample
+
+ORACLE_SQL["nonedge_sample"] = """
+    WITH docs AS (SELECT doc_id AS d FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM docs, nn
+        UNION
+        SELECT d AS src, (d + 10) % nn.n AS dst FROM docs, nn
+        WHERE ((d + 10) % nn.n) % 10 = d % 10
+    ),
+    cand AS (
+        SELECT d AS src, j.j AS probe,
+               CAST(md5_number_lower(d || ':' || j.j) % nn.n AS BIGINT) AS dst
+        FROM docs, nn, LATERAL (SELECT unnest(range(0, 8)) AS j) j
+    ),
+    noneedge AS (
+        SELECT c.src, c.dst, c.probe
+        FROM cand c ANTI JOIN edges e ON e.src = c.src AND e.dst = c.dst
+        WHERE c.dst <> c.src
+    )
+    SELECT src, dst, probe FROM noneedge
+    QUALIFY row_number() OVER (PARTITION BY src ORDER BY probe, dst) <= 4
+    ORDER BY src, probe
+"""
