@@ -11265,3 +11265,129 @@ ORACLE_SQL["nonedge_sample"] = """
     QUALIFY row_number() OVER (PARTITION BY src ORDER BY probe, dst) <= 4
     ORDER BY src, probe
 """
+
+
+def q_link_locality(sf_dir: str):
+    """Per-host link locality: the fraction of a host's out-links that
+    stay on-host — the signal that decides whether host-hash partitioning
+    co-locates most frontier expansion (high locality → cheap local
+    pushes) or the crawl is shuffle-bound.  One combiner map over the
+    edge Dataset (per-batch host-collapse + same-host flag pre-summed),
+    one tiny groupby; the ratio is computed on the finished
+    host-cardinality aggregate, rounded 6dp."""
+    edges = _link_edges(sf_dir)
+
+    def cells(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy() % 10
+        dst = b.column("dst").to_numpy() % 10
+        t = pa.table(
+            {
+                "host": pa.array(src, pa.int64()),
+                "local": pa.array((src == dst).astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(len(src), np.int64), pa.int64()),
+            }
+        )
+        return t.group_by("host").aggregate([("local", "sum"), ("n", "sum")])
+
+    agg = (
+        edges.map_batches(cells, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("local_sum", alias_name="local"), Sum("n_sum", alias_name="n"))
+        .to_pandas()
+    )
+    agg["local_ratio"] = (agg["local"] / agg["n"]).round(6)
+    return (
+        agg[["host", "local", "n", "local_ratio"]]
+        .astype({"local": "int64", "n": "int64"})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["link_locality"] = q_link_locality
+
+ORACLE_SQL["link_locality"] = """
+    WITH docs AS (SELECT doc_id AS d FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+        SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM docs, nn
+        UNION
+        SELECT d AS src, (d + 10) % nn.n AS dst FROM docs, nn
+        WHERE ((d + 10) % nn.n) % 10 = d % 10
+    )
+    SELECT src % 10 AS host,
+           CAST(sum(CASE WHEN src % 10 = dst % 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS local,
+           count(*) AS n,
+           round(sum(CASE WHEN src % 10 = dst % 10 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS local_ratio
+    FROM edges GROUP BY src % 10 ORDER BY host
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate: the share of each source's docs
+    whose full text also appears elsewhere in the corpus — the dashboard
+    number that tells a curation run WHERE its duplication comes from.
+    Two shuffles, both content-key-partitioned: md5(text) group sizes
+    (combiner pre-count per batch), then doc-level dup flags re-aggregated
+    by source.  Rate rounded 6dp."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+
+    def dup_flags(g: pa.Table) -> pa.Table:
+        # one content-hash group: every member is a dup iff the group has
+        # company (size > 1)
+        flag = 1 if g.num_rows > 1 else 0
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "dup": pa.array([flag] * g.num_rows, pa.int64()),
+                "n": pa.array([1] * g.num_rows, pa.int64()),
+            }
+        )
+
+    per_source = (
+        keyed_ds.groupby("h")
+        .map_groups(dup_flags, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("dup", alias_name="dups"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    per_source["dup_rate"] = (per_source["dups"] / per_source["n"]).round(6)
+    return (
+        per_source[["source", "dups", "n", "dup_rate"]]
+        .astype({"dups": "int64", "n": "int64"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
+
+ORACLE_SQL["dup_rate_by_source"] = """
+    WITH sizes AS (
+        SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT d.source,
+           CAST(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+           count(*) AS n,
+           round(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS dup_rate
+    FROM documents d JOIN sizes s ON s.h = md5(d.text)
+    GROUP BY d.source ORDER BY d.source
+"""
