@@ -11326,17 +11326,18 @@ ORACLE_SQL["link_locality"] = """
 
 
 def q_dup_rate_by_source(sf_dir: str):
-    """Per-source exact-duplicate rate: the share of each source's docs
-    whose full text also appears elsewhere in the corpus — the dashboard
-    number that tells a curation run WHERE its duplication comes from.
-    Two shuffles, both content-key-partitioned: md5(text) group sizes
-    (combiner pre-count per batch), then doc-level dup flags re-aggregated
-    by source.  Rate rounded 6dp."""
+    """Per-source near-duplicate rate: the share of each source's docs
+    whose lede-4-token fingerprint (the curation pipeline's dedup key;
+    whole-text hashes have ZERO collisions in this corpus) also appears
+    elsewhere — the dashboard number that tells a curation run WHERE its
+    duplication comes from.  Two shuffles, both fingerprint-partitioned:
+    fingerprint groups flag their members, then doc-level dup flags
+    re-aggregate by source.  Rate rounded 6dp."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def keyed(b: pa.Table) -> pa.Table:
         h = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
+            hashlib.md5(" ".join(_oracle_tokens(t)[:4]).encode("utf-8")).hexdigest()
             for t in b.column("text").to_pylist()
         ]
         return pa.table(
@@ -11380,14 +11381,244 @@ def q_dup_rate_by_source(sf_dir: str):
 SQL_QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
 
 ORACLE_SQL["dup_rate_by_source"] = """
-    WITH sizes AS (
-        SELECT md5(text) AS h, count(*) AS sz FROM documents GROUP BY md5(text)
-    )
-    SELECT d.source,
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   (regexp_split_to_array(trim(text), '\s+'))[1:4], ' ')) AS h
+        FROM documents
+    ),
+    sizes AS (SELECT h, count(*) AS sz FROM fp GROUP BY h)
+    SELECT f.source,
            CAST(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dups,
            count(*) AS n,
            round(sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END) / count(*), 6)
                AS dup_rate
-    FROM documents d JOIN sizes s ON s.h = md5(d.text)
-    GROUP BY d.source ORDER BY d.source
+    FROM fp f JOIN sizes s USING (h)
+    GROUP BY f.source ORDER BY f.source
+"""
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Per-event-type exact p25/p50/p75 of value — group-wise quantiles at
+    corpus scale.  No per-group sort materializes a whole type's events:
+    the same order-preserving range-bucket two-pass as group_percentiles
+    (per-(type, value-bucket) counts -> driver offsets -> in-bucket
+    ranks), then the three target ranks floor(q*(n-1)) are plucked by a
+    rank-range filter.  The SQL mirror selects the identical
+    row_number()-indexed values, so no interpolation ambiguity exists."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    mm = ev.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        bkt = np.minimum(((v - lo) / span * 64).astype(np.int64), 63)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    keyed_ds = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = (
+        keyed_ds.groupby(["event_type", "bkt"])
+        .count()
+        .to_pandas()
+        .sort_values(["event_type", "bkt"])
+    )
+    bc["offset"] = bc.groupby("event_type")["count()"].cumsum() - bc["count()"]
+    offsets = {
+        (t, int(b)): int(o)
+        for t, b, o in zip(bc["event_type"], bc["bkt"], bc["offset"])
+    }
+    totals = bc.groupby("event_type")["count()"].sum().astype(int).to_dict()
+    targets = {
+        t: {int(q * (n - 1)) for q in (0.25, 0.5, 0.75)} for t, n in totals.items()
+    }
+    meta_ref = ray.put((offsets, targets))
+
+    def pluck(g: pa.Table) -> pa.Table:
+        offs, tgts = ray.get(meta_ref)
+        df = g.to_pandas().sort_values(["value", "event_id"]).reset_index(drop=True)
+        t = df["event_type"].iloc[0]
+        base = offs[(t, int(df["bkt"].iloc[0]))]
+        want = tgts[t]
+        keep = [
+            (t, base + i, float(v))
+            for i, v in enumerate(df["value"])
+            if (base + i) in want
+        ]
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in keep], pa.string()),
+                "rank": pa.array([k[1] for k in keep], pa.int64()),
+                "value": pa.array([k[2] for k in keep], pa.float64()),
+            }
+        )
+
+    hits = (
+        keyed_ds.groupby(["event_type", "bkt"])
+        .map_groups(pluck, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for t in sorted(totals):
+        n = totals[t]
+        by_rank = dict(zip(hits.loc[hits["event_type"] == t, "rank"],
+                           hits.loc[hits["event_type"] == t, "value"]))
+        rows.append(
+            {
+                "event_type": t,
+                "p25": round(by_rank[int(0.25 * (n - 1))], 6),
+                "p50": round(by_rank[int(0.5 * (n - 1))], 6),
+                "p75": round(by_rank[int(0.75 * (n - 1))], 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["event_value_quantiles"] = q_event_value_quantiles
+
+ORACLE_SQL["event_value_quantiles"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) - 1 AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           round(max(CASE WHEN r = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+                          THEN value END), 6) AS p25,
+           round(max(CASE WHEN r = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                          THEN value END), 6) AS p50,
+           round(max(CASE WHEN r = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+                          THEN value END), 6) AS p75
+    FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_cross_source_overlap(sf_dir: str):
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct lede-4 fingerprints appear in BOTH (mirror-site /
+    syndication detection — tells a curation run which source pairs to
+    co-dedup; whole-text hashes have zero collisions in this corpus).
+    Fingerprint groupby; each group emits its distinct source pairs
+    pre-deduped, so the pair aggregate moves O(sources^2) rows per
+    fingerprint at worst and the matrix fold runs on a category-sized
+    table."""
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(" ".join(_oracle_tokens(t)[:4]).encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table({"h": pa.array(h, pa.string()), "source": b.column("source")})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ss = sorted(set(g.column("source").to_pylist()))
+        a, b2 = [], []
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                a.append(ss[i])
+                b2.append(ss[j])
+        return pa.table(
+            {
+                "src_a": pa.array(a, pa.string()),
+                "src_b": pa.array(b2, pa.string()),
+                "c": pa.array([1] * len(a), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .sum("c")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["src_a", "src_b", "shared"]),
+        batch_format="pyarrow",
+    ).sort(["src_a", "src_b"])
+
+
+SQL_QUERIES["cross_source_overlap"] = q_cross_source_overlap
+
+ORACLE_SQL["cross_source_overlap"] = """
+    WITH cells AS (
+        SELECT DISTINCT
+               md5(array_to_string(
+                   (regexp_split_to_array(trim(text), '\s+'))[1:4], ' ')) AS h,
+               source
+        FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+    FROM cells a JOIN cells b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+"""
+
+
+def q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month revenue deltas over lineitem shipments — the
+    incremental-reporting shape (current window vs previous).  One
+    combiner groupby produces the month-cardinality revenue table; the
+    lag diff runs on that finished aggregate.  revenue =
+    sum(extendedprice * (1 - discount)) with the product formed per row
+    on both sides, rounded 2dp BEFORE the delta so the subtraction is
+    exact in cents."""
+    li = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        us = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        dt = pd.to_datetime(us, unit="us")
+        month = dt.year * 100 + dt.month
+        rev = _r(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy()),
+            2,
+        )
+        t = pa.table(
+            {
+                "month": pa.array(month.astype(np.int64), pa.int64()),
+                "rev": pa.array(rev, pa.float64()),
+            }
+        )
+        return t.group_by("month").aggregate([("rev", "sum")])
+
+    agg = (
+        li.map_batches(cells, batch_format="pyarrow")
+        .groupby("month")
+        .sum("rev_sum")
+        .to_pandas()
+        .rename(columns={"sum(rev_sum)": "revenue"})
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    agg["revenue"] = _r(agg["revenue"].to_numpy(), 2)
+    agg["delta"] = _r((agg["revenue"] - agg["revenue"].shift(1)).to_numpy(), 2)
+    agg.loc[0, "delta"] = np.nan
+    return agg[["month", "revenue", "delta"]]
+
+
+SQL_QUERIES["monthly_revenue_delta"] = q_monthly_revenue_delta
+
+ORACLE_SQL["monthly_revenue_delta"] = """
+    WITH m AS (
+        SELECT year(l_shipdate) * 100 + month(l_shipdate) AS month,
+               round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2)
+                   AS revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta
+    FROM m ORDER BY month
 """
