@@ -11622,3 +11622,74 @@ ORACLE_SQL["monthly_revenue_delta"] = """
            round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta
     FROM m ORDER BY month
 """
+
+
+def q_daily_top_users(sf_dir: str, k: int = 3):
+    """Per-day top-k users by spend — the windowed top-k / trending shape
+    (per-window leaderboards over an event stream).  Combiner plan: each
+    batch pre-sums its own (day, user) cents — per-row values are rounded
+    to cents first (_r == DuckDB ROUND) so every partial sum is an exact
+    integer-in-cents and no sum-order boundary exists — then one groupby
+    finishes the (day, user) totals and a per-day map_groups keeps the k
+    winners with (total desc, user asc) tie-breaks, exactly row_number()
+    in the mirror."""
+    ev = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        cents = _r(b.column("value").to_numpy(), 2)
+        t = pa.table(
+            {
+                "day": pa.array(day.astype(np.int64), pa.int64()),
+                "user_id": b.column("user_id"),
+                "v": pa.array(cents, pa.float64()),
+            }
+        )
+        return t.group_by(["day", "user_id"]).aggregate([("v", "sum")])
+
+    totals = (
+        ev.map_batches(cells, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .sum("v_sum")
+        .map_batches(
+            lambda b: b.rename_columns(["day", "user_id", "total"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas()
+            .sort_values(["total", "user_id"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["total"] = _r(df["total"].to_numpy(), 2)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        totals.groupby("day")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["day", "rank"])
+    )
+
+
+SQL_QUERIES["daily_top_users"] = q_daily_top_users
+
+ORACLE_SQL["daily_top_users"] = """
+    WITH cells AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id,
+               round(sum(round(value, 2)), 2) AS total
+        FROM events GROUP BY day, user_id
+    )
+    SELECT day, user_id, total,
+           CAST(row_number() OVER (PARTITION BY day
+                                   ORDER BY total DESC, user_id) AS BIGINT)
+               AS rank
+    FROM cells
+    QUALIFY rank <= 3
+    ORDER BY day, rank
+"""
