@@ -10078,8 +10078,11 @@ def q_corr_matrix(sf_dir: str):
     rows = []
     for a, b2 in pairs:
         cxy = cs[f"sum(x_{a}_{b2})"]
-        corr = cxy / math.sqrt(cs[f"sum(v_{a})"] * cs[f"sum(v_{b2})"])
-        rows.append({"col_x": a, "col_y": b2, "corr": round(corr, 6)})
+        denom = math.sqrt(cs[f"sum(v_{a})"] * cs[f"sum(v_{b2})"])
+        # constant column -> zero variance -> correlation undefined; the
+        # SQL mirror's x / 0.0 NULLs the same cell
+        corr = round(cxy / denom, 6) if denom else float("nan")
+        rows.append({"col_x": a, "col_y": b2, "corr": corr})
     out = pd.DataFrame(rows).sort_values(["col_x", "col_y"]).reset_index(drop=True)
     return out
 

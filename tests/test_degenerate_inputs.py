@@ -1,0 +1,140 @@
+"""Degenerate-corpus robustness: the statistics/mixing/window operators
+added late in round 3 must survive a micro corpus (2-3 rows per table,
+single lang, constant values) without crashing — the shapes a partition
+of real data can legitimately degenerate to (one host, one group, one
+event type)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_tiny")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b c d e", "a b c d e", "x y"], pa.string()),
+                "lang": pa.array(["en", "en", "en"], pa.string()),
+                "source": pa.array(["s0", "s0", "s1"], pa.string()),
+                "n_chars": pa.array([9, 9, 3], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    ts = pa.array(
+        pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 05:00", "2024-01-02 00:00"]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([7, 7, 8], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy"], pa.string()),
+                "value": pa.array([1.0, 1.0, 2.5], pa.float64()),
+                "props": pa.array(["{}", "{}", "{}"], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1], pa.int64()),
+                "l_partkey": pa.array([1, 2], pa.int64()),
+                "l_suppkey": pa.array([1, 2], pa.int64()),
+                "l_linenumber": pa.array([1, 2], pa.int32()),
+                "l_quantity": pa.array([5.0, 5.0], pa.float64()),
+                "l_extendedprice": pa.array([100.0, 100.0], pa.float64()),
+                "l_discount": pa.array([0.1, 0.1], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0], pa.float64()),
+                "l_returnflag": pa.array(["N", "N"], pa.string()),
+                "l_linestatus": pa.array(["O", "O"], pa.string()),
+                "l_shipdate": pa.array(
+                    pd.to_datetime(["2024-01-05", "2024-02-05"]).astype(
+                        "datetime64[us]"
+                    )
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    return str(d)
+
+
+def _df(res):
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+def test_stats_ops_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # constant l_tax column: corr against it is 0/0 — must yield NaN rows,
+    # not crash (the SQL mirror NULLs the same cells)
+    corr = _df(q.q_corr_matrix(tiny_sf))
+    assert len(corr) == 6
+    tax_rows = corr[(corr.col_x == "l_tax") | (corr.col_y == "l_tax")]
+    assert tax_rows["corr"].isna().all()
+
+    roll = _df(q.q_rollup_agg(tiny_sf))
+    assert roll["cnt"].iloc[-1] == 2  # grand total row survives
+
+    delta = _df(q.q_monthly_revenue_delta(tiny_sf))
+    assert len(delta) == 2 and np.isnan(delta["delta"].iloc[0])
+
+    pmi = _df(q.q_pmi_bigrams(tiny_sf, min_count=2))
+    assert (pmi["cnt"] >= 2).all()
+
+
+def test_group_and_window_ops_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    pct = _df(q.q_group_percentiles(tiny_sf))
+    assert len(pct) == 3 and pct["pct"].between(0, 1).all()
+
+    cur = _df(q.q_curriculum_order(tiny_sf))
+    assert sorted(cur["doc_id"]) == [0, 1, 2]
+
+    tr = _df(q.q_event_transitions(tiny_sf))
+    # user 7: view->view; user 8: single event contributes nothing
+    assert tr["cnt"].sum() == 1 and tr["p"].iloc[0] == 1.0
+
+    ra = _df(q.q_window_rolling_avg(tiny_sf))
+    assert len(ra) == 3
+
+    qv = _df(q.q_event_value_quantiles(tiny_sf))
+    # single-member group: all three quantiles equal the lone value
+    buy = qv[qv.event_type == "buy"].iloc[0]
+    assert buy.p25 == buy.p50 == buy.p75 == 2.5
+
+    top = _df(q.q_daily_top_users(tiny_sf))
+    assert (top["rank"] >= 1).all()
+
+
+def test_mix_and_dup_ops_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    mix = _df(q.q_mix_temperature(tiny_sf, total=2))
+    # quotas floor to >= 0 and never exceed source sizes
+    assert len(mix) <= 2
+
+    rare = _df(q.q_rare_category_merge(tiny_sf, min_support=2))
+    assert "other" in set(rare["category"])  # s1 cell (1 doc) folds away
+
+    dup = _df(q.q_dup_rate_by_source(tiny_sf))
+    s0 = dup[dup.source == "s0"].iloc[0]
+    assert s0.dups == 2 and s0.n == 2  # identical lede docs flag each other
+
+    conf = _df(q.q_langid_confusion(tiny_sf))
+    assert int(conf["cnt"].sum()) == 3
