@@ -11696,3 +11696,101 @@ ORACLE_SQL["daily_top_users"] = """
     QUALIFY rank <= 3
     ORDER BY day, rank
 """
+
+
+def q_host_quality_budget(sf_dir: str, total_budget: int = 1000):
+    """Quality-aware crawl budget allocation — the crawl↔curation
+    feedback loop: each source's share of the next crawl round's fetch
+    budget is proportional to how many of its pages pass the Gopher keep
+    rule (spam-heavy hosts starve, clean hosts grow).  One combiner map
+    evaluates the shared _gopher_stats rule per batch and pre-sums
+    (source, keeps, n); the groupby moves O(sources) rows and the
+    integer-exact allocation budget_s = (B * keeps_s) // total_keeps runs
+    on the finished category-sized aggregate (same no-float-boundary
+    quota math as mix_temperature)."""
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_pylist()
+        keeps = [
+            _gopher_stats(_oracle_tokens(t))[4] for t in b.column("text").to_pylist()
+        ]
+        t = pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "keeps": pa.array(keeps, pa.int64()),
+                "n": pa.array([1] * len(src), pa.int64()),
+            }
+        )
+        return t.group_by("source").aggregate([("keeps", "sum"), ("n", "sum")])
+
+    agg = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("keeps_sum", alias_name="keeps"), Sum("n_sum", alias_name="n"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    total_keeps = int(agg["keeps"].sum())
+    agg["keep_rate"] = _r((agg["keeps"] / agg["n"]).to_numpy(), 6)
+    agg["budget"] = [
+        (total_budget * int(k)) // total_keeps if total_keeps else 0
+        for k in agg["keeps"]
+    ]
+    return agg[["source", "keeps", "n", "keep_rate", "budget"]].astype(
+        {"keeps": "int64", "n": "int64", "budget": "int64"}
+    )
+
+
+SQL_QUERIES["host_quality_budget"] = q_host_quality_budget
+
+# nests the full gopher_quality oracle so the keep rule cannot drift
+ORACLE_SQL["host_quality_budget"] = (
+    "WITH gq AS (" + ORACLE_SQL["gopher_quality"] + """),
+    cells AS (
+        SELECT d.source, CAST(sum(gq.keep) AS BIGINT) AS keeps, count(*) AS n
+        FROM documents d JOIN gq USING (doc_id)
+        GROUP BY d.source
+    ),
+    tot AS (SELECT sum(keeps) AS tk FROM cells)
+    SELECT source, keeps, n,
+           round(keeps / n, 6) AS keep_rate,
+           CASE WHEN tot.tk > 0 THEN (1000 * keeps) // tot.tk ELSE 0 END
+               AS budget
+    FROM cells, tot ORDER BY source
+"""
+)
+
+
+def q_cluster_size_histogram(sf_dir: str):
+    """Near-dup cluster size distribution — the dedup-run report card
+    (how much of the corpus sits in 2-clusters vs pathological
+    boilerplate blobs).  Composes dedup_clusters' connected components:
+    one groupby for per-cluster sizes, one for the size histogram; both
+    aggregates are cluster/size-cardinality-sized."""
+    from ..stages.dedup import connected_components
+
+    clusters = connected_components(_minhash_pair_dataset(sf_dir))
+    sizes = clusters.groupby("cluster_id").count()
+    hist = (
+        sizes.map_batches(
+            lambda b: b.rename_columns(["cluster_id", "size"]),
+            batch_format="pyarrow",
+        )
+        .groupby("size")
+        .count()
+    )
+    return hist.map_batches(
+        lambda b: b.rename_columns(["size", "clusters"]), batch_format="pyarrow"
+    ).sort("size")
+
+
+SQL_QUERIES["cluster_size_histogram"] = q_cluster_size_histogram
+
+ORACLE_SQL["cluster_size_histogram"] = (
+    "WITH cl AS (" + ORACLE_SQL["dedup_clusters"] + """),
+    sizes AS (SELECT cluster_id, count(*) AS size FROM cl GROUP BY cluster_id)
+    SELECT size, count(*) AS clusters FROM sizes GROUP BY size ORDER BY size
+"""
+)
