@@ -138,3 +138,43 @@ def test_mix_and_dup_ops_survive_tiny_corpus(ray_session, tiny_sf):
 
     conf = _df(q.q_langid_confusion(tiny_sf))
     assert int(conf["cnt"].sum()) == 3
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_late_r3_ops_partitioning_independent(ray_session, monkeypatch):
+    """The late-r3 combiner / two-pass-rank ops must not depend on input
+    blocking: per-batch pre-aggregation, range-bucket rank offsets and
+    md5-keyed quota selection all claim partitioning independence — force
+    17 skewed partitions and compare against the natural blocking."""
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "pmi_bigrams",
+        "corr_matrix",
+        "curriculum_order",
+        "group_percentiles",
+        "event_value_quantiles",
+        "daily_top_users",
+        "mix_temperature",
+    )
+
+    def _df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
