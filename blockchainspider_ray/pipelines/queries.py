@@ -11794,3 +11794,329 @@ ORACLE_SQL["cluster_size_histogram"] = (
     SELECT size, count(*) AS clusters FROM sizes GROUP BY size ORDER BY size
 """
 )
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, matching DuckDB's ``levenshtein()`` on the
+    short (<=64 char) prefixes this query feeds it.  Two-row DP; numpy
+    vectorizes the inner minimum so a 64x64 table is ~64 tiny ops."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    for i, ch in enumerate(np.frombuffer(a.encode("utf-32-le"), np.uint32), 1):
+        cur[0] = i
+        sub = prev[:-1] + (bv != ch)
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        # insertion term is a left-to-right scan; scalar pass over <=64 cells
+        for j in range(1, len(cur)):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def q_levenshtein_verify(sf_dir: str, prefix: int = 64, cap: int = 64):
+    """Edit-distance verification of near-duplicate candidate pairs — the
+    "exact confirm" stage a fuzzy-dedup pipeline runs AFTER cheap candidate
+    generation (here the curation pipeline's lede-4-token fingerprint;
+    LSH bands at production scale).  Pairs are emitted inside fingerprint
+    groups (only candidate keys shuffle, never the corpus), each group
+    capped at ``cap`` members so a degenerate boilerplate bucket stays
+    O(cap^2); the Levenshtein DP runs on 64-char prefixes so per-pair cost
+    is bounded regardless of document length."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        txt = b.column("text").to_pylist()
+        h = [
+            hashlib.md5(" ".join(_oracle_tokens(t)[:4]).encode("utf-8")).hexdigest()
+            for t in txt
+        ]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "p": pa.array([t[:prefix] for t in txt], pa.string()),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        df = g.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        if len(df) > cap:  # no silent caps: truncation is logged
+            print(f"levenshtein_verify: capping group of {len(df)} at {cap}")
+            df = df.iloc[:cap]
+        da, db, dd, ss = [], [], [], []
+        for i in range(len(df)):
+            for j in range(i + 1, len(df)):
+                pa_, pb_ = df["p"].iloc[i], df["p"].iloc[j]
+                d = _levenshtein(pa_, pb_)
+                m = max(len(pa_), len(pb_))
+                da.append(int(df["doc_id"].iloc[i]))
+                db.append(int(df["doc_id"].iloc[j]))
+                dd.append(d)
+                ss.append(1.0 if m == 0 else float(_r(1.0 - d / m, 6)))
+        return pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "dist": pa.array(dd, pa.int64()),
+                "sim": pa.array(ss, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(pairs, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+SQL_QUERIES["levenshtein_verify"] = q_levenshtein_verify
+
+ORACLE_SQL["levenshtein_verify"] = """
+    WITH fp AS (
+        SELECT doc_id, substr(text, 1, 64) AS p,
+               md5(array_to_string(
+                   (regexp_split_to_array(trim(text), '\\s+'))[1:4], ' ')) AS h
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.p, b.p) AS dist,
+           CASE WHEN greatest(len(a.p), len(b.p)) = 0 THEN 1.0
+                ELSE round(1.0 - levenshtein(a.p, b.p)
+                           / greatest(len(a.p), len(b.p)), 6) END AS sim
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+def q_schema_profile(sf_dir: str):
+    """Table profiling — the first thing any 100 TB ingest runs against a
+    new delivery: per-column row/null counts, exact distinct cardinality,
+    and numeric min/max over ``events``.  Counts and min/max reduce in one
+    combiner pass (per-batch partials, one tiny groupby); each column's
+    exact NDV is its own distributed groupby (value-partitioned shuffle of
+    that column only — the honest exact-cardinality cost; swap in
+    hll_distinct for the sketched version)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    numeric = {"event_id", "user_id", "value"}
+    ev = _read(sf_dir, "events", columns=cols)
+
+    def partials(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            col = b.column(c)
+            n = b.num_rows
+            nulls = col.null_count
+            if c in numeric and n > nulls:
+                mn = float(pc.min(col).as_py())
+                mx = float(pc.max(col).as_py())
+            elif c == "ts" and n > nulls:
+                mn = float(pc.min(col).value)  # epoch micros
+                mx = float(pc.max(col).value)
+            else:
+                mn = mx = None
+            rows.append((c, n, nulls, mn, mx))
+        return pa.table(
+            {
+                "col_name": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "nulls": pa.array([r[2] for r in rows], pa.int64()),
+                "mn": pa.array([r[3] for r in rows], pa.float64()),
+                "mx": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+    base = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("nulls", alias_name="n_null"),
+            Min("mn", alias_name="min_num"),
+            Max("mx", alias_name="max_num"),
+        )
+        .to_pandas()
+    )
+    ndv = {
+        c: ev.select_columns([c]).groupby(c).count().count() for c in cols
+    }
+    base["n_distinct"] = base["col_name"].map(ndv).astype("int64")
+    base["min_num"] = base["min_num"].round(6)
+    base["max_num"] = base["max_num"].round(6)
+    return (
+        base[["col_name", "n_rows", "n_null", "n_distinct", "min_num", "max_num"]]
+        .astype({"n_rows": "int64", "n_null": "int64"})
+        .sort_values("col_name")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["schema_profile"] = q_schema_profile
+
+ORACLE_SQL["schema_profile"] = """
+    SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(event_id) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           round(CAST(min(event_id) AS DOUBLE), 6) AS min_num,
+           round(CAST(max(event_id) AS DOUBLE), 6) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts),
+           round(CAST(epoch_us(min(ts)) AS DOUBLE), 6),
+           round(CAST(epoch_us(max(ts)) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           round(CAST(min(user_id) AS DOUBLE), 6),
+           round(CAST(max(user_id) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value),
+           round(CAST(min(value) AS DOUBLE), 6),
+           round(CAST(max(value) AS DOUBLE), 6)
+    FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props),
+           NULL, NULL
+    FROM events
+    ORDER BY col_name
+"""
+
+
+def q_source_host_entropy(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the host distribution — the
+    crawl-diversity dial: entropy near ln(n_hosts) means the source spreads
+    over hosts, near 0 means one host dominates and politeness serializes
+    it.  Host mapping matches host_gini (doc_id % 10 in this synthetic
+    corpus).  One combiner groupby to (source, host) counts; the entropy
+    fold runs on the dim-sized result, summed in host order on both sides
+    so the float hash is stable."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "host": b.column("doc_id").to_numpy() % 10,
+            }
+        )
+        g = df.groupby(["source", "host"]).size().reset_index(name="c")
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "host": pa.array(g["host"], pa.int64()),
+                "c": pa.array(g["c"], pa.int64()),
+            }
+        )
+
+    cnt = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "host"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["source", "host"])
+    )
+    out = []
+    for src, g in cnt.groupby("source", sort=True):
+        n = float(g["c"].sum())
+        ent = 0.0
+        for c in g["c"]:  # host order — matches sum(... ORDER BY host)
+            p = c / n
+            ent += -p * np.log(p)
+        out.append((src, int(n), len(g), float(_r(ent, 6))))
+    return pd.DataFrame(
+        out, columns=["source", "n_docs", "n_hosts", "entropy"]
+    ).astype({"n_docs": "int64", "n_hosts": "int64"})
+
+
+SQL_QUERIES["source_host_entropy"] = q_source_host_entropy
+
+ORACLE_SQL["source_host_entropy"] = """
+    WITH hc AS (
+        SELECT source, doc_id % 10 AS host, count(*) AS c
+        FROM documents GROUP BY source, host
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM hc GROUP BY source)
+    SELECT hc.source, CAST(any_value(tot.n) AS BIGINT) AS n_docs,
+           count(*) AS n_hosts,
+           round(sum(-(c / tot.n) * ln(c / tot.n) ORDER BY host), 6)
+               AS entropy
+    FROM hc JOIN tot USING (source)
+    GROUP BY hc.source ORDER BY hc.source
+"""
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokens-per-100-chars by (lang, source) — the tokenizer-fertility
+    table a pretrain-mix designer reads before setting sampling weights
+    (a high-fertility slice costs more sequence budget per byte).
+    Whitespace tokenization matches the corpus' SQL-mirrorable tokenizer
+    (_oracle_tokens == regexp_split_to_array(trim(text), '\\s+')).
+    Integer token/char sums reduce via one combiner groupby; the ratio is
+    computed once per (lang, source) cell from exact integers."""
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "source", "n_chars"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": b.column("lang").to_pandas(),
+                "source": b.column("source").to_pandas(),
+                "toks": [len(_oracle_tokens(t)) for t in b.column("text").to_pylist()],
+                "chars": b.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby(["lang", "source"], as_index=False)[["toks", "chars"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("toks", alias_name="tokens"), Sum("chars", alias_name="chars"))
+        .to_pandas()
+    )
+    agg["fertility"] = [
+        0.0 if ch == 0 else float(_r(100.0 * tk / ch, 6))
+        for tk, ch in zip(agg["tokens"], agg["chars"])
+    ]
+    return (
+        agg.astype({"tokens": "int64", "chars": "int64"})
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+
+ORACLE_SQL["tokenizer_fertility"] = """
+    WITH t AS (
+        SELECT lang, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS toks,
+               n_chars
+        FROM documents
+    )
+    SELECT lang, source, CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CASE WHEN sum(n_chars) = 0 THEN 0.0
+                ELSE round(100.0 * sum(toks) / sum(n_chars), 6) END AS fertility
+    FROM t GROUP BY lang, source ORDER BY lang, source
+"""
