@@ -12120,3 +12120,121 @@ ORACLE_SQL["tokenizer_fertility"] = """
                 ELSE round(100.0 * sum(toks) / sum(n_chars), 6) END AS fertility
     FROM t GROUP BY lang, source ORDER BY lang, source
 """
+
+
+def q_skew_join(sf_dir: str):
+    """Hot-key-salted equi-join (stages/joins.py skew_join) — the skewed
+    fact⋈dim shape a plain hash join dies on at 100 TB: here a synthetic
+    hot key (every even event collapses onto key 0 → 50% of the probe
+    side) is detected by an exact combiner count, spread over 8 salts, and
+    only the hot build rows replicate.  The result is aggregated per
+    (key, customer) with integer-cent sums so the float hash is exact.
+    Join output == unsalted join by construction; the oracle is the plain
+    SQL join."""
+    from ..stages.joins import skew_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        uid = b.column("user_id").to_numpy()
+        k = np.where(eid % 2 == 0, 0, uid).astype(np.int64)
+        cents = _r(b.column("value").to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = skew_join(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        cust,
+        key="k",
+        right_key="c_custkey",
+        hot_share=0.05,
+        num_salts=8,
+    )
+    agg = (
+        out.groupby(["k", "c_name"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["value_sum"] = (agg["cents"] / 100.0).round(2)
+    return (
+        agg[["k", "c_name", "n", "value_sum"]]
+        .astype({"k": "int64", "n": "int64"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["skew_join"] = q_skew_join
+
+ORACLE_SQL["skew_join"] = """
+    WITH e AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT k, c_name, count(*) AS n, round(sum(cents) / 100.0, 2) AS value_sum
+    FROM e JOIN customer ON k = c_custkey
+    GROUP BY k, c_name ORDER BY k
+"""
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    garbage detector that flags base64 blobs / repeated-char padding /
+    encoding mojibake before tokenization spends money on them.  Pure
+    map-side (no shuffle; per-doc numpy bincount over the byte histogram);
+    the entropy fold accumulates in character order on both sides so the
+    float hash is exact.  Empty docs are skipped (no characters → no
+    distribution), matching the SQL unnest."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        ids, ns, nu, es = [], [], [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            if not t:
+                continue
+            arr = np.frombuffer(t.encode("utf-8"), np.uint8)  # ASCII corpus
+            cnt = np.bincount(arr, minlength=256)
+            nz = cnt[cnt > 0]  # bincount index order == code-point order
+            n = float(len(arr))
+            e = 0.0
+            for c in nz:  # char order — matches sum(... ORDER BY ch)
+                p = c / n
+                e += -p * np.log(p)
+            ids.append(did)
+            ns.append(int(n))
+            nu.append(int(len(nz)))
+            es.append(float(_r(e, 6)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(ns, pa.int64()),
+                "n_unique": pa.array(nu, pa.int64()),
+                "entropy": pa.array(es, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(ent, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["char_entropy"] = q_char_entropy
+
+ORACLE_SQL["char_entropy"] = """
+    WITH pos AS (
+        SELECT doc_id, unnest(range(1, len(text) + 1)) AS i, text
+        FROM documents
+    ),
+    chars AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch FROM pos),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id, CAST(any_value(t.n) AS BIGINT) AS n_chars,
+           count(*) AS n_unique,
+           round(sum(-(c / t.n) * ln(c / t.n) ORDER BY ch), 6) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id ORDER BY f.doc_id
+"""

@@ -443,3 +443,97 @@ def hash_join(
 
     unioned = l_tagged.union(r_tagged)
     return unioned.groupby("__bucket").map_groups(join_group, batch_format="pyarrow")
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    right_key: Optional[str] = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    num_salts: int = 8,
+    hot_share: float = 0.01,
+) -> "ray.data.Dataset":
+    """Hot-key-salted equi-join: ``hash_join`` plus explicit skew handling.
+
+    A plain hash join sends every row of one key to one bucket — a key
+    holding 50% of a 100 TB probe side stalls one reducer for half the
+    job.  This variant (the classic salted join):
+
+    1. counts probe keys with a combiner pass (per-batch partials →
+       per-key groupby; only keys with share ≥ ``hot_share`` — filtered
+       BEFORE leaving the cluster — reach the driver, so the driver sees
+       O(1/hot_share) keys no matter the key cardinality),
+    2. spreads each hot probe row across ``num_salts`` composite keys
+       (``key*S + salt``) while cold rows keep salt 0,
+    3. replicates ONLY the hot build rows ``num_salts`` ways (cold build
+       rows ship once),
+
+    then runs the ordinary one-shuffle ``hash_join`` on the composite key.
+    The join RESULT is salt-invariant — salting only flattens the bucket
+    histogram.  Integer keys only (composite key arithmetic).
+    """
+    from ray.data.aggregate import Sum
+
+    rk = right_key or key
+    S = int(num_salts)
+
+    def _partial_counts(b: pa.Table) -> pa.Table:
+        ks, cs = np.unique(b.column(key).to_numpy().astype(np.int64), return_counts=True)
+        return pa.table({key: pa.array(ks, pa.int64()), "__c": pa.array(cs, pa.int64())})
+
+    counts = (
+        left.map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("__c", alias_name="__c"))
+    )
+    total = left.count()
+    thresh = max(2, int(hot_share * total))
+
+    def _only_hot(b: pa.Table) -> pa.Table:
+        return b.filter(pa.compute.greater_equal(b.column("__c"), thresh))
+
+    hot_df = counts.map_batches(_only_hot, batch_format="pyarrow").to_pandas()
+    # an all-filtered Dataset can come back as a zero-column frame
+    hot = (
+        np.sort(hot_df[key].to_numpy().astype(np.int64))
+        if key in hot_df.columns
+        else np.array([], np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    def _is_hot(kv: np.ndarray, hot_arr: np.ndarray) -> np.ndarray:
+        if not len(hot_arr):
+            return np.zeros(len(kv), dtype=bool)
+        idx = np.minimum(np.searchsorted(hot_arr, kv), len(hot_arr) - 1)
+        return hot_arr[idx] == kv
+
+    def _salt_left(b: pa.Table) -> pa.Table:
+        kv = b.column(key).to_numpy().astype(np.int64)
+        ih = _is_hot(kv, ray.get(hot_ref))
+        salt = np.where(ih, np.arange(len(kv), dtype=np.int64) % S, 0)
+        return b.append_column("__jk", pa.array(kv * S + salt, pa.int64()))
+
+    def _salt_right(b: pa.Table) -> pa.Table:
+        kv = b.column(rk).to_numpy().astype(np.int64)
+        ih = _is_hot(kv, ray.get(hot_ref))
+        reps = np.where(ih, S, 1)
+        take = np.repeat(np.arange(len(kv), dtype=np.int64), reps)
+        offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        salts = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(offs, reps)
+        out = b.take(pa.array(take))
+        return out.append_column(
+            "__jk", pa.array(kv[take] * S + salts, pa.int64())
+        )
+
+    lsalted = left.map_batches(_salt_left, batch_format="pyarrow")
+    r_payload = [n for n in right.schema().names if n != rk]
+    rsalted = right.map_batches(_salt_right, batch_format="pyarrow").select_columns(
+        ["__jk"] + r_payload
+    )
+    joined = hash_join(
+        lsalted, rsalted, key="__jk", how=how, num_buckets=num_buckets
+    )
+    keep = [n for n in joined.schema().names if n != "__jk"]
+    return joined.select_columns(keep)

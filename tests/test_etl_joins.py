@@ -195,3 +195,64 @@ def test_hash_join_left_and_collision(ray_session):
                                         "lv": pa.array(["x"])}))
     with pytest.raises(ValueError, match="collide"):
         hash_join(left, bad, key="k", right_key="rk")
+
+
+def test_skew_join_matches_plain_hash_join(ray_session):
+    """skew_join's salting must be invisible in the RESULT: same rows as
+    the unsalted hash_join on a probe side where one key holds 90% of the
+    rows (the shape that motivates the operator)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from blockchainspider_ray.stages.joins import hash_join, skew_join
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n)).astype(np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "row": pa.array(np.arange(n), pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(np.arange(50), pa.int64()),
+                "name": pa.array([f"u{i}" for i in range(50)]),
+            }
+        )
+    )
+    got = (
+        skew_join(left, right, key="k", right_key="rk", hot_share=0.05, num_salts=8)
+        .to_pandas()
+        .sort_values(["k", "row"])
+        .reset_index(drop=True)
+    )
+    want = (
+        hash_join(left, right, key="k", right_key="rk")
+        .to_pandas()
+        .sort_values(["k", "row"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+    # the hot key must actually have been detected (exercises the salt path)
+    assert (keys == 7).sum() > 0.05 * n
+
+
+def test_skew_join_no_hot_keys_degenerates(ray_session):
+    """Uniform keys: the hot set is empty and skew_join == hash_join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from blockchainspider_ray.stages.joins import hash_join, skew_join
+
+    keys = np.arange(200, dtype=np.int64) % 40
+    left = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(np.arange(40), pa.int64()),
+                  "v": pa.array(np.arange(40.0))})
+    )
+    got = skew_join(left, right, key="k", right_key="rk", hot_share=0.2).to_pandas()
+    want = hash_join(left, right, key="k", right_key="rk").to_pandas()
+    assert sorted(got["v"]) == sorted(want["v"])
