@@ -12238,3 +12238,106 @@ ORACLE_SQL["char_entropy"] = """
     FROM freq f JOIN tot t USING (doc_id)
     GROUP BY f.doc_id ORDER BY f.doc_id
 """
+
+
+def q_sentence_split(sf_dir: str):
+    """Sentence segmentation with stable ordinals — the unit the packing /
+    chunking / span-dedup stages downstream consume.  Split pattern is
+    RE2-compatible (`[.!?]\\s+`, separator consumed) so the Ray side and
+    the SQL mirror share semantics exactly; pure map-side (no shuffle),
+    one output row per sentence with its per-doc ordinal and token count."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    splitter = re.compile(r"[.!?]\s+")
+
+    def split(b: pa.Table) -> pa.Table:
+        ids, idxs, sents, toks = [], [], [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for i, s in enumerate(splitter.split(t), 1):
+                ids.append(did)
+                idxs.append(i)
+                sents.append(s)
+                toks.append(len(_oracle_tokens(s)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sent_idx": pa.array(idxs, pa.int64()),
+                "sentence": pa.array(sents, pa.string()),
+                "n_tokens": pa.array(toks, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow").sort(
+        ["doc_id", "sent_idx"]
+    )
+
+
+SQL_QUERIES["sentence_split"] = q_sentence_split
+
+ORACLE_SQL["sentence_split"] = """
+    WITH arrs AS (
+        SELECT doc_id, string_split_regex(text, '[.!?]\\s+') AS arr
+        FROM documents
+    ),
+    sents AS (
+        SELECT doc_id,
+               unnest(range(1, len(arr) + 1)) AS sent_idx,
+               unnest(arr) AS sentence
+        FROM arrs
+    )
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+           len(regexp_split_to_array(trim(sentence), '\\s+')) AS n_tokens
+    FROM sents ORDER BY doc_id, sent_idx
+"""
+
+
+def q_df_idf_topk(sf_dir: str, k: int = 100):
+    """Document-frequency / IDF table for the corpus vocabulary — the
+    broadcastable scoring artifact (BM25 / TF-IDF stages ship THIS, not
+    the corpus).  Per-batch distinct (term, doc) pairs pre-shrink the
+    shuffle (a term repeated 50x in a doc ships once); one groupby counts
+    df; top-k by (df desc, term) for determinism; idf = ln(N/df) computed
+    from exact integers on both sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def term_doc(b: pa.Table) -> pa.Table:
+        terms, seen = [], set()
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for w in set(_oracle_tokens(t)):
+                if (w, did) not in seen:
+                    seen.add((w, did))
+                    terms.append(w)
+        # per-batch the doc ids are distinct, so (term, doc) distinct ==
+        # per-doc set(); only unique pairs leave the task
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array([1] * len(terms), pa.int64())})
+
+    df_tbl = (
+        docs.map_batches(term_doc, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="df"))
+        .to_pandas()
+    )
+    df_tbl = df_tbl.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    df_tbl["idf"] = [float(_r(np.log(n_docs / d), 6)) for d in df_tbl["df"]]
+    return df_tbl.astype({"df": "int64"}).reset_index(drop=True)
+
+
+SQL_QUERIES["df_idf_topk"] = q_df_idf_topk
+
+ORACLE_SQL["df_idf_topk"] = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, df, round(ln(n_docs / df), 6) AS idf
+    FROM df, n
+    ORDER BY df DESC, term LIMIT 100
+"""
