@@ -12341,3 +12341,238 @@ ORACLE_SQL["df_idf_topk"] = """
     FROM df, n
     ORDER BY df DESC, term LIMIT 100
 """
+
+
+def q_label_centroid_distance(sf_dir: str):
+    """Embedding-cluster quality report: per label, the mean cosine of its
+    vectors to their OWN label centroid vs to the GLOBAL centroid — the
+    separability diagnostic read before trusting labels for curriculum /
+    filtering decisions (own ≈ glob means the label carries no geometric
+    signal).  Two passes, both combiner-shaped: (1) per-(label, dim)
+    partial sums → dim-sized groupby → centroids (label-count × 64,
+    driver-tiny, broadcast back); (2) per-batch vectorized cosines →
+    per-label partial sums → label-sized groupby.  The corpus matrix
+    never re-shuffles."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def dim_sums(b: pa.Table) -> pa.Table:
+        X = _emb_matrix(b)
+        lab = b.column("label").to_numpy().astype(np.int64)
+        out_l, out_j, out_s, out_n = [], [], [], []
+        for lb in np.unique(lab):
+            sel = X[lab == lb]
+            s = sel.sum(axis=0)
+            out_l.extend([int(lb)] * 64)
+            out_j.extend(range(1, 65))
+            out_s.extend(s.tolist())
+            out_n.extend([sel.shape[0]] * 64)
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "j": pa.array(out_j, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    sums = (
+        emb.map_batches(dim_sums, batch_format="pyarrow")
+        .groupby(["label", "j"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["label", "j"])
+    )
+    labels = sorted(sums["label"].unique())
+    cent = {}
+    counts = {}
+    for lb in labels:
+        g = sums[sums["label"] == lb]
+        n = int(g["n"].iloc[0])
+        cent[int(lb)] = g["s"].to_numpy() / n
+        counts[int(lb)] = n
+    total_n = sum(counts.values())
+    glob = (
+        sums.groupby("j")["s"].sum().sort_index().to_numpy() / total_n
+    )
+    cnorm = {lb: float(np.sqrt(np.dot(c, c))) for lb, c in cent.items()}
+    gnorm = float(np.sqrt(np.dot(glob, glob)))
+    bc = ray.put((cent, cnorm, glob, gnorm))
+
+    def cos_partials(b: pa.Table) -> pa.Table:
+        cents, cn, g, gn = ray.get(bc)
+        X = _emb_matrix(b)
+        lab = b.column("label").to_numpy().astype(np.int64)
+        vnorm = np.sqrt((X * X).sum(axis=1))
+        vg = X @ g
+        out_l, out_own, out_glob, out_n = [], [], [], []
+        for lb in np.unique(lab):
+            m = lab == lb
+            vo = X[m] @ cents[int(lb)]
+            own = vo / (vnorm[m] * cn[int(lb)])
+            gl = vg[m] / (vnorm[m] * gn)
+            out_l.append(int(lb))
+            out_own.append(float(own.sum()))
+            out_glob.append(float(gl.sum()))
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "own": pa.array(out_own, pa.float64()),
+                "glob": pa.array(out_glob, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(cos_partials, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Sum("own", alias_name="own"),
+            Sum("glob", alias_name="glob"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("label")
+    )
+    agg["cos_own"] = (agg["own"] / agg["n"]).map(lambda x: float(_r(x, 4)))
+    agg["cos_glob"] = (agg["glob"] / agg["n"]).map(lambda x: float(_r(x, 4)))
+    return (
+        agg[["label", "n", "cos_own", "cos_glob"]]
+        .astype({"label": "int64", "n": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["label_centroid_distance"] = q_label_centroid_distance
+
+ORACLE_SQL["label_centroid_distance"] = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS j),
+    comp AS (SELECT vec_id, label, j, x[j] AS v FROM e, dims),
+    cent AS (SELECT label, j, avg(v) AS c FROM comp GROUP BY label, j),
+    gcent AS (SELECT j, avg(v) AS g FROM comp GROUP BY j),
+    cn AS (SELECT label, sqrt(sum(c * c)) AS cnv FROM cent GROUP BY label),
+    gn AS (SELECT sqrt(sum(g * g)) AS gnv FROM gcent),
+    dots AS (
+        SELECT comp.vec_id, comp.label,
+               sum(v * c) AS vc, sum(v * g) AS vg, sum(v * v) AS vv
+        FROM comp
+        JOIN cent ON comp.label = cent.label AND comp.j = cent.j
+        JOIN gcent ON comp.j = gcent.j
+        GROUP BY comp.vec_id, comp.label
+    )
+    SELECT d.label, count(*) AS n,
+           round(avg(vc / (sqrt(vv) * cn.cnv)), 4) AS cos_own,
+           round(avg(vg / (sqrt(vv) * gn.gnv)), 4) AS cos_glob
+    FROM dots d JOIN cn ON d.label = cn.label CROSS JOIN gn
+    GROUP BY d.label ORDER BY d.label
+"""
+
+
+def q_minhash_estimate_error(sf_dir: str):
+    """Sketch-accuracy evaluation: per consecutive doc pair, the MinHash
+    similarity ESTIMATE (fraction of agreeing signature positions, 64
+    perms) against the EXACT token-set Jaccard, plus the signed error —
+    the calibration table that justifies (or indicts) the LSH thresholds
+    used by the dedup family.  One pair-shuffle does everything: each doc
+    ships its signature + distinct-token set to its two pairs, and the
+    per-pair group computes both numbers — the corpus itself never
+    re-shuffles and no side is broadcast.  Assumes ≥3-token docs (the
+    MinHash shingle domain; holds corpus-wide, pinned by the
+    minhash_signatures oracle)."""
+    from ..stages.dedup import MinHasher
+
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class EmitPair:
+        def __init__(self):
+            self.mh = MinHasher()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pair_ids, roles, sigs, toks = [], [], [], []
+            for i, t in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                sig = self.mh.signature(t).astype(np.int64)
+                distinct = sorted(set(re.findall(r"\S+", t)))
+                for pid, role in ((i, "a"), (i - 1, "b")):
+                    if 0 <= pid < n_docs - 1:
+                        pair_ids.append(pid)
+                        roles.append(role)
+                        sigs.append(sig.tolist())
+                        toks.append(distinct)
+            return pa.table(
+                {
+                    "pair_id": pa.array(pair_ids, pa.int64()),
+                    "role": pa.array(roles, pa.string()),
+                    "signature": pa.array(sigs, pa.list_(pa.int64())),
+                    "tokens": pa.array(toks, pa.list_(pa.string())),
+                }
+            )
+
+    def pair_stats(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est": pa.array([], pa.float64()),
+                "jaccard": pa.array([], pa.float64()),
+                "err": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows != 2:
+            return empty
+        df = g.to_pandas().sort_values("role")
+        sa = np.asarray(df["signature"].iloc[0], np.int64)
+        sb = np.asarray(df["signature"].iloc[1], np.int64)
+        est = float(_r((sa == sb).sum() / 64.0, 4))
+        ta, tb = set(df["tokens"].iloc[0]), set(df["tokens"].iloc[1])
+        jac = float(_r(len(ta & tb) / len(ta | tb), 4)) if (ta | tb) else 1.0
+        pid = int(df["pair_id"].iloc[0])
+        return pa.table(
+            {
+                "doc_a": pa.array([pid], pa.int64()),
+                "doc_b": pa.array([pid + 1], pa.int64()),
+                "est": pa.array([est], pa.float64()),
+                "jaccard": pa.array([jac], pa.float64()),
+                "err": pa.array([float(_r(est - jac, 4))], pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(EmitPair, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("pair_id")
+        .map_groups(pair_stats, batch_format="pyarrow")
+        .sort("doc_a")
+    )
+
+
+SQL_QUERIES["minhash_estimate_error"] = q_minhash_estimate_error
+
+
+ORACLE_SQL["minhash_estimate_error"] = (
+    "WITH sig AS (" + ORACLE_SQL["minhash_signatures"] + """),
+    t AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+        FROM documents
+    ),
+    ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                     len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    ),
+    est AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                     / 64.0, 4) AS est
+        FROM sig a JOIN sig b
+          ON b.doc_id = a.doc_id + 1 AND a.perm_id = b.perm_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, est, jaccard, round(est - jaccard, 4) AS err
+    FROM est JOIN ex USING (doc_a, doc_b) ORDER BY doc_a
+"""
+)
