@@ -12576,3 +12576,145 @@ ORACLE_SQL["minhash_estimate_error"] = (
     FROM est JOIN ex USING (doc_a, doc_b) ORDER BY doc_a
 """
 )
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix — users bucketed by first-event month, and
+    distinct active users per (cohort, month-offset): the engagement table
+    every event pipeline ultimately feeds.  Scale-honest shape: first-event
+    times reduce via groupby Min (user-cardinality output), rejoin to the
+    event stream through the partitioned hash_join (users are fact-sized
+    at production scale — no broadcast), then two count shuffles for
+    exact distinct users per cell."""
+    from ..stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def dayed(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        d = ts.astype("datetime64[D]").astype(np.int64)  # days since epoch
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "d_event": pa.array(d, pa.int64()),
+            }
+        )
+
+    days = ev.map_batches(dayed, batch_format="pyarrow")
+    firsts = (
+        days.groupby("user_id")
+        .aggregate(Min("d_event", alias_name="d_first"))
+    )
+    joined = hash_join(days, firsts, key="user_id")
+
+    def cells(b: pa.Table) -> pa.Table:
+        df_ = b.column("d_first").to_numpy()
+        off = b.column("d_event").to_numpy() - df_
+        cohort = [
+            str(np.datetime64(int(d), "D")) for d in df_
+        ]  # 'YYYY-MM-DD', matches strftime('%Y-%m-%d')
+        return pa.table(
+            {
+                "cohort": pa.array(cohort, pa.string()),
+                "day_offset": pa.array(off, pa.int64()),
+                "user_id": b.column("user_id"),
+            }
+        )
+
+    distinct = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cohort", "day_offset", "user_id"])
+        .count()
+    )
+    out = (
+        distinct.groupby(["cohort", "day_offset"])
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_users"})
+    )
+    return (
+        out.astype({"day_offset": "int64", "n_users": "int64"})
+        .sort_values(["cohort", "day_offset"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["retention_cohorts"] = q_retention_cohorts
+
+ORACLE_SQL["retention_cohorts"] = """
+    WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY user_id),
+    e AS (
+        SELECT e.user_id,
+               datediff('day', CAST(f.fts AS DATE), CAST(e.ts AS DATE))
+                   AS day_offset,
+               strftime(f.fts, '%Y-%m-%d') AS cohort
+        FROM events e JOIN f USING (user_id)
+    )
+    SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM e GROUP BY cohort, day_offset ORDER BY cohort, day_offset
+"""
+
+
+def q_event_runs(sf_dir: str):
+    """Gaps-and-islands run-length encoding of each user's event stream —
+    contiguous same-type runs with start/end timestamps: the sequence
+    primitive behind session labeling, bot-burst detection, and
+    changelog→interval (SCD) builds.  One user-partitioned shuffle; the
+    per-group encode is a vectorized shift-compare cumsum.  Documented
+    partitioning assumption: one user's events fit in a worker (same as
+    sessionize); ties broken by (ts, event_id) on both sides."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts"])
+
+    def encode(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas()
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        new_run = (df["event_type"] != df["event_type"].shift()).cumsum()
+        runs = df.groupby(new_run, sort=False).agg(
+            event_type=("event_type", "first"),
+            n_events=("event_type", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        runs["user_id"] = int(df["user_id"].iloc[0])
+        runs["run_idx"] = np.arange(1, len(runs) + 1, dtype=np.int64)
+        runs["start_us"] = runs["start_ts"].astype("datetime64[us]").astype(np.int64)
+        runs["end_us"] = runs["end_ts"].astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pandas(
+            runs[["user_id", "run_idx", "event_type", "n_events", "start_us", "end_us"]],
+            preserve_index=False,
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(encode, batch_format="pyarrow")
+        .sort(["user_id", "run_idx"])
+    )
+
+
+SQL_QUERIES["event_runs"] = q_event_runs
+
+ORACLE_SQL["event_runs"] = """
+    WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rt
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, rn - rt AS grp, count(*) AS n_events,
+               min(ts) AS start_ts, max(ts) AS end_ts, min(rn) AS first_rn
+        FROM o GROUP BY user_id, event_type, rn - rt
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY first_rn)
+               AS run_idx,
+           event_type, n_events,
+           epoch_us(start_ts) AS start_us, epoch_us(end_ts) AS end_us
+    FROM runs ORDER BY user_id, run_idx
+"""
