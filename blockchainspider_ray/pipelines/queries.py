@@ -12718,3 +12718,233 @@ ORACLE_SQL["event_runs"] = """
            epoch_us(start_ts) AS start_us, epoch_us(end_ts) AS end_us
     FROM runs ORDER BY user_id, run_idx
 """
+
+
+def q_recrawl_plan(sf_dir: str, per_host: int = 8):
+    """Composed crawl-scheduler round plan: staleness-driven recrawl
+    priorities (the recrawl_schedule estimator) cut to a per-host
+    politeness budget — the table the frontier actually drains next
+    round.  Hosts partition the ranked shuffle (one groupby); the
+    per-host top-k runs inside the group with (staleness desc, page_id)
+    ties pinned.  Assumption (documented, same as sessionize): one host's
+    candidate set fits in a worker — at production scale swap in the
+    bucketed two-pass rank pluck used by group_percentiles.  The SQL
+    mirror nests the full recrawl_schedule oracle so the estimator
+    cannot drift."""
+    sched = q_recrawl_schedule(sf_dir)
+
+    def hosted(b: pa.Table) -> pa.Table:
+        pid = b.column("page_id").to_numpy()
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"site{int(p) % 10}.example" for p in pid], pa.string()
+                ),
+                "page_id": b.column("page_id"),
+                "staleness": b.column("staleness"),
+            }
+        )
+
+    ranked = sched.map_batches(hosted, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        df = df[df["staleness"].notna()]
+        df = df.sort_values(
+            ["staleness", "page_id"], ascending=[False, True]
+        ).head(per_host)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["host", "page_id", "staleness", "rank"]], preserve_index=False
+        )
+
+    return (
+        ranked.groupby("host")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["host", "rank"])
+    )
+
+
+SQL_QUERIES["recrawl_plan"] = q_recrawl_plan
+
+
+ORACLE_SQL["recrawl_plan"] = (
+    "WITH sched AS (" + ORACLE_SQL["recrawl_schedule"].replace("ORDER BY page_id", "") + """),
+    hosted AS (
+        SELECT 'site' || (page_id % 10) || '.example' AS host, page_id, staleness
+        FROM sched WHERE staleness IS NOT NULL
+    ),
+    ranked AS (
+        SELECT host, page_id, staleness,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY staleness DESC, page_id) AS rank
+        FROM hosted
+    )
+    SELECT host, page_id, staleness, rank
+    FROM ranked WHERE rank <= 8 ORDER BY host, rank
+"""
+)
+
+
+def _grouped_median_pluck(ds, key_col: str, id_col: str, value_col: str) -> dict:
+    """Exact per-group median (lower middle element, rank floor((n-1)/2),
+    ties by (value, id)) without ever sorting a whole group: the same
+    order-preserving range-bucket two-pass as group_percentiles /
+    event_value_quantiles — per-(group, value-bucket) counts give driver
+    offsets (bucket-cardinality-sized), then each bucket group plucks its
+    globally-ranked row locally.  Returns {group: median_value}."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    mm = ds.aggregate(_Min(value_col), _Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    span = (hi - lo) or 1.0
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy()
+        bkt = np.minimum(((v - lo) / span * 64).astype(np.int64), 63)
+        return pa.table(
+            {
+                key_col: b.column(key_col),
+                id_col: b.column(id_col),
+                value_col: b.column(value_col),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = (
+        keyed_ds.groupby([key_col, "bkt"])
+        .count()
+        .to_pandas()
+        .sort_values([key_col, "bkt"])
+    )
+    bc["offset"] = bc.groupby(key_col)["count()"].cumsum() - bc["count()"]
+    offsets = {
+        (k, int(b)): int(o) for k, b, o in zip(bc[key_col], bc["bkt"], bc["offset"])
+    }
+    totals = bc.groupby(key_col)["count()"].sum().astype(int).to_dict()
+    targets = {k: int((n - 1) // 2) for k, n in totals.items()}
+    meta_ref = ray.put((offsets, targets))
+
+    def pluck(g: pa.Table) -> pa.Table:
+        offs, tgts = ray.get(meta_ref)
+        df = g.to_pandas().sort_values([value_col, id_col]).reset_index(drop=True)
+        k = df[key_col].iloc[0]
+        base = offs[(k, int(df["bkt"].iloc[0]))]
+        want = tgts[k]
+        if not (base <= want < base + len(df)):
+            return pa.table(
+                {key_col: pa.array([], g.schema.field(key_col).type),
+                 "med": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                key_col: pa.array([k], g.schema.field(key_col).type),
+                "med": pa.array([float(df[value_col].iloc[want - base])], pa.float64()),
+            }
+        )
+
+    hits = (
+        keyed_ds.groupby([key_col, "bkt"])
+        .map_groups(pluck, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return dict(zip(hits[key_col], hits["med"]))
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier detection per event type: exact median, exact MAD
+    (median absolute deviation), and the count of |v − median| > 3·MAD
+    rows — the heavy-tail-safe complement of z-scoring (length_zscore),
+    which a spam/anomaly gate actually wants on skewed value columns.
+    Three passes, none sorting a whole group: two bucketed rank plucks
+    (median, then median of deviations against the broadcast medians)
+    and one combiner count.  Medians enter the deviation math UNROUNDED
+    (they are exact corpus values) so both sides subtract identical
+    doubles; only the report columns round."""
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    med = _grouped_median_pluck(ev, "event_type", "event_id", "value")
+    med_ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        v = b.column("value").to_numpy()
+        mv = np.array([m[t] for t in b.column("event_type").to_pylist()])
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value": pa.array(np.abs(v - mv), pa.float64()),
+            }
+        )
+
+    devs = ev.map_batches(dev, batch_format="pyarrow")
+    mad = _grouped_median_pluck(devs, "event_type", "event_id", "value")
+    mad_ref = ray.put(mad)
+
+    def counts(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        md = ray.get(mad_ref)
+        v = b.column("value").to_numpy()
+        ts = b.column("event_type").to_pylist()
+        mv = np.array([m[t] for t in ts])
+        dv = np.array([md[t] for t in ts])
+        out = (np.abs(v - mv) > 3.0 * dv).astype(np.int64)
+        df = pd.DataFrame({"event_type": ts, "n": 1, "n_outliers": out})
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ev.map_batches(counts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_outliers", alias_name="n_outliers"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    agg["median"] = [float(_r(med[t], 6)) for t in agg["event_type"]]
+    agg["mad"] = [float(_r(mad[t], 6)) for t in agg["event_type"]]
+    return (
+        agg[["event_type", "n", "median", "mad", "n_outliers"]]
+        .astype({"n": "int64", "n_outliers": "int64"})
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["mad_outliers"] = q_mad_outliers
+
+ORACLE_SQL["mad_outliers"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) - 1 AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               max(CASE WHEN r = CAST((n - 1) // 2 AS BIGINT)
+                        THEN value END) AS med
+        FROM ranked GROUP BY event_type
+    ),
+    devr AS (
+        SELECT e.event_type, abs(e.value - m.med) AS d,
+               row_number() OVER (PARTITION BY e.event_type
+                                  ORDER BY abs(e.value - m.med), e.event_id)
+                   - 1 AS r,
+               count(*) OVER (PARTITION BY e.event_type) AS n
+        FROM events e JOIN med m USING (event_type)
+    ),
+    madt AS (
+        SELECT event_type,
+               max(CASE WHEN r = CAST((n - 1) // 2 AS BIGINT)
+                        THEN d END) AS mad
+        FROM devr GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n,
+           round(any_value(m.med), 6) AS median,
+           round(any_value(t.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * t.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN med m USING (event_type) JOIN madt t USING (event_type)
+    GROUP BY e.event_type ORDER BY event_type
+"""
