@@ -12948,3 +12948,91 @@ ORACLE_SQL["mad_outliers"] = """
     FROM events e JOIN med m USING (event_type) JOIN madt t USING (event_type)
     GROUP BY e.event_type ORDER BY event_type
 """
+
+
+def q_oov_rate(sf_dir: str, vocab_k: int = 100):
+    """Out-of-vocabulary rate per (lang, source) against the corpus'
+    top-K term vocabulary — the number that drives vocab-size / tokenizer
+    decisions (a slice with 40% OOV against the candidate vocab will
+    fragment into char-level tokens and blow its sequence budget).
+    Vocabulary = top-K terms by (total count desc, term), built with one
+    combiner groupby and broadcast as a frozenset; coverage counts reduce
+    as exact integers per cell.  Ties at the vocab cut are pinned by the
+    (count, term) order on both sides."""
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+
+    def term_counts(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for t in b.column("text").to_pylist():
+            for w in _oracle_tokens(t):
+                cnt[w] = cnt.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    vocab_df = (
+        docs.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["c", "term"], ascending=[False, True])
+        .head(vocab_k)
+    )
+    vocab_ref = ray.put(frozenset(vocab_df["term"]))
+
+    def coverage(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        rows = []
+        for lang, src, t in zip(
+            b.column("lang").to_pylist(),
+            b.column("source").to_pylist(),
+            b.column("text").to_pylist(),
+        ):
+            toks = _oracle_tokens(t)
+            oov = sum(1 for w in toks if w not in vocab)
+            rows.append((lang, src, len(toks), oov))
+        df = pd.DataFrame(rows, columns=["lang", "source", "toks", "oov"])
+        g = df.groupby(["lang", "source"], as_index=False)[["toks", "oov"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(coverage, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("toks", alias_name="tokens"), Sum("oov", alias_name="oov"))
+        .to_pandas()
+    )
+    agg["oov_rate"] = [
+        0.0 if tk == 0 else float(_r(ov / tk, 6))
+        for tk, ov in zip(agg["tokens"], agg["oov"])
+    ]
+    return (
+        agg.astype({"tokens": "int64", "oov": "int64"})
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["oov_rate"] = q_oov_rate
+
+ORACLE_SQL["oov_rate"] = """
+    WITH tok AS (
+        SELECT lang, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS c FROM tok GROUP BY term
+        ) ORDER BY c DESC, term LIMIT 100
+    )
+    SELECT t.lang, t.source, count(*) AS tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (term)
+    GROUP BY t.lang, t.source ORDER BY t.lang, t.source
+"""
