@@ -178,3 +178,117 @@ def test_late_r3_ops_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_closing_session_ops_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    ce = _df(q.q_char_entropy(tiny_sf))
+    assert len(ce) == 3 and (ce["entropy"] > 0).all()
+
+    fert = _df(q.q_tokenizer_fertility(tiny_sf))
+    s0 = fert[fert.source == "s0"].iloc[0]
+    assert s0.tokens == 10 and s0.chars == 18
+
+    ent = _df(q.q_source_host_entropy(tiny_sf))
+    # s0 spans hosts 0 and 1 evenly -> ln 2; s1 is single-host -> 0
+    assert np.isclose(ent[ent.source == "s0"]["entropy"].iloc[0], np.log(2), atol=1e-6)
+    assert ent[ent.source == "s1"]["entropy"].iloc[0] == 0.0
+
+    lev = _df(q.q_levenshtein_verify(tiny_sf))
+    # identical docs 0/1 share a lede fingerprint: one exact pair
+    assert len(lev) == 1 and lev.dist.iloc[0] == 0 and lev.sim.iloc[0] == 1.0
+
+    mad = _df(q.q_mad_outliers(tiny_sf))
+    # constant group and singleton group: MAD 0, nothing flagged
+    assert (mad["mad"] == 0).all() and (mad["n_outliers"] == 0).all()
+
+    runs = _df(q.q_event_runs(tiny_sf))
+    assert len(runs) == 2
+    assert runs[runs.user_id == 7].n_events.iloc[0] == 2
+
+    coh = _df(q.q_retention_cohorts(tiny_sf))
+    # two single-user day cohorts, offset 0 each
+    assert len(coh) == 2 and (coh["day_offset"] == 0).all()
+
+    oov = _df(q.q_oov_rate(tiny_sf))
+    assert (oov["oov_rate"] == 0.0).all()  # 7-term corpus fits any top-100
+
+    prof = _df(q.q_schema_profile(tiny_sf))
+    assert (prof["n_rows"] == 3).all()
+    assert prof[prof.col_name == "event_id"].n_distinct.iloc[0] == 3
+
+    plan = _df(q.q_recrawl_plan(tiny_sf))
+    # only user 7 has >1 capture -> exactly one non-null staleness row
+    assert len(plan) == 1 and plan["rank"].iloc[0] == 1
+
+    idf = _df(q.q_df_idf_topk(tiny_sf))
+    assert len(idf) == 7  # a-e (df 2) + x,y (df 1)
+    assert (idf.sort_values(["df", "term"], ascending=[False, True])["term"]
+            .tolist()[:5] == ["a", "b", "c", "d", "e"])
+
+    # <3-token doc: Ray side clamps the shingle width (kk=min(k,n)) and
+    # still signs it — documented divergence from the >=3-token SQL mirror
+    mhe = _df(q.q_minhash_estimate_error(tiny_sf))
+    assert len(mhe) == 2
+    first = mhe[mhe.doc_a == 0].iloc[0]
+    assert first.est == 1.0 and first.jaccard == 1.0 and first.err == 0.0
+
+
+def test_closing_session_skew_join_tiny(ray_session, tiny_sf):
+    import pyarrow.parquet as _pq
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    _pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(range(10)), pa.int64()),
+                "c_name": pa.array([f"Customer{i}" for i in range(10)], pa.string()),
+                "c_acctbal": pa.array([float(j) for j in range(10)], pa.float64()),
+            }
+        ),
+        tiny_sf + "/customer.parquet",
+    )
+    out = _df(q.q_skew_join(tiny_sf))
+    # events 0 and 2 are even -> key 0; event 1 -> key 7
+    assert set(out["k"]) == {0, 7}
+    assert out[out.k == 0].n.iloc[0] == 2
+
+
+def test_closing_session_ops_partitioning_independent(ray_session, monkeypatch):
+    """Session's combiner / rank-pluck / pair ops must be blind to input
+    blocking: 17 forced partitions == natural blocking."""
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "source_host_entropy",
+        "tokenizer_fertility",
+        "char_entropy",
+        "df_idf_topk",
+        "oov_rate",
+        "mad_outliers",
+        "retention_cohorts",
+        "event_runs",
+        "recrawl_plan",
+        "label_centroid_distance",
+    )
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
