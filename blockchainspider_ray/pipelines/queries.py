@@ -13036,3 +13036,147 @@ ORACLE_SQL["oov_rate"] = """
     FROM tok t LEFT JOIN vocab v USING (term)
     GROUP BY t.lang, t.source ORDER BY t.lang, t.source
 """
+
+
+def q_fuzzy_dedup_clusters(sf_dir: str, sim_threshold: float = 0.8):
+    """End-to-end FUZZY dedup: fingerprint blocking → bounded edit-distance
+    verification (levenshtein_verify) → similarity cut → distributed
+    connected components → cluster labels.  The entity-resolution shape:
+    cheap blocking proposes, exact verification confirms, transitive
+    closure groups — three stages that each move only candidate-pair-sized
+    data, never the corpus.  The SQL mirror nests the verification oracle
+    verbatim and runs the same min-label closure as a recursive CTE."""
+    from ..stages.dedup import connected_components
+
+    pairs = q_levenshtein_verify(sf_dir)
+
+    def cut(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("sim"), pa.scalar(sim_threshold))
+        return b.filter(keep).select(["doc_a", "doc_b"])
+
+    edges = pairs.map_batches(cut, batch_format="pyarrow")
+    return connected_components(edges).sort("doc_id")
+
+
+SQL_QUERIES["fuzzy_dedup_clusters"] = q_fuzzy_dedup_clusters
+
+
+ORACLE_SQL["fuzzy_dedup_clusters"] = (
+    "WITH RECURSIVE lev AS (" + ORACLE_SQL["levenshtein_verify"].replace("ORDER BY doc_a, doc_b", "") + """),
+    cut AS (SELECT doc_a, doc_b FROM lev WHERE sim >= 0.8),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cut
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM cut
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+"""
+)
+
+
+def q_quantile_sketch_error(sf_dir: str):
+    """Sketch-calibration for quantiles: the 64-bucket equi-width
+    histogram median ESTIMATE (what a single-pass streaming profiler
+    reports) against the EXACT rank-plucked median, with the signed
+    error — quantifies what the cheap pass gives up before a pipeline
+    decides it needs the two-pass exact machinery.  Histogram counts
+    reduce combiner-style (64×types rows); the exact side reuses the
+    grouped-median pluck; both bucket formulas are integer-identical
+    to the SQL."""
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    mm = ev.aggregate(_Min("value"), _Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        bkt = np.minimum(((v - lo) / span * 64).astype(np.int64), 63)
+        df = pd.DataFrame({"event_type": b.column("event_type").to_pandas(), "bkt": bkt})
+        g = df.groupby(["event_type", "bkt"]).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hc = (
+        ev.map_batches(hist, batch_format="pyarrow")
+        .groupby(["event_type", "bkt"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["event_type", "bkt"])
+    )
+    exact = _grouped_median_pluck(ev, "event_type", "event_id", "value")
+    rows = []
+    for t, g in hc.groupby("event_type", sort=True):
+        n = int(g["c"].sum())
+        target = (n - 1) // 2
+        cum = 0
+        est_bkt = int(g["bkt"].iloc[-1])
+        for bkt, c in zip(g["bkt"], g["c"]):
+            cum += int(c)
+            if cum > target:
+                est_bkt = int(bkt)
+                break
+        est = lo + est_bkt * span / 64.0
+        ex = exact[t]
+        rows.append(
+            (t, n, float(_r(est, 6)), float(_r(ex, 6)), float(_r(est - ex, 6)))
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "est_p50", "exact_p50", "err"]
+    ).astype({"n": "int64"})
+
+
+SQL_QUERIES["quantile_sketch_error"] = q_quantile_sketch_error
+
+ORACLE_SQL["quantile_sketch_error"] = """
+    WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+        SELECT e.event_type,
+               least(CAST(floor((e.value - mm.lo)
+                                / (CASE WHEN mm.hi > mm.lo
+                                        THEN mm.hi - mm.lo ELSE 1 END)
+                                * 64) AS BIGINT), 63) AS bkt
+        FROM events e CROSS JOIN mm
+    ),
+    hc AS (SELECT event_type, bkt, count(*) AS c FROM b GROUP BY event_type, bkt),
+    cum AS (
+        SELECT event_type, bkt, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bkt) AS cc,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hc
+    ),
+    est AS (
+        SELECT event_type, CAST(any_value(n) AS BIGINT) AS n,
+               min(bkt) FILTER (cc > (n - 1) // 2) AS est_bkt
+        FROM cum GROUP BY event_type
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) - 1 AS r,
+               count(*) OVER (PARTITION BY event_type) AS nn
+        FROM events
+    ),
+    ex AS (
+        SELECT event_type,
+               max(CASE WHEN r = CAST((nn - 1) // 2 AS BIGINT)
+                        THEN value END) AS exact_p50
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, e.n,
+           round(mm.lo + e.est_bkt * (CASE WHEN mm.hi > mm.lo
+                                           THEN mm.hi - mm.lo ELSE 1 END)
+                         / 64.0, 6) AS est_p50,
+           round(x.exact_p50, 6) AS exact_p50,
+           round((mm.lo + e.est_bkt * (CASE WHEN mm.hi > mm.lo
+                                            THEN mm.hi - mm.lo ELSE 1 END)
+                          / 64.0) - x.exact_p50, 6) AS err
+    FROM est e JOIN ex x USING (event_type) CROSS JOIN mm
+    ORDER BY e.event_type
+"""
