@@ -13180,3 +13180,51 @@ ORACLE_SQL["quantile_sketch_error"] = """
     FROM est e JOIN ex x USING (event_type) CROSS JOIN mm
     ORDER BY e.event_type
 """
+
+
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the event value series (largest drop
+    from a running peak, in (ts, event_id) order) — the running-extrema
+    window shape (cummax-minus-current) the rolling-avg/cumsum family
+    doesn't cover; flags collapsing engagement / value streams.  One
+    user-partitioned shuffle, vectorized cummax inside the group; same
+    documented fits-in-worker assumption as sessionize."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def dd(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = df["value"].to_numpy()
+        runmax = np.maximum.accumulate(v)
+        draw = runmax - v
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "n": pa.array([len(v)], pa.int64()),
+                "peak": pa.array([float(_r(runmax[-1], 6))], pa.float64()),
+                "max_drawdown": pa.array([float(_r(draw.max(), 6))], pa.float64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(dd, batch_format="pyarrow")
+        .sort("user_id")
+    )
+
+
+SQL_QUERIES["max_drawdown"] = q_max_drawdown
+
+ORACLE_SQL["max_drawdown"] = """
+    WITH w AS (
+        SELECT user_id, value,
+               max(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS runmax
+        FROM events
+    )
+    SELECT user_id, count(*) AS n,
+           round(max(runmax), 6) AS peak,
+           round(max(runmax - value), 6) AS max_drawdown
+    FROM w GROUP BY user_id ORDER BY user_id
+"""
