@@ -13228,3 +13228,100 @@ ORACLE_SQL["max_drawdown"] = """
            round(max(runmax - value), 6) AS max_drawdown
     FROM w GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_distinctive_terms(sf_dir: str, k: int = 10):
+    """Per-source distinctive vocabulary via log-odds with an informative
+    Dirichlet prior (Monroe et al.'s weighted-log-odds, the corpus-
+    comparison tool that beats raw TF-IDF for 'what makes source X
+    different') — top-K terms per source by z-score.  Counts reduce
+    combiner-style to (source, term) cells; the global prior joins by
+    term; every per-term formula is independent scalar math (no ordered
+    folds), and ranks are cut on the ROUNDED z (ties by term) so float
+    noise cannot flip the top-K boundary on either side."""
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def cell_counts(b: pa.Table) -> pa.Table:
+        cnt: dict = {}
+        for src, t in zip(
+            b.column("source").to_pylist(), b.column("text").to_pylist()
+        ):
+            for w in _oracle_tokens(t):
+                key = (src, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        ks = list(cnt.keys())
+        return pa.table(
+            {
+                "source": pa.array([x[0] for x in ks], pa.string()),
+                "term": pa.array([x[1] for x in ks], pa.string()),
+                "c": pa.array([cnt[x] for x in ks], pa.int64()),
+            }
+        )
+
+    cells = (
+        docs.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="y"))
+        .to_pandas()
+    )
+    # dim-sized result: (sources x vocab) — the z math runs vectorized here
+    glob = cells.groupby("term", as_index=False)["y"].sum().rename(columns={"y": "yg"})
+    ntot = float(glob["yg"].sum())
+    per_src = cells.groupby("source", as_index=False)["y"].sum().rename(columns={"y": "ns"})
+    df = cells.merge(glob, on="term").merge(per_src, on="source")
+    a0 = 100.0
+    ai = a0 * df["yg"].to_numpy() / ntot
+    ys = df["y"].to_numpy().astype(np.float64)
+    ns = df["ns"].to_numpy().astype(np.float64)
+    yr = df["yg"].to_numpy().astype(np.float64) - ys
+    nr = ntot - ns
+    delta = np.log((ys + ai) / (ns + a0 - ys - ai)) - np.log(
+        (yr + ai) / (nr + a0 - yr - ai)
+    )
+    var = 1.0 / (ys + ai) + 1.0 / (yr + ai)
+    df["z"] = _r(delta / np.sqrt(var), 6)
+    df = df.sort_values(["source", "z", "term"], ascending=[True, False, True])
+    df["rank"] = df.groupby("source").cumcount() + 1
+    out = df[df["rank"] <= k][["source", "term", "y", "z", "rank"]]
+    return (
+        out.astype({"y": "int64", "rank": "int64"})
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["distinctive_terms"] = q_distinctive_terms
+
+ORACLE_SQL["distinctive_terms"] = """
+    WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    cells AS (SELECT source, term, count(*) AS y FROM tok GROUP BY source, term),
+    gl AS (SELECT term, sum(y) AS yg FROM cells GROUP BY term),
+    tot AS (SELECT sum(yg) AS ntot FROM gl),
+    ps AS (SELECT source, sum(y) AS ns FROM cells GROUP BY source),
+    z AS (
+        SELECT c.source, c.term, c.y,
+               round(
+                 (ln((c.y + 100.0 * g.yg / t.ntot)
+                     / (p.ns + 100.0 - c.y - 100.0 * g.yg / t.ntot))
+                  - ln((g.yg - c.y + 100.0 * g.yg / t.ntot)
+                       / (t.ntot - p.ns + 100.0 - (g.yg - c.y)
+                          - 100.0 * g.yg / t.ntot)))
+                 / sqrt(1.0 / (c.y + 100.0 * g.yg / t.ntot)
+                        + 1.0 / (g.yg - c.y + 100.0 * g.yg / t.ntot)), 6)
+                   AS z
+        FROM cells c JOIN gl g USING (term) CROSS JOIN tot t
+        JOIN ps p ON c.source = p.source
+    ),
+    ranked AS (
+        SELECT source, term, y, z,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY z DESC, term) AS rank
+        FROM z
+    )
+    SELECT source, term, CAST(y AS BIGINT) AS y, z, rank
+    FROM ranked WHERE rank <= 10 ORDER BY source, rank
+"""
