@@ -12320,9 +12320,12 @@ def q_df_idf_topk(sf_dir: str, k: int = 100):
         docs.map_batches(term_doc, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("c", alias_name="df"))
+        # top-k cut runs DISTRIBUTED (sort+limit) — the vocabulary is
+        # ~10^9 distinct tokens at web scale and never fits the driver
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
         .to_pandas()
     )
-    df_tbl = df_tbl.sort_values(["df", "term"], ascending=[False, True]).head(k)
     df_tbl["idf"] = [float(_r(np.log(n_docs / d), 6)) for d in df_tbl["df"]]
     return df_tbl.astype({"df": "int64"}).reset_index(drop=True)
 
@@ -12977,9 +12980,10 @@ def q_oov_rate(sf_dir: str, vocab_k: int = 100):
         docs.map_batches(term_counts, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("c", alias_name="c"))
+        # distributed top-k cut: only vocab_k terms ever reach the driver
+        .sort(["c", "term"], descending=[True, False])
+        .limit(vocab_k)
         .to_pandas()
-        .sort_values(["c", "term"], ascending=[False, True])
-        .head(vocab_k)
     )
     vocab_ref = ray.put(frozenset(vocab_df["term"]))
 
@@ -13234,20 +13238,26 @@ def q_distinctive_terms(sf_dir: str, k: int = 10):
     """Per-source distinctive vocabulary via log-odds with an informative
     Dirichlet prior (Monroe et al.'s weighted-log-odds, the corpus-
     comparison tool that beats raw TF-IDF for 'what makes source X
-    different') — top-K terms per source by z-score.  Counts reduce
-    combiner-style to (source, term) cells; the global prior joins by
-    term; every per-term formula is independent scalar math (no ordered
-    folds), and ranks are cut on the ROUNDED z (ties by term) so float
-    noise cannot flip the top-K boundary on either side."""
+    different') — top-K terms per source by z-score.  Scale-honest shape:
+    (source, term) cells and the global term prior are both Datasets
+    joined by the partitioned hash_join (the vocabulary is ~10^9 terms at
+    web scale and never sits on the driver); only the source totals
+    (source-cardinality) broadcast.  The z math is independent per-cell
+    scalar arithmetic computed map-side; each batch pre-cuts to its local
+    top-K per source, so the final per-source fold sees K×blocks rows,
+    never the vocabulary.  Ranks cut on the ROUNDED z (ties by term) so
+    float noise cannot flip the top-K boundary on either side."""
+    from ..stages.joins import hash_join
+
     docs = _read(sf_dir, "documents", columns=["text", "source"])
 
     def cell_counts(b: pa.Table) -> pa.Table:
         cnt: dict = {}
-        for src, t in zip(
+        for src_, t in zip(
             b.column("source").to_pylist(), b.column("text").to_pylist()
         ):
             for w in _oracle_tokens(t):
-                key = (src, w)
+                key = (src_, w)
                 cnt[key] = cnt.get(key, 0) + 1
         ks = list(cnt.keys())
         return pa.table(
@@ -13262,31 +13272,59 @@ def q_distinctive_terms(sf_dir: str, k: int = 10):
         docs.map_batches(cell_counts, batch_format="pyarrow")
         .groupby(["source", "term"])
         .aggregate(Sum("c", alias_name="y"))
-        .to_pandas()
+        .materialize()  # feeds two consumers: the glob groupby + the join
     )
-    # dim-sized result: (sources x vocab) — the z math runs vectorized here
-    glob = cells.groupby("term", as_index=False)["y"].sum().rename(columns={"y": "yg"})
-    ntot = float(glob["yg"].sum())
-    per_src = cells.groupby("source", as_index=False)["y"].sum().rename(columns={"y": "ns"})
-    df = cells.merge(glob, on="term").merge(per_src, on="source")
-    a0 = 100.0
-    ai = a0 * df["yg"].to_numpy() / ntot
-    ys = df["y"].to_numpy().astype(np.float64)
-    ns = df["ns"].to_numpy().astype(np.float64)
-    yr = df["yg"].to_numpy().astype(np.float64) - ys
-    nr = ntot - ns
-    delta = np.log((ys + ai) / (ns + a0 - ys - ai)) - np.log(
-        (yr + ai) / (nr + a0 - yr - ai)
-    )
-    var = 1.0 / (ys + ai) + 1.0 / (yr + ai)
-    df["z"] = _r(delta / np.sqrt(var), 6)
-    df = df.sort_values(["source", "z", "term"], ascending=[True, False, True])
-    df["rank"] = df.groupby("source").cumcount() + 1
-    out = df[df["rank"] <= k][["source", "term", "y", "z", "rank"]]
+    glob = cells.groupby("term").aggregate(Sum("y", alias_name="yg"))
+    per_src = cells.groupby("source").aggregate(Sum("y", alias_name="ns")).to_pandas()
+    ns_map = dict(zip(per_src["source"], per_src["ns"].astype(float)))
+    ntot = float(per_src["ns"].sum())
+    meta_ref = ray.put((ns_map, ntot))
+    joined = hash_join(cells, glob, key="term")
+
+    def zscore(b: pa.Table) -> pa.Table:
+        ns_m, nt = ray.get(meta_ref)
+        ys = b.column("y").to_numpy().astype(np.float64)
+        yg = b.column("yg").to_numpy().astype(np.float64)
+        ns = np.array([ns_m[s] for s in b.column("source").to_pylist()])
+        a0 = 100.0
+        ai = a0 * yg / nt
+        yr = yg - ys
+        nr = nt - ns
+        delta = np.log((ys + ai) / (ns + a0 - ys - ai)) - np.log(
+            (yr + ai) / (nr + a0 - yr - ai)
+        )
+        var = 1.0 / (ys + ai) + 1.0 / (yr + ai)
+        z = _r(delta / np.sqrt(var), 6)
+        # local pre-cut: this batch's top-k per source (superset of the
+        # global top-k restricted to rows in this batch)
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "term": b.column("term").to_pandas(),
+                "y": b.column("y").to_pandas(),
+                "z": z,
+            }
+        ).sort_values(["source", "z", "term"], ascending=[True, False, True])
+        df = df.groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        df = (
+            g.to_pandas()
+            .sort_values(["z", "term"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["source", "term", "y", "z", "rank"]], preserve_index=False
+        )
+
     return (
-        out.astype({"y": "int64", "rank": "int64"})
-        .sort_values(["source", "rank"])
-        .reset_index(drop=True)
+        joined.map_batches(zscore, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+        .sort(["source", "rank"])
     )
 
 
