@@ -12010,7 +12010,10 @@ def q_source_host_entropy(sf_dir: str):
     it.  Host mapping matches host_gini (doc_id % 10 in this synthetic
     corpus).  One combiner groupby to (source, host) counts; the entropy
     fold runs on the dim-sized result, summed in host order on both sides
-    so the float hash is stable."""
+    so the float hash is stable.  At web scale (10^8+ hosts) use the
+    algebraic form entropy = ln(n) - (sum c*ln c)/n, whose inner term is
+    a plain distributed Sum aggregate — the ordered driver fold here buys
+    bit-exact SQL parity on the fixture's dim-sized host space."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def cells(b: pa.Table) -> pa.Table:
@@ -13362,4 +13365,87 @@ ORACLE_SQL["distinctive_terms"] = """
     )
     SELECT source, term, CAST(y AS BIGINT) AS y, z, rank
     FROM ranked WHERE rank <= 10 ORDER BY source, rank
+"""
+
+
+def q_ks_drift(sf_dir: str):
+    """Distribution-drift detection: per source, the exact two-sample
+    Kolmogorov–Smirnov distance between its doc-length distribution and
+    the rest of the corpus — the alarm a continuously-ingesting pipeline
+    puts on every new delivery (a source whose length CDF walked away
+    from the corpus needs requalification).  Two combiner groupbys
+    produce (source, value) and (value) count tables; the CDF scan runs
+    on that distinct-value grid (dim-sized here; at web scale swap the
+    grid for the range-bucket rank machinery — KS over bucket boundaries
+    bounds the exact KS within bucket width).  Both sides compute the
+    same count-ratio doubles, so the max pick cannot diverge."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "v": b.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby(["source", "v"]).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sv = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    gv = sv.groupby("v", as_index=False)["c"].sum().rename(columns={"c": "cg"})
+    gv = gv.sort_values("v").reset_index(drop=True)
+    gv["cumg"] = gv["cg"].cumsum()
+    ng = int(gv["cg"].sum())
+    cumg = dict(zip(gv["v"], gv["cumg"]))
+    vals = gv["v"].tolist()
+    rows = []
+    for src, g in sv.groupby("source", sort=True):
+        n = int(g["c"].sum())
+        own = dict(zip(g["v"], g["c"]))
+        co = 0
+        ks = 0.0
+        for v in vals:
+            co += own.get(v, 0)
+            cr = cumg[v] - co
+            d = abs(co / n - cr / (ng - n))
+            if d > ks:
+                ks = d
+        rows.append((src, n, float(_r(ks, 6))))
+    return pd.DataFrame(rows, columns=["source", "n", "ks"]).astype({"n": "int64"})
+
+
+SQL_QUERIES["ks_drift"] = q_ks_drift
+
+ORACLE_SQL["ks_drift"] = """
+    WITH sv AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM sv GROUP BY source),
+    gv AS (SELECT v, sum(c) AS cg FROM sv GROUP BY v),
+    gn AS (SELECT sum(cg) AS ng FROM gv),
+    grid AS (
+        SELECT t.source, g.v FROM (SELECT DISTINCT source FROM sv) t
+        CROSS JOIN gv g
+    ),
+    own AS (
+        SELECT gr.source, gr.v, coalesce(sv.c, 0) AS c
+        FROM grid gr LEFT JOIN sv ON sv.source = gr.source AND sv.v = gr.v
+    ),
+    cum AS (
+        SELECT o.source, o.v,
+               sum(o.c) OVER (PARTITION BY o.source ORDER BY o.v) AS co,
+               sum(g.cg) OVER (PARTITION BY o.source ORDER BY o.v) AS cumg
+        FROM own o JOIN gv g USING (v)
+    )
+    SELECT c.source, CAST(any_value(t.n) AS BIGINT) AS n,
+           round(max(abs(c.co * 1.0 / t.n
+                         - (c.cumg - c.co) * 1.0 / (gn.ng - t.n))), 6) AS ks
+    FROM cum c JOIN tot t USING (source) CROSS JOIN gn
+    GROUP BY c.source ORDER BY c.source
 """
