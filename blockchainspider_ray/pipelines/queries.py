@@ -13449,3 +13449,52 @@ ORACLE_SQL["ks_drift"] = """
     FROM cum c JOIN tot t USING (source) CROSS JOIN gn
     GROUP BY c.source ORDER BY c.source
 """
+
+
+def q_tail_exponent(sf_dir: str, k: int = 100):
+    """Hill estimator of the doc-length tail exponent — the heavy-tail
+    diagnostic that decides whether mean-based capacity planning is even
+    meaningful for a corpus (alpha <= 2: infinite variance, plan on
+    quantiles).  Only the top-(k+1) order statistics are needed, cut by a
+    DISTRIBUTED sort+limit (the corpus never sorts driver-side); the
+    log-ratio fold runs over those k rows in rank order on both sides.
+    alpha_hat = k / sum_{i<=k} ln(x_i / x_{k+1}), ties broken by doc_id."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    top = (
+        docs.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k + 1)
+        .to_pandas()
+    )
+    x = top["n_chars"].to_numpy().astype(np.float64)
+    xk1 = x[k]
+    s = 0.0
+    for xi in x[:k]:  # rank order — matches sum(... ORDER BY rank)
+        s += np.log(xi / xk1)
+    alpha = k / s if s > 0 else float("nan")
+    return pd.DataFrame(
+        {
+            "k": [k],
+            "x_k1": [float(xk1)],
+            "alpha": [float(_r(alpha, 6))],
+        }
+    ).astype({"k": "int64"})
+
+
+SQL_QUERIES["tail_exponent"] = q_tail_exponent
+
+ORACLE_SQL["tail_exponent"] = """
+    WITH top AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents ORDER BY n_chars DESC, doc_id LIMIT 101
+    ),
+    xk AS (SELECT n_chars AS x_k1 FROM top WHERE r = 101),
+    s AS (
+        SELECT sum(ln(t.n_chars * 1.0 / xk.x_k1) ORDER BY t.r) AS lsum
+        FROM top t CROSS JOIN xk WHERE t.r <= 100
+    )
+    SELECT CAST(100 AS BIGINT) AS k, CAST(xk.x_k1 AS DOUBLE) AS x_k1,
+           round(CASE WHEN s.lsum > 0 THEN 100 / s.lsum ELSE NULL END, 6)
+               AS alpha
+    FROM s CROSS JOIN xk
+"""
