@@ -13498,3 +13498,580 @@ ORACLE_SQL["tail_exponent"] = """
                AS alpha
     FROM s CROSS JOIN xk
 """
+
+
+# ---------------------------------------------------------------------------
+# r3 closing additions: regression / freshness / windows / soft-dedup /
+# information-theoretic mix diagnostics / quality blending / collocations /
+# full Lloyd k-means — each with an exact DuckDB mirror
+# ---------------------------------------------------------------------------
+
+
+def q_ols_fit(sf_dir: str):
+    """Per-group ordinary-least-squares fit (price ~ quantity per
+    l_returnflag) — the drift/trend primitive behind quality-vs-age
+    regressions in corpus dashboards.  Same numerically stable two-pass
+    centered-sufficient-statistics plan as q_corr_matrix, per group: pass 1
+    reduces each batch to per-group (n, sum_x, sum_y) partials (a tiny
+    groupby), the driver forms per-group means (a 3-row broadcast); pass 2
+    reduces to centered Sxx/Syy/Sxy per group.  slope = Sxy/Sxx,
+    intercept = my - slope*mx, r2 = Sxy^2/(Sxx*Syy), all in the SQL
+    mirror's operation order, rounded 6dp.  Only O(groups) rows shuffle."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def sums(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("l_returnflag", as_index=False).agg(
+            n=("l_quantity", "size"),
+            sx=("l_quantity", "sum"),
+            sy=("l_extendedprice", "sum"),
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    tot = (
+        li.map_batches(sums, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"))
+        .to_pandas()
+    )
+    means = {
+        r["l_returnflag"]: (r["sx"] / r["n"], r["sy"] / r["n"]) for _, r in tot.iterrows()
+    }
+    m_ref = ray.put(means)
+
+    def centered(b: pa.Table) -> pa.Table:
+        mns = ray.get(m_ref)
+        df = b.to_pandas()
+        mx = df["l_returnflag"].map(lambda g: mns[g][0]).to_numpy()
+        my = df["l_returnflag"].map(lambda g: mns[g][1]).to_numpy()
+        dx = df["l_quantity"].to_numpy() - mx
+        dy = df["l_extendedprice"].to_numpy() - my
+        part = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"], "sxx": dx * dx, "syy": dy * dy, "sxy": dx * dy}
+        ).groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    cs = (
+        li.map_batches(centered, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for _, r in cs.iterrows():
+        g = r["l_returnflag"]
+        mx, my = means[g]
+        n = int(tot.loc[tot["l_returnflag"] == g, "n"].iloc[0])
+        # constant-x (or constant-y) group: 0/0 — the SQL mirror NULLs the
+        # same cells, so emit NaN instead of raising
+        sxx, syy, sxy = (np.float64(r[c]) for c in ("sxx", "syy", "sxy"))
+        slope = sxy / sxx if sxx else np.nan
+        r2 = sxy * sxy / (sxx * syy) if sxx and syy else np.nan
+        rows.append(
+            {
+                "l_returnflag": g,
+                "n": n,
+                "slope": float(_r(slope, 6)),
+                "intercept": float(_r(my - slope * mx, 6)),
+                "r2": float(_r(r2, 6)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_QUERIES["ols_fit"] = q_ols_fit
+
+ORACLE_SQL["ols_fit"] = """
+    WITH m AS (
+        SELECT l_returnflag AS g,
+               sum(l_quantity) / count(*) AS mx,
+               sum(l_extendedprice) / count(*) AS my
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l.l_returnflag AS g, m.mx, m.my, count(*) AS n,
+               sum((l_quantity - mx) * (l_quantity - mx)) AS sxx,
+               sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy,
+               sum((l_quantity - mx) * (l_extendedprice - my)) AS sxy
+        FROM lineitem l JOIN m ON l.l_returnflag = m.g
+        GROUP BY 1, m.mx, m.my
+    )
+    SELECT g AS l_returnflag, n,
+           round(sxy / sxx, 6) AS slope,
+           round(my - (sxy / sxx) * mx, 6) AS intercept,
+           round(sxy * sxy / (sxx * syy), 6) AS r2
+    FROM c ORDER BY l_returnflag
+"""
+
+
+def q_new_users_daily(sf_dir: str):
+    """Cumulative-distinct-users-by-day (the corpus/crawl freshness curve:
+    how many NEW urls/users/hosts each day adds).  Running count(distinct)
+    is a shuffle trap at scale; the two-combiner plan never moves a row:
+    per-batch (user, min-day) partials -> groupby(user).min (the only
+    user-cardinality shuffle, combiner-reduced), then per-batch day counts
+    -> groupby(day).sum (day-cardinality), then an O(days) driver cumsum.
+    Day arithmetic in integer epoch-days; all counts exact."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def first_day_partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        d = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        part = pd.DataFrame({"user_id": df["user_id"], "d": d}).groupby(
+            "user_id", as_index=False
+        ).min()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    first = (
+        ev.map_batches(first_day_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .min("d")
+    )
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("min(d)", as_index=False).size().rename(
+            columns={"min(d)": "d", "size": "nu"}
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    days = (
+        first.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("d")
+        .sum("nu")
+        .to_pandas()
+        .rename(columns={"sum(nu)": "new_users"})
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    days["day"] = days["d"].astype("datetime64[D]").astype("datetime64[ns]").dt.strftime(
+        "%Y-%m-%d"
+    )
+    days["cum_users"] = days["new_users"].cumsum().astype("int64")
+    return days[["day", "new_users", "cum_users"]].astype({"new_users": "int64"})
+
+
+SQL_QUERIES["new_users_daily"] = q_new_users_daily
+
+ORACLE_SQL["new_users_daily"] = """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
+    g AS (SELECT d, count(*) AS new_users FROM f GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM g ORDER BY day
+"""
+
+
+def q_window_distinct_users(sf_dir: str):
+    """Distinct users + event volume per tumbling hour (the rate-limiter /
+    abuse-detection window shape: COUNT(DISTINCT) inside a time window).
+    Distinct is exact without per-window sets: dedupe on (hour, user) with
+    a combiner groupby, then a second combiner collapses each hour to
+    (users=#rows, events=sum).  Only (hour, user) pairs shuffle — bounded
+    by active users per hour, not events."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        hour = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        part = pd.DataFrame({"hour": hour, "user_id": df["user_id"]}).groupby(
+            ["hour", "user_id"], as_index=False
+        ).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    pairs = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .sum("cnt")
+    )
+
+    def per_hour(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("hour", as_index=False).agg(
+            users=("user_id", "size"), events=("sum(cnt)", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        pairs.map_batches(per_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("users", alias_name="users"), Sum("events", alias_name="events"))
+        .sort("hour")
+        .to_pandas()
+    )
+    return out.astype({"users": "int64", "events": "int64"})
+
+
+SQL_QUERIES["window_distinct_users"] = q_window_distinct_users
+
+ORACLE_SQL["window_distinct_users"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           count(DISTINCT user_id) AS users,
+           count(*) AS events
+    FROM events GROUP BY 1 ORDER BY hour
+"""
+
+
+def q_softdedup_weights(sf_dir: str):
+    """SoftDeDup-style duplicate down-weighting: instead of REMOVING
+    near-duplicates, each doc gets sampling weight 1/|its fingerprint
+    group| so duplicated content contributes once in expectation (the
+    gentler alternative the remove-based dedup family can't express).
+    One fingerprint-partitioned shuffle; groups emit their size back onto
+    members.  Uses the curation pipeline's lede-4-token md5 fingerprint
+    (whole-text hashes have zero collisions in this corpus)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(" ".join(_oracle_tokens(t)[:4]).encode("utf-8")).hexdigest()
+            for t in b.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": b.column("doc_id"), "h": pa.array(h, pa.string())})
+
+    def weights(g: pa.Table) -> pa.Table:
+        sz = g.num_rows
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "fp_count": pa.array([sz] * sz, pa.int64()),
+                "weight": pa.array([float(_r(1.0 / sz, 6))] * sz, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(weights, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+SQL_QUERIES["softdedup_weights"] = q_softdedup_weights
+
+ORACLE_SQL["softdedup_weights"] = r"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   (regexp_split_to_array(trim(text), '\s+'))[1:4], ' ')) AS h
+        FROM documents
+    ),
+    sizes AS (SELECT h, count(*) AS sz FROM fp GROUP BY h)
+    SELECT f.doc_id, s.sz AS fp_count, round(1.0 / s.sz, 6) AS weight
+    FROM fp f JOIN sizes s USING (h) ORDER BY f.doc_id
+"""
+
+
+def q_mi_lang_source(sf_dir: str):
+    """Mutual information between the lang and source columns — the
+    mix-design diagnostic that says how redundant two stratification keys
+    are (MI ~ 0 -> stratify on both; MI high -> one implies the other).
+    Contingency cells reduce through a combiner groupby (only (lang,
+    source, count) rows move — cells, not docs); the driver folds the
+    O(cells) table in deterministic (lang, source) order so the float sum
+    matches the SQL mirror's ordered aggregate exactly."""
+    import math
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["lang", "source"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = (
+        docs.map_batches(cnt, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    n = float(cells["c"].sum())
+    row_m = cells.groupby("lang")["c"].sum().to_dict()
+    col_m = cells.groupby("source")["c"].sum().to_dict()
+    mi = 0.0
+    for _, r in cells.iterrows():  # ordered fold == sum(term ORDER BY lang, source)
+        c = float(r["c"])
+        mi += (c / n) * math.log((c * n) / (float(row_m[r["lang"]]) * float(col_m[r["source"]])))
+    return pd.DataFrame(
+        {"n_cells": [int(len(cells))], "n_docs": [int(n)], "mi_nats": [float(_r(mi, 9))]}
+    )
+
+
+SQL_QUERIES["mi_lang_source"] = q_mi_lang_source
+
+ORACLE_SQL["mi_lang_source"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*)::DOUBLE AS c FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    rl AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    cm AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+    terms AS (
+        SELECT cells.lang, cells.source,
+               (c / n) * ln((c * n) / (cl * cs)) AS term
+        FROM cells CROSS JOIN tot
+        JOIN rl USING (lang) JOIN cm USING (source)
+    )
+    SELECT (SELECT count(*) FROM cells) AS n_cells,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+           round(sum(term ORDER BY lang, source), 9) AS mi_nats
+    FROM terms
+"""
+
+
+def q_quality_blend(sf_dir: str):
+    """FineWeb-style blended quality score: percentile-normalize two
+    signals (doc length, unique-token ratio) across the corpus and take
+    their equal-weight mix, keep iff blend >= 0.5.  Percentile
+    normalization is the part that doesn't trivially distribute — here
+    each signal reduces to a distinct-value histogram (value, count) via a
+    combiner groupby, the driver turns cumulative counts into
+    strictly-less ranks (percent_rank = less/(N-1), the min-rank tie rule)
+    and broadcasts the two O(distinct) maps; pass 2 scores docs in place.
+    At unbounded value cardinality the order-preserving bucketed two-pass
+    rank of q_group_percentiles replaces the histogram; the shape is
+    otherwise identical."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        toks = [_oracle_tokens(t) for t in b.column("text").to_pylist()]
+        uniq = [len(set(ts)) / len(ts) for ts in toks]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "uniq": pa.array(uniq, pa.float64()),
+            }
+        )
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow")
+
+    def hist(col):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().groupby(col, as_index=False).size().rename(
+                columns={"size": "cnt"}
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    def less_map(col) -> dict:
+        h = (
+            sigs.map_batches(hist(col), batch_format="pyarrow")
+            .groupby(col)
+            .sum("cnt")
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        cum = h["sum(cnt)"].cumsum().to_numpy()
+        less = np.concatenate([[0], cum[:-1]])
+        return dict(zip(h[col], less.astype(np.int64))), int(cum[-1])
+
+    m1, n_total = less_map("n_chars")
+    m2, _ = less_map("uniq")
+    denom = float(n_total - 1) if n_total > 1 else 1.0
+    maps_ref = ray.put((m1, m2, denom))
+
+    def score(b: pa.Table) -> pa.Table:
+        mm1, mm2, dn = ray.get(maps_ref)
+        df = b.to_pandas()
+        p1 = df["n_chars"].map(mm1).to_numpy(dtype=np.float64) / dn
+        p2 = df["uniq"].map(mm2).to_numpy(dtype=np.float64) / dn
+        blend = _r(0.5 * p1 + 0.5 * p2, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"], pa.int64()),
+                "blend": pa.array(blend, pa.float64()),
+                "keep": pa.array((blend >= 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["quality_blend"] = q_quality_blend
+
+ORACLE_SQL["quality_blend"] = r"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, count(DISTINCT w) / count(*)::DOUBLE AS uniq
+        FROM t GROUP BY doc_id
+    ),
+    b AS (
+        SELECT d.doc_id,
+               percent_rank() OVER (ORDER BY d.n_chars) AS p1,
+               percent_rank() OVER (ORDER BY u.uniq) AS p2
+        FROM documents d JOIN u USING (doc_id)
+    )
+    SELECT doc_id, round(0.5 * p1 + 0.5 * p2, 6) AS blend,
+           CASE WHEN round(0.5 * p1 + 0.5 * p2, 6) >= 0.5 THEN 1 ELSE 0 END AS keep
+    FROM b ORDER BY doc_id
+"""
+
+
+def q_skipgram_counts(sf_dir: str, top: int = 50):
+    """Window-2 skip-gram collocation counts (the word2vec/co-occurrence
+    feature primitive; q_pmi_bigrams covers the adjacent-only case).
+    Per-batch Counters reduce (w1, w2) pairs locally before the single
+    pair-partitioned groupby — the classic combiner — then a deterministic
+    (count desc, w1, w2) distributed sort takes the global top-k, so ties
+    at the cut are stable on both sides."""
+    from collections import Counter
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            for off in (1, 2):
+                c.update(zip(toks[:-off], toks[off:]))
+        if not c:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        w1, w2 = zip(*c.keys())
+        return pa.table(
+            {
+                "w1": pa.array(list(w1), pa.string()),
+                "w2": pa.array(list(w2), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .sum("cnt")
+        .map_batches(
+            lambda b: b.rename_columns(["w1", "w2", "cnt"]), batch_format="pyarrow"
+        )
+        .sort(["cnt", "w1", "w2"], descending=[True, False, False])
+        .limit(top)
+    )
+
+
+SQL_QUERIES["skipgram_counts"] = q_skipgram_counts
+
+ORACLE_SQL["skipgram_counts"] = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+                   AS pos,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    )
+    SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND (b.pos - a.pos) IN (1, 2)
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, w1, w2 LIMIT 50
+"""
+
+
+def q_kmeans_lloyd(sf_dir: str, k: int = 4, iters: int = 2):
+    """Full Lloyd k-means over the embedding corpus (q_kmeans_assign is the
+    routing step; this is the iterative trainer, SQL-pinned like pagerank's
+    unrolled mirror).  Per iteration: centroids broadcast once via
+    ray.put, each batch computes its (n, k) distance argmin (first-min =
+    smallest centroid id, the mirror's ORDER BY d, cid tie rule) and emits
+    one k x (d+2) partial-sum row block, so a corpus pass moves O(k*d)
+    per batch and nothing shuffles.  Centroid means are rounded 6dp each
+    update — that makes the next iteration's assignment boundaries
+    identical on both sides instead of 1-ulp-sensitive.  Embeddings are
+    materialized once (pagerank's lesson: an un-materialized input re-runs
+    the upstream read every iteration).  Returns the final (cluster, dim,
+    c) centroid table; empty clusters drop, as in the mirror."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    init = sorted(
+        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+    )
+    C = np.array([r["embedding"] for r in init], np.float64)
+    cids = list(range(len(init)))
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table, _ref=c_ref) -> pa.Table:
+            C_ = ray.get(_ref)
+            X = _emb_matrix(b)
+            d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            j = d2.argmin(axis=1)  # first min = smallest centroid index/id
+            rows = []
+            for ci in range(C_.shape[0]):
+                m = j == ci
+                if m.any():
+                    s = X[m].sum(axis=0)
+                    rows.append(
+                        {"ci": ci, "n": int(m.sum()), **{f"s{d}": float(s[d]) for d in range(X.shape[1])}}
+                    )
+            return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("ci", as_index=False).sum().sort_values("ci")
+        dim = C.shape[1]
+        new_cids, new_C = [], []
+        for _, r in agg.iterrows():
+            mean = np.array([r[f"s{d}"] for d in range(dim)]) / r["n"]
+            new_cids.append(cids[int(r["ci"])])
+            new_C.append(_r(mean, 6))
+        cids, C = new_cids, np.array(new_C, np.float64)
+
+    rows = []
+    for i, cid in enumerate(cids):
+        for d in range(C.shape[1]):
+            rows.append({"cluster": int(cid), "dim": d + 1, "c": float(C[i, d])})
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["kmeans_lloyd"] = q_kmeans_lloyd
+
+ORACLE_SQL["kmeans_lloyd"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, x AS cx FROM e WHERE vec_id < 4),
+    d AS (
+        SELECT vec_id,
+               unnest(range(1, len(x) + 1)) AS dim,
+               unnest(x) AS v
+        FROM e
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.x, c.cx), c.cid) AS rn
+            FROM e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    u1 AS (
+        SELECT a1.cid, d.dim, round(sum(d.v) / count(*), 6) AS cv
+        FROM d JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    c1 AS (SELECT cid, list(cv ORDER BY dim) AS cx FROM u1 GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.x, c.cx), c.cid) AS rn
+            FROM e CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    u2 AS (
+        SELECT a2.cid, d.dim, round(sum(d.v) / count(*), 6) AS cv
+        FROM d JOIN a2 USING (vec_id) GROUP BY 1, 2
+    )
+    SELECT cid AS cluster, dim, cv AS c FROM u2 ORDER BY cluster, dim
+"""

@@ -292,3 +292,95 @@ def test_closing_session_ops_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_ops_survive_tiny_corpus(ray_session, tiny_sf):
+    import pyarrow.parquet as _pq
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    # constant l_quantity: Sxx = 0 -> slope/intercept/r2 NaN, not a crash
+    # (the SQL mirror NULLs the same cells)
+    ols = _df(q.q_ols_fit(tiny_sf))
+    assert len(ols) == 1 and np.isnan(ols["slope"].iloc[0])
+
+    nu = _df(q.q_new_users_daily(tiny_sf))
+    assert nu["new_users"].tolist() == [1, 1]
+    assert nu["cum_users"].tolist() == [1, 2]
+
+    wd = _df(q.q_window_distinct_users(tiny_sf))
+    assert len(wd) == 3 and (wd["users"] == 1).all() and (wd["events"] == 1).all()
+
+    sd = _df(q.q_softdedup_weights(tiny_sf)).sort_values("doc_id")
+    assert sd["fp_count"].tolist() == [2, 2, 1]
+    assert sd["weight"].tolist() == [0.5, 0.5, 1.0]
+
+    # single lang -> lang tells you nothing about source: MI exactly 0
+    mi = _df(q.q_mi_lang_source(tiny_sf))
+    assert mi["mi_nats"].iloc[0] == 0.0 and mi["n_cells"].iloc[0] == 2
+
+    qb = _df(q.q_quality_blend(tiny_sf)).sort_values("doc_id")
+    # uniq ratio is 1.0 for all three docs -> p2 = 0; n_chars 9,9,3 ->
+    # percent_rank 0.5, 0.5, 0
+    assert qb["blend"].tolist() == [0.25, 0.25, 0.0]
+    assert (qb["keep"] == 0).all()
+
+    sg = _df(q.q_skipgram_counts(tiny_sf))
+    assert len(sg) == 8  # 7 pairs from the duplicated doc + (x, y)
+    ab = sg[(sg.w1 == "a") & (sg.w2 == "b")]
+    assert ab["cnt"].iloc[0] == 2
+
+    # 4 vectors that ARE the 4 initial centroids: Lloyd is a fixed point
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 2, 3], pa.int32()),
+            }
+        ),
+        tiny_sf + "/embeddings.parquet",
+    )
+    km = _df(q.q_kmeans_lloyd(tiny_sf))
+    assert len(km) == 16
+    assert km[(km.cluster == 2) & (km.dim == 3)]["c"].iloc[0] == 1.0
+
+
+def test_r3s10_ops_partitioning_independent(ray_session, monkeypatch):
+    """This session's combiner ops (two-pass OLS, first-seen fold, windowed
+    distinct, fingerprint weighting, contingency MI, percentile blend,
+    skip-gram counts, Lloyd partial sums) must be blind to input blocking."""
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "ols_fit",
+        "new_users_daily",
+        "window_distinct_users",
+        "softdedup_weights",
+        "mi_lang_source",
+        "quality_blend",
+        "skipgram_counts",
+        "kmeans_lloyd",
+    )
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
