@@ -14075,3 +14075,396 @@ ORACLE_SQL["kmeans_lloyd"] = """
     )
     SELECT cid AS cluster, dim, cv AS c FROM u2 ORDER BY cluster, dim
 """
+
+
+def q_welch_ttest(sf_dir: str):
+    """Per-event-type Welch two-sample t-test between user cohorts
+    (user_id parity = the A/B assignment) — the experimentation primitive
+    over an event stream.  Same two-pass centered plan as q_ols_fit but
+    keyed (event_type, cohort): pass 1 -> per-cell (n, sum), driver forms
+    the O(cells) mean broadcast; pass 2 -> centered sum-of-squares.  t and
+    the Welch-Satterthwaite df are formed in the SQL mirror's exact
+    operation order; a cohort with n<2 (or absent) NULLs/NaNs the row on
+    both sides rather than crashing."""
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def sums(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["g"] = (df["user_id"] % 2).astype(np.int64)
+        part = df.groupby(["event_type", "g"], as_index=False).agg(
+            n=("value", "size"), s=("value", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    tot = (
+        ev.map_batches(sums, batch_format="pyarrow")
+        .groupby(["event_type", "g"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    means = {(r["event_type"], r["g"]): r["s"] / r["n"] for _, r in tot.iterrows()}
+    m_ref = ray.put(means)
+
+    def centered(b: pa.Table) -> pa.Table:
+        mns = ray.get(m_ref)
+        df = b.to_pandas()
+        df["g"] = (df["user_id"] % 2).astype(np.int64)
+        mu = df.apply(lambda r: mns[(r["event_type"], r["g"])], axis=1).to_numpy()
+        dv = df["value"].to_numpy() - mu
+        part = pd.DataFrame(
+            {"event_type": df["event_type"], "g": df["g"], "ss": dv * dv}
+        ).groupby(["event_type", "g"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    cs = (
+        ev.map_batches(centered, batch_format="pyarrow")
+        .groupby(["event_type", "g"])
+        .aggregate(Sum("ss", alias_name="ss"))
+        .to_pandas()
+    )
+    cells: dict = {}
+    for _, r in tot.iterrows():
+        cells.setdefault(r["event_type"], {})[int(r["g"])] = {
+            "n": int(r["n"]),
+            "mu": means[(r["event_type"], r["g"])],
+        }
+    for _, r in cs.iterrows():
+        cells[r["event_type"]][int(r["g"])]["ss"] = float(r["ss"])
+
+    rows = []
+    for et in sorted(cells):
+        a, b = cells[et].get(0), cells[et].get(1)
+        n_a = a["n"] if a else np.nan
+        n_b = b["n"] if b else np.nan
+        if a and b and a["n"] > 1 and b["n"] > 1:
+            va = a["ss"] / (a["n"] - 1)
+            vb = b["ss"] / (b["n"] - 1)
+            se2 = va / a["n"] + vb / b["n"]
+            if se2 > 0:
+                t = (a["mu"] - b["mu"]) / np.sqrt(se2)
+                df_w = se2 * se2 / (
+                    (va / a["n"]) * (va / a["n"]) / (a["n"] - 1)
+                    + (vb / b["n"]) * (vb / b["n"]) / (b["n"] - 1)
+                )
+            else:  # identical constant cohorts: 0/0 -> NULL on both sides
+                t = df_w = np.nan
+        else:
+            t = df_w = np.nan
+        rows.append(
+            {
+                "event_type": et,
+                "n_a": n_a,
+                "n_b": n_b,
+                "t": float(_r(t, 6)),
+                "df": float(_r(df_w, 4)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["welch_ttest"] = q_welch_ttest
+
+ORACLE_SQL["welch_ttest"] = """
+    WITH m AS (
+        SELECT event_type, user_id % 2 AS g,
+               count(*) AS n, sum(value) / count(*) AS mu
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT e.event_type, e.user_id % 2 AS g,
+               sum((e.value - m.mu) * (e.value - m.mu)) AS ss
+        FROM events e JOIN m ON e.event_type = m.event_type AND e.user_id % 2 = m.g
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT m.event_type,
+               max(CASE WHEN m.g = 0 THEN m.n END) AS n_a,
+               max(CASE WHEN m.g = 1 THEN m.n END) AS n_b,
+               max(CASE WHEN m.g = 0 THEN m.mu END) AS mu_a,
+               max(CASE WHEN m.g = 1 THEN m.mu END) AS mu_b,
+               max(CASE WHEN m.g = 0 THEN c.ss END) AS ss_a,
+               max(CASE WHEN m.g = 1 THEN c.ss END) AS ss_b
+        FROM m JOIN c ON m.event_type = c.event_type AND m.g = c.g
+        GROUP BY m.event_type
+    ),
+    v AS (
+        SELECT event_type, n_a, n_b, mu_a, mu_b,
+               CASE WHEN n_a > 1 THEN ss_a / (n_a - 1) END AS va,
+               CASE WHEN n_b > 1 THEN ss_b / (n_b - 1) END AS vb
+        FROM p
+    ),
+    w AS (
+        SELECT event_type, n_a, n_b,
+               (mu_a - mu_b) / sqrt(va / n_a + vb / n_b) AS t,
+               (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                   / ((va / n_a) * (va / n_a) / (n_a - 1)
+                      + (vb / n_b) * (vb / n_b) / (n_b - 1)) AS df
+        FROM v
+    )
+    SELECT event_type, n_a, n_b, round(t, 6) AS t, round(df, 4) AS df
+    FROM w ORDER BY event_type
+"""
+
+
+def q_topic_purity(sf_dir: str, k: int = 8):
+    """Cluster-vs-label purity (clustering-quality dashboard): route every
+    embedding to its nearest of the first k vectors (q_kmeans_assign's
+    broadcast argmin), then per cluster report size and majority-label
+    share.  Only (cluster, label, count) cells shuffle — the contingency
+    combiner again; the majority pick (count desc, label asc) is the same
+    deterministic tie rule as the mirror's row_number."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    cent_rows = sorted(
+        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+    )
+    C = np.array([r["embedding"] for r in cent_rows], np.float64)
+    c_ref = ray.put(C)
+
+    def cells(b: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        X = _emb_matrix(b)
+        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        j = d2.argmin(axis=1)
+        part = pd.DataFrame(
+            {"cluster": j.astype(np.int64), "label": b.column("label").to_numpy()}
+        ).groupby(["cluster", "label"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    cc = (
+        emb.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+    rows = []
+    for cl, grp in cc.groupby("cluster"):
+        n = int(grp["cnt"].sum())
+        top = grp.sort_values(["cnt", "label"], ascending=[False, True]).iloc[0]
+        rows.append(
+            {
+                "cluster": int(cl),
+                "n": n,
+                "top_label": int(top["label"]),
+                "purity": float(_r(int(top["cnt"]) / n, 6)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("cluster").reset_index(drop=True)
+
+
+SQL_QUERIES["topic_purity"] = q_topic_purity
+
+ORACLE_SQL["topic_purity"] = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cx FROM embeddings WHERE vec_id < 8
+    ),
+    a AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.embedding::DOUBLE[], c.cx),
+                                               c.cid) AS rn
+            FROM embeddings e CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    cells AS (
+        SELECT a.cluster, emb.label, count(*) AS cnt
+        FROM a JOIN embeddings emb USING (vec_id) GROUP BY 1, 2
+    ),
+    tot AS (SELECT cluster, sum(cnt) AS n FROM cells GROUP BY cluster),
+    top AS (
+        SELECT cluster, label, cnt,
+               row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn
+        FROM cells
+    )
+    SELECT t.cluster, CAST(tot.n AS BIGINT) AS n, t.label AS top_label,
+           round(t.cnt / tot.n, 6) AS purity
+    FROM top t JOIN tot USING (cluster) WHERE t.rn = 1 ORDER BY t.cluster
+"""
+
+
+def q_silhouette_simplified(sf_dir: str, k: int = 8):
+    """Per-cluster simplified silhouette (centroid-based: a = distance to
+    own centroid, b = distance to nearest other centroid,
+    s = (b-a)/max(a,b)) — the cluster-separation score that at corpus
+    scale replaces the O(n^2) exact silhouette.  One broadcast (k x d)
+    block, one streaming pass emitting per-cluster (sum_s, n) partials;
+    nothing shuffles but k rows per batch."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_rows = sorted(
+        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+    )
+    C = np.array([r["embedding"] for r in cent_rows], np.float64)
+    c_ref = ray.put(C)
+
+    def partial(b: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        X = _emb_matrix(b)
+        d = np.sqrt(((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2))
+        order = np.argsort(d, axis=1, kind="stable")
+        j = order[:, 0]
+        a = d[np.arange(len(j)), j]
+        bb = d[np.arange(len(j)), order[:, 1]]
+        mx = np.maximum(a, bb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(mx > 0, (bb - a) / mx, np.nan)
+        part = pd.DataFrame({"cluster": j.astype(np.int64), "s": s, "n": 1}).groupby(
+            "cluster", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["mean_silhouette"] = _r(agg["s"] / agg["n"], 6)
+    out = agg[["cluster", "n", "mean_silhouette"]].astype({"cluster": "int64", "n": "int64"})
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
+SQL_QUERIES["silhouette_simplified"] = q_silhouette_simplified
+
+ORACLE_SQL["silhouette_simplified"] = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cx FROM embeddings WHERE vec_id < 8
+    ),
+    d AS (
+        SELECT e.vec_id, c.cid,
+               list_distance(e.embedding::DOUBLE[], c.cx) AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.embedding::DOUBLE[], c.cx),
+                                           c.cid) AS rn
+        FROM embeddings e CROSS JOIN c
+    ),
+    ab AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+               max(CASE WHEN rn = 1 THEN d END) AS a,
+               max(CASE WHEN rn = 2 THEN d END) AS b
+        FROM d GROUP BY vec_id
+    ),
+    s AS (
+        SELECT cluster,
+               CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) END AS s
+        FROM ab
+    )
+    SELECT cluster, count(*) AS n, round(sum(s) / count(*), 6) AS mean_silhouette
+    FROM s GROUP BY cluster ORDER BY cluster
+"""
+
+
+def q_lsh_bucket_histogram(sf_dir: str):
+    """MinHash-LSH bucket-size histogram — the load-balance diagnostic for
+    the dedup family's known scale edge (a degenerate bucket is what the
+    segment cap in stages/dedup.py exists for; this query is how you SEE
+    one coming).  Bands/buckets are the exact production construction
+    (MinHasher -> MinHashBands); only (band, bucket) group sizes then
+    (size, count) cells shuffle."""
+    from ..stages.dedup import MinHashBands, MinHasher
+
+    bands = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_cached_stage(MinHasher), batch_format="pyarrow")
+        .map_batches(_cached_stage(MinHashBands), batch_format="pyarrow")
+    )
+
+    def size_of_group(g: pa.Table) -> pa.Table:
+        return pa.table({"sz": pa.array([g.num_rows], pa.int64())})
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("sz", as_index=False).size().rename(
+            columns={"size": "n_buckets"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        bands.groupby(["band_id", "bucket"])
+        .map_groups(size_of_group, batch_format="pyarrow")
+        .map_batches(cnt, batch_format="pyarrow")
+        .groupby("sz")
+        .sum("n_buckets")
+        .sort("sz")
+        .to_pandas()
+        .rename(columns={"sz": "bucket_size", "sum(n_buckets)": "n_buckets"})
+    )
+    return out.astype({"bucket_size": "int64", "n_buckets": "int64"})
+
+
+SQL_QUERIES["lsh_bucket_histogram"] = q_lsh_bucket_histogram
+
+
+def q_rate_limit_offenders(sf_dir: str, threshold: int = 2):
+    """Users whose peak hourly event rate reaches the threshold — the
+    abuse/bot screen that feeds a crawl's politeness budgets from the
+    OTHER side (which clients hammer us).  Two combiners: (user, hour)
+    counts, then per-user max + total; only per-user-hour cells and then
+    per-user rows move."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = pd.DataFrame(
+            {"user_id": df["user_id"], "hour": df["ts"].dt.strftime("%Y-%m-%d %H")}
+        ).groupby(["user_id", "hour"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    hourly = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .sum("cnt")
+    )
+
+    def per_user(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("user_id", as_index=False).agg(
+            peak_hourly=("sum(cnt)", "max"), total_events=("sum(cnt)", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    users = (
+        hourly.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("peak_hourly", alias_name="peak_hourly"),
+            Sum("total_events", alias_name="total_events"),
+        )
+        .filter(expr=f"peak_hourly >= {int(threshold)}")
+        .sort("user_id")
+        .to_pandas()
+    )
+    if "user_id" not in users.columns:  # fully-filtered Dataset drops columns
+        users = pd.DataFrame({"user_id": [], "peak_hourly": [], "total_events": []})
+    return users.astype({"user_id": "int64", "peak_hourly": "int64", "total_events": "int64"})
+
+
+SQL_QUERIES["rate_limit_offenders"] = q_rate_limit_offenders
+
+ORACLE_SQL["rate_limit_offenders"] = """
+    WITH h AS (
+        SELECT user_id, date_trunc('hour', ts) AS hh, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, max(cnt) AS peak_hourly, CAST(sum(cnt) AS BIGINT) AS total_events
+    FROM h GROUP BY user_id HAVING max(cnt) >= 2 ORDER BY user_id
+"""
+
+
+ORACLE_SQL["lsh_bucket_histogram"] = (
+    f"WITH {_minhash_sig_cte()},\n"
+    r"""        band AS (
+            SELECT doc_id, CAST(perm_id // 4 AS INT) AS band_id,
+                   md5_number_lower(string_agg(minhash::VARCHAR, '|' ORDER BY perm_id)) AS bucket
+            FROM sig GROUP BY doc_id, CAST(perm_id // 4 AS INT)
+        ),
+        sizes AS (
+            SELECT band_id, bucket, count(*) AS sz FROM band GROUP BY 1, 2
+        )
+        SELECT sz AS bucket_size, count(*) AS n_buckets
+        FROM sizes GROUP BY sz ORDER BY bucket_size"""
+)

@@ -384,3 +384,80 @@ def test_r3s10_ops_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def _write_tiny_embeddings(tiny_sf):
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 2, 3], pa.int32()),
+            }
+        ),
+        tiny_sf + "/embeddings.parquet",
+    )
+
+
+def test_r3s10_batch2_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # view: only the odd cohort (user 7); buy: only the even (user 8) —
+    # one-sided cells must NaN the t/df, not crash
+    tt = _df(q.q_welch_ttest(tiny_sf))
+    assert len(tt) == 2 and tt["t"].isna().all() and tt["df"].isna().all()
+
+    _write_tiny_embeddings(tiny_sf)
+    # 4 orthonormal vectors that ARE the centroids: singleton pure clusters
+    tp = _df(q.q_topic_purity(tiny_sf))
+    assert len(tp) == 4 and (tp["purity"] == 1.0).all() and (tp["n"] == 1).all()
+    assert tp["top_label"].tolist() == [0, 1, 2, 3]
+
+    # a = 0 (own centroid), b = sqrt(2): s = 1 everywhere
+    sil = _df(q.q_silhouette_simplified(tiny_sf))
+    assert len(sil) == 4 and (sil["mean_silhouette"] == 1.0).all()
+
+    # identical docs 0/1 share all 16 band buckets; doc 2 gets its own 16
+    hist = _df(q.q_lsh_bucket_histogram(tiny_sf))
+    as_map = dict(zip(hist["bucket_size"], hist["n_buckets"]))
+    assert as_map.get(2) == 16 and as_map.get(1) == 16
+
+    # nobody reaches 2 events within one hour: empty, with schema intact
+    off = _df(q.q_rate_limit_offenders(tiny_sf))
+    assert len(off) == 0
+
+
+def test_r3s10_batch2_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "welch_ttest",
+        "topic_purity",
+        "silhouette_simplified",
+        "lsh_bucket_histogram",
+        "rate_limit_offenders",
+    )
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
