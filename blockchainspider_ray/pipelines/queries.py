@@ -14468,3 +14468,293 @@ ORACLE_SQL["lsh_bucket_histogram"] = (
         SELECT sz AS bucket_size, count(*) AS n_buckets
         FROM sizes GROUP BY sz ORDER BY bucket_size"""
 )
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the events link graph — Pearson correlation
+    of endpoint degrees across edges, the one-number summary of whether
+    hubs link to hubs (assortative webs shard very differently from
+    disassortative ones).  Degrees come from q_node_degree's distinct-
+    neighbour reduction (a 50-row broadcast here; a hash-partitioned
+    degree table at web scale); edges then stream twice through the same
+    centered two-pass as q_corr_matrix.  Self-loops drop, as in the
+    degree definition."""
+    deg_map = {
+        r["node"]: float(r["degree"]) for r in q_node_degree(sf_dir).take_all()
+    }
+    d_ref = ray.put(deg_map)
+    edges = _events_edges(sf_dir)
+
+    def xy(b: pa.Table):
+        dm = ray.get(d_ref)
+        src = b.column("src").to_numpy()
+        dst = b.column("dst").to_numpy()
+        keep = src != dst
+        x = np.array([dm[s] for s in src[keep]], np.float64)
+        y = np.array([dm[t] for t in dst[keep]], np.float64)
+        return x, y
+
+    def sums(b: pa.Table) -> pa.Table:
+        x, y = xy(b)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+            }
+        )
+
+    tot = edges.map_batches(sums, batch_format="pyarrow").sum(["n", "sx", "sy"])
+    n = tot["sum(n)"]
+    mx, my = tot["sum(sx)"] / n, tot["sum(sy)"] / n
+
+    def centered(b: pa.Table) -> pa.Table:
+        x, y = xy(b)
+        dx, dy = x - mx, y - my
+        return pa.table(
+            {
+                "sxx": pa.array([float((dx * dx).sum())], pa.float64()),
+                "syy": pa.array([float((dy * dy).sum())], pa.float64()),
+                "sxy": pa.array([float((dx * dy).sum())], pa.float64()),
+            }
+        )
+
+    cs = edges.map_batches(centered, batch_format="pyarrow").sum(["sxx", "syy", "sxy"])
+    denom = np.sqrt(cs["sum(sxx)"] * cs["sum(syy)"])
+    r = cs["sum(sxy)"] / denom if denom else np.nan
+    return pd.DataFrame({"n_edges": [int(n)], "assortativity": [float(_r(r, 6))]})
+
+
+SQL_QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLE_SQL["degree_assortativity"] = f"""
+    WITH edges AS ({EDGES_SQL}),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT DISTINCT node, neighbor FROM (
+                SELECT src AS node, dst AS neighbor FROM edges WHERE src <> dst
+                UNION ALL
+                SELECT dst AS node, src AS neighbor FROM edges WHERE src <> dst
+            )
+        ) GROUP BY node
+    ),
+    pairs AS (
+        SELECT da.degree::DOUBLE AS x, db.degree::DOUBLE AS y
+        FROM edges e
+        JOIN deg da ON e.src = da.node
+        JOIN deg db ON e.dst = db.node
+        WHERE e.src <> e.dst
+    ),
+    m AS (
+        SELECT count(*) AS n, sum(x) / count(*) AS mx, sum(y) / count(*) AS my
+        FROM pairs
+    ),
+    c AS (
+        SELECT sum((x - mx) * (x - mx)) AS sxx,
+               sum((y - my) * (y - my)) AS syy,
+               sum((x - mx) * (y - my)) AS sxy
+        FROM pairs CROSS JOIN m
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_edges,
+           round(sxy / sqrt(sxx * syy), 6) AS assortativity
+    FROM c
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Session-length distribution (how many sessions of each event count,
+    and their mean duration) — the reporting layer over q_sessionize,
+    consumed as a composition: the session Dataset streams through one
+    more combiner, so histogram cells — not sessions — shuffle.  Duration
+    summed in exact integer microseconds; the mean divides once at the
+    end in the mirror's order."""
+    sess = q_sessionize(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        dur_us = (
+            df["session_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - df["session_start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        part = pd.DataFrame(
+            {"n_events": df["n_events"], "n_sessions": 1, "dur_us": dur_us}
+        ).groupby("n_events", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        sess.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_events")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"), Sum("dur_us", alias_name="dur_us")
+        )
+        .to_pandas()
+        .sort_values("n_events")
+        .reset_index(drop=True)
+    )
+    agg["mean_duration_s"] = _r(
+        (agg["dur_us"].astype(np.float64) / agg["n_sessions"]) / 1_000_000.0, 6
+    )
+    return agg[["n_events", "n_sessions", "mean_duration_s"]].astype(
+        {"n_events": "int64", "n_sessions": "int64"}
+    )
+
+
+SQL_QUERIES["session_stats"] = q_session_stats
+
+
+def q_redirect_depth_histogram(sf_dir: str):
+    """Redirect-chain depth distribution — the crawl-health dashboard over
+    q_redirect_resolve's pointer-jumped output (composition: the resolved
+    Dataset streams through a count combiner; the mirror states the
+    closed-form chain construction, so the histogram checks the WHOLE
+    log-step resolution end to end)."""
+    res = q_redirect_resolve(sf_dir)
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("hops", as_index=False).size().rename(
+            columns={"size": "n_urls"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        res.map_batches(cnt, batch_format="pyarrow")
+        .groupby("hops")
+        .sum("n_urls")
+        .sort("hops")
+        .to_pandas()
+        .rename(columns={"sum(n_urls)": "n_urls"})
+    )
+    return out.astype({"hops": "int64", "n_urls": "int64"})
+
+
+SQL_QUERIES["redirect_depth_histogram"] = q_redirect_depth_histogram
+
+ORACLE_SQL["redirect_depth_histogram"] = """
+    SELECT doc_id % 7 AS hops, count(*) AS n_urls
+    FROM documents GROUP BY 1 ORDER BY hops
+"""
+
+
+def q_quality_token_tradeoff(sf_dir: str):
+    """Quality-cutoff yield curve: bucket docs by blended-quality decile
+    (q_quality_blend's score) and report docs + tokens per decile — the
+    table that says how much training data each quality threshold costs.
+    One extra column rides the same two passes as quality_blend (the
+    tokenizer already ran for the uniq signal, so token counts are free);
+    only decile cells shuffle at the end."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        toks = [_oracle_tokens(t) for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "uniq": pa.array([len(set(ts)) / len(ts) for ts in toks], pa.float64()),
+                "n_tok": pa.array([len(ts) for ts in toks], pa.int64()),
+            }
+        )
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow")
+
+    def hist(col):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().groupby(col, as_index=False).size().rename(
+                columns={"size": "cnt"}
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    def less_map(col):
+        h = (
+            sigs.map_batches(hist(col), batch_format="pyarrow")
+            .groupby(col)
+            .sum("cnt")
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        cum = h["sum(cnt)"].cumsum().to_numpy()
+        less = np.concatenate([[0], cum[:-1]])
+        return dict(zip(h[col], less.astype(np.int64))), int(cum[-1])
+
+    m1, n_total = less_map("n_chars")
+    m2, _ = less_map("uniq")
+    denom = float(n_total - 1) if n_total > 1 else 1.0
+    maps_ref = ray.put((m1, m2, denom))
+
+    def cells(b: pa.Table) -> pa.Table:
+        mm1, mm2, dn = ray.get(maps_ref)
+        df = b.to_pandas()
+        p1 = df["n_chars"].map(mm1).to_numpy(dtype=np.float64) / dn
+        p2 = df["uniq"].map(mm2).to_numpy(dtype=np.float64) / dn
+        blend = _r(0.5 * p1 + 0.5 * p2, 6)
+        dec = np.minimum(np.floor(blend * 10).astype(np.int64), 9)
+        part = pd.DataFrame(
+            {"decile": dec, "n_docs": 1, "total_tokens": df["n_tok"]}
+        ).groupby("decile", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        sigs.map_batches(cells, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"), Sum("total_tokens", alias_name="total_tokens")
+        )
+        .sort("decile")
+        .to_pandas()
+    )
+    return out.astype({"decile": "int64", "n_docs": "int64", "total_tokens": "int64"})
+
+
+SQL_QUERIES["quality_token_tradeoff"] = q_quality_token_tradeoff
+
+ORACLE_SQL["quality_token_tradeoff"] = r"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, count(DISTINCT w) / count(*)::DOUBLE AS uniq,
+               count(*) AS n_tok
+        FROM t GROUP BY doc_id
+    ),
+    b AS (
+        SELECT d.doc_id, u.n_tok,
+               round(0.5 * percent_rank() OVER (ORDER BY d.n_chars)
+                     + 0.5 * percent_rank() OVER (ORDER BY u.uniq), 6) AS blend
+        FROM documents d JOIN u USING (doc_id)
+    )
+    SELECT least(CAST(floor(blend * 10) AS BIGINT), 9) AS decile,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1 ORDER BY decile
+"""
+
+
+ORACLE_SQL["session_stats"] = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT n_events, count(*) AS n_sessions,
+           round((CAST(sum(date_diff('microsecond', session_start, session_end))
+                       AS DOUBLE) / count(*)) / 1000000.0, 6) AS mean_duration_s
+    FROM sess GROUP BY n_events ORDER BY n_events
+"""

@@ -461,3 +461,54 @@ def test_r3s10_batch2_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch3_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # endpoint-degree y is constant on the 3-edge tiny graph: Syy = 0 ->
+    # NaN correlation, not a crash
+    da = _df(q.q_degree_assortativity(tiny_sf))
+    assert da["n_edges"].iloc[0] == 3 and np.isnan(da["assortativity"].iloc[0])
+
+    ss = _df(q.q_session_stats(tiny_sf))
+    # all three events land in singleton sessions -> duration 0
+    assert len(ss) == 1
+    assert ss["n_sessions"].iloc[0] == 3 and ss["mean_duration_s"].iloc[0] == 0.0
+
+    rh = _df(q.q_redirect_depth_histogram(tiny_sf))
+    assert rh["hops"].tolist() == [0, 1, 2] and (rh["n_urls"] == 1).all()
+
+    qt = _df(q.q_quality_token_tradeoff(tiny_sf)).sort_values("decile")
+    assert qt["decile"].tolist() == [0, 2]
+    assert qt["total_tokens"].tolist() == [2, 10]
+
+
+def test_r3s10_batch3_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "degree_assortativity",
+        "session_stats",
+        "redirect_depth_histogram",
+        "quality_token_tradeoff",
+    )
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
