@@ -14758,3 +14758,264 @@ ORACLE_SQL["session_stats"] = """
                        AS DOUBLE) / count(*)) / 1000000.0, 6) AS mean_duration_s
     FROM sess GROUP BY n_events ORDER BY n_events
 """
+
+
+def q_association_rules(sf_dir: str):
+    """Event-type association rules per user basket (support / confidence
+    / lift — the co-occurrence miner behind 'users who X also Y').  The
+    basket never materializes: (user, type) dedupes through one combiner
+    groupby, each user's <=5-type set emits its ordered pairs inside its
+    group, and pair counts reduce again; the driver finishes the O(types^2)
+    metric table.  At 10^9-user scale the per-user map_groups becomes the
+    256-bucket groupby of q_dup_span_fraction — same contract, fewer group
+    calls."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def dedup_part(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # consumed three times below (pairs, type counts, user count):
+    # materialize or the dedupe shuffle re-runs per consumer
+    ut = (
+        ev.map_batches(dedup_part, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def pairs_of_user(g: pa.Table) -> pa.Table:
+        ts = sorted(g.column("event_type").to_pylist())
+        a, b = [], []
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                a.append(ts[i])
+                b.append(ts[j])
+        return pa.table(
+            {
+                "t_a": pa.array(a, pa.string()),
+                "t_b": pa.array(b, pa.string()),
+                "c": pa.array([1] * len(a), pa.int64()),
+            }
+        )
+
+    pair_counts = (
+        ut.groupby("user_id")
+        .map_groups(pairs_of_user, batch_format="pyarrow")
+        .groupby(["t_a", "t_b"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )
+
+    def type_part(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("event_type", as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tc = (
+        ut.map_batches(type_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+    )
+    type_users = dict(zip(tc["event_type"], tc["c"].astype(float)))
+    n_users = _count_distinct_users(ut)
+
+    rows = []
+    if "t_a" in pair_counts.columns:  # single-type baskets -> no pairs at all
+        for _, r in pair_counts.iterrows():
+            c = float(r["c"])
+            ca, cb = type_users[r["t_a"]], type_users[r["t_b"]]
+            rows.append(
+                {
+                    "t_a": r["t_a"],
+                    "t_b": r["t_b"],
+                    "n_both": int(c),
+                    "support": float(_r(c / n_users, 6)),
+                    "confidence": float(_r(c / ca, 6)),
+                    "lift": float(_r((c * n_users) / (ca * cb), 6)),
+                }
+            )
+    cols = ["t_a", "t_b", "n_both", "support", "confidence", "lift"]
+    return (
+        pd.DataFrame(rows, columns=cols).sort_values(["t_a", "t_b"]).reset_index(drop=True)
+    )
+
+
+def _count_distinct_users(ut) -> float:
+    """Distinct users from the deduped (user, type) Dataset: one user-keyed
+    count groupby, then a row count — no user list ever reaches the
+    driver."""
+    return float(ut.groupby("user_id").count().count())
+
+
+SQL_QUERIES["association_rules"] = q_association_rules
+
+ORACLE_SQL["association_rules"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM events),
+    tc AS (SELECT event_type, count(*)::DOUBLE AS c FROM ut GROUP BY 1),
+    p AS (
+        SELECT a.event_type AS t_a, b.event_type AS t_b, count(*)::DOUBLE AS c
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT t_a, t_b, CAST(p.c AS BIGINT) AS n_both,
+           round(p.c / nu, 6) AS support,
+           round(p.c / ca.c, 6) AS confidence,
+           round((p.c * nu) / (ca.c * cb.c), 6) AS lift
+    FROM p CROSS JOIN n
+    JOIN tc ca ON ca.event_type = p.t_a
+    JOIN tc cb ON cb.event_type = p.t_b
+    ORDER BY t_a, t_b
+"""
+
+
+def q_trimmed_mean(sf_dir: str, trim: float = 0.05):
+    """Per-group 5%-trimmed mean (the robust location estimate between the
+    mean and the median) — exact at corpus scale via the same
+    order-preserving (group, value-bucket) two-pass rank as
+    q_event_value_quantiles: bucket counts give each bucket its global
+    rank offset, so every group row knows its exact rank without a
+    per-group sort, and only in-window values fold into (sum, count)
+    partials.  The mean divides once, in the mirror's order."""
+    import math
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    mm = ev.aggregate(_Min("value"), _Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        bkt = np.minimum(((v - lo) / span * 64).astype(np.int64), 63)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "bkt": pa.array(bkt, pa.int64()),
+            }
+        )
+
+    keyed_ds = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = (
+        keyed_ds.groupby(["event_type", "bkt"])
+        .count()
+        .to_pandas()
+        .sort_values(["event_type", "bkt"])
+    )
+    bc["offset"] = bc.groupby("event_type")["count()"].cumsum() - bc["count()"]
+    offsets = {
+        (t, int(b)): int(o) for t, b, o in zip(bc["event_type"], bc["bkt"], bc["offset"])
+    }
+    totals = bc.groupby("event_type")["count()"].sum().astype(int).to_dict()
+    # keep 0-based ranks in [k_lo, n - k_lo) — identical to the mirror's
+    # 1-based r > floor(trim*n) AND r <= n - floor(trim*n)
+    windows = {
+        t: (math.floor(trim * n), n - math.floor(trim * n)) for t, n in totals.items()
+    }
+    meta_ref = ray.put((offsets, windows))
+
+    def fold(g: pa.Table) -> pa.Table:
+        offs, win = ray.get(meta_ref)
+        df = g.to_pandas().sort_values(["value", "event_id"]).reset_index(drop=True)
+        t = df["event_type"].iloc[0]
+        base = offs[(t, int(df["bkt"].iloc[0]))]
+        k_lo, k_hi = win[t]
+        r = np.arange(base, base + len(df))
+        m = (r >= k_lo) & (r < k_hi)
+        return pa.table(
+            {
+                "event_type": pa.array([t], pa.string()),
+                "s": pa.array([float(df["value"].to_numpy()[m].sum())], pa.float64()),
+                "c": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        keyed_ds.groupby(["event_type", "bkt"])
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    agg["trimmed_mean"] = _r(agg["s"] / agg["c"], 6)
+    agg["n_kept"] = agg["c"].astype("int64")
+    return agg[["event_type", "n_kept", "trimmed_mean"]]
+
+
+SQL_QUERIES["trimmed_mean"] = q_trimmed_mean
+
+ORACLE_SQL["trimmed_mean"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(sum(value) / count(*), 6) AS trimmed_mean
+    FROM ranked
+    WHERE r > floor(0.05 * n) AND r <= n - floor(0.05 * n)
+    GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_quality_grid(sf_dir: str):
+    """2-D quality scatter grid (length-bucket x unique-token-ratio bucket
+    doc counts) — the heatmap behind quality-filter threshold picking.
+    Pure map + cell combiner: nothing but (cell, count) rows move."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        toks = [_oracle_tokens(t) for t in b.column("text").to_pylist()]
+        uniq = np.array([len(set(ts)) / len(ts) for ts in toks])
+        nc = b.column("n_chars").to_numpy()
+        part = pd.DataFrame(
+            {
+                "len_bin": np.minimum(nc // 100, 9).astype(np.int64),
+                "uniq_bin": np.minimum(np.floor(uniq * 10).astype(np.int64), 9),
+                "n_docs": 1,
+            }
+        ).groupby(["len_bin", "uniq_bin"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["len_bin", "uniq_bin"])
+        .sum("n_docs")
+        .sort(["len_bin", "uniq_bin"])
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs"})
+    )
+    return out.astype({"len_bin": "int64", "uniq_bin": "int64", "n_docs": "int64"})
+
+
+SQL_QUERIES["quality_grid"] = q_quality_grid
+
+ORACLE_SQL["quality_grid"] = r"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, count(DISTINCT w) / count(*)::DOUBLE AS uniq
+        FROM t GROUP BY doc_id
+    )
+    SELECT least(d.n_chars // 100, 9) AS len_bin,
+           least(CAST(floor(u.uniq * 10) AS BIGINT), 9) AS uniq_bin,
+           count(*) AS n_docs
+    FROM documents d JOIN u USING (doc_id)
+    GROUP BY 1, 2 ORDER BY len_bin, uniq_bin
+"""

@@ -512,3 +512,48 @@ def test_r3s10_batch3_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch4_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # every tiny user is single-type: no baskets, empty rule table with
+    # schema intact
+    ar = _df(q.q_association_rules(tiny_sf))
+    assert len(ar) == 0 and "lift" in ar.columns
+
+    tm = _df(q.q_trimmed_mean(tiny_sf)).sort_values("event_type")
+    # n=1 and n=2 groups trim nothing: plain means survive
+    assert tm["event_type"].tolist() == ["buy", "view"]
+    assert tm["trimmed_mean"].tolist() == [2.5, 1.0]
+    assert tm["n_kept"].tolist() == [1, 2]
+
+    qg = _df(q.q_quality_grid(tiny_sf))
+    # all three docs: len_bin 0, uniq 1.0 capped into bin 9
+    assert len(qg) == 1
+    assert qg.iloc[0].tolist() == [0, 9, 3]
+
+
+def test_r3s10_batch4_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("association_rules", "trimmed_mean", "quality_grid")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
