@@ -15019,3 +15019,308 @@ ORACLE_SQL["quality_grid"] = r"""
     FROM documents d JOIN u USING (doc_id)
     GROUP BY 1, 2 ORDER BY len_bin, uniq_bin
 """
+
+
+def q_stationary_distribution(sf_dir: str, iters: int = 3):
+    """Markov stationary distribution of the event-type transition chain
+    (where user behavior equilibrates — the steady-state complement of
+    q_event_transitions), by power iteration from uniform.  Events reduce
+    to O(types^2) transition cells through the same per-user
+    consecutive-pair combiner; the iteration itself runs on that tiny
+    table, folding each v*P product in from_type order so every float
+    matches the mirror's ordered aggregate bit-for-bit (transition probs
+    are pinned at 6dp first, like kmeans_lloyd's centroids)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"])
+        t = df["event_type"].to_numpy()
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        sub = pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+        cnt = sub.value_counts().reset_index(name="c")
+        return pa.table(
+            {
+                "from_type": pa.array(cnt["from_type"], pa.string()),
+                "to_type": pa.array(cnt["to_type"], pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cells = (
+        ev.groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "cnt"})
+    )
+    totals = cells.groupby("from_type")["cnt"].sum().astype(int).to_dict()
+    cells["p"] = [
+        float(_r(int(c) / totals[f], 6)) for f, c in zip(cells["from_type"], cells["cnt"])
+    ]
+    cells = cells.sort_values(["to_type", "from_type"]).reset_index(drop=True)
+
+    def states_part(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()[["event_type"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    n_states = int(
+        _read(sf_dir, "events", columns=["event_type"])
+        .map_batches(states_part, batch_format="pyarrow")
+        .groupby("event_type")
+        .count()
+        .count()
+    )
+    states = sorted(set(cells["from_type"]) | set(cells["to_type"]))
+    v = {s: 1.0 / n_states for s in states}
+    for _ in range(iters):
+        nv: dict = {}
+        for to_t, grp in cells.groupby("to_type", sort=True):
+            acc = 0.0
+            for _, r in grp.iterrows():  # already from_type-ordered
+                if r["from_type"] in v:
+                    acc += v[r["from_type"]] * r["p"]
+            nv[to_t] = acc
+        v = nv
+    return pd.DataFrame(
+        {"event_type": sorted(v), "v": [float(_r(v[s], 9)) for s in sorted(v)]}
+    )
+
+
+SQL_QUERIES["stationary_distribution"] = q_stationary_distribution
+
+ORACLE_SQL["stationary_distribution"] = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type AS from_type, nxt AS to_type, count(*) AS cnt
+        FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    tot AS (SELECT from_type, sum(cnt) AS n FROM cells GROUP BY from_type),
+    p AS (
+        SELECT c.from_type, c.to_type, round(c.cnt / t.n, 6) AS p
+        FROM cells c JOIN tot t USING (from_type)
+    ),
+    k AS (SELECT count(DISTINCT event_type)::DOUBLE AS k FROM events),
+    v0 AS (
+        SELECT event_type, 1.0 / k.k AS v
+        FROM (SELECT DISTINCT from_type AS event_type FROM p
+              UNION SELECT DISTINCT to_type FROM p) CROSS JOIN k
+    ),
+    v1 AS (
+        SELECT p.to_type AS event_type, sum(v0.v * p.p ORDER BY p.from_type) AS v
+        FROM v0 JOIN p ON v0.event_type = p.from_type GROUP BY p.to_type
+    ),
+    v2 AS (
+        SELECT p.to_type AS event_type, sum(v1.v * p.p ORDER BY p.from_type) AS v
+        FROM v1 JOIN p ON v1.event_type = p.from_type GROUP BY p.to_type
+    ),
+    v3 AS (
+        SELECT p.to_type AS event_type, sum(v2.v * p.p ORDER BY p.from_type) AS v
+        FROM v2 JOIN p ON v2.event_type = p.from_type GROUP BY p.to_type
+    )
+    SELECT event_type, round(v, 9) AS v FROM v3 ORDER BY event_type
+"""
+
+
+def q_ipf_raking(sf_dir: str, iters: int = 2):
+    """Iterative proportional fitting (raking) of the lang x source doc
+    counts to uniform margins — the survey-weighting / mix-rebalancing
+    primitive: what per-cell sampling weights make every lang AND every
+    source contribute equally?  Documents reduce once to O(cells); each
+    IPF sweep rescales rows then columns of that tiny table, with every
+    margin sum folded in the mirror's pinned key order so the float
+    trajectory is identical on both sides."""
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["lang", "source"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = (
+        docs.map_batches(cnt, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    n = float(cells["c"].sum())
+    langs = sorted(cells["lang"].unique())
+    sources = sorted(cells["source"].unique())
+    rt = n / float(len(langs))
+    ct = n / float(len(sources))
+
+    w = {(r["lang"], r["source"]): float(r["c"]) for _, r in cells.iterrows()}
+    keys = sorted(w)
+    for _ in range(iters):
+        # row sweep: margin folded in source order per lang
+        rs = {}
+        for l, s in keys:
+            rs[l] = rs.get(l, 0.0) + w[(l, s)]
+        for l, s in keys:
+            w[(l, s)] = w[(l, s)] * (rt / rs[l])
+        # column sweep: margin folded in lang order per source
+        cs: dict = {}
+        for l in langs:
+            for s in sources:
+                if (l, s) in w:
+                    cs[s] = cs.get(s, 0.0) + w[(l, s)]
+        for l, s in keys:
+            w[(l, s)] = w[(l, s)] * (ct / cs[s])
+    return pd.DataFrame(
+        {
+            "lang": [k[0] for k in keys],
+            "source": [k[1] for k in keys],
+            "weight": [float(_r(w[k], 6)) for k in keys],
+        }
+    )
+
+
+SQL_QUERIES["ipf_raking"] = q_ipf_raking
+
+ORACLE_SQL["ipf_raking"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*)::DOUBLE AS w FROM documents GROUP BY 1, 2
+    ),
+    tgt AS (
+        SELECT (SELECT count(*)::DOUBLE FROM documents)
+                   / (SELECT count(DISTINCT lang)::DOUBLE FROM documents) AS rt,
+               (SELECT count(*)::DOUBLE FROM documents)
+                   / (SELECT count(DISTINCT source)::DOUBLE FROM documents) AS ct
+    ),
+    rs1 AS (SELECT lang, sum(w ORDER BY source) AS s FROM cells GROUP BY lang),
+    r1 AS (
+        SELECT c.lang, c.source, c.w * (tgt.rt / rs1.s) AS w
+        FROM cells c JOIN rs1 USING (lang) CROSS JOIN tgt
+    ),
+    cs1 AS (SELECT source, sum(w ORDER BY lang) AS s FROM r1 GROUP BY source),
+    c1 AS (
+        SELECT r.lang, r.source, r.w * (tgt.ct / cs1.s) AS w
+        FROM r1 r JOIN cs1 USING (source) CROSS JOIN tgt
+    ),
+    rs2 AS (SELECT lang, sum(w ORDER BY source) AS s FROM c1 GROUP BY lang),
+    r2 AS (
+        SELECT c.lang, c.source, c.w * (tgt.rt / rs2.s) AS w
+        FROM c1 c JOIN rs2 USING (lang) CROSS JOIN tgt
+    ),
+    cs2 AS (SELECT source, sum(w ORDER BY lang) AS s FROM r2 GROUP BY source),
+    c2 AS (
+        SELECT r.lang, r.source, r.w * (tgt.ct / cs2.s) AS w
+        FROM r2 r JOIN cs2 USING (source) CROSS JOIN tgt
+    )
+    SELECT lang, source, round(w, 6) AS weight FROM c2 ORDER BY lang, source
+"""
+
+
+def q_rrf_fusion(sf_dir: str, k: int = 60, top: int = 100):
+    """Reciprocal-rank fusion of two quality rankings (doc length and
+    unique-token ratio) — the standard way to merge retrieval/scoring
+    lists without calibrating scores.  Each global rank comes from the
+    order-preserving (value -> offset) two-pass: distinct-value counts
+    give every value its exact rank offset, each value group orders its
+    members by doc_id, so no corpus-wide sort happens; the two rank
+    tables meet in the partitioned hash_join and only the fused top-k
+    sorts."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        toks = [_oracle_tokens(t) for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "uniq": pa.array([len(set(ts)) / len(ts) for ts in toks], pa.float64()),
+            }
+        )
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow").materialize()
+
+    def ranks_for(col: str, out: str):
+        def hist(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().groupby(col, as_index=False).size().rename(
+                columns={"size": "cnt"}
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        h = (
+            sigs.map_batches(hist, batch_format="pyarrow")
+            .groupby(col)
+            .sum("cnt")
+            .to_pandas()
+            .sort_values(col, ascending=False)  # rank 1 = largest value
+            .reset_index(drop=True)
+        )
+        cum = h["sum(cnt)"].cumsum().to_numpy()
+        offs = dict(zip(h[col], np.concatenate([[0], cum[:-1]]).astype(np.int64)))
+        o_ref = ray.put(offs)
+
+        def assign(g: pa.Table) -> pa.Table:
+            om = ray.get(o_ref)
+            df = g.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            base = int(om[df[col].iloc[0]])
+            return pa.table(
+                {
+                    "doc_id": pa.array(df["doc_id"], pa.int64()),
+                    out: pa.array(base + 1 + np.arange(len(df)), pa.int64()),
+                }
+            )
+
+        return sigs.select_columns(["doc_id", col]).groupby(col).map_groups(
+            assign, batch_format="pyarrow"
+        )
+
+    r1 = ranks_for("n_chars", "r1")
+    r2 = ranks_for("uniq", "r2")
+    joined = hash_join(r1, r2, key="doc_id")
+
+    def score(b: pa.Table) -> pa.Table:
+        rr1 = b.column("r1").to_numpy().astype(np.float64)
+        rr2 = b.column("r2").to_numpy().astype(np.float64)
+        rrf = _r(1.0 / (k + rr1) + 1.0 / (k + rr2), 9)
+        return b.append_column("rrf", pa.array(rrf, pa.float64()))
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .sort(["rrf", "doc_id"], descending=[True, False])
+        .limit(top)
+    )
+
+
+SQL_QUERIES["rrf_fusion"] = q_rrf_fusion
+
+ORACLE_SQL["rrf_fusion"] = r"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, count(DISTINCT w) / count(*)::DOUBLE AS uniq
+        FROM t GROUP BY doc_id
+    ),
+    r AS (
+        SELECT d.doc_id,
+               row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS r1,
+               row_number() OVER (ORDER BY u.uniq DESC, d.doc_id) AS r2
+        FROM documents d JOIN u USING (doc_id)
+    )
+    SELECT doc_id, r1, r2,
+           round(1.0 / (60 + r1) + 1.0 / (60 + r2), 9) AS rrf
+    FROM r ORDER BY rrf DESC, doc_id LIMIT 100
+"""

@@ -557,3 +557,46 @@ def test_r3s10_batch4_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch5_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # only view->view transitions exist; 'buy' is a transition-less state:
+    # mass = 1/n_states stays on 'view', nothing crashes
+    st = _df(q.q_stationary_distribution(tiny_sf))
+    assert st["event_type"].tolist() == ["view"] and st["v"].iloc[0] == 0.5
+
+    # one lang, two sources (2 docs vs 1): raking equalizes both columns
+    ipf = _df(q.q_ipf_raking(tiny_sf))
+    assert ipf["weight"].tolist() == [1.5, 1.5]
+
+    # uniq ties broken by doc_id; n_chars 9,9,3 pins r1
+    rrf = _df(q.q_rrf_fusion(tiny_sf))
+    assert rrf["doc_id"].tolist() == [0, 1, 2]
+    assert rrf["r1"].tolist() == [1, 2, 3] and rrf["r2"].tolist() == [1, 2, 3]
+
+
+def test_r3s10_batch5_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("stationary_distribution", "ipf_raking", "rrf_fusion")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
