@@ -15324,3 +15324,245 @@ ORACLE_SQL["rrf_fusion"] = r"""
            round(1.0 / (60 + r1) + 1.0 / (60 + r2), 9) AS rrf
     FROM r ORDER BY rrf DESC, doc_id LIMIT 100
 """
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-squared independence test on the lang x source contingency
+    table (the hypothesis-test companion of q_mi_lang_source: is the
+    delivery mix independent of language?).  One cell combiner; the
+    O(cells) statistic folds in (lang, source) order so the float sum
+    matches the mirror's ordered aggregate."""
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(["lang", "source"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = (
+        docs.map_batches(cnt, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    n = float(cells["c"].sum())
+    rl = cells.groupby("lang")["c"].sum().to_dict()
+    cs = cells.groupby("source")["c"].sum().to_dict()
+    chi2 = 0.0
+    for _, r in cells.iterrows():  # ordered fold == sum(term ORDER BY lang, source)
+        e = float(rl[r["lang"]]) * float(cs[r["source"]]) / n
+        o = float(r["c"])
+        chi2 += (o - e) * (o - e) / e
+    dof = (len(rl) - 1) * (len(cs) - 1)
+    return pd.DataFrame(
+        {
+            "n_cells": [int(len(cells))],
+            "dof": [int(dof)],
+            "chi2": [float(_r(chi2, 6))],
+        }
+    )
+
+
+SQL_QUERIES["chi2_lang_source"] = q_chi2_lang_source
+
+ORACLE_SQL["chi2_lang_source"] = """
+    WITH cells AS (
+        SELECT lang, source, count(*)::DOUBLE AS c FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    rl AS (SELECT lang, sum(c) AS cl FROM cells GROUP BY lang),
+    cm AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+    terms AS (
+        SELECT cells.lang, cells.source,
+               (c - cl * cs / n) * (c - cl * cs / n) / (cl * cs / n) AS term
+        FROM cells CROSS JOIN tot
+        JOIN rl USING (lang) JOIN cm USING (source)
+    )
+    SELECT (SELECT count(*) FROM cells) AS n_cells,
+           (SELECT CAST((count(DISTINCT lang) - 1)
+                        * (count(DISTINCT source) - 1) AS BIGINT)
+            FROM documents) AS dof,
+           round(sum(term ORDER BY lang, source), 6) AS chi2
+    FROM terms
+"""
+
+
+def q_clustering_coefficient(sf_dir: str):
+    """Per-node local clustering coefficient (triangles / wedges — how
+    clique-ish each node's neighborhood is; the transitivity dashboard
+    over the same events graph as the motif family).  Composes the
+    distributed triangle counter with the wedge table through the
+    partitioned hash_join (left join: triangle-less nodes keep cc = 0);
+    nothing new materializes driver-side."""
+    from ..stages.joins import hash_join
+
+    wedges = q_wedge_count(sf_dir)
+    tris = q_triangle_count(sf_dir)
+    if tris.schema() is None:  # triangle-free graph: the empty Dataset has
+        # no schema, which hash_join can't left-join against — cc is 0
+        joined = wedges.map_batches(
+            lambda b: b.append_column(
+                "triangles", pa.array([0] * b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = hash_join(wedges, tris, key="node", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        tri = df["triangles"].fillna(0).astype(np.int64)
+        w = df["wedges"].astype(np.int64)
+        keep = w > 0
+        return pa.table(
+            {
+                "node": pa.array(df["node"][keep], pa.int64()),
+                "wedges": pa.array(w[keep], pa.int64()),
+                "triangles": pa.array(tri[keep], pa.int64()),
+                "clustering": pa.array(
+                    _r(tri[keep].to_numpy() / w[keep].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("node")
+
+
+SQL_QUERIES["clustering_coefficient"] = q_clustering_coefficient
+
+ORACLE_SQL["clustering_coefficient"] = """
+    WITH e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    und AS (
+        SELECT src AS node, dst AS neighbor FROM e WHERE src <> dst
+        UNION ALL
+        SELECT dst AS node, src AS neighbor FROM e WHERE src <> dst
+    ),
+    deg AS (SELECT node, count(DISTINCT neighbor) AS d FROM und GROUP BY node),
+    w AS (SELECT node, d * (d - 1) // 2 AS wedges FROM deg),
+    ue AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e WHERE src <> dst
+    ),
+    tri AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM ue a
+        JOIN ue b ON b.u = a.v
+        JOIN ue c ON c.u = a.u AND c.v = b.v
+    ),
+    t AS (
+        SELECT node, count(*) AS triangles
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node
+    )
+    SELECT w.node, w.wedges, coalesce(t.triangles, 0) AS triangles,
+           round(coalesce(t.triangles, 0) / w.wedges, 6) AS clustering
+    FROM w LEFT JOIN t USING (node)
+    WHERE w.wedges > 0 ORDER BY w.node
+"""
+
+
+def q_score_calibration(sf_dir: str):
+    """Classifier-style calibration table: blended-quality deciles
+    (q_quality_blend's score) vs the Gopher keep rate — does the cheap
+    blended score actually track the rule-based verdict?  One tokenizing
+    pass computes both signals and the verdict per doc; the percentile
+    maps broadcast as in quality_blend; only (decile, keeps, n) cells
+    shuffle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def sig(b: pa.Table) -> pa.Table:
+        toks = [_oracle_tokens(t) for t in b.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "uniq": pa.array([len(set(ts)) / len(ts) for ts in toks], pa.float64()),
+                "keep": pa.array([_gopher_stats(ts)[4] for ts in toks], pa.int64()),
+            }
+        )
+
+    sigs = docs.map_batches(sig, batch_format="pyarrow").materialize()
+
+    def hist(col):
+        def f(b: pa.Table) -> pa.Table:
+            df = b.to_pandas().groupby(col, as_index=False).size().rename(
+                columns={"size": "cnt"}
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return f
+
+    def less_map(col):
+        h = (
+            sigs.map_batches(hist(col), batch_format="pyarrow")
+            .groupby(col)
+            .sum("cnt")
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        cum = h["sum(cnt)"].cumsum().to_numpy()
+        return dict(zip(h[col], np.concatenate([[0], cum[:-1]]).astype(np.int64))), int(
+            cum[-1]
+        )
+
+    m1, n_total = less_map("n_chars")
+    m2, _ = less_map("uniq")
+    denom = float(n_total - 1) if n_total > 1 else 1.0
+    maps_ref = ray.put((m1, m2, denom))
+
+    def cells(b: pa.Table) -> pa.Table:
+        mm1, mm2, dn = ray.get(maps_ref)
+        df = b.to_pandas()
+        p1 = df["n_chars"].map(mm1).to_numpy(dtype=np.float64) / dn
+        p2 = df["uniq"].map(mm2).to_numpy(dtype=np.float64) / dn
+        blend = _r(0.5 * p1 + 0.5 * p2, 6)
+        dec = np.minimum(np.floor(blend * 10).astype(np.int64), 9)
+        part = pd.DataFrame(
+            {"decile": dec, "keeps": df["keep"].to_numpy(), "n": 1}
+        ).groupby("decile", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        sigs.map_batches(cells, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("keeps", alias_name="keeps"), Sum("n", alias_name="n"))
+        .sort("decile")
+        .to_pandas()
+    )
+    out["keep_rate"] = _r(out["keeps"] / out["n"], 6)
+    return out.astype({"decile": "int64", "keeps": "int64", "n": "int64"})
+
+
+SQL_QUERIES["score_calibration"] = q_score_calibration
+
+ORACLE_SQL["score_calibration"] = (
+    "WITH gq AS (" + ORACLE_SQL["gopher_quality"] + r"""),
+    t AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, count(DISTINCT w) / count(*)::DOUBLE AS uniq
+        FROM t GROUP BY doc_id
+    ),
+    b AS (
+        SELECT d.doc_id,
+               round(0.5 * percent_rank() OVER (ORDER BY d.n_chars)
+                     + 0.5 * percent_rank() OVER (ORDER BY u.uniq), 6) AS blend
+        FROM documents d JOIN u USING (doc_id)
+    )
+    SELECT least(CAST(floor(b.blend * 10) AS BIGINT), 9) AS decile,
+           CAST(sum(gq.keep) AS BIGINT) AS keeps,
+           count(*) AS n,
+           round(sum(gq.keep) / count(*), 6) AS keep_rate
+    FROM b JOIN gq USING (doc_id)
+    GROUP BY 1 ORDER BY decile
+"""
+)

@@ -600,3 +600,45 @@ def test_r3s10_batch5_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch6_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # single-lang table: expected == observed everywhere -> chi2 0, dof 0
+    c2 = _df(q.q_chi2_lang_source(tiny_sf))
+    assert c2["chi2"].iloc[0] == 0.0 and c2["dof"].iloc[0] == 0
+
+    # star around node 7, no triangles: one wedge node with cc 0
+    cc = _df(q.q_clustering_coefficient(tiny_sf))
+    assert cc["node"].tolist() == [7]
+    assert cc["wedges"].iloc[0] == 1 and cc["clustering"].iloc[0] == 0.0
+
+    cal = _df(q.q_score_calibration(tiny_sf))
+    assert int(cal["n"].sum()) == 3
+    assert cal["keep_rate"].between(0, 1).all()
+
+
+def test_r3s10_batch6_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("chi2_lang_source", "clustering_coefficient", "score_calibration")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
