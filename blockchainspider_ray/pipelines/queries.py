@@ -15566,3 +15566,183 @@ ORACLE_SQL["score_calibration"] = (
     GROUP BY 1 ORDER BY decile
 """
 )
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F over doc lengths by language (the >2-group
+    companion to q_welch_ttest: does lang explain length variance?).
+    Pass 1: per-lang (n, sum) combiner -> grand + group means broadcast;
+    pass 2: within-group centered squares fold distributed, while the
+    O(groups) between-group term folds in lang order on the driver.
+    F = (SSB/(k-1)) / (SSW/(n-k)) in the mirror's operation order."""
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def sums(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("lang", as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    tot = (
+        docs.map_batches(sums, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    n = float(tot["n"].sum())
+    k = len(tot)
+    grand = float(tot["s"].sum()) / n
+    gm = {r["lang"]: r["s"] / r["n"] for _, r in tot.iterrows()}
+    gm_ref = ray.put(gm)
+
+    def within(b: pa.Table) -> pa.Table:
+        m = ray.get(gm_ref)
+        df = b.to_pandas()
+        mu = df["lang"].map(m).to_numpy()
+        d = df["n_chars"].to_numpy() - mu
+        return pa.table({"ssw": pa.array([float((d * d).sum())], pa.float64())})
+
+    ssw = docs.map_batches(within, batch_format="pyarrow").sum("ssw")
+    ssb = 0.0
+    for _, r in tot.iterrows():  # lang-ordered fold == sum(term ORDER BY lang)
+        d = gm[r["lang"]] - grand
+        ssb += float(r["n"]) * d * d
+    f = (ssb / (k - 1)) / (ssw / (n - k)) if k > 1 and n > k and ssw > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "k": [int(k)],
+            "n": [int(n)],
+            "ssb": [float(_r(ssb, 4))],
+            "ssw": [float(_r(ssw, 4))],
+            "f": [float(_r(f, 6))],
+        }
+    )
+
+
+SQL_QUERIES["anova_f"] = q_anova_f
+
+ORACLE_SQL["anova_f"] = """
+    WITH g AS (
+        SELECT lang, count(*) AS n, sum(n_chars) / count(*) AS mu
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT sum(n)::DOUBLE AS n, count(*) AS k,
+               (SELECT sum(n_chars)::DOUBLE FROM documents) / sum(n)::DOUBLE
+                   AS grand
+        FROM g
+    ),
+    w AS (
+        SELECT sum((d.n_chars - g.mu) * (d.n_chars - g.mu)) AS ssw
+        FROM documents d JOIN g USING (lang)
+    ),
+    b AS (
+        SELECT sum(g.n * (g.mu - tot.grand) * (g.mu - tot.grand)
+                   ORDER BY g.lang) AS ssb
+        FROM g CROSS JOIN tot
+    )
+    SELECT tot.k, CAST(tot.n AS BIGINT) AS n,
+           round(b.ssb, 4) AS ssb, round(w.ssw, 4) AS ssw,
+           round((b.ssb / (tot.k - 1)) / (w.ssw / (tot.n - tot.k)), 6) AS f
+    FROM tot CROSS JOIN w CROSS JOIN b
+"""
+
+
+def q_avg_path_length(sf_dir: str, max_depth: int = 3):
+    """Average shortest-path length from 5 sample sources (nodes 0-4) over
+    the events graph, BFS-bounded at depth 3 — the small-world /
+    reachability probe a crawler uses to size its frontier horizon.  All
+    sources advance together: each hop is ONE streaming pass that filters
+    edges against the broadcast per-source frontiers (the q_bfs_reachable
+    wave, widened); only frontier node-id sets live on the driver, one
+    per source."""
+    edges = _events_edges(sf_dir)
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s[keep], d[keep]]), pa.int64()),
+                "b": pa.array(np.concatenate([d[keep], s[keep]]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(both, batch_format="pyarrow").materialize()
+    sources = [0, 1, 2, 3, 4]
+    dist_of = {s: {s: 0} for s in sources}
+    frontier = {s: {s} for s in sources}
+    for depth in range(1, max_depth + 1):
+        fr = {s: pa.array(sorted(f), pa.int64()) for s, f in frontier.items() if f}
+        if not fr:
+            break
+
+        def hop(b: pa.Table, _fr=fr) -> pa.Table:
+            outs, outd = [], []
+            for s, arr in _fr.items():
+                m = pc.is_in(b.column("a"), value_set=arr)
+                dsts = pc.unique(b.filter(m).column("b")).to_numpy()
+                outs.append(np.full(len(dsts), s, np.int64))
+                outd.append(dsts)
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(outs) if outs else [], pa.int64()),
+                    "d": pa.array(np.concatenate(outd) if outd else [], pa.int64()),
+                }
+            )
+
+        reached = (
+            adj.map_batches(hop, batch_format="pyarrow")
+            .groupby(["s", "d"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .to_pandas()
+        )
+        frontier = {s: set() for s in sources}
+        for _, r in reached.iterrows():
+            s, d = int(r["s"]), int(r["d"])
+            if d not in dist_of[s]:
+                dist_of[s][d] = depth
+                frontier[s].add(d)
+
+    rows = []
+    for s in sources:
+        d = {k: v for k, v in dist_of[s].items() if k != s}
+        rows.append(
+            {
+                "src": s,
+                "n_reached": len(d),
+                "avg_dist": float(_r(sum(d.values()) / len(d), 6)) if d else np.nan,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["avg_path_length"] = q_avg_path_length
+
+ORACLE_SQL["avg_path_length"] = """
+    WITH RECURSIVE e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    adj AS (
+        SELECT src AS a, dst AS b FROM e WHERE src <> dst
+        UNION
+        SELECT dst, src FROM e WHERE src <> dst
+    ),
+    bfs AS (
+        SELECT s AS src, s AS node, 0 AS dist
+        FROM (SELECT unnest([0, 1, 2, 3, 4]) AS s)
+        UNION
+        SELECT bfs.src, adj.b, bfs.dist + 1
+        FROM bfs JOIN adj ON adj.a = bfs.node
+        WHERE bfs.dist < 3
+    ),
+    md AS (SELECT src, node, min(dist) AS dist FROM bfs GROUP BY src, node)
+    SELECT src, count(*) AS n_reached,
+           round(sum(dist)::DOUBLE / count(*), 6) AS avg_dist
+    FROM md WHERE node <> src GROUP BY src ORDER BY src
+"""

@@ -642,3 +642,41 @@ def test_r3s10_batch6_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch7_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # one lang -> no between-group variance and k-1 = 0: F is NaN, not a crash
+    av = _df(q.q_anova_f(tiny_sf))
+    assert av["k"].iloc[0] == 1 and av["ssb"].iloc[0] == 0.0
+    assert np.isnan(av["f"].iloc[0])
+
+    # sources 0-4 are isolated from the tiny graph: zero reached, NaN mean
+    ap = _df(q.q_avg_path_length(tiny_sf))
+    assert (ap["n_reached"] == 0).all() and ap["avg_dist"].isna().all()
+
+
+def test_r3s10_batch7_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("anova_f", "avg_path_length")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
