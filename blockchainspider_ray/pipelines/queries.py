@@ -15746,3 +15746,108 @@ ORACLE_SQL["avg_path_length"] = """
            round(sum(dist)::DOUBLE / count(*), 6) AS avg_dist
     FROM md WHERE node <> src GROUP BY src ORDER BY src
 """
+
+
+def q_lsh_recall_curve(sf_dir: str):
+    """Expected LSH candidate probability per document pair under the
+    production banding (16 bands x 4 rows): p = 1 - (1 - j^4)^16 over the
+    exact consecutive-pair Jaccards — the parameter-planning table that
+    says which true similarity levels the dedup pass will actually
+    surface.  Composes q_jaccard_pairs; the S-curve is evaluated with the
+    same explicit multiply/squaring chain as the mirror (no pow()), so
+    both sides walk identical float ops off the 4dp-pinned jaccard."""
+    pairs = q_jaccard_pairs(sf_dir)
+
+    def curve(b: pa.Table) -> pa.Table:
+        j = b.column("jaccard").to_numpy()
+        t = j * j * j * j  # j^4
+        q = 1.0 - t
+        q2 = q * q
+        q4 = q2 * q2
+        q8 = q4 * q4
+        q16 = q8 * q8
+        p = _r(1.0 - q16, 6)
+        return b.append_column("p_candidate", pa.array(p, pa.float64()))
+
+    return pairs.map_batches(curve, batch_format="pyarrow")
+
+
+SQL_QUERIES["lsh_recall_curve"] = q_lsh_recall_curve
+
+ORACLE_SQL["lsh_recall_curve"] = (
+    "WITH jp AS (" + ORACLE_SQL["jaccard_pairs"] + """),
+    c AS (
+        SELECT doc_a, doc_b, jaccard,
+               1.0 - (jaccard * jaccard * jaccard * jaccard) AS q
+        FROM jp
+    ),
+    c2 AS (SELECT doc_a, doc_b, jaccard, q * q AS q FROM c),
+    c4 AS (SELECT doc_a, doc_b, jaccard, q * q AS q FROM c2),
+    c8 AS (SELECT doc_a, doc_b, jaccard, q * q AS q FROM c4),
+    c16 AS (SELECT doc_a, doc_b, jaccard, q * q AS q FROM c8)
+    SELECT doc_a, doc_b, jaccard, round(1.0 - q, 6) AS p_candidate
+    FROM c16 ORDER BY doc_a
+"""
+)
+
+
+def q_trigram_transitions(sf_dir: str, top: int = 25):
+    """Top consecutive event-type TRIPLES per user stream (second-order
+    behavior patterns — the sequence-mining step past q_event_transitions'
+    first-order matrix).  Same shape: per-user groups emit pre-counted
+    triple cells, one types^3-sized groupby, then a deterministic
+    (count desc, triple) distributed sort cuts the top-k stably."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def triples(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"])
+        t = df["event_type"].to_numpy()
+        if len(t) < 3:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "t3": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        sub = pd.DataFrame({"t1": t[:-2], "t2": t[1:-1], "t3": t[2:]})
+        cnt = sub.value_counts().reset_index(name="c")
+        return pa.table(
+            {
+                "t1": pa.array(cnt["t1"], pa.string()),
+                "t2": pa.array(cnt["t2"], pa.string()),
+                "t3": pa.array(cnt["t3"], pa.string()),
+                "c": pa.array(cnt["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(triples, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .sum("c")
+        .map_batches(
+            lambda b: b.rename_columns(["t1", "t2", "t3", "cnt"]),
+            batch_format="pyarrow",
+        )
+        .sort(["cnt", "t1", "t2", "t3"], descending=[True, False, False, False])
+        .limit(top)
+    )
+
+
+SQL_QUERIES["trigram_transitions"] = q_trigram_transitions
+
+ORACLE_SQL["trigram_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, count(*) AS cnt
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY cnt DESC, t1, t2, t3 LIMIT 25
+"""

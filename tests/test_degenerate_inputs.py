@@ -680,3 +680,41 @@ def test_r3s10_batch7_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch8_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # identical docs 0/1: jaccard 1 -> certain candidate; disjoint pair
+    # 1/2: jaccard 0 -> probability exactly 0
+    rc = _df(q.q_lsh_recall_curve(tiny_sf)).sort_values("doc_a")
+    assert rc["p_candidate"].tolist() == [1.0, 0.0]
+
+    # longest tiny stream has 2 events: no triples anywhere, empty result
+    tg = _df(q.q_trigram_transitions(tiny_sf))
+    assert len(tg) == 0
+
+
+def test_r3s10_batch8_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("lsh_recall_curve", "trigram_transitions")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
