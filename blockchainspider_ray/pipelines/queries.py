@@ -14109,7 +14109,13 @@ def q_welch_ttest(sf_dir: str):
         mns = ray.get(m_ref)
         df = b.to_pandas()
         df["g"] = (df["user_id"] % 2).astype(np.int64)
-        mu = df.apply(lambda r: mns[(r["event_type"], r["g"])], axis=1).to_numpy()
+        # vectorized (type, cohort) -> mean lookup; a per-row apply here
+        # would be a Python loop over every event
+        mu = (
+            pd.Series(mns)
+            .reindex(pd.MultiIndex.from_arrays([df["event_type"], df["g"]]))
+            .to_numpy()
+        )
         dv = df["value"].to_numpy() - mu
         part = pd.DataFrame(
             {"event_type": df["event_type"], "g": df["g"], "ss": dv * dv}
@@ -14487,12 +14493,14 @@ def q_degree_assortativity(sf_dir: str):
 
     def xy(b: pa.Table):
         dm = ray.get(d_ref)
+        # dense id->degree vector: endpoint lookups stay vectorized
+        lut = np.zeros(max(dm) + 1, np.float64)
+        for node, d in dm.items():
+            lut[node] = d
         src = b.column("src").to_numpy()
         dst = b.column("dst").to_numpy()
         keep = src != dst
-        x = np.array([dm[s] for s in src[keep]], np.float64)
-        y = np.array([dm[t] for t in dst[keep]], np.float64)
-        return x, y
+        return lut[src[keep]], lut[dst[keep]]
 
     def sums(b: pa.Table) -> pa.Table:
         x, y = xy(b)
