@@ -15859,3 +15859,139 @@ ORACLE_SQL["trigram_transitions"] = """
     GROUP BY t1, t2, t3
     ORDER BY cnt DESC, t1, t2, t3 LIMIT 25
 """
+
+
+def q_decayed_user_scores(sf_dir: str, half_life_days: float = 7.0, top: int = 100):
+    """Exponentially time-decayed engagement score per user (the recency-
+    weighted feature every ranking/churn model starts from): score =
+    sum(value * 2^(-age_days / half_life)) against the corpus horizon.
+    One Max(ts) scalar aggregate fixes the horizon, one vectorized pass
+    decays and pre-sums per user, one user-keyed groupby reduces; the
+    decay is written as exp(ln(2) * x) on both sides so the libm call
+    sequence matches.  Top-k by (score desc, user) cuts stably."""
+    from ray.data.aggregate import Max as _Max
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    horizon_us = int(
+        pd.Timestamp(ev.aggregate(_Max("ts"))["max(ts)"]).to_datetime64().astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+    )
+
+    def decay(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        age_days = (
+            horizon_us - df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ) / 86_400_000_000.0
+        w = np.exp(np.log(2.0) * (-age_days / half_life_days))
+        part = pd.DataFrame(
+            {"user_id": df["user_id"], "s": df["value"].to_numpy() * w}
+        ).groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        ev.map_batches(decay, batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("s")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "score": pa.array(
+                        _r(b.column("sum(s)").to_numpy(zero_copy_only=False), 6),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["score", "user_id"], descending=[True, False])
+        .limit(top)
+    )
+    return out
+
+
+SQL_QUERIES["decayed_user_scores"] = q_decayed_user_scores
+
+ORACLE_SQL["decayed_user_scores"] = """
+    WITH h AS (SELECT max(ts) AS horizon FROM events),
+    d AS (
+        SELECT user_id,
+               value * exp(ln(2.0) * (-(date_diff('microsecond', ts, h.horizon)
+                                        / 86400000000.0) / 7.0)) AS s
+        FROM events CROSS JOIN h
+    )
+    SELECT user_id, round(sum(s), 6) AS score
+    FROM d GROUP BY user_id
+    ORDER BY score DESC, user_id LIMIT 100
+"""
+
+
+def q_touch_attribution(sf_dir: str):
+    """First/last-touch value attribution (the marketing-analytics window
+    shape): each user's total event value is credited once to the event
+    type of their FIRST event and once to their LAST; per-type sums of
+    both.  groupby(user).map_groups reduces each user to a 1-row
+    (first_type, last_type, total) record — users co-locate by
+    construction — then one types-sized combiner finishes.  Totals are
+    per-row cent-rounded before summing (the money-parity rule), so the
+    sums are exact integers in cents."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"])
+        total_cents = int(np.round(_r(df["value"].to_numpy(), 2) * 100).sum())
+        return pa.table(
+            {
+                "first_type": pa.array([df["event_type"].iloc[0]], pa.string()),
+                "last_type": pa.array([df["event_type"].iloc[-1]], pa.string()),
+                "cents": pa.array([total_cents], pa.int64()),
+            }
+        )
+
+    users = ev.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+    def cells(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        f = df.groupby("first_type", as_index=False)["cents"].sum().rename(
+            columns={"first_type": "event_type", "cents": "first_cents"}
+        )
+        l = df.groupby("last_type", as_index=False)["cents"].sum().rename(
+            columns={"last_type": "event_type", "cents": "last_cents"}
+        )
+        m = f.merge(l, on="event_type", how="outer").fillna(0)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    out = (
+        users.map_batches(cells, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("first_cents", alias_name="first_cents"),
+            Sum("last_cents", alias_name="last_cents"),
+        )
+        .sort("event_type")
+        .to_pandas()
+    )
+    out["first_touch_value"] = _r(out["first_cents"].astype(np.float64) / 100.0, 2)
+    out["last_touch_value"] = _r(out["last_cents"].astype(np.float64) / 100.0, 2)
+    return out[["event_type", "first_touch_value", "last_touch_value"]]
+
+
+SQL_QUERIES["touch_attribution"] = q_touch_attribution
+
+ORACLE_SQL["touch_attribution"] = """
+    WITH u AS (
+        SELECT user_id,
+               first(event_type ORDER BY ts, event_id) AS first_type,
+               last(event_type ORDER BY ts, event_id) AS last_type,
+               sum(CAST(round(value, 2) * 100 AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+    ),
+    f AS (SELECT first_type AS event_type, sum(cents) AS fc FROM u GROUP BY 1),
+    l AS (SELECT last_type AS event_type, sum(cents) AS lc FROM u GROUP BY 1)
+    SELECT coalesce(f.event_type, l.event_type) AS event_type,
+           round(coalesce(f.fc, 0) / 100.0, 2) AS first_touch_value,
+           round(coalesce(l.lc, 0) / 100.0, 2) AS last_touch_value
+    FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+    ORDER BY event_type
+"""

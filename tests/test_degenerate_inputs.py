@@ -718,3 +718,44 @@ def test_r3s10_batch8_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch9_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    ds = _df(q.q_decayed_user_scores(tiny_sf))
+    # user 8's only event IS the horizon: weight exactly 1 -> score 2.5
+    assert ds["user_id"].tolist() == [8, 7]
+    assert ds["score"].iloc[0] == 2.5
+    assert 1.5 < ds["score"].iloc[1] < 2.0  # two day-old unit events
+
+    ta = _df(q.q_touch_attribution(tiny_sf))
+    # single-type users: first == last credit per type
+    assert ta["event_type"].tolist() == ["buy", "view"]
+    assert ta["first_touch_value"].tolist() == [2.5, 2.0]
+    assert ta["last_touch_value"].tolist() == [2.5, 2.0]
+
+
+def test_r3s10_batch9_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("decayed_user_scores", "touch_attribution")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
