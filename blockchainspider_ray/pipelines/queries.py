@@ -13997,7 +13997,7 @@ def q_kmeans_lloyd(sf_dir: str, k: int = 4, iters: int = 2):
     c) centroid table; empty clusters drop, as in the mirror."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     init = sorted(
-        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr=f"vec_id < {int(k)}").take_all(), key=lambda r: r["vec_id"]
     )
     C = np.array([r["embedding"] for r in init], np.float64)
     cids = list(range(len(init)))
@@ -14221,7 +14221,7 @@ def q_topic_purity(sf_dir: str, k: int = 8):
     deterministic tie rule as the mirror's row_number."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
     cent_rows = sorted(
-        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr=f"vec_id < {int(k)}").take_all(), key=lambda r: r["vec_id"]
     )
     C = np.array([r["embedding"] for r in cent_rows], np.float64)
     c_ref = ray.put(C)
@@ -14300,7 +14300,7 @@ def q_silhouette_simplified(sf_dir: str, k: int = 8):
     nothing shuffles but k rows per batch."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cent_rows = sorted(
-        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+        emb.filter(expr=f"vec_id < {int(k)}").take_all(), key=lambda r: r["vec_id"]
     )
     C = np.array([r["embedding"] for r in cent_rows], np.float64)
     c_ref = ray.put(C)
