@@ -15995,3 +15995,191 @@ ORACLE_SQL["touch_attribution"] = """
     FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
     ORDER BY event_type
 """
+
+
+def q_scc_pivot(sf_dir: str, pivot: int = 0):
+    """Strongly connected component of a pivot node over the DIRECTED
+    events graph — the forward-BFS ∩ backward-BFS step at the core of the
+    FW-BW distributed SCC algorithm (the directed complement of the
+    undirected connected components in dedup_clusters).  Both closures
+    run to fixpoint as streaming frontier-filter passes (q_bfs_reachable's
+    wave, one per direction per hop); only node-id frontier sets touch
+    the driver."""
+    edges = _events_edges(sf_dir).materialize()
+
+    def closure(forward: bool) -> set:
+        a, b = ("src", "dst") if forward else ("dst", "src")
+        seen = {pivot}
+        frontier = {pivot}
+        while frontier:
+            fr = pa.array(sorted(frontier), pa.int64())
+
+            def hop(batch: pa.Table, _fr=fr, _a=a, _b=b) -> pa.Table:
+                m = pc.is_in(batch.column(_a), value_set=_fr)
+                return pa.table(
+                    {"d": pc.unique(batch.filter(m).column(_b))}
+                )
+
+            reached: set = set()
+            for blk in edges.map_batches(hop, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            ):
+                reached.update(pa.table(blk).column("d").to_pylist())
+            frontier = reached - seen
+            seen |= frontier
+        return seen
+
+    fwd = closure(True)
+    bwd = closure(False)
+    scc = sorted(fwd & bwd)
+    return pd.DataFrame({"node": scc, "scc_size": [len(scc)] * len(scc)}).astype(
+        {"node": "int64", "scc_size": "int64"}
+    )
+
+
+SQL_QUERIES["scc_pivot"] = q_scc_pivot
+
+ORACLE_SQL["scc_pivot"] = """
+    WITH RECURSIVE e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    fwd AS (
+        SELECT 0 AS node
+        UNION
+        SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node
+    ),
+    bwd AS (
+        SELECT 0 AS node
+        UNION
+        SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node
+    ),
+    scc AS (SELECT fwd.node FROM fwd JOIN bwd USING (node))
+    SELECT node, (SELECT count(*) FROM scc) AS scc_size
+    FROM scc ORDER BY node
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-group mode (most frequent 1dp value bucket per event type, tie
+    -> smallest value) — the modal aggregate Ray Data and most engines
+    lack.  Distinct-value counts reduce through a combiner; each group's
+    argmax is plucked inside its group with the mirror's (count desc,
+    value) tie rule."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["v"] = _r(df["value"].to_numpy(), 1)
+        part = df.groupby(["event_type", "v"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def pick(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["cnt", "v"], ascending=[False, True])
+        top = df.iloc[0]
+        return pa.table(
+            {
+                "event_type": pa.array([top["event_type"]], pa.string()),
+                "mode_value": pa.array([float(top["v"])], pa.float64()),
+                "mode_count": pa.array([int(top["cnt"])], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .sum("cnt")
+        .map_batches(
+            lambda b: b.rename_columns(["event_type", "v", "cnt"]),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .map_groups(pick, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
+SQL_QUERIES["grouped_mode"] = q_grouped_mode
+
+ORACLE_SQL["grouped_mode"] = """
+    WITH c AS (
+        SELECT event_type, round(value, 1) AS v, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, v, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, v) AS rn
+        FROM c
+    )
+    SELECT event_type, v AS mode_value, cnt AS mode_count
+    FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series — the
+    time-series seasonality probe (is this hour's load predicted by the
+    last?).  Events reduce to an O(hours) count series via one combiner;
+    the lag-join and Pearson fold run on that small series in hour order,
+    matching the mirror's centered computation exactly."""
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = (
+            pd.DataFrame({"hour": df["ts"].dt.strftime("%Y-%m-%d %H")})
+            .groupby("hour", as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    h = (
+        ev.map_batches(cnt, batch_format="pyarrow")
+        .groupby("hour")
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    x = h["c"].to_numpy(dtype=np.float64)[:-1]
+    y = h["c"].to_numpy(dtype=np.float64)[1:]
+    n = len(x)
+    if n < 2:
+        r = np.nan
+    else:
+        mx, my = x.sum() / n, y.sum() / n
+        dx, dy = x - mx, y - my
+        denom = np.sqrt((dx * dx).sum() * (dy * dy).sum())
+        r = (dx * dy).sum() / denom if denom else np.nan
+    return pd.DataFrame({"n_pairs": [int(n)], "lag1_autocorr": [float(_r(r, 6))]})
+
+
+SQL_QUERIES["hourly_autocorr"] = q_hourly_autocorr
+
+ORACLE_SQL["hourly_autocorr"] = """
+    WITH h AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+               count(*)::DOUBLE AS c
+        FROM events GROUP BY 1
+    ),
+    l AS (
+        SELECT c AS y, lag(c) OVER (ORDER BY hour) AS x FROM h
+    ),
+    p AS (SELECT x, y FROM l WHERE x IS NOT NULL),
+    m AS (SELECT count(*) AS n, sum(x) / count(*) AS mx, sum(y) / count(*) AS my
+          FROM p),
+    c AS (
+        SELECT sum((x - mx) * (x - mx)) AS sxx,
+               sum((y - my) * (y - my)) AS syy,
+               sum((x - mx) * (y - my)) AS sxy
+        FROM p CROSS JOIN m
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_pairs,
+           round(sxy / sqrt(sxx * syy), 6) AS lag1_autocorr
+    FROM c
+"""

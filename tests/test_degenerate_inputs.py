@@ -759,3 +759,44 @@ def test_r3s10_batch9_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch10_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # pivot 0 is isolated in the tiny graph: its SCC is just itself
+    scc = _df(q.q_scc_pivot(tiny_sf))
+    assert scc["node"].tolist() == [0] and scc["scc_size"].iloc[0] == 1
+
+    gm = _df(q.q_grouped_mode(tiny_sf)).sort_values("event_type")
+    assert gm["mode_value"].tolist() == [2.5, 1.0]
+    assert gm["mode_count"].tolist() == [1, 2]
+
+    # three 1-event hours -> constant lagged series: zero variance, NaN r
+    ac = _df(q.q_hourly_autocorr(tiny_sf))
+    assert ac["n_pairs"].iloc[0] == 2 and np.isnan(ac["lag1_autocorr"].iloc[0])
+
+
+def test_r3s10_batch10_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("scc_pivot", "grouped_mode", "hourly_autocorr")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
