@@ -16183,3 +16183,237 @@ ORACLE_SQL["hourly_autocorr"] = """
            round(sxy / sqrt(sxx * syy), 6) AS lag1_autocorr
     FROM c
 """
+
+
+def q_weighted_median(sf_dir: str):
+    """Per-group WEIGHTED median of event values (weight = the value's own
+    cent amount — 'the value level where half the money sits', the revenue
+    analogue of the median).  Weights are cent integers (money-parity
+    rule), so cumulative weights are exact and the crossing row is
+    unambiguous on both sides: the same (group, value-bucket) two-pass as
+    trimmed_mean accumulates integer weight offsets, and each group plucks
+    the first (value, event_id)-ordered row whose running weight reaches
+    half the group total."""
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        cents = np.round(_r(v, 2) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "value": b.column("value"),
+                "w": pa.array(cents, pa.int64()),
+            }
+        )
+
+    keyed_ds = ev.map_batches(keyed, batch_format="pyarrow").materialize()
+    mm = keyed_ds.aggregate(Min("value"), Max("value"))
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy()
+        bkt = np.minimum(((v - lo) / span * 64).astype(np.int64), 63)
+        return b.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    bk = keyed_ds.map_batches(bucketed, batch_format="pyarrow").materialize()
+    bw = (
+        bk.groupby(["event_type", "bkt"])
+        .sum("w")
+        .to_pandas()
+        .rename(columns={"sum(w)": "bw"})
+        .sort_values(["event_type", "bkt"])
+    )
+    bw["offset"] = bw.groupby("event_type")["bw"].cumsum() - bw["bw"]
+    offsets = {
+        (t, int(b)): int(o) for t, b, o in zip(bw["event_type"], bw["bkt"], bw["offset"])
+    }
+    totals = bw.groupby("event_type")["bw"].sum().astype(int).to_dict()
+    # first row whose RUNNING cent weight >= ceil(W/2); integer math, no
+    # float crossing ambiguity
+    targets = {t: (w + 1) // 2 for t, w in totals.items()}
+    meta_ref = ray.put((offsets, targets))
+
+    def pluck(g: pa.Table) -> pa.Table:
+        offs, tgts = ray.get(meta_ref)
+        df = g.to_pandas().sort_values(["value", "event_id"]).reset_index(drop=True)
+        t = df["event_type"].iloc[0]
+        base = offs[(t, int(df["bkt"].iloc[0]))]
+        tgt = tgts[t]
+        run = base + df["w"].cumsum().to_numpy()
+        # the crossing row lives in THIS bucket iff the running weight
+        # passes the target strictly inside it
+        if base >= tgt or run[-1] < tgt:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "weighted_median": pa.array([], pa.float64())}
+            )
+        i = int(np.nonzero(run >= tgt)[0][0])
+        return pa.table(
+            {
+                "event_type": pa.array([t], pa.string()),
+                "weighted_median": pa.array([float(df["value"].iloc[i])], pa.float64()),
+            }
+        )
+
+    return (
+        bk.groupby(["event_type", "bkt"])
+        .map_groups(pluck, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
+SQL_QUERIES["weighted_median"] = q_weighted_median
+
+ORACLE_SQL["weighted_median"] = """
+    WITH w AS (
+        SELECT event_type, event_id, value,
+               CAST(round(value, 2) * 100 AS BIGINT) AS cw
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, value,
+               sum(cw) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run,
+               (sum(cw) OVER (PARTITION BY event_type) + 1) // 2 AS tgt
+        FROM w
+    ),
+    hit AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY run) AS rn
+        FROM r WHERE run >= tgt
+    )
+    SELECT event_type, value AS weighted_median
+    FROM hit WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_kmeans_inertia(sf_dir: str):
+    """K-means elbow curve: total within-cluster squared distance (inertia)
+    at k = 2, 4, 8 with the deterministic first-k-vectors init — the
+    model-selection table for the clustering family.  Each k is one
+    broadcast + one streaming pass emitting a scalar partial per batch;
+    the corpus never re-shuffles."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    rows = []
+    for k in (2, 4, 8):
+        init = sorted(
+            emb.filter(expr=f"vec_id < {k}").take_all(), key=lambda r: r["vec_id"]
+        )
+        C = np.array([r["embedding"] for r in init], np.float64)
+        c_ref = ray.put(C)
+
+        def partial(b: pa.Table, _ref=c_ref) -> pa.Table:
+            C_ = ray.get(_ref)
+            X = _emb_matrix(b)
+            d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            return pa.table(
+                {"s": pa.array([float(d2.min(axis=1).sum())], pa.float64())}
+            )
+
+        inertia = emb.map_batches(partial, batch_format="pyarrow").sum("s")
+        rows.append({"k": k, "inertia": float(_r(inertia, 4))})
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["kmeans_inertia"] = q_kmeans_inertia
+
+ORACLE_SQL["kmeans_inertia"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    d AS (
+        SELECT e.vec_id, c.vec_id AS cid,
+               list_distance(e.x, c.x) * list_distance(e.x, c.x) AS d2
+        FROM e CROSS JOIN e c WHERE c.vec_id < 8
+    ),
+    best AS (
+        SELECT k.k, d.vec_id, min(d.d2) AS d2
+        FROM (SELECT unnest([2, 4, 8]) AS k) k
+        JOIN d ON d.cid < k.k
+        GROUP BY k.k, d.vec_id
+    )
+    SELECT k, round(sum(d2), 4) AS inertia
+    FROM best GROUP BY k ORDER BY k
+"""
+
+
+def q_proportion_ztest(sf_dir: str):
+    """Two-sample proportion z-test on Gopher keep rates between the two
+    largest sources — 'did delivery B really regress quality vs A, or is
+    it noise?'.  One tokenizing pass computes verdicts, one combiner
+    reduces (source, keeps, n) cells; the pooled-variance z forms on the
+    driver in the mirror's operation order."""
+    docs = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        keeps = [
+            _gopher_stats(_oracle_tokens(t))[4] for t in b.column("text").to_pylist()
+        ]
+        part = pd.DataFrame(
+            {"source": b.column("source").to_pylist(), "keeps": keeps, "n": 1}
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("keeps", alias_name="keeps"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "source"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    if len(agg) < 2:
+        return pd.DataFrame(
+            {"source_a": [None], "source_b": [None], "p_a": [np.nan],
+             "p_b": [np.nan], "z": [np.nan]}
+        )
+    a, b = agg.iloc[0], agg.iloc[1]
+    p_a = float(a["keeps"]) / float(a["n"])
+    p_b = float(b["keeps"]) / float(b["n"])
+    pool = (float(a["keeps"]) + float(b["keeps"])) / (float(a["n"]) + float(b["n"]))
+    se2 = pool * (1.0 - pool) * (1.0 / a["n"] + 1.0 / b["n"])
+    z = (p_a - p_b) / np.sqrt(se2) if se2 > 0 else np.nan
+    return pd.DataFrame(
+        {
+            "source_a": [a["source"]],
+            "source_b": [b["source"]],
+            "p_a": [float(_r(p_a, 6))],
+            "p_b": [float(_r(p_b, 6))],
+            "z": [float(_r(z, 6))],
+        }
+    )
+
+
+SQL_QUERIES["proportion_ztest"] = q_proportion_ztest
+
+ORACLE_SQL["proportion_ztest"] = (
+    "WITH gq AS (" + ORACLE_SQL["gopher_quality"] + """),
+    cells AS (
+        SELECT d.source, sum(gq.keep)::DOUBLE AS keeps, count(*)::DOUBLE AS n
+        FROM documents d JOIN gq USING (doc_id) GROUP BY d.source
+    ),
+    ranked AS (
+        SELECT source, keeps, n,
+               row_number() OVER (ORDER BY n DESC, source) AS rn
+        FROM cells
+    ),
+    ab AS (
+        SELECT max(CASE WHEN rn = 1 THEN source END) AS source_a,
+               max(CASE WHEN rn = 2 THEN source END) AS source_b,
+               max(CASE WHEN rn = 1 THEN keeps END) AS ka,
+               max(CASE WHEN rn = 2 THEN keeps END) AS kb,
+               max(CASE WHEN rn = 1 THEN n END) AS na,
+               max(CASE WHEN rn = 2 THEN n END) AS nb
+        FROM ranked WHERE rn <= 2
+    )
+    SELECT source_a, source_b,
+           round(ka / na, 6) AS p_a,
+           round(kb / nb, 6) AS p_b,
+           round((ka / na - kb / nb)
+                 / sqrt(((ka + kb) / (na + nb)) * (1.0 - (ka + kb) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z
+    FROM ab
+"""
+)

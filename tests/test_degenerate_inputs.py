@@ -800,3 +800,62 @@ def test_r3s10_batch10_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch11_survive_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    wm = _df(q.q_weighted_median(tiny_sf)).sort_values("event_type")
+    # singleton and constant groups: the lone/common value is the median
+    assert wm["weighted_median"].tolist() == [2.5, 1.0]
+
+    # 4 tiny vectors: k=8 init clamps to all 4 -> inertia 0 at k >= 4
+    import pyarrow.parquet as _pq
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 2, 3], pa.int32()),
+            }
+        ),
+        tiny_sf + "/embeddings.parquet",
+    )
+    ki = _df(q.q_kmeans_inertia(tiny_sf))
+    assert ki["k"].tolist() == [2, 4, 8]
+    assert ki["inertia"].iloc[1] == 0.0 and ki["inertia"].iloc[2] == 0.0
+    assert ki["inertia"].iloc[0] > 0
+
+    zt = _df(q.q_proportion_ztest(tiny_sf))
+    # s0 (2 docs) vs s1 (1 doc); all tiny docs fail Gopher -> 0-0 split,
+    # zero pooled variance -> NaN z, not a crash
+    assert zt["source_a"].iloc[0] == "s0" and zt["source_b"].iloc[0] == "s1"
+    assert np.isnan(zt["z"].iloc[0])
+
+
+def test_r3s10_batch11_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("weighted_median", "kmeans_inertia", "proportion_ztest")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
