@@ -16417,3 +16417,175 @@ ORACLE_SQL["proportion_ztest"] = (
     FROM ab
 """
 )
+
+
+def q_pack_stats(sf_dir: str):
+    """Packing-efficiency report over q_pack_sequences' output: sequence
+    count, total tokens, and the min/mean/max tokens actually landing in
+    each 256-token packing slot — the fill-rate dashboard that says how
+    much padding a training run will burn.  Composition: the packed
+    Dataset reduces per seq_id, then to one summary row; both aggregates
+    are seq-cardinality or O(1)."""
+    packed = q_pack_sequences(sf_dir)
+
+    def per_seq(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("seq_id", as_index=False)["n_tokens"].sum().rename(
+            columns={"n_tokens": "tok"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    seqs = (
+        packed.map_batches(per_seq, batch_format="pyarrow")
+        .groupby("seq_id")
+        .sum("tok")
+        .map_batches(
+            lambda b: b.rename_columns(["seq_id", "tok"]), batch_format="pyarrow"
+        )
+    )
+    agg = seqs.aggregate(
+        Count(alias_name="n_seqs"),
+        Sum("tok", alias_name="total_tokens"),
+        Min("tok", alias_name="min_fill"),
+        Max("tok", alias_name="max_fill"),
+    )
+    n = int(agg["n_seqs"])
+    total = int(agg["total_tokens"])
+    return pd.DataFrame(
+        {
+            "n_seqs": [n],
+            "total_tokens": [total],
+            "min_fill": [int(agg["min_fill"])],
+            "max_fill": [int(agg["max_fill"])],
+            "mean_fill": [float(_r(total / n, 6))],
+        }
+    )
+
+
+SQL_QUERIES["pack_stats"] = q_pack_stats
+
+ORACLE_SQL["pack_stats"] = (
+    "WITH pk AS (" + ORACLE_SQL["pack_sequences"] + """),
+    seqs AS (SELECT seq_id, sum(n_tokens) AS tok FROM pk GROUP BY seq_id)
+    SELECT count(*) AS n_seqs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(min(tok) AS BIGINT) AS min_fill,
+           CAST(max(tok) AS BIGINT) AS max_fill,
+           round(sum(tok) / count(*), 6) AS mean_fill
+    FROM seqs
+"""
+)
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (and when it first happens) — the
+    capacity-planning sweep-line: +1 at every session start, -1 at its
+    end, maximum of the running sum.  A global running sum is the
+    anti-pattern; this is the distributed max-prefix-sum: session deltas
+    bucket by time range, each bucket sorts locally and reports (total,
+    local peak, first peak ts), and the driver combines 64 bucket
+    summaries with exact integer offsets — the same order-preserving
+    two-pass as shuffle_rank, specialized to running extrema."""
+    sess = q_sessionize(sf_dir)
+
+    def deltas(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        s = df["session_start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = df["session_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "ts": pa.array(np.concatenate([s, e]), pa.int64()),
+                "delta": pa.array(
+                    np.concatenate([np.ones(len(s), np.int64), -np.ones(len(e), np.int64)])
+                ),
+                "user_id": pa.array(
+                    np.concatenate([df["user_id"], df["user_id"]]), pa.int64()
+                ),
+                "session_id": pa.array(
+                    np.concatenate([df["session_id"], df["session_id"]]), pa.int64()
+                ),
+            }
+        )
+
+    dd = sess.map_batches(deltas, batch_format="pyarrow").materialize()
+    mm = dd.aggregate(Min("ts"), Max("ts"))
+    lo, hi = int(mm["min(ts)"]), int(mm["max(ts)"])
+    span = (hi - lo) or 1
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy()
+        bkt = np.minimum(((t - lo) * 64) // span, 63).astype(np.int64)
+        return b.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    def local(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["ts", "delta", "user_id", "session_id"],
+            ascending=[True, False, True, True],
+        )
+        run = df["delta"].cumsum().to_numpy()
+        peak = int(run.max())
+        first = int(df["ts"].to_numpy()[int(np.argmax(run >= peak))])
+        return pa.table(
+            {
+                "bkt": pa.array([int(df["bkt"].iloc[0])], pa.int64()),
+                "total": pa.array([int(run[-1])], pa.int64()),
+                "peak": pa.array([peak], pa.int64()),
+                "peak_ts": pa.array([first], pa.int64()),
+            }
+        )
+
+    summaries = (
+        dd.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(local, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("bkt")
+        .reset_index(drop=True)
+    )
+    offset = 0
+    best, best_ts = -1, None
+    for _, r in summaries.iterrows():
+        cand = offset + int(r["peak"])
+        if cand > best:  # strictly greater keeps the EARLIEST occurrence
+            best, best_ts = cand, int(r["peak_ts"])
+        offset += int(r["total"])
+    at = pd.Timestamp(np.int64(best_ts).astype("datetime64[us]"))
+    return pd.DataFrame({"peak": [int(best)], "at_ts": [at]})
+
+
+SQL_QUERIES["peak_concurrency"] = q_peak_concurrency
+
+ORACLE_SQL["peak_concurrency"] = """
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM o
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_id
+    ),
+    ev2 AS (
+        SELECT session_start AS ts, 1 AS delta, user_id, session_id FROM sess
+        UNION ALL
+        SELECT session_end, -1, user_id, session_id FROM sess
+    ),
+    r AS (
+        SELECT ts,
+               CAST(sum(delta) OVER (ORDER BY ts, delta DESC, user_id, session_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        FROM ev2
+    ),
+    p AS (SELECT max(run) AS peak FROM r)
+    SELECT p.peak, (SELECT min(ts) FROM r WHERE run = p.peak) AS at_ts
+    FROM p
+"""

@@ -859,3 +859,43 @@ def test_r3s10_batch11_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch12_survive_tiny_corpus(ray_session, tiny_sf):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    ps = _df(q.q_pack_stats(tiny_sf))
+    # 12 tokens fit one 256-token slot
+    assert ps.iloc[0].tolist() == [1, 12, 12, 12, 12.0]
+
+    pc_ = _df(q.q_peak_concurrency(tiny_sf))
+    # three disjoint singleton sessions: peak 1, first at the earliest event
+    assert pc_["peak"].iloc[0] == 1
+    assert pc_["at_ts"].iloc[0] == pd.Timestamp("2024-01-01 00:10:00")
+
+
+def test_r3s10_batch12_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("pack_stats", "peak_concurrency")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
