@@ -16589,3 +16589,180 @@ ORACLE_SQL["peak_concurrency"] = """
     SELECT p.peak, (SELECT min(ts) FROM r WHERE run = p.peak) AS at_ts
     FROM p
 """
+
+
+def q_label_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embedding corpus — the
+    standard embedding-quality probe (do nearest neighbours share
+    labels?).  The corpus block broadcasts once via ray.put and each
+    batch computes its (batch x corpus) distance matrix, masks self by
+    vec_id, takes the nearest-other with the smallest-vec_id tie rule,
+    and folds to a (correct, n) partial — brute force is the oracle-able
+    baseline; at 10^10 vectors the probe side routes through the IVF
+    index (stages/similarity.py) instead."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).materialize()
+    rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], np.float64)
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    labels = np.array([r["label"] for r in rows], np.int64)
+    ref = ray.put((X, ids, labels))
+
+    def partial(b: pa.Table) -> pa.Table:
+        X_, ids_, labels_ = ray.get(ref)
+        Q = _emb_matrix(b)
+        qid = b.column("vec_id").to_numpy()
+        own = b.column("label").to_numpy()
+        d2 = ((Q[:, None, :] - X_[None, :, :]) ** 2).sum(axis=2)
+        d2[qid[:, None] == ids_[None, :]] = np.inf  # mask self
+        # argmin ties resolve to the first (= smallest vec_id: X_ is
+        # vec_id-ordered), matching ORDER BY distance, vec_id
+        j = d2.argmin(axis=1)
+        correct = int((labels_[j] == own).sum())
+        return pa.table(
+            {
+                "correct": pa.array([correct], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = emb.map_batches(partial, batch_format="pyarrow").sum(["correct", "n"])
+    n, correct = int(agg["sum(n)"]), int(agg["sum(correct)"])
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "correct": [correct],
+            "accuracy": [float(_r(correct / n, 6))],
+        }
+    )
+
+
+SQL_QUERIES["label_knn_accuracy"] = q_label_knn_accuracy
+
+ORACLE_SQL["label_knn_accuracy"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x, label FROM embeddings),
+    d AS (
+        SELECT a.vec_id, a.label AS own, b.label AS nb,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY list_distance(a.x, b.x), b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN own = nb THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+           round(sum(CASE WHEN own = nb THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+               AS accuracy
+    FROM d WHERE rn = 1
+"""
+
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the LPA community assignment over the events
+    graph — the one-number answer to 'did community detection find real
+    structure?'.  Composes q_lpa_communities (50-node label table,
+    broadcast) with the distinct undirected edge set: inside-edge counts
+    and community degree sums reduce through combiners, and the O(
+    communities) Q terms fold in community order to match the mirror's
+    ordered aggregate."""
+    lpa = q_lpa_communities(sf_dir)
+    lpa = lpa if isinstance(lpa, pd.DataFrame) else lpa.to_pandas()
+    comm = dict(zip(lpa["node"].astype(int), lpa["community"].astype(int)))
+    c_ref = ray.put(comm)
+    edges = _events_edges(sf_dir)
+
+    def und(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s[keep], d[keep]), pa.int64()),
+                "v": pa.array(np.maximum(s[keep], d[keep]), pa.int64()),
+            }
+        )
+
+    ue = (
+        edges.map_batches(und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+    m = float(ue.count())
+
+    def cells(b: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        lut = np.full(max(cm) + 1, -1, np.int64)
+        for node, c in cm.items():
+            lut[node] = c
+        cu, cv = lut[u], lut[v]
+        # inside-community edge counts + per-community degree contributions
+        # (each undirected edge adds 1 degree to each endpoint's community)
+        inside = pd.DataFrame({"community": cu[cu == cv], "ec": 1}).groupby(
+            "community", as_index=False
+        ).sum()
+        degs = pd.DataFrame(
+            {"community": np.concatenate([cu, cv]), "dc": 1}
+        ).groupby("community", as_index=False).sum()
+        out = degs.merge(inside, on="community", how="left").fillna(0)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ue.map_batches(cells, batch_format="pyarrow")
+        .groupby("community")
+        .aggregate(Sum("ec", alias_name="ec"), Sum("dc", alias_name="dc"))
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    q = 0.0
+    for _, r in agg.iterrows():  # community-ordered fold == the SQL mirror
+        q += float(r["ec"]) / m - (float(r["dc"]) / (2.0 * m)) * (
+            float(r["dc"]) / (2.0 * m)
+        )
+    return pd.DataFrame(
+        {
+            "n_communities": [int(len(agg))],
+            "m_edges": [int(m)],
+            "modularity": [float(_r(q, 6))],
+        }
+    )
+
+
+SQL_QUERIES["modularity"] = q_modularity
+
+ORACLE_SQL["modularity"] = (
+    "WITH lpa AS (" + ORACLE_SQL["lpa_communities"] + """),
+    e0 AS (
+        SELECT DISTINCT least(user_id % 50, (user_id * 13 + event_id) % 50) AS u,
+                        greatest(user_id % 50, (user_id * 13 + event_id) % 50) AS v
+        FROM events
+        WHERE user_id % 50 <> (user_id * 13 + event_id) % 50
+    ),
+    m AS (SELECT count(*)::DOUBLE AS m FROM e0),
+    lab AS (
+        SELECT e0.u, e0.v, a.community AS cu, b.community AS cv
+        FROM e0 JOIN lpa a ON a.node = e0.u JOIN lpa b ON b.node = e0.v
+    ),
+    inside AS (
+        SELECT cu AS community, count(*)::DOUBLE AS ec
+        FROM lab WHERE cu = cv GROUP BY cu
+    ),
+    degc AS (
+        SELECT community, sum(dc)::DOUBLE AS dc FROM (
+            SELECT cu AS community, count(*) AS dc FROM lab GROUP BY cu
+            UNION ALL
+            SELECT cv, count(*) FROM lab GROUP BY cv
+        ) GROUP BY community
+    ),
+    terms AS (
+        SELECT degc.community,
+               coalesce(inside.ec, 0) / m.m
+                   - (degc.dc / (2.0 * m.m)) * (degc.dc / (2.0 * m.m)) AS term
+        FROM degc CROSS JOIN m LEFT JOIN inside USING (community)
+    )
+    SELECT (SELECT count(*) FROM terms) AS n_communities,
+           (SELECT CAST(m AS BIGINT) FROM m) AS m_edges,
+           round(sum(term ORDER BY community), 6) AS modularity
+    FROM terms
+"""
+)

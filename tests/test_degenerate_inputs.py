@@ -899,3 +899,57 @@ def test_r3s10_batch12_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_batch13_survive_tiny_corpus(ray_session, tiny_sf):
+    import pyarrow.parquet as _pq
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    _pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0, 0, 0], [0.9, 0.1, 0, 0], [0, 0, 1.0, 0], [0, 0.1, 0.9, 0]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        ),
+        tiny_sf + "/embeddings.parquet",
+    )
+    # two tight label pairs: every vector's nearest other shares its label
+    acc = _df(q.q_label_knn_accuracy(tiny_sf))
+    assert acc["accuracy"].iloc[0] == 1.0 and acc["n"].iloc[0] == 4
+
+    # tiny graph: star at 7 + isolated edge (8, 6); LPA labels them, all
+    # edges end up inside their community -> positive modularity, 3 edges
+    mod = _df(q.q_modularity(tiny_sf))
+    assert mod["m_edges"].iloc[0] == 3
+    assert -1.0 <= mod["modularity"].iloc[0] <= 1.0
+
+
+def test_r3s10_batch13_partitioning_independent(ray_session, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("label_knn_accuracy", "modularity")
+
+    def _to_df(x):
+        return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+    baseline = {name: _to_df(Q.SQL_QUERIES[name](SF)) for name in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _to_df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
