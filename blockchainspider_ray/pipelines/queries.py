@@ -16766,3 +16766,63 @@ ORACLE_SQL["modularity"] = (
     FROM terms
 """
 )
+
+
+def q_length_gini(sf_dir: str):
+    """Gini coefficient of the doc-length distribution (corpus-level
+    inequality: is the token budget concentrated in a few giant docs?) —
+    complements host_gini's per-host counts.  Exact with ties and without
+    a global sort: the distinct-value histogram reduces through one
+    combiner, and the rank-sum form's S = sum_i i * x_(i) folds per value
+    run as v * (c*a + c*(c+1)/2) in EXACT integer arithmetic (python
+    bigints), so only the final two divisions are floats — identical on
+    both sides."""
+    docs = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby("n_chars", as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    h = (
+        docs.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_chars")
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    a = 0  # rank offset before each value run
+    S = 0
+    T = 0
+    n = 0
+    for _, r in h.iterrows():
+        v, c = int(r["n_chars"]), int(r["c"])
+        S += v * (c * a + c * (c + 1) // 2)
+        T += v * c
+        n += c
+        a += c
+    gini = 2.0 * S / (n * T) - (n + 1.0) / n
+    return pd.DataFrame({"n": [int(n)], "gini": [float(_r(gini, 6))]})
+
+
+SQL_QUERIES["length_gini"] = q_length_gini
+
+ORACLE_SQL["length_gini"] = """
+    WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    o AS (
+        SELECT v, c,
+               sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS a
+        FROM h
+    ),
+    s AS (
+        SELECT sum(v * (c * a + c * (c + 1) // 2)) AS S,
+               sum(v * c) AS T, sum(c) AS n
+        FROM o
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(2.0 * S / (n * T) - (n + 1.0) / n, 6) AS gini
+    FROM s
+"""

@@ -953,3 +953,26 @@ def test_r3s10_batch13_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_r3s10_length_gini(ray_session, tiny_sf, monkeypatch):
+    import pandas as pd
+
+    from blockchainspider_ray.pipelines import queries as Q
+
+    # tiny corpus 9,9,3: hand-computed rank-sum Gini
+    g = Q.q_length_gini(tiny_sf)
+    # sorted x = [3,9,9]; S = 1*3 + 2*9 + 3*9 = 48; T = 21; n = 3
+    # gini = 2*48/(3*21) - 4/3 = 96/63 - 4/3 = 0.190476
+    assert g["gini"].iloc[0] == 0.190476
+
+    # partitioning independence
+    want = Q.q_length_gini(SF)
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    got = Q.q_length_gini(SF)
+    pd.testing.assert_frame_equal(got, want)
