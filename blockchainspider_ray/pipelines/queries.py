@@ -16826,3 +16826,383 @@ ORACLE_SQL["length_gini"] = """
            round(2.0 * S / (n * T) - (n + 1.0) / n, 6) AS gini
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-law diagnostics + local fingerprinting (Zipf / Heaps / Fano /
+# Flesch-Kincaid / MOSS winnowing — Schleimer, Wilkerson & Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+def q_zipf_fit(sf_dir: str, k: int = 100):
+    """Zipf-law fit over the top-k vocabulary: OLS of ln(count) on ln(rank)
+    — the corpus-health dial (natural text sits near slope -1; template- or
+    spam-dominated corpora flatten or steepen it).  Shape: the combiner
+    vocab build (per-batch Counter partials, groupby-sum moves only
+    (token, partial) rows) feeds a distributed sort + limit(k), so only k
+    rows ever reach the driver; the fit itself is O(k) arithmetic.  Rank is
+    row_number over (cnt DESC, token ASC) — deterministic under ties — and
+    both sides evaluate the identical closed-form normal equations, rounded
+    6dp."""
+    top = q_vocab_topk(sf_dir, k=k).to_pandas()
+    n = len(top)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["cnt"].to_numpy(dtype=np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, syy, sxy = float((x * x).sum()), float((y * y).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame(
+        {
+            "k": [int(n)],
+            "slope": [float(_r(slope, 6))],
+            "intercept": [float(_r(intercept, 6))],
+            "r2": [float(_r(r2, 6))],
+        }
+    )
+
+
+SQL_QUERIES["zipf_fit"] = q_zipf_fit
+
+ORACLE_SQL["zipf_fit"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT unnest(t) AS token FROM toks),
+    v AS (
+        SELECT token, count(*) AS cnt FROM w GROUP BY token
+        ORDER BY cnt DESC, token LIMIT 100
+    ),
+    rk AS (
+        SELECT ln(row_number() OVER (ORDER BY cnt DESC, token)) AS x,
+               ln(cnt) AS y
+        FROM v
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS k,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+"""
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps-law vocabulary-growth checkpoints: cumulative distinct-token
+    count V(N) at 8 doc-id prefixes of the corpus — the dial that predicts
+    tokenizer vocab size at 100 TB from a small prefix.  The sequential
+    "scan in order, count new words" definition is re-expressed as two
+    independent combiners so nothing is sequential: (1) per-token FIRST
+    OCCURRENCE doc_id (per-batch min partials -> groupby(token).min), after
+    which V(p) = |{tokens: first <= p}| folds to 8 counters per batch;
+    (2) cumulative token totals per checkpoint fold the same way directly
+    from documents.  Only (token, min) pairs and 8-row partials ever move;
+    checkpoint thresholds are exact integer (max_doc * i) // 8 on both
+    sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    max_doc = int(
+        _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    )
+    thr = [(max_doc * i) // 8 for i in range(1, 9)]
+
+    def first_part(b: pa.Table) -> pa.Table:
+        firsts: dict = {}
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            for tok in _oracle_tokens(t):
+                p = firsts.get(tok)
+                if p is None or d < p:
+                    firsts[tok] = d
+        return pa.table(
+            {
+                "token": pa.array(list(firsts.keys()), pa.string()),
+                "fd": pa.array(list(firsts.values()), pa.int64()),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(first_part, batch_format="pyarrow")
+        .groupby("token")
+        .min("fd")
+    )
+
+    def vocab_part(b: pa.Table) -> pa.Table:
+        fd = b.column(1).to_numpy()
+        return pa.table(
+            {
+                "ckpt": pa.array(range(1, 9), pa.int64()),
+                "v": pa.array([int((fd <= p).sum()) for p in thr], pa.int64()),
+            }
+        )
+
+    vtab = (
+        firsts.map_batches(vocab_part, batch_format="pyarrow")
+        .groupby("ckpt")
+        .sum("v")
+        .to_pandas()
+        .set_index("ckpt")["sum(v)"]
+    )
+
+    def tok_part(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        nt = np.array(
+            [len(_oracle_tokens(t)) for t in b.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "ckpt": pa.array(range(1, 9), pa.int64()),
+                "c": pa.array([int(nt[d <= p].sum()) for p in thr], pa.int64()),
+            }
+        )
+
+    ttab = (
+        docs.map_batches(tok_part, batch_format="pyarrow")
+        .groupby("ckpt")
+        .sum("c")
+        .to_pandas()
+        .set_index("ckpt")["sum(c)"]
+    )
+    return pd.DataFrame(
+        {
+            "ckpt": list(range(1, 9)),
+            "max_doc": [int(p) for p in thr],
+            "n_tokens": [int(ttab.get(i, 0)) for i in range(1, 9)],
+            "vocab": [int(vtab.get(i, 0)) for i in range(1, 9)],
+        }
+    )
+
+
+SQL_QUERIES["heaps_law"] = q_heaps_law
+
+ORACLE_SQL["heaps_law"] = r"""
+    WITH m AS (SELECT max(doc_id) AS md FROM documents),
+    ck AS (SELECT i AS ckpt, (md * i) // 8 AS thr FROM m, range(1, 9) t(i)),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    firsts AS (
+        SELECT token, min(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks) w
+        GROUP BY token
+    ),
+    ntok AS (SELECT doc_id, len(t) AS n FROM toks)
+    SELECT CAST(ckpt AS BIGINT) AS ckpt,
+           CAST(thr AS BIGINT) AS max_doc,
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM ntok
+            WHERE doc_id <= thr) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts
+            WHERE fd <= thr) AS vocab
+    FROM ck ORDER BY ckpt
+"""
+
+
+def q_term_burstiness(sf_dir: str, k: int = 30):
+    """Fano factor (variance-to-mean ratio of per-doc occurrence counts,
+    zeros included) for the top-k vocabulary — Church & Gale's burstiness:
+    function words sit near 1 (Poisson), topical terms are overdispersed.
+    Two combiner passes: the vocab top-k (sort+limit, only k rows to the
+    driver) broadcasts as a frozenset via ray.put; pass 2 folds each batch
+    to per-token (sum c, sum c^2) integer partials over WHOLE docs (rows =
+    docs, so per-doc counts never cross a batch) -> groupby(token).sum.
+    N and the sums stay exact integers; both sides evaluate the identical
+    float expression, rounded 6dp."""
+    topk = q_vocab_topk(sf_dir, k=k).to_pandas()["token"].tolist()
+    top_ref = ray.put(frozenset(topk))
+    docs = _read(sf_dir, "documents", columns=["text"])
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def part(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        keep = ray.get(top_ref)
+        s1: dict = {}
+        s2: dict = {}
+        for t in b.column("text").to_pylist():
+            c = Counter(tok for tok in _oracle_tokens(t) if tok in keep)
+            for tok, v in c.items():
+                s1[tok] = s1.get(tok, 0) + v
+                s2[tok] = s2.get(tok, 0) + v * v
+        toks = list(s1.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "s1": pa.array([s1[t] for t in toks], pa.int64()),
+                "s2": pa.array([s2[t] for t in toks], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    N = int(n_docs)
+    rows = []
+    for _, r in agg.iterrows():
+        s1, s2 = int(r["s1"]), int(r["s2"])
+        fano = ((s2 - s1 * s1 * 1.0 / N) / (N - 1)) / (s1 * 1.0 / N)
+        rows.append({"token": r["token"], "total": s1, "fano": float(_r(fano, 6))})
+    return (
+        pd.DataFrame(rows).sort_values("token").reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["term_burstiness"] = q_term_burstiness
+
+ORACLE_SQL["term_burstiness"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    top AS (
+        SELECT token FROM w GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT 30
+    ),
+    pc AS (
+        SELECT token, doc_id, count(*) AS c FROM w
+        WHERE token IN (SELECT token FROM top)
+        GROUP BY token, doc_id
+    ),
+    s AS (SELECT token, sum(c) AS s1, sum(c * c) AS s2 FROM pc GROUP BY token),
+    n AS (SELECT count(*) AS N FROM documents)
+    SELECT token, CAST(s1 AS BIGINT) AS total,
+           round(((s2 - s1 * s1 * 1.0 / N) / (N - 1)) / (s1 * 1.0 / N), 6)
+               AS fano
+    FROM s, n ORDER BY token
+"""
+
+
+def q_winnowing(sf_dir: str, k: int = 3, w: int = 4):
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003):
+    per doc, hash every k-token gram (md5 low-64, the repo-wide
+    DuckDB-equal _stable_h64) and keep, for each window of w consecutive
+    gram hashes, the minimum — rightmost on ties — then dedup selected
+    positions.  Guarantees every shared substring of >= w+k-1 tokens
+    yields a shared fingerprint, with density ~2/(w+1) — the local, scale-
+    free alternative to corpus-global MinHash.  Embarrassingly parallel:
+    one map_batches, per-doc numpy sliding-window argmin (reversed-window
+    argmin gives the rightmost tie), no shuffle; output rows are the
+    selected (doc_id, pos, fp) fingerprints."""
+    from ..stages.dedup import _stable_h64
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        out_d, out_p, out_f = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            m = len(toks) - (k - 1)
+            if m <= 0:
+                continue
+            h = np.array(
+                [_stable_h64(" ".join(toks[i : i + k])) for i in range(m)],
+                dtype=np.uint64,
+            )
+            if m <= w:
+                pos = np.array([m - 1 - int(h[::-1].argmin())], dtype=np.int64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, w)
+                j = (w - 1) - sw[:, ::-1].argmin(axis=1)
+                pos = np.unique(np.arange(m - w + 1, dtype=np.int64) + j)
+            out_d.extend([d] * len(pos))
+            out_p.extend((pos + 1).tolist())
+            out_f.extend((h[pos] % np.uint64(1000000007)).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "fp": pa.array(out_f, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow").sort(["doc_id", "pos"])
+
+
+SQL_QUERIES["winnowing"] = q_winnowing
+
+ORACLE_SQL["winnowing"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               md5_number_lower(list_aggregate(t[i:i+2], 'string_agg', ' ')) AS h
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+    ),
+    gm AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY doc_id),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(m - 3, 1))) AS s
+        FROM gm
+    ),
+    sel AS (
+        SELECT w.doc_id, g.pos, g.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.s
+                                  ORDER BY g.h ASC, g.pos DESC) AS rn
+        FROM wins w JOIN grams g
+          ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+           CAST(h % 1000000007 AS BIGINT) AS fp
+    FROM sel WHERE rn = 1 ORDER BY doc_id, pos
+"""
+
+
+def q_readability(sf_dir: str):
+    """Flesch-Kincaid-style readability features per doc: word count,
+    vowel-group syllable estimate, syllables-per-word, and the FK grade
+    formula (sentence count := 1 — the synthetic corpus has no terminal
+    punctuation; docstring-honest, and the [aeiou]+ vowel-group heuristic
+    is the classic cheap syllable counter).  Because tokens are space-
+    separated and spaces contain no vowels, the per-word vowel-group sum
+    equals ONE vectorized regex count over the whole text — both counts
+    are single pyarrow count_substring_regex kernels, no Python loop, no
+    shuffle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        nw = pc.count_substring_regex(b.column("text"), r"\S+").to_numpy().astype(np.int64)
+        ns = pc.count_substring_regex(b.column("text"), "[aeiou]+").to_numpy().astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            spw = np.where(nw > 0, ns * 1.0 / np.maximum(nw, 1), np.nan)
+            fk = np.where(
+                nw > 0, 0.39 * nw + 11.8 * (ns * 1.0 / np.maximum(nw, 1)) - 15.59, np.nan
+            )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_syllables": pa.array(ns, pa.int64()),
+                "syll_per_word": pa.array(_r(spw, 6), pa.float64()),
+                "fk_grade": pa.array(_r(fk, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["readability"] = q_readability
+
+ORACLE_SQL["readability"] = r"""
+    WITH f AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS nw,
+               len(regexp_extract_all(text, '[aeiou]+')) AS ns
+        FROM documents
+    )
+    SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_syllables,
+           CASE WHEN nw > 0 THEN round(ns * 1.0 / nw, 6) END AS syll_per_word,
+           CASE WHEN nw > 0
+                THEN round(0.39 * nw + 11.8 * (ns * 1.0 / nw) - 15.59, 6)
+           END AS fk_grade
+    FROM f ORDER BY doc_id
+"""
