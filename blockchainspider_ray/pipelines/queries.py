@@ -17206,3 +17206,262 @@ ORACLE_SQL["readability"] = r"""
            END AS fk_grade
     FROM f ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline / agreement / resampling / centrality
+# ---------------------------------------------------------------------------
+
+def q_pareto_skyline(sf_dir: str):
+    """2-D Pareto skyline (Borzsonyi et al., ICDE'01) of documents on
+    (n_tokens max, distinct-token ratio max) — "longest AND least
+    repetitive" corpus exemplars; the classic multi-criteria selection
+    operator the relational family lacked.  Combiner shape: dominance is
+    transitive, so the global skyline is a subset of every batch's local
+    skyline — each batch reduces to its own skyline via one descending
+    sort-scan (keep a point iff its y tops its x-group AND beats the best
+    y among strictly-greater x), and the driver replays the identical scan
+    over the union of the tiny partials.  Ties on BOTH dims are all kept
+    (neither strictly dominates), matching the NOT EXISTS mirror; uq is
+    rounded 6dp on both sides BEFORE dominance so float noise cannot flip
+    an edge."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_tokens", "uq"], ascending=False)
+        keep_idx = []
+        best_above = -1.0
+        for _, grp in df.groupby("n_tokens", sort=False):
+            gmax = grp["uq"].iloc[0]
+            if gmax > best_above:
+                keep_idx.extend(grp.index[grp["uq"] == gmax].tolist())
+                best_above = gmax
+        return df.loc[keep_idx]
+
+    def feats(b: pa.Table) -> pa.Table:
+        rows = []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            rows.append((d, len(toks), float(_r(len(set(toks)) * 1.0 / len(toks), 6))))
+        df = pd.DataFrame(rows, columns=["doc_id", "n_tokens", "uq"])
+        return pa.Table.from_pandas(_skyline(df), preserve_index=False)
+
+    parts = docs.map_batches(feats, batch_format="pyarrow").to_pandas()
+    return (
+        _skyline(parts).sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["pareto_skyline"] = q_pareto_skyline
+
+ORACLE_SQL["pareto_skyline"] = r"""
+    WITH f AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               round(len(list_distinct(t)) * 1.0 / len(t), 6) AS uq
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents)
+    )
+    SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens, a.uq
+    FROM f a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM f b
+        WHERE b.n_tokens >= a.n_tokens AND b.uq >= a.uq
+          AND (b.n_tokens > a.n_tokens OR b.uq > a.uq)
+    )
+    ORDER BY a.doc_id
+"""
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between the heuristic language-ID prediction and the
+    labeled ``lang`` column — chance-corrected agreement, the number an
+    annotation-quality dashboard reports next to raw accuracy.  Reuses the
+    langid_confusion pipeline (stopword-vote predictor, groupby to the
+    dim-sized confusion matrix); kappa folds from the matrix's exact
+    integer marginals in one driver expression, mirrored operation-for-
+    operation: kappa = (N*tr - sum_k row_k*col_k) / (N*N - sum_k
+    row_k*col_k)."""
+    cm = _to_pandas_any(SQL_QUERIES["langid_confusion"](sf_dir))
+    N = int(cm["cnt"].sum())
+    tr = int(cm.loc[cm["lang"] == cm["lang_pred"], "cnt"].sum())
+    rows = cm.groupby("lang")["cnt"].sum()
+    cols = cm.groupby("lang_pred")["cnt"].sum()
+    rc = int(sum(int(rows[k]) * int(cols[k]) for k in rows.index if k in cols.index))
+    kappa = (N * tr - rc) * 1.0 / (N * N - rc)
+    return pd.DataFrame({"n": [N], "kappa": [float(_r(kappa, 6))]})
+
+
+def _to_pandas_any(r):
+    if isinstance(r, pd.DataFrame):
+        return r
+    if isinstance(r, pa.Table):
+        return r.to_pandas()
+    return r.to_pandas()
+
+
+SQL_QUERIES["langid_kappa"] = q_langid_kappa
+
+ORACLE_SQL["langid_kappa"] = (
+    "WITH pred AS (" + ORACLE_SQL["langid"] + """),
+    cm AS (
+        SELECT d.lang AS a, p.lang_pred AS b, count(*) AS c
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.lang_pred
+    ),
+    tot AS (SELECT sum(c) AS N FROM cm),
+    diag AS (SELECT coalesce(sum(c) FILTER (a = b), 0) AS tr FROM cm),
+    marg AS (
+        SELECT coalesce(sum(r.s * col.s), 0) AS rc
+        FROM (SELECT a AS k, sum(c) AS s FROM cm GROUP BY a) r
+        JOIN (SELECT b AS k, sum(c) AS s FROM cm GROUP BY b) col USING (k)
+    )
+    SELECT CAST(N AS BIGINT) AS n,
+           round((N * tr - rc) * 1.0 / (N * N - rc), 6) AS kappa
+    FROM tot, diag, marg
+"""
+)
+
+
+def q_bootstrap_ci(sf_dir: str, B: int = 200):
+    """Seeded deterministic bootstrap 95% CI for the mean doc length — the
+    experimentation primitive behind 'is corpus A longer than corpus B'
+    claims, with md5-keyed draws so both sides replay the identical
+    resamples (no RNG state, partitioning-independent).  Resample b's i-th
+    draw picks the value at doc-id-rank md5_low64(f'{b}:{i}') % n; resample
+    means sort by (mean, b) and the CI is the exact order statistics at
+    ceil(.025*B) / ceil(.975*B).  The value table pulled to the driver is
+    the (doc_id, n_chars) projection — at 100 TB bound it first with the
+    deterministic hash_sample pipeline and bootstrap the sample; the
+    resampling itself is O(B*n) integer hashing, embarrassingly parallel
+    over b if ever needed."""
+    from ..stages.dedup import _stable_h64
+
+    v = (
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+    vals = v["n_chars"].to_numpy(dtype=np.int64)
+    n = len(vals)
+    means = []
+    for b in range(B):
+        s = sum(int(vals[_stable_h64(f"{b}:{i}") % n]) for i in range(n))
+        means.append((s * 1.0 / n, b))
+    means.sort()
+    import math
+
+    lo = means[math.ceil(0.025 * B) - 1][0]
+    hi = means[math.ceil(0.975 * B) - 1][0]
+    mean = float(vals.sum()) / n
+    return pd.DataFrame(
+        {
+            "mean": [float(_r(mean, 6))],
+            "lo": [float(_r(lo, 6))],
+            "hi": [float(_r(hi, 6))],
+        }
+    )
+
+
+SQL_QUERIES["bootstrap_ci"] = q_bootstrap_ci
+
+ORACLE_SQL["bootstrap_ci"] = r"""
+    WITH v AS (
+        SELECT n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS r
+        FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM v),
+    draws AS (
+        SELECT b.i AS b,
+               md5_number_lower(b.i || ':' || v.r) % nn.n AS r
+        FROM range(0, 200) b(i), v, nn
+    ),
+    means AS (
+        SELECT d.b, sum(v.n_chars) * 1.0 / count(*) AS m
+        FROM draws d JOIN v USING (r) GROUP BY d.b
+    ),
+    ord AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+    SELECT (SELECT round(sum(n_chars) * 1.0 / count(*), 6) FROM documents) AS mean,
+           (SELECT round(m, 6) FROM ord WHERE rn = 5) AS lo,
+           (SELECT round(m, 6) FROM ord WHERE rn = 195) AS hi
+"""
+
+
+def q_betweenness(sf_dir: str):
+    """Brandes betweenness centrality (Brandes 2001) over the events link
+    graph — the bridge-detector centrality (which hub URLs sit on the most
+    shortest paths) complementing pagerank/HITS/k-core.  Distributed in
+    the standard way: the dim-sized adjacency broadcasts once via ray.put,
+    a Dataset of source nodes fans out over the actor pool, each task runs
+    the single-source BFS + dependency accumulation for its sources and
+    emits (node, partial score) rows, and one groupby-sum folds the
+    partials — per-source work never leaves its task, only O(V) rows
+    shuffle.  Directed, unweighted, endpoints excluded.  No SQL mirror
+    (the dependency accumulation is not expressible without recursive
+    state); pinned in tests/test_betweenness.py on closed-form graphs
+    (path / star / cycle) and for partition-independence on this graph."""
+    edges = _events_edges(sf_dir).to_pandas()[["src", "dst"]].drop_duplicates()
+    return betweenness_over_edges(edges)
+
+
+def betweenness_over_edges(edges: pd.DataFrame) -> pd.DataFrame:
+    """Core of q_betweenness over an explicit (src, dst) edge frame —
+    factored out so tests can pin closed-form graphs."""
+    adj: dict = {}
+    nodes = sorted(set(edges["src"]).union(edges["dst"]))
+    for s, d in edges.itertuples(index=False):
+        adj.setdefault(int(s), []).append(int(d))
+    for k in adj:
+        adj[k].sort()
+    adj_ref = ray.put((nodes, adj))
+
+    src_ds = ray.data.from_items([{"s": int(s)} for s in nodes])
+
+    def brandes_part(b: pa.Table) -> pa.Table:
+        from collections import deque
+
+        nodes_l, adj_l = ray.get(adj_ref)
+        acc: dict = {}
+        for s in b.column("s").to_pylist():
+            # single-source shortest-path DAG: BFS orders, path counts
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            preds: dict = {}
+            order = []
+            dq = deque([s])
+            while dq:
+                u = dq.popleft()
+                order.append(u)
+                for w in adj_l.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        dq.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sigma[w] = sigma.get(w, 0.0) + sigma[u]
+                        preds.setdefault(w, []).append(u)
+            delta = {u: 0.0 for u in order}
+            for w in reversed(order):
+                for u in preds.get(w, ()):
+                    delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+                if w != s:
+                    acc[w] = acc.get(w, 0.0) + delta[w]
+        items = sorted(acc.items())
+        return pa.table(
+            {
+                "node": pa.array([k for k, _ in items], pa.int64()),
+                "part": pa.array([v for _, v in items], pa.float64()),
+            }
+        )
+
+    agg = (
+        src_ds.map_batches(brandes_part, batch_format="pyarrow")
+        .groupby("node")
+        .sum("part")
+        .to_pandas()
+        .rename(columns={"sum(part)": "betweenness"})
+    )
+    full = pd.DataFrame({"node": nodes}).merge(agg, on="node", how="left").fillna(0.0)
+    full["betweenness"] = _r(full["betweenness"].to_numpy(), 4)
+    return full.sort_values("node").reset_index(drop=True)
+
+
+NOSQL_QUERIES["betweenness"] = q_betweenness
