@@ -17465,3 +17465,364 @@ def betweenness_over_edges(edges: pd.DataFrame) -> pd.DataFrame:
 
 
 NOSQL_QUERIES["betweenness"] = q_betweenness
+
+
+# ---------------------------------------------------------------------------
+# mutual-kNN graph / co-visitation projection / Jaro-Winkler verify /
+# bigram entropy rate
+# ---------------------------------------------------------------------------
+
+def q_mutual_knn(sf_dir: str, k: int = 3, grid: int = 4):
+    """Mutual k-nearest-neighbor graph over the embedding corpus — the
+    edge set SSL-curation and SemDeDup-style clustering build on (an edge
+    survives only if BOTH endpoints pick each other, killing hub
+    false-positives).  Exact and fully distributed: the 1-bucket-theta
+    grid from embedding_neardup_pairs replicates each vector to its
+    ``grid`` unordered block cells so every pair meets in exactly ONE
+    cell; each cell emits per-vector PARTIAL top-k rows (safe cut: the
+    global top-k is a subset of the union of per-cell top-ks), a
+    groupby(va).map_groups merges to the global kNN with (sim DESC, vb)
+    tie order, and mutuality is one more groupby on the unordered pair
+    key (cnt == 2) — no all-pairs matrix, no broadcast side, shuffle
+    volume O(N*grid + N*k*grid)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        blk = (b.column("vec_id").to_numpy() % grid).astype(np.int64)
+        cells = np.concatenate(
+            [np.minimum(blk, o) * grid + np.maximum(blk, o) for o in range(grid)]
+        )
+        rep = b.take(pa.array(np.tile(np.arange(n), grid)))
+        return rep.append_column("cell", pa.array(cells, pa.int64()))
+
+    def cell_topk(g: pa.Table) -> pa.Table:
+        cell = int(g.column("cell")[0].as_py())
+        g1, g2 = cell // grid, cell % grid
+        ids = g.column("vec_id").to_numpy()
+        blk = (ids % grid).astype(np.int64)
+        m = np.stack(g.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
+
+        def emit_topk(src_idx, dst_idx, sims):
+            # sims: (len(src_idx), len(dst_idx))
+            for r, i in enumerate(src_idx):
+                col = sims[r]
+                cand = np.arange(len(dst_idx))
+                if g1 == g2:
+                    cand = cand[dst_idx[cand] != i]
+                if len(cand) > k:
+                    order = np.lexsort((ids[dst_idx[cand]], -col[cand]))[:k]
+                    cand = cand[order]
+                for c in cand:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[dst_idx[c]]))
+                    out_s.append(float(col[c]))
+
+        if g1 == g2:
+            idx = np.arange(len(ids))
+            emit_topk(idx, idx, m @ m.T)
+        else:
+            ia, ib = np.flatnonzero(blk == g1), np.flatnonzero(blk == g2)
+            s = m[ia] @ m[ib].T
+            emit_topk(ia, ib, s)
+            emit_topk(ib, ia, s.T)
+        return pa.table(
+            {
+                "va": pa.array(out_a, pa.int64()),
+                "vb": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        emb.map_batches(to_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_topk, batch_format="pyarrow")
+    )
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["sim", "vb"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    knn = partials.groupby("va").map_groups(merge_topk, batch_format="pyarrow")
+
+    def keyed(b: pa.Table) -> pa.Table:
+        a = b.column("va").to_numpy()
+        c = b.column("vb").to_numpy()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, c), pa.int64()),
+                "vec_b": pa.array(np.maximum(a, c), pa.int64()),
+                "sim": b.column("sim"),
+                "one": pa.array(np.ones(len(a), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    mutual = (
+        knn.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Sum("one", alias_name="cnt"), Max("sim", alias_name="sim"))
+        .filter(expr="cnt == 2")
+        .to_pandas()
+    )
+    mutual["sim"] = _r(mutual["sim"].to_numpy(), 4)
+    return (
+        mutual[["vec_a", "vec_b", "sim"]]
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["mutual_knn"] = q_mutual_knn
+
+ORACLE_SQL["mutual_knn"] = """
+    WITH s AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT va, vb, sim FROM s
+        QUALIFY row_number() OVER (PARTITION BY va
+                                   ORDER BY sim DESC, vb) <= 3
+    )
+    SELECT k1.va AS vec_a, k1.vb AS vec_b, round(k1.sim, 4) AS sim
+    FROM knn k1 JOIN knn k2 ON k1.va = k2.vb AND k1.vb = k2.va
+    WHERE k1.va < k1.vb ORDER BY vec_a, vec_b
+"""
+
+
+def q_covisitation(sf_dir: str, cap: int = 20, min_users: int = 2):
+    """Bipartite co-visitation projection: project the user x item graph
+    (items = the events edge-list dst nodes) onto item-item edges weighted
+    by shared-user count — the 'users who touched A also touched B'
+    primitive behind related-page mining and crawl-seed expansion.  Skew-
+    safe by construction: each user's DISTINCT item set is capped at the
+    ``cap`` smallest item ids (deterministic, logged semantics documented
+    here) so one power-user emits at most C(cap,2) pairs; shape is one
+    groupby(user).map_groups pair-emission followed by one pair-key
+    groupby-sum — no driver-side state."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id"])
+
+    def items(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        e = b.column("event_id").to_numpy()
+        t = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "item": pa.array((u * 13 + e) % 50, pa.int64()),
+            }
+        )
+        # per-batch distinct pre-shrink before the user shuffle
+        return t.group_by(["user_id", "item"]).aggregate([])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        it = np.unique(g.column("item").to_numpy())[:cap]
+        iu, ju = np.triu_indices(len(it), k=1)
+        return pa.table(
+            {
+                "item_a": pa.array(it[iu], pa.int64()),
+                "item_b": pa.array(it[ju], pa.int64()),
+                "one": pa.array(np.ones(len(iu), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(items, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .sum("one")
+        .map_batches(
+            lambda b: b.rename_columns(["item_a", "item_b", "co_users"]),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"co_users >= {min_users}")
+        .sort(["item_a", "item_b"])
+    )
+    return out
+
+
+SQL_QUERIES["covisitation"] = q_covisitation
+
+ORACLE_SQL["covisitation"] = """
+    WITH ui AS (
+        SELECT DISTINCT user_id, (user_id * 13 + event_id) % 50 AS item
+        FROM events
+    ),
+    capped AS (
+        SELECT user_id, item FROM ui
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY item) <= 20
+    )
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS co_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item HAVING count(*) >= 2
+    ORDER BY item_a, item_b
+"""
+
+
+def _jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    w = max(max(len(a), len(b)) // 2 - 1, 0)
+    ma = [False] * len(a)
+    mb = [False] * len(b)
+    m = 0
+    for i, ca in enumerate(a):
+        for j in range(max(0, i - w), min(len(b), i + w + 1)):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    kk = 0
+    for i, ca in enumerate(a):
+        if ma[i]:
+            while not mb[kk]:
+                kk += 1
+            if ca != b[kk]:
+                t += 1
+            kk += 1
+    t //= 2
+    return (m / len(a) + m / len(b) + (m - t) / m) / 3
+
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity matching DuckDB's jaro_winkler_similarity
+    (RapidFuzz semantics: prefix weight 0.1, prefix capped at 4, Winkler
+    boost gated at jaro > 0.7) — pinned against DuckDB on every pair in
+    ORACLE_SQL['jaro_winkler_verify']."""
+    j = _jaro(a, b)
+    if j <= 0.7:
+        return j
+    p = 0
+    for ca, cb in zip(a, b):
+        if ca == cb and p < 4:
+            p += 1
+        else:
+            break
+    return j + 0.1 * p * (1 - j)
+
+
+def q_jaro_winkler_verify(sf_dir: str):
+    """Jaro-Winkler verify kernel parity (the record-linkage sibling of
+    levenshtein_verify): score rank-consecutive pairs of the top-100
+    vocabulary plus each top-20 token against its reverse, with the pure-
+    Python jaro_winkler above, pinned cell-for-cell against DuckDB's
+    RapidFuzz-backed jaro_winkler_similarity.  The pair table here is
+    dim-sized by construction (it verifies the KERNEL); at scale the same
+    function runs inside fingerprint-blocked map_groups exactly like the
+    levenshtein verify stage."""
+    top = q_vocab_topk(sf_dir, k=100).to_pandas()["token"].tolist()
+    pairs = list(zip(top, top[1:])) + [(t, t[::-1]) for t in top[:20]]
+    ds = ray.data.from_items([{"tok_a": a, "tok_b": b} for a, b in pairs])
+
+    def score(b: pa.Table) -> pa.Table:
+        al = b.column("tok_a").to_pylist()
+        bl = b.column("tok_b").to_pylist()
+        return pa.table(
+            {
+                "tok_a": b.column("tok_a"),
+                "tok_b": b.column("tok_b"),
+                "jw": pa.array(
+                    [float(_r(jaro_winkler(x, y), 6)) for x, y in zip(al, bl)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(["tok_a", "tok_b"])
+
+
+SQL_QUERIES["jaro_winkler_verify"] = q_jaro_winkler_verify
+
+ORACLE_SQL["jaro_winkler_verify"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT unnest(t) AS token FROM toks),
+    v AS (
+        SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+        FROM w GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT 100
+    ),
+    pairs AS (
+        SELECT a.token AS tok_a, b.token AS tok_b
+        FROM v a JOIN v b ON b.rk = a.rk + 1
+        UNION ALL
+        SELECT token, reverse(token) FROM v WHERE rk <= 20
+    )
+    SELECT tok_a, tok_b,
+           round(jaro_winkler_similarity(tok_a, tok_b), 6) AS jw
+    FROM pairs ORDER BY tok_a, tok_b
+"""
+
+
+def q_entropy_rate(sf_dir: str):
+    """Bigram entropy rate of the token stream: H(Y|X) = -sum p(x,y) ln
+    p(y|x) over within-doc bigrams, next to the unigram entropy H(Y) —
+    the pair quantifies corpus predictability (templated/boilerplate text
+    collapses H(Y|X) far below H(Y); their gap is the mutual information
+    between adjacent tokens).  Bigram and unigram counts build with the
+    standard per-batch Counter combiner (only partials shuffle); the
+    final folds run over the dim-sized count tables from EXACT integer
+    counts, one float expression per term, mirrored operation-for-
+    operation and rounded 6dp."""
+    bg = q_bigram_topk(sf_dir, k=10**9).to_pandas()  # full bigram table, combiner-built
+    parts = bg["bigram"].str.split(" ", n=1, expand=True)
+    bg["x"] = parts[0]
+    T = int(bg["cnt"].sum())
+    cx = bg.groupby("x")["cnt"].sum()
+    c = bg["cnt"].to_numpy(dtype=np.float64)
+    cxv = bg["x"].map(cx).to_numpy(dtype=np.float64)
+    h_rate = float(-np.sum(c / T * np.log(c / cxv)))
+
+    uni = q_vocab_topk(sf_dir, k=10**9).to_pandas()
+    U = int(uni["cnt"].sum())
+    u = uni["cnt"].to_numpy(dtype=np.float64)
+    h_uni = float(-np.sum(u / U * np.log(u / U)))
+    return pd.DataFrame(
+        {
+            "n_bigrams": [T],
+            "entropy_rate": [float(_r(h_rate, 6))],
+            "unigram_entropy": [float(_r(h_uni, 6))],
+        }
+    )
+
+
+SQL_QUERIES["entropy_rate"] = q_entropy_rate
+
+ORACLE_SQL["entropy_rate"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    bg AS (
+        SELECT t[i] AS x, t[i] || ' ' || t[i + 1] AS g
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    bc AS (SELECT x, g, count(*) AS c FROM bg GROUP BY x, g),
+    cx AS (SELECT x, sum(c) AS cx FROM bc GROUP BY x),
+    tt AS (SELECT sum(c) AS T FROM bc),
+    hr AS (
+        SELECT -sum(bc.c * 1.0 / tt.T * ln(bc.c * 1.0 / cx.cx)) AS h
+        FROM bc JOIN cx USING (x), tt
+    ),
+    un AS (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+    ),
+    uu AS (SELECT sum(c) AS U FROM un),
+    hu AS (SELECT -sum(un.c * 1.0 / uu.U * ln(un.c * 1.0 / uu.U)) AS h FROM un, uu)
+    SELECT CAST(tt.T AS BIGINT) AS n_bigrams,
+           round(hr.h, 6) AS entropy_rate,
+           round(hu.h, 6) AS unigram_entropy
+    FROM tt, hr, hu
+"""
