@@ -17826,3 +17826,234 @@ ORACLE_SQL["entropy_rate"] = r"""
            round(hu.h, 6) AS unigram_entropy
     FROM tt, hr, hu
 """
+
+
+# ---------------------------------------------------------------------------
+# full outer join / eccentricity + diameter / Katz centrality
+# ---------------------------------------------------------------------------
+
+def q_full_outer_join(sf_dir: str):
+    """Distributed FULL OUTER equi-join — the last relational join type
+    the engine lacked (inner/left/semi/anti/asof/range/skew all exist):
+    reconcile two sparse per-customer order profiles (orderkeys divisible
+    by 7 vs by 11) so customers present in only one side surface with
+    nulls on the other — the reconciliation/diff shape of ledger and
+    delivery audits.  Both sides build combiner-style (per-batch partial
+    counts, groupby-sum moves partials), then ONE bucket-partitioned
+    stages.joins.hash_join(how='full') shuffle joins them — neither side
+    broadcasts, right-only rows keep their coalesced key."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def side(mod: int, cname: str):
+        def part(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df = df[df["o_orderkey"] % mod == 0]
+            out = df.groupby("o_custkey", as_index=False).size().rename(
+                columns={"size": cname}
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return (
+            orders.map_batches(part, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .sum(cname)
+            .map_batches(
+                lambda b: b.rename_columns(["o_custkey", cname]),
+                batch_format="pyarrow",
+            )
+        )
+
+    j = hash_join(
+        side(7, "cnt_a"), side(11, "cnt_b"), key="o_custkey", how="full"
+    ).to_pandas()
+    return j.sort_values("o_custkey").reset_index(drop=True)
+
+
+SQL_QUERIES["full_outer_join"] = q_full_outer_join
+
+ORACLE_SQL["full_outer_join"] = """
+    WITH a AS (
+        SELECT o_custkey, count(*) AS cnt_a FROM orders
+        WHERE o_orderkey % 7 = 0 GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey, count(*) AS cnt_b FROM orders
+        WHERE o_orderkey % 11 = 0 GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, a.cnt_a, b.cnt_b
+    FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY o_custkey
+"""
+
+
+def q_eccentricity(sf_dir: str):
+    """Per-node eccentricity (max shortest-path distance to any reachable
+    node) + reachable-set size over the UNDIRECTED events graph — the
+    diameter probe (graph diameter = max eccentricity) a crawler uses to
+    bound frontier horizons.  All 50 sources advance together in
+    synchronized BFS waves: each hop is ONE streaming pass over the edge
+    dataset filtering against broadcast per-source frontier id-sets (the
+    q_avg_path_length wave, run to exhaustion instead of a fixed depth);
+    only node-id sets ever sit on the driver — O(V) per source, dim-sized
+    here, sharded actors at web scale."""
+    edges = _events_edges(sf_dir)
+
+    def both(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s[keep], d[keep]]), pa.int64()),
+                "b": pa.array(np.concatenate([d[keep], s[keep]]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(both, batch_format="pyarrow").materialize()
+    sources = list(range(50))
+    dist_of = {s: {s: 0} for s in sources}
+    frontier = {s: {s} for s in sources}
+    depth = 0
+    while any(frontier.values()):
+        depth += 1
+        fr = {s: pa.array(sorted(f), pa.int64()) for s, f in frontier.items() if f}
+
+        def hop(b: pa.Table, _fr=fr) -> pa.Table:
+            outs, outd = [], []
+            for s, arr in _fr.items():
+                m = pc.is_in(b.column("a"), value_set=arr)
+                dsts = pc.unique(b.filter(m).column("b")).to_numpy()
+                outs.append(np.full(len(dsts), s, np.int64))
+                outd.append(dsts)
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(outs) if outs else [], pa.int64()),
+                    "d": pa.array(np.concatenate(outd) if outd else [], pa.int64()),
+                }
+            )
+
+        reached = (
+            adj.map_batches(hop, batch_format="pyarrow")
+            .groupby(["s", "d"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .to_pandas()
+        )
+        frontier = {s: set() for s in sources}
+        for _, r in reached.iterrows():
+            s, d = int(r["s"]), int(r["d"])
+            if d not in dist_of[s]:
+                dist_of[s][d] = depth
+                frontier[s].add(d)
+
+    rows = []
+    for s in sources:
+        others = [v for k, v in dist_of[s].items() if k != s]
+        rows.append(
+            {
+                "node": s,
+                "ecc": max(others) if others else 0,
+                "n_reachable": len(others),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+
+
+SQL_QUERIES["eccentricity"] = q_eccentricity
+
+ORACLE_SQL["eccentricity"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT user_id % 50 AS a, (user_id * 13 + event_id) % 50 AS b
+            FROM events
+            UNION
+            SELECT (user_id * 13 + event_id) % 50 AS a, user_id % 50 AS b
+            FROM events
+        ) WHERE a <> b
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    d(s, n, dist) AS (
+        SELECT n AS s, n, 0 FROM nodes
+        UNION
+        SELECT d.s, e.b, d.dist + 1
+        FROM d JOIN e ON e.a = d.n
+        WHERE d.dist < 50
+    ),
+    md AS (SELECT s, n, min(dist) AS dist FROM d GROUP BY s, n)
+    SELECT s AS node,
+           CAST(coalesce(max(dist) FILTER (n <> s), 0) AS BIGINT) AS ecc,
+           CAST(count(*) FILTER (n <> s) AS BIGINT) AS n_reachable
+    FROM md GROUP BY s ORDER BY node
+"""
+
+
+def q_katz_centrality(sf_dir: str, alpha: float = 0.05, iters: int = 3):
+    """Katz centrality (3 unrolled iterations, beta = 1) over the DIRECTED
+    events graph: x_{t+1}(v) = 1 + alpha * sum_{u->v} x_t(u) from x_0 = 1
+    — the damped-walk-count centrality that, unlike PageRank, rewards
+    being reachable rather than being exclusively linked.  Each iteration
+    is one streaming pass: edges score against the broadcast 50-float
+    rank vector, per-batch partial sums reduce through groupby(dst), the
+    driver folds the O(V) delta — the same bucketed message-pass shape as
+    host_pagerank, with multi-edges counted per-edge on both sides."""
+    edges = _events_edges(sf_dir).materialize()
+    x = {n: 1.0 for n in range(50)}
+    for _ in range(iters):
+        x_ref = ray.put(dict(x))
+
+        def msg(b: pa.Table, _xr=x_ref) -> pa.Table:
+            xv = ray.get(_xr)
+            xs = np.array([xv[n] for n in range(50)], dtype=np.float64)
+            s = b.column("src").to_numpy()
+            d = b.column("dst").to_numpy()
+            # node ids are 0..49 by construction — one vectorized gather
+            df = pd.DataFrame({"dst": d, "m": xs[s]}).groupby("dst", as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        inc = (
+            edges.map_batches(msg, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("m")
+            .to_pandas()
+        )
+        x = {n: 1.0 for n in range(50)}
+        for _, r in inc.iterrows():
+            x[int(r["dst"])] = 1.0 + alpha * float(r["sum(m)"])
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "katz": [float(_r(x[n], 6)) for n in range(50)],
+        }
+    )
+
+
+SQL_QUERIES["katz_centrality"] = q_katz_centrality
+
+ORACLE_SQL["katz_centrality"] = """
+    WITH e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    r0 AS (SELECT n, 1.0 AS x FROM nodes),
+    r1 AS (
+        SELECT nodes.n,
+               1.0 + 0.05 * coalesce(sum(r0.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r0 ON r0.n = e.src
+        GROUP BY nodes.n
+    ),
+    r2 AS (
+        SELECT nodes.n,
+               1.0 + 0.05 * coalesce(sum(r1.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r1 ON r1.n = e.src
+        GROUP BY nodes.n
+    ),
+    r3 AS (
+        SELECT nodes.n,
+               1.0 + 0.05 * coalesce(sum(r2.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r2 ON r2.n = e.src
+        GROUP BY nodes.n
+    )
+    SELECT n AS node, round(x, 6) AS katz FROM r3 ORDER BY node
+"""

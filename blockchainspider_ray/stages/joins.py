@@ -375,8 +375,8 @@ def hash_join(
     """
     import polars as pl
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     rk = right_key or key
     lschema = left.schema()
     rschema = right.schema()
@@ -433,12 +433,17 @@ def hash_join(
     def join_group(g: pa.Table) -> pa.Table:
         lmask = pa.compute.equal(g.column("_side"), "L")
         lt = g.filter(lmask).select(left_cols)
-        if not lt.num_rows:
+        if not lt.num_rows and how != "full":
             return out_schema.empty_table()
         rt = g.filter(pa.compute.invert(lmask)).select([key] + r_payload)
-        j = pl.from_arrow(lt).join(
-            pl.from_arrow(rt), on=key, how=how, maintain_order="left"
-        )
+        if how == "full":
+            # coalesce=True folds both key columns into one, so right-only
+            # rows carry their key (and nulls in the left payload)
+            j = pl.from_arrow(lt).join(pl.from_arrow(rt), on=key, how="full", coalesce=True)
+        else:
+            j = pl.from_arrow(lt).join(
+                pl.from_arrow(rt), on=key, how=how, maintain_order="left"
+            )
         return j.select(out_schema.names).to_arrow().cast(out_schema)
 
     unioned = l_tagged.union(r_tagged)

@@ -256,3 +256,27 @@ def test_skew_join_no_hot_keys_degenerates(ray_session):
     got = skew_join(left, right, key="k", right_key="rk", hot_share=0.2).to_pandas()
     want = hash_join(left, right, key="k", right_key="rk").to_pandas()
     assert sorted(got["v"]) == sorted(want["v"])
+
+
+def test_hash_join_full_outer(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from blockchainspider_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3], pa.int64()),
+                  "lv": pa.array(["a", "b", "c", "d"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4], pa.int64()),
+                  "rv": pa.array([10.0, 20.0, 30.0])})
+    )
+    fj = hash_join(left, right, key="k", right_key="rk", how="full").to_pandas()
+    # 2x2 expands (4 rows) + left-only 1,3 + right-only 4
+    assert len(fj) == 7
+    assert fj[fj["k"] == 1]["rv"].isna().all()
+    assert fj[fj["k"] == 3]["rv"].isna().all()
+    # right-only row keeps its coalesced key with null left payload
+    r4 = fj[fj["k"] == 4]
+    assert len(r4) == 1 and r4["lv"].isna().all() and r4["rv"].iloc[0] == 30.0
