@@ -17898,6 +17898,23 @@ def q_eccentricity(sf_dir: str):
     q_avg_path_length wave, run to exhaustion instead of a fixed depth);
     only node-id sets ever sit on the driver — O(V) per source, dim-sized
     here, sharded actors at web scale."""
+    dist_of = _all_pairs_bfs(sf_dir)
+    rows = []
+    for s in range(50):
+        others = [v for k, v in dist_of[s].items() if k != s]
+        rows.append(
+            {
+                "node": s,
+                "ecc": max(others) if others else 0,
+                "n_reachable": len(others),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+
+
+def _all_pairs_bfs(sf_dir: str) -> dict:
+    """Synchronized all-source BFS over the undirected events graph (the
+    q_eccentricity wave); returns {source: {node: dist}} including self=0."""
     edges = _events_edges(sf_dir)
 
     def both(b: pa.Table) -> pa.Table:
@@ -17947,17 +17964,7 @@ def q_eccentricity(sf_dir: str):
                 dist_of[s][d] = depth
                 frontier[s].add(d)
 
-    rows = []
-    for s in sources:
-        others = [v for k, v in dist_of[s].items() if k != s]
-        rows.append(
-            {
-                "node": s,
-                "ecc": max(others) if others else 0,
-                "n_reachable": len(others),
-            }
-        )
-    return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+    return dist_of
 
 
 SQL_QUERIES["eccentricity"] = q_eccentricity
@@ -18057,3 +18064,157 @@ ORACLE_SQL["katz_centrality"] = """
     )
     SELECT n AS node, round(x, 6) AS katz FROM r3 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# closeness/harmonic centrality / KWIC concordance / gzip-ratio signal
+# ---------------------------------------------------------------------------
+
+def q_closeness_harmonic(sf_dir: str):
+    """Closeness and harmonic centrality per node from the same
+    synchronized all-source BFS as q_eccentricity (one shared wave
+    machinery, three centralities) — closeness = n_reachable / sum(d)
+    (0 when isolated), harmonic = sum(1/d) which stays well-defined on
+    disconnected graphs.  Completes the standard centrality set next to
+    degree / PageRank / HITS / Katz / betweenness / eccentricity.
+    Rounded 6dp; the SQL mirror folds the identical expressions from the
+    same recursive-CTE distance table."""
+    dist_of = _all_pairs_bfs(sf_dir)
+    rows = []
+    for s in range(50):
+        ds = [v for k, v in dist_of[s].items() if k != s]
+        sum_d = sum(ds)
+        rows.append(
+            {
+                "node": s,
+                "closeness": float(_r(len(ds) * 1.0 / sum_d, 6)) if sum_d else 0.0,
+                "harmonic": float(_r(sum(1.0 / v for v in sorted(ds)), 6)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("node").reset_index(drop=True)
+
+
+SQL_QUERIES["closeness_harmonic"] = q_closeness_harmonic
+
+ORACLE_SQL["closeness_harmonic"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT user_id % 50 AS a, (user_id * 13 + event_id) % 50 AS b
+            FROM events
+            UNION
+            SELECT (user_id * 13 + event_id) % 50 AS a, user_id % 50 AS b
+            FROM events
+        ) WHERE a <> b
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    d(s, n, dist) AS (
+        SELECT n AS s, n, 0 FROM nodes
+        UNION
+        SELECT d.s, e.b, d.dist + 1
+        FROM d JOIN e ON e.a = d.n
+        WHERE d.dist < 50
+    ),
+    md AS (SELECT s, n, min(dist) AS dist FROM d GROUP BY s, n)
+    SELECT s AS node,
+           coalesce(round(count(*) FILTER (n <> s) * 1.0
+                          / nullif(sum(dist) FILTER (n <> s), 0), 6), 0.0)
+               AS closeness,
+           coalesce(round(sum(1.0 / dist) FILTER (n <> s), 6), 0.0) AS harmonic
+    FROM md GROUP BY s ORDER BY node
+"""
+
+
+def q_kwic(sf_dir: str, width: int = 2):
+    """Keyword-in-context concordance for the corpus's top token — the
+    inspection primitive behind 'show me how this term is used' audits
+    (and the positional-postings consumer postings_build feeds).  The
+    focus term is the deterministic vocab top-1 (combiner build, one row
+    to the driver, broadcast by closure); occurrence scan + context
+    slicing is a single embarrassingly-parallel map_batches, rows =
+    occurrences, contexts clamped at doc edges identically to the SQL
+    list-slice mirror."""
+    term = q_vocab_topk(sf_dir, k=1).to_pandas()["token"].iloc[0]
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(b: pa.Table, _term=term) -> pa.Table:
+        out_d, out_p, out_l, out_r = [], [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            for j, tok in enumerate(toks):
+                if tok == _term:
+                    out_d.append(d)
+                    out_p.append(j + 1)
+                    out_l.append(" ".join(toks[max(0, j - width) : j]))
+                    out_r.append(" ".join(toks[j + 1 : j + 1 + width]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "left_ctx": pa.array(out_l, pa.string()),
+                "right_ctx": pa.array(out_r, pa.string()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow").sort(["doc_id", "pos"])
+
+
+SQL_QUERIES["kwic"] = q_kwic
+
+ORACLE_SQL["kwic"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (SELECT unnest(t) AS token FROM toks),
+    term AS (
+        SELECT token FROM w GROUP BY token
+        ORDER BY count(*) DESC, token LIMIT 1
+    ),
+    hits AS (
+        SELECT doc_id, i AS pos, t
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i), term
+        WHERE t[i] = term.token
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           coalesce(list_aggregate(t[greatest(1, pos - 2):pos - 1],
+                                   'string_agg', ' '), '') AS left_ctx,
+           coalesce(list_aggregate(t[pos + 1:pos + 2],
+                                   'string_agg', ' '), '') AS right_ctx
+    FROM hits ORDER BY doc_id, pos
+"""
+
+
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (compressed/raw bytes, level 6) —
+    the cheap information-density quality signal web-text pipelines cut
+    on (boilerplate and generated spam compress far below natural text;
+    cf. the gzip filters in CCNet-style curation).  One embarrassingly-
+    parallel map_batches; deterministic given the pinned zlib level, and
+    pinned in tests/test_textstats_multimodal.py (no SQL mirror — DuckDB
+    exposes no zlib)."""
+    import zlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        texts = b.column("text").to_pylist()
+        nb, rt = [], []
+        for t in texts:
+            raw = t.encode("utf-8")
+            nb.append(len(raw))
+            rt.append(
+                float(_r(len(zlib.compress(raw, 6)) * 1.0 / max(1, len(raw)), 6))
+            )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_bytes": pa.array(nb, pa.int64()),
+                "gz_ratio": pa.array(rt, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(ratio, batch_format="pyarrow").sort("doc_id")
+
+
+NOSQL_QUERIES["compression_ratio"] = q_compression_ratio

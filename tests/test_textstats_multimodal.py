@@ -166,3 +166,30 @@ def test_image_resize_query_pins_dims():
     assert (df["height"] == 4).all()
     assert (df["channels"] == 3).all()
     assert df["mean_luma"].between(0, 255).all()
+
+
+def test_compression_ratio_pinned(ray_session):
+    """gz_ratio: deterministic zlib-6 ratios; repetitive text compresses
+    far below high-entropy text, and values match a direct zlib call."""
+    import zlib
+
+    import numpy as np
+
+    from blockchainspider_ray.pipelines.queries import q_compression_ratio
+
+    df = q_compression_ratio("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert (df["gz_ratio"] > 0).all() and (df["gz_ratio"] <= 1.5).all()
+    # spot-pin three docs against an independent zlib call
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for doc_id in list(by_id)[:3]:
+        raw = by_id[doc_id].encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / max(1, len(raw)), 6)
+        got = float(df.loc[df["doc_id"] == doc_id, "gz_ratio"].iloc[0])
+        assert got == want
+    # rerun is identical (determinism)
+    df2 = q_compression_ratio("/root/testdata/sf0.001").to_pandas()
+    assert np.array_equal(df["gz_ratio"].to_numpy(), df2["gz_ratio"].to_numpy())
