@@ -18218,3 +18218,272 @@ def q_compression_ratio(sf_dir: str):
 
 
 NOSQL_QUERIES["compression_ratio"] = q_compression_ratio
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein drift / precision-recall curve / hapax legomena
+# ---------------------------------------------------------------------------
+
+def q_wasserstein_drift(sf_dir: str):
+    """Per-source 1-Wasserstein (earth-mover) distance between the
+    source's doc-length distribution and the rest of the corpus — the
+    integral companion to ks_drift's max statistic (KS flags ANY CDF gap;
+    W1 weights gaps by how much length-mass actually has to move, so it
+    ranks drifts by cost).  Same machinery as ks_drift: two combiner
+    groupbys produce the distinct-value count grid, then W1 = sum over
+    consecutive grid values of |F_src - F_rest| * gap — identical
+    count-ratio doubles on both sides, rounded 4dp."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "v": b.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby(["source", "v"]).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sv = (
+        docs.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    gv = sv.groupby("v", as_index=False)["c"].sum().rename(columns={"c": "cg"})
+    gv = gv.sort_values("v").reset_index(drop=True)
+    gv["cumg"] = gv["cg"].cumsum()
+    ng = int(gv["cg"].sum())
+    cumg = dict(zip(gv["v"], gv["cumg"]))
+    vals = gv["v"].tolist()
+    rows = []
+    for src, g in sv.groupby("source", sort=True):
+        n = int(g["c"].sum())
+        own = dict(zip(g["v"], g["c"]))
+        co = 0
+        w1 = 0.0
+        for v, nxt in zip(vals, vals[1:]):
+            co += own.get(v, 0)
+            cr = cumg[v] - co
+            w1 += abs(co / n - cr / (ng - n)) * (nxt - v)
+        rows.append((src, n, float(_r(w1, 4))))
+    return pd.DataFrame(rows, columns=["source", "n", "w1"]).astype({"n": "int64"})
+
+
+SQL_QUERIES["wasserstein_drift"] = q_wasserstein_drift
+
+ORACLE_SQL["wasserstein_drift"] = """
+    WITH sv AS (
+        SELECT source, n_chars AS v, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM sv GROUP BY source),
+    gv AS (SELECT v, sum(c) AS cg FROM sv GROUP BY v),
+    gn AS (SELECT sum(cg) AS ng FROM gv),
+    grid AS (
+        SELECT t.source, g.v FROM (SELECT DISTINCT source FROM sv) t
+        CROSS JOIN gv g
+    ),
+    own AS (
+        SELECT gr.source, gr.v, coalesce(sv.c, 0) AS c
+        FROM grid gr LEFT JOIN sv ON sv.source = gr.source AND sv.v = gr.v
+    ),
+    cum AS (
+        SELECT o.source, o.v,
+               lead(o.v) OVER (PARTITION BY o.source ORDER BY o.v) AS nxt,
+               sum(o.c) OVER (PARTITION BY o.source ORDER BY o.v) AS co,
+               sum(g.cg) OVER (PARTITION BY o.source ORDER BY o.v) AS cumg
+        FROM own o JOIN gv g USING (v)
+    )
+    SELECT c.source, CAST(any_value(t.n) AS BIGINT) AS n,
+           round(sum(abs(c.co * 1.0 / t.n
+                         - (c.cumg - c.co) * 1.0 / (gn.ng - t.n))
+                     * (c.nxt - c.v)) FILTER (c.nxt IS NOT NULL), 4) AS w1
+    FROM cum c JOIN tot t USING (source), gn
+    GROUP BY c.source ORDER BY c.source
+"""
+
+
+def q_pr_curve(sf_dir: str, steps: int = 13):
+    """Precision-recall curve of a cheap ranking signal (stopword ratio,
+    the quality_score column) against the Gopher keep verdict as ground
+    truth — the classifier-eval primitive that tells a curation pipeline
+    where to put its quality threshold (calibration tables say HOW WRONG
+    the scores are; PR says what a cut COSTS in yield).  One map pass
+    computes (score, label) per doc, each batch folds to per-threshold
+    (selected, true-positive, positive) integer partials over the fixed
+    i*0.05 grid, one tiny groupby sums them — exact integers to the
+    driver, identical threshold doubles on both sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    thr = [i * 0.05 for i in range(steps)]
+
+    def part(b: pa.Table) -> pa.Table:
+        srs, keeps = [], []
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            sr = float(_r(sum(1 for w in toks if w in _STOPWORDS) / len(toks), 4))
+            srs.append(sr)
+            keeps.append(_gopher_stats(toks)[4])
+        sr_a = np.array(srs)
+        kp = np.array(keeps)
+        return pa.table(
+            {
+                "i": pa.array(range(steps), pa.int64()),
+                "n_sel": pa.array([int((sr_a >= t).sum()) for t in thr], pa.int64()),
+                "n_tp": pa.array(
+                    [int(((sr_a >= t) & (kp == 1)).sum()) for t in thr], pa.int64()
+                ),
+                "n_pos": pa.array([int((kp == 1).sum())] * steps, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(
+            Sum("n_sel", alias_name="n_sel"),
+            Sum("n_tp", alias_name="n_tp"),
+            Sum("n_pos", alias_name="n_pos"),
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "thr": [float(_r(t, 2)) for t in thr],
+            "n_sel": agg["n_sel"].astype("int64"),
+            "prec": [
+                float(_r(tp * 1.0 / s, 6)) if s else np.nan
+                for tp, s in zip(agg["n_tp"], agg["n_sel"])
+            ],
+            "rec": [
+                float(_r(tp * 1.0 / p, 6)) if p else np.nan
+                for tp, p in zip(agg["n_tp"], agg["n_pos"])
+            ],
+        }
+    )
+    return out
+
+
+SQL_QUERIES["pr_curve"] = q_pr_curve
+
+ORACLE_SQL["pr_curve"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               round(len(list_filter(toks, w -> w IN ('the','a','and','of','to')))
+                     * 1.0 / len(toks), 4) AS sr
+        FROM t
+    ),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM t
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM gc GROUP BY doc_id),
+    lab AS (
+        SELECT ws.doc_id,
+               CASE WHEN ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+                     AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+                    THEN 1 ELSE 0 END AS keep
+        FROM ws LEFT JOIN tp USING (doc_id)
+    ),
+    j AS (SELECT s.sr, lab.keep FROM s JOIN lab USING (doc_id)),
+    thr AS (SELECT i, i * 0.05 AS t FROM range(0, 13) r(i)),
+    agg AS (
+        SELECT thr.t,
+               count(*) FILTER (j.sr >= thr.t)                  AS n_sel,
+               count(*) FILTER (j.sr >= thr.t AND j.keep = 1)   AS n_tp,
+               count(*) FILTER (j.keep = 1)                     AS n_pos
+        FROM thr CROSS JOIN j GROUP BY thr.t
+    )
+    SELECT round(t, 2) AS thr,
+           CAST(n_sel AS BIGINT) AS n_sel,
+           round(n_tp * 1.0 / nullif(n_sel, 0), 6) AS prec,
+           round(n_tp * 1.0 / nullif(n_pos, 0), 6) AS rec
+    FROM agg ORDER BY thr
+"""
+
+
+def q_hapax_ratio(sf_dir: str):
+    """Hapax legomena profile: how much of the vocabulary (and of the
+    token stream) is words seen exactly once — the lexical-richness dial
+    that pairs with zipf_fit/heaps_law (natural corpora run ~40-60% hapax
+    vocab; template spam collapses it).  Vocab counts build with the
+    combiner groupby, then each count-table batch folds to 4 integers
+    (vocab, hapax, tokens, hapax tokens) summed driver-side — the
+    vocabulary itself never reaches the driver."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(_oracle_tokens(t))
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "cnt": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(vc, batch_format="pyarrow").groupby("token").sum("cnt")
+
+    def fold(b: pa.Table) -> pa.Table:
+        c = b.column(1).to_numpy()
+        return pa.table(
+            {
+                "vocab": pa.array([len(c)], pa.int64()),
+                "hapax": pa.array([int((c == 1).sum())], pa.int64()),
+                "tokens": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    f = counts.map_batches(fold, batch_format="pyarrow").to_pandas().sum()
+    v, h, tk = int(f["vocab"]), int(f["hapax"]), int(f["tokens"])
+    return pd.DataFrame(
+        {
+            "vocab": [v],
+            "hapax": [h],
+            "hapax_vocab_frac": [float(_r(h * 1.0 / v, 6))],
+            "hapax_token_frac": [float(_r(h * 1.0 / tk, 6))],
+        }
+    )
+
+
+SQL_QUERIES["hapax_ratio"] = q_hapax_ratio
+
+ORACLE_SQL["hapax_ratio"] = r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    vc AS (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token
+    ),
+    s AS (
+        SELECT count(*) AS v,
+               count(*) FILTER (c = 1) AS h,
+               sum(c) AS tk
+        FROM vc
+    )
+    SELECT CAST(v AS BIGINT) AS vocab, CAST(h AS BIGINT) AS hapax,
+           round(h * 1.0 / v, 6) AS hapax_vocab_frac,
+           round(h * 1.0 / tk, 6) AS hapax_token_frac
+    FROM s
+"""
