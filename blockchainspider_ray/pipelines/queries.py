@@ -18487,3 +18487,221 @@ ORACLE_SQL["hapax_ratio"] = r"""
            round(h * 1.0 / tk, 6) AS hapax_token_frac
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC / per-doc n-gram novelty
+# ---------------------------------------------------------------------------
+
+def q_roc_auc(sf_dir: str):
+    """Exact ROC-AUC of the stopword-ratio signal against the Gopher keep
+    verdict — the Mann-Whitney rank-sum form with average ranks for ties,
+    computed WITHOUT a global sort exactly like length_gini: one combiner
+    groupby reduces the corpus to the distinct-score histogram with
+    per-value (positive, negative) counts, and the rank-sum folds per
+    value run in EXACT integer arithmetic (2*ranksum = sum p*(2a+p+q+1)),
+    so the only float is the final division — both sides divide identical
+    integers.  Pairs with pr_curve: PR says what a cut costs, AUC scores
+    the signal itself."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        pos: Counter = Counter()
+        neg: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            toks = _oracle_tokens(t)
+            sr = float(_r(sum(1 for w in toks if w in _STOPWORDS) / len(toks), 4))
+            if _gopher_stats(toks)[4]:
+                pos[sr] += 1
+            else:
+                neg[sr] += 1
+        vals = sorted(set(pos) | set(neg))
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.float64()),
+                "p": pa.array([pos.get(v, 0) for v in vals], pa.int64()),
+                "q": pa.array([neg.get(v, 0) for v in vals], pa.int64()),
+            }
+        )
+
+    h = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    a = 0
+    r2 = 0
+    np_, nq_ = 0, 0
+    for _, r in h.iterrows():
+        p, q = int(r["p"]), int(r["q"])
+        r2 += p * (2 * a + p + q + 1)
+        np_ += p
+        nq_ += q
+        a += p + q
+    auc = (r2 - np_ * (np_ + 1)) * 1.0 / (2 * np_ * nq_)
+    return pd.DataFrame(
+        {"n_pos": [np_], "n_neg": [nq_], "auc": [float(_r(auc, 6))]}
+    )
+
+
+SQL_QUERIES["roc_auc"] = q_roc_auc
+
+ORACLE_SQL["roc_auc"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               round(len(list_filter(toks, w -> w IN ('the','a','and','of','to')))
+                     * 1.0 / len(toks), 4) AS sr
+        FROM t
+    ),
+    w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM t
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM gc GROUP BY doc_id),
+    lab AS (
+        SELECT ws.doc_id,
+               CASE WHEN ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+                     AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+                    THEN 1 ELSE 0 END AS keep
+        FROM ws LEFT JOIN tp USING (doc_id)
+    ),
+    j AS (SELECT s.sr, lab.keep FROM s JOIN lab USING (doc_id)),
+    h AS (
+        SELECT sr AS v,
+               count(*) FILTER (keep = 1) AS p,
+               count(*) FILTER (keep = 0) AS q
+        FROM j GROUP BY sr
+    ),
+    o AS (
+        SELECT v, p, q,
+               sum(p + q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - (p + q) AS a
+        FROM h
+    ),
+    f AS (
+        SELECT sum(p * (2 * a + p + q + 1)) AS r2,
+               sum(p) AS np, sum(q) AS nq
+        FROM o
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
+           round((r2 - np * (np + 1)) * 1.0 / (2 * np * nq), 6) AS auc
+    FROM f
+"""
+
+
+def q_ngram_novelty(sf_dir: str, n: int = 3):
+    """Per-doc n-gram novelty: the fraction of a doc's distinct 3-grams
+    whose FIRST corpus occurrence (by doc_id order) is this doc — the
+    marginal-content curve dedup planning reads (Lee et al.'s
+    'deduplicating training data' measures exactly this decay; a doc
+    adding no new grams is a near-pure duplicate).  Same first-occurrence
+    trick as heaps_law at gram granularity: per-batch distinct (gram,
+    min doc) partials -> groupby(gram).min -> counts per owning doc —
+    only gram partials shuffle, and the per-doc join of owned vs total
+    distinct counts is two corpus-linear tables."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_firsts(b: pa.Table) -> pa.Table:
+        firsts: dict = {}
+        totals_d, totals_c = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            gs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            totals_d.append(d)
+            totals_c.append(len(gs))
+            for g in gs:
+                p = firsts.get(g)
+                if p is None or d < p:
+                    firsts[g] = d
+        return pa.table(
+            {
+                "gram": pa.array(list(firsts.keys()), pa.string()),
+                "fd": pa.array(list(firsts.values()), pa.int64()),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(gram_firsts, batch_format="pyarrow")
+        .groupby("gram")
+        .min("fd")
+    )
+
+    def own_part(b: pa.Table) -> pa.Table:
+        fd = b.column(1).to_numpy()
+        vals, cnts = np.unique(fd, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(vals, pa.int64()),
+                "n_novel": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    own = (
+        firsts.map_batches(own_part, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n_novel")
+        .to_pandas()
+        .rename(columns={"sum(n_novel)": "n_novel"})
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        ids, cs = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            c = len({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            if c:
+                ids.append(d)
+                cs.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(cs, pa.int64()),
+            }
+        )
+
+    tot = docs.map_batches(totals, batch_format="pyarrow").to_pandas()
+    out = tot.merge(own, on="doc_id", how="left").fillna({"n_novel": 0})
+    out["n_novel"] = out["n_novel"].astype("int64")
+    out["novelty"] = _r(out["n_novel"].to_numpy() * 1.0 / out["n_grams"].to_numpy(), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QUERIES["ngram_novelty"] = q_ngram_novelty
+
+ORACLE_SQL["ngram_novelty"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(t[i:i+2], 'string_agg', ' ') AS gram
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    fo AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+    own AS (SELECT fd AS doc_id, count(*) AS n_novel FROM fo GROUP BY fd)
+    SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(o.n_novel, 0) AS BIGINT) AS n_novel,
+           round(coalesce(o.n_novel, 0) * 1.0 / t.n_grams, 6) AS novelty
+    FROM tot t LEFT JOIN own o USING (doc_id)
+    ORDER BY t.doc_id
+"""
