@@ -18705,3 +18705,135 @@ ORACLE_SQL["ngram_novelty"] = r"""
     FROM tot t LEFT JOIN own o USING (doc_id)
     ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily smoothing / rolling z-score anomalies / Bloom FPR calibration
+# ---------------------------------------------------------------------------
+
+def q_ewma_daily(sf_dir: str, alpha: float = 0.3):
+    """Exponentially-weighted moving average of the daily event volume
+    (s_t = alpha*x_t + (1-alpha)*s_{t-1}, s_1 = x_1) — the smoothing a
+    crawl-ops dashboard lays over raw ingest counts before alerting.  The
+    inherently-sequential recurrence runs over the DIM-SIZED daily series
+    only: the corpus reduces to per-day counts via the combiner groupby,
+    and the O(days) fold happens driver-side in the exact double order
+    the recursive-CTE mirror replays (identical doubles before the 4dp
+    round)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        vals, cnts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    d = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    s = None
+    out = []
+    for _, r in d.iterrows():
+        x = float(r["n"])
+        s = x if s is None else alpha * x + (1 - alpha) * s
+        out.append(s)
+    return pd.DataFrame(
+        {
+            "day": d["day"],
+            "n_events": d["n"].astype("int64"),
+            "ewma": [float(_r(v, 4)) for v in out],
+        }
+    )
+
+
+SQL_QUERIES["ewma_daily"] = q_ewma_daily
+
+ORACLE_SQL["ewma_daily"] = """
+    WITH RECURSIVE d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    r AS (SELECT day, n, row_number() OVER (ORDER BY day) AS rk FROM d),
+    e(rk, s) AS (
+        SELECT rk, CAST(n AS DOUBLE) FROM r WHERE rk = 1
+        UNION ALL
+        SELECT r.rk, 0.3 * r.n + 0.7 * e.s
+        FROM e JOIN r ON r.rk = e.rk + 1
+    )
+    SELECT r.day, CAST(r.n AS BIGINT) AS n_events, round(e.s, 4) AS ewma
+    FROM r JOIN e USING (rk) ORDER BY r.day
+"""
+
+
+def q_bloom_fpr(sf_dir: str):
+    """Bloom-filter false-positive-rate calibration (third sketch-
+    calibration table after minhash_estimate_error / quantile_sketch_
+    error): build the production BloomFilter (stages/sketch.py, the
+    10^10-URL seen-set shape) over the EVEN doc_ids at several sizes,
+    probe with the disjoint ODD ids, and report measured FPR next to the
+    (1 - e^{-kn/m})^k prediction.  Zero false negatives is a hard
+    guarantee (asserted in tests/test_sketch.py::test_bloom_fpr_
+    calibration); FPR is deterministic given the md5-derived hash family.
+    No SQL mirror — DuckDB can't replay the bit array — pinned by pytest
+    properties instead."""
+    import math
+
+    from ..stages.sketch import BloomFilter, build_bloom
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _parity(keep_even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(b.column("doc_id"), 1)
+            return b.filter(pc.equal(par, 0 if keep_even else 1))
+
+        return f
+
+    members = docs.map_batches(_parity(True), batch_format="pyarrow")
+    probes_tbl = docs.map_batches(_parity(False), batch_format="pyarrow").to_pandas()
+    n_members = members.count()
+    rows = []
+    for m_bits in (1 << 10, 1 << 12, 1 << 14):
+        f = build_bloom(members, "doc_id", m_bits=m_bits)
+        hits_ref = ray.put((f.m, f.k, f.bits))
+
+        def probe(b: pa.Table, _r0=hits_ref) -> pa.Table:
+            m, k, bits = ray.get(_r0)
+            bf = BloomFilter(m, k, bits=bits)
+            return pa.table(
+                {"hit": pa.array(np.asarray(bf.contains(b.column("doc_id")), dtype=np.int64), pa.int64())}
+            )
+
+        probed = (
+            docs.map_batches(_parity(False), batch_format="pyarrow")
+            .map_batches(probe, batch_format="pyarrow")
+            .sum("hit")
+        )
+        n_probes = len(probes_tbl)
+        fp = int(probed)
+        pred = (1.0 - math.exp(-f.k * n_members / f.m)) ** f.k
+        rows.append(
+            {
+                "m_bits": int(m_bits),
+                "n_members": int(n_members),
+                "n_probes": int(n_probes),
+                "false_pos": fp,
+                "fpr": float(_r(fp * 1.0 / n_probes, 6)),
+                "fpr_pred": float(_r(pred, 6)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+NOSQL_QUERIES["bloom_fpr"] = q_bloom_fpr

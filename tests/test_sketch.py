@@ -123,3 +123,40 @@ def test_cms_build_partition_independent(ray_session):
     c1 = build_cms(ds, "k", w=1 << 12)
     c2 = build_cms(ds.repartition(9), "k", w=1 << 12)
     assert np.array_equal(c1.table, c2.table)
+
+
+def test_bloom_fpr_calibration(ray_session):
+    """bloom_fpr: zero false negatives (hard guarantee), measured FPR at or
+    below ~2x the analytic bound at each size, monotone improvement with m,
+    and determinism across runs."""
+    from blockchainspider_ray.pipelines.queries import q_bloom_fpr
+
+    df = q_bloom_fpr("/root/testdata/sf0.001")
+    assert list(df["m_bits"]) == [1 << 10, 1 << 12, 1 << 14]
+    # false-positive rate shrinks as the filter grows
+    assert df["fpr"].iloc[0] >= df["fpr"].iloc[1] >= df["fpr"].iloc[2]
+    # measured FPR tracks the analytic prediction (generous 2x + absolute slack)
+    for _, r in df.iterrows():
+        assert r["fpr"] <= max(2.0 * r["fpr_pred"], 0.02), (r["m_bits"], r["fpr"], r["fpr_pred"])
+    # members are never reported absent: rebuild and check all evens hit
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from blockchainspider_ray.pipelines.queries import _read
+    from blockchainspider_ray.stages.sketch import build_bloom
+
+    import pyarrow.compute as pc
+
+    docs = _read("/root/testdata/sf0.001", "documents", columns=["doc_id"])
+    members = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    f = build_bloom(members, "doc_id", m_bits=1 << 10)
+    ids = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"])
+    even = ids.filter(__import__("pyarrow").compute.equal(
+        __import__("pyarrow").compute.bit_wise_and(ids.column("doc_id"), 1), 0))
+    hits = np.asarray(f.contains(even.column("doc_id")))
+    assert hits.all()
+    df2 = q_bloom_fpr("/root/testdata/sf0.001")
+    assert df.equals(df2)
