@@ -18837,3 +18837,135 @@ def q_bloom_fpr(sf_dir: str):
 
 
 NOSQL_QUERIES["bloom_fpr"] = q_bloom_fpr
+
+
+# ---------------------------------------------------------------------------
+# leaky-bucket politeness replay / user-journey edit distance
+# ---------------------------------------------------------------------------
+
+def q_leaky_bucket_replay(sf_dir: str, gap_us: int = 21_600_000_000):
+    """Leaky-bucket politeness replay: treat each user's event stream as a
+    host's fetch-request log and compute, under a min-gap rate limit
+    (grant_i = max(arrival_i, grant_{i-1} + gap)), how long every request
+    waits — the deterministic what-if a crawl scheduler runs before
+    committing a per-host budget (AsyncItemBucket's admission rule
+    unrolled over time; complements politeness_admission's per-round
+    quota view).  Exactly the scheduler's parallelism: hosts fold in
+    parallel (one groupby(user).map_groups), the recurrence inside a host
+    is sequential BY DEFINITION.  All arithmetic is integer microseconds
+    — both sides replay identical grants."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def replay(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # unit-explicit epoch microseconds (parquet timestamps are us here;
+        # an ns-assuming //1000 would silently land on milliseconds)
+        a = pd.Series(df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        grants = np.empty(len(df), dtype=np.int64)
+        prev = None
+        for i, ai in enumerate(a):
+            gi = ai if prev is None else max(ai, prev + gap_us)
+            grants[i] = gi
+            prev = gi
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "delay_us": pa.array(grants - a.to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(replay, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )
+
+
+SQL_QUERIES["leaky_bucket_replay"] = q_leaky_bucket_replay
+
+ORACLE_SQL["leaky_bucket_replay"] = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS a,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rk
+        FROM events
+    ),
+    g(user_id, rk, event_id, a, gr) AS (
+        SELECT user_id, rk, event_id, a, a FROM ev WHERE rk = 1
+        UNION ALL
+        SELECT ev.user_id, ev.rk, ev.event_id, ev.a,
+               greatest(ev.a, g.gr + 21600000000)
+        FROM g JOIN ev ON ev.user_id = g.user_id AND ev.rk = g.rk + 1
+    )
+    SELECT user_id, event_id, CAST(gr - a AS BIGINT) AS delay_us
+    FROM g ORDER BY user_id, event_id
+"""
+
+
+def q_edit_journeys(sf_dir: str):
+    """User-journey similarity: Levenshtein distance between consecutive
+    users' event-TYPE sequences (each journey rendered as one string of
+    per-event type initials, time-ordered) — the session-comparison
+    primitive behind behavioral cohorting and bot-pattern detection.
+    Journeys build with one groupby(user).map_groups fold; the dim-sized
+    journey table pairs rank-adjacent users and scores them with the
+    repo's _levenshtein kernel (already pinned cell-for-cell against
+    DuckDB's levenshtein in levenshtein_verify)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def journey(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s = "".join(t[0] for t in df["event_type"])
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "journey": pa.array([s], pa.string()),
+            }
+        )
+
+    j = (
+        ev.groupby("user_id")
+        .map_groups(journey, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for (ua, ja), (ub, jb) in zip(
+        j[["user_id", "journey"]].itertuples(index=False),
+        j[["user_id", "journey"]].iloc[1:].itertuples(index=False),
+    ):
+        rows.append(
+            {
+                "user_a": int(ua),
+                "user_b": int(ub),
+                "len_a": len(ja),
+                "len_b": len(jb),
+                "edit_dist": _levenshtein(ja, jb),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["edit_journeys"] = q_edit_journeys
+
+ORACLE_SQL["edit_journeys"] = """
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS journey
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT user_id, journey,
+               row_number() OVER (ORDER BY user_id) AS rk
+        FROM j
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(len(a.journey) AS BIGINT) AS len_a,
+           CAST(len(b.journey) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.journey, b.journey) AS BIGINT) AS edit_dist
+    FROM r a JOIN r b ON b.rk = a.rk + 1
+    ORDER BY user_a
+"""
