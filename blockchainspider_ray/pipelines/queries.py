@@ -11383,7 +11383,7 @@ def q_dup_rate_by_source(sf_dir: str):
 
 SQL_QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
 
-ORACLE_SQL["dup_rate_by_source"] = """
+ORACLE_SQL["dup_rate_by_source"] = r"""
     WITH fp AS (
         SELECT doc_id, source,
                md5(array_to_string(
@@ -11555,7 +11555,7 @@ def q_cross_source_overlap(sf_dir: str):
 
 SQL_QUERIES["cross_source_overlap"] = q_cross_source_overlap
 
-ORACLE_SQL["cross_source_overlap"] = """
+ORACLE_SQL["cross_source_overlap"] = r"""
     WITH cells AS (
         SELECT DISTINCT
                md5(array_to_string(
