@@ -18969,3 +18969,133 @@ ORACLE_SQL["edit_journeys"] = """
     FROM r a JOIN r b ON b.rk = a.rk + 1
     ORDER BY user_a
 """
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup blocking (Hernandez & Stolfo, SIGMOD'95)
+# ---------------------------------------------------------------------------
+
+def q_sorted_neighborhood(sf_dir: str, w: int = 3, chunk: int = 256):
+    """Sorted-Neighborhood-Method candidate generation + exact verify:
+    sort the corpus on a weak blocking key (the 2-token lede, the
+    lede-dedup key), slide a w-row window down the sorted order, and
+    score every in-window pair with exact distinct-token Jaccard — the
+    third blocking family next to LSH (minhash) and fingerprint blocking
+    (fuzzy_dedup), and the one that catches prefix-similar records those
+    miss.  Fully distributed sort-free rank: the key's 2-char prefix is
+    an ORDER-PRESERVING bucket (shuffle_rank's pattern for strings),
+    pass 1 gives the driver per-bucket counts for exclusive offsets,
+    pass 2 argsorts within buckets; pair generation re-buckets by
+    rank//chunk with w-row boundary replication so every window sits
+    whole in exactly one chunk, and each pair is emitted only by the
+    chunk owning its smaller rank."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids, ks, sets = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            ids.append(d)
+            ks.append(" ".join(toks[:2]))
+            sets.append(sorted(set(toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.string()),
+                "bkt": pa.array([k[:2] for k in ks], pa.string()),
+                "s": pa.array(sets, pa.list_(pa.string())),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = keyed_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    offsets = dict(
+        zip(bc["bkt"], bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    def rank(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values(["k", "doc_id"]).reset_index(drop=True)
+        base = off[df["bkt"].iloc[0]]
+        df["rn"] = base + np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df[["doc_id", "s", "rn"]], preserve_index=False)
+
+    ranked = keyed_ds.groupby("bkt").map_groups(rank, batch_format="pyarrow")
+
+    def to_chunks(b: pa.Table, _w=w, _c=chunk) -> pa.Table:
+        rn = b.column("rn").to_numpy()
+        own = rn // _c
+        tables = [b.append_column("chunk", pa.array(own, pa.int64()))]
+        repl = (rn % _c < _w) & (own > 0)
+        if repl.any():
+            rep = b.filter(pa.array(repl))
+            tables.append(
+                rep.append_column(
+                    "chunk", pa.array(rep.column("rn").to_numpy() // _c - 1, pa.int64())
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def window_pairs(g: pa.Table, _w=w, _c=chunk) -> pa.Table:
+        c = int(g.column("chunk")[0].as_py())
+        df = g.to_pandas().sort_values("rn").reset_index(drop=True)
+        rn = df["rn"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(df)):
+            if rn[i] // _c != c:
+                continue  # boundary copy: pairs owned by the other chunk
+            sa = set(df["s"].iloc[i])
+            for j in range(i + 1, len(df)):
+                if rn[j] - rn[i] > _w:
+                    break
+                sb = set(df["s"].iloc[j])
+                inter = len(sa & sb)
+                out_a.append(int(df["doc_id"].iloc[i]))
+                out_b.append(int(df["doc_id"].iloc[j]))
+                out_j.append(
+                    float(_r(inter * 1.0 / (len(sa) + len(sb) - inter), 6))
+                )
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jac": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(window_pairs, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+SQL_QUERIES["sorted_neighborhood"] = q_sorted_neighborhood
+
+ORACLE_SQL["sorted_neighborhood"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               list_aggregate(t[1:2], 'string_agg', ' ') AS k,
+               list_distinct(t) AS s
+        FROM toks
+    ),
+    r AS (
+        SELECT doc_id, s, row_number() OVER (ORDER BY k, doc_id) AS rn
+        FROM f
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.s, b.s)) AS inter,
+               len(a.s) AS na, len(b.s) AS nb
+        FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (na + nb - inter), 6) AS jac
+    FROM p ORDER BY doc_a, doc_b
+"""
