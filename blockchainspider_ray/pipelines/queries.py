@@ -19099,3 +19099,147 @@ ORACLE_SQL["sorted_neighborhood"] = r"""
            round(inter * 1.0 / (na + nb - inter), 6) AS jac
     FROM p ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff LM scoring / deterministic Huffman code lengths
+# ---------------------------------------------------------------------------
+
+def q_stupid_backoff_logprob(sf_dir: str, alpha: float = 0.4):
+    """Per-doc stupid-backoff bigram LM score (Brants et al., EMNLP'07 —
+    the web-scale LM smoothing that needs no discounting pass): position
+    i >= 2 scores ln(c(w_{i-1} w_i) / c(w_{i-1})) when the bigram exists,
+    else ln(alpha * c(w_i) / T).  Upgrades unigram_logprob/bigram_logprob
+    with the seen/backoff split real quality-scorers use.  Count tables
+    build with the standard combiner groupbys, broadcast once via
+    ray.put (vocab-sized), and scoring is a pure map — no per-doc
+    shuffle.  Mean per doc, rounded 6dp."""
+    bg = q_bigram_topk(sf_dir, k=10**9).to_pandas()
+    bgc = dict(zip(bg["bigram"], bg["cnt"].astype(int)))
+    uni = q_vocab_topk(sf_dir, k=10**9).to_pandas()
+    uc = dict(zip(uni["token"], uni["cnt"].astype(int)))
+    T = int(uni["cnt"].sum())
+    refs = ray.put((bgc, uc, T))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table, _r0=refs, _a=alpha) -> pa.Table:
+        import math
+
+        bgc_l, uc_l, T_l = ray.get(_r0)
+        ids, means, npos = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            s = 0.0
+            n = 0
+            for x, y in zip(toks, toks[1:]):
+                c = bgc_l.get(f"{x} {y}")
+                if c:
+                    s += math.log(c * 1.0 / uc_l[x])
+                else:
+                    s += math.log(_a * uc_l[y] / T_l)
+                n += 1
+            if n:
+                ids.append(d)
+                means.append(s / n)
+                npos.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(npos, pa.int64()),
+                "sb_logprob": pa.array(_r(means, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["stupid_backoff_logprob"] = q_stupid_backoff_logprob
+
+ORACLE_SQL["stupid_backoff_logprob"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (SELECT unnest(t) AS token FROM toks),
+    uc AS (SELECT token, count(*) AS c FROM w GROUP BY token),
+    tt AS (SELECT sum(c) AS T FROM uc),
+    bg AS (
+        SELECT t[i] AS x, t[i + 1] AS y
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    bc AS (SELECT x, y, count(*) AS c FROM bg GROUP BY x, y),
+    pos AS (
+        SELECT doc_id, t[i] AS x, t[i + 1] AS y
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+    ),
+    scored AS (
+        SELECT pos.doc_id,
+               CASE WHEN bc.c IS NOT NULL
+                    THEN ln(bc.c * 1.0 / ux.c)
+                    ELSE ln(0.4 * uy.c / tt.T)
+               END AS s
+        FROM pos
+        LEFT JOIN bc ON bc.x = pos.x AND bc.y = pos.y
+        JOIN uc ux ON ux.token = pos.x
+        JOIN uc uy ON uy.token = pos.y, tt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(s) / count(*), 6) AS sb_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def huffman_code_lengths(counts: dict) -> dict:
+    """Deterministic Huffman code lengths over a token->count table: ties
+    in the merge heap break on (weight, min token in subtree), so the
+    tree — and every length — is unique under any partitioning.  Returns
+    token -> code length (single-symbol corpus: length 1 by convention)."""
+    import heapq
+
+    if not counts:
+        return {}
+    if len(counts) == 1:
+        return {next(iter(counts)): 1}
+    heap = [(c, tok, {tok: 0}) for tok, c in counts.items()]
+    heap.sort()
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        c1, t1, m1 = heapq.heappop(heap)
+        c2, t2, m2 = heapq.heappop(heap)
+        for k in m1:
+            m1[k] += 1
+        for k in m2:
+            m2[k] += 1
+        m1.update(m2)
+        heapq.heappush(heap, (c1 + c2, min(t1, t2), m1))
+    return heap[0][2]
+
+
+def q_huffman_code_lengths(sf_dir: str, k: int = 50):
+    """Optimal prefix-code lengths (Huffman) for the top-k vocabulary with
+    the remaining mass folded into one ESCAPE symbol — the 'what would an
+    optimal token encoding cost' dial next to entropy_rate (expected code
+    length is within 1 bit of the unigram entropy by Shannon's bound,
+    asserted in tests/test_huffman.py).  Vocabulary reduces through the
+    combiner groupby; the greedy merge runs driver-side over the k+1
+    leaves only.  No SQL mirror (the pairing greedy isn't expressible) —
+    pinned by closed-form examples + Kraft equality + the entropy
+    sandwich in pytest."""
+    uni = q_vocab_topk(sf_dir, k=10**9).to_pandas()
+    T = int(uni["cnt"].sum())
+    top = uni.head(k)
+    rest = T - int(top["cnt"].sum())
+    counts = dict(zip(top["token"], top["cnt"].astype(int)))
+    if rest > 0:
+        counts["\x00ESC"] = rest
+    lengths = huffman_code_lengths(counts)
+    rows = [
+        {"token": t if t != "\x00ESC" else "<ESC>", "cnt": c, "code_len": lengths[t]}
+        for t, c in counts.items()
+    ]
+    df = pd.DataFrame(rows).sort_values(["cnt", "token"], ascending=[False, True])
+    return df.reset_index(drop=True)
+
+
+NOSQL_QUERIES["huffman_code_lengths"] = q_huffman_code_lengths
