@@ -16849,9 +16849,12 @@ def q_zipf_fit(sf_dir: str, k: int = 100):
     y = np.log(top["cnt"].to_numpy(dtype=np.float64))
     sx, sy = float(x.sum()), float(y.sum())
     sxx, syy, sxy = float((x * x).sum()), float((y * y).sum()), float((x * y).sum())
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
-    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    # degenerate vocab (single token / all-equal counts): NULL like the mirror
+    slope = (n * sxy - sx * sy) / dx if dx else np.nan
+    intercept = (sy - slope * sx) / n if dx else np.nan
+    r2 = (n * sxy - sx * sy) ** 2 / (dx * dy) if dx and dy else np.nan
     return pd.DataFrame(
         {
             "k": [int(n)],
@@ -16884,11 +16887,11 @@ ORACLE_SQL["zipf_fit"] = r"""
         FROM rk
     )
     SELECT CAST(n AS BIGINT) AS k,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n, 6)
                AS intercept,
            round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM s
 """
 
@@ -17287,7 +17290,8 @@ def q_langid_kappa(sf_dir: str):
     rows = cm.groupby("lang")["cnt"].sum()
     cols = cm.groupby("lang_pred")["cnt"].sum()
     rc = int(sum(int(rows[k]) * int(cols[k]) for k in rows.index if k in cols.index))
-    kappa = (N * tr - rc) * 1.0 / (N * N - rc)
+    # degenerate agreement (both marginals concentrated): NULL like the mirror
+    kappa = (N * tr - rc) * 1.0 / (N * N - rc) if N * N != rc else np.nan
     return pd.DataFrame({"n": [N], "kappa": [float(_r(kappa, 6))]})
 
 
@@ -17316,7 +17320,7 @@ ORACLE_SQL["langid_kappa"] = (
         JOIN (SELECT b AS k, sum(c) AS s FROM cm GROUP BY b) col USING (k)
     )
     SELECT CAST(N AS BIGINT) AS n,
-           round((N * tr - rc) * 1.0 / (N * N - rc), 6) AS kappa
+           round((N * tr - rc) * 1.0 / nullif(N * N - rc, 0), 6) AS kappa
     FROM tot, diag, marg
 """
 )
@@ -18543,7 +18547,8 @@ def q_roc_auc(sf_dir: str):
         np_ += p
         nq_ += q
         a += p + q
-    auc = (r2 - np_ * (np_ + 1)) * 1.0 / (2 * np_ * nq_)
+    # single-class corpus: AUC undefined, NULL like the mirror
+    auc = (r2 - np_ * (np_ + 1)) * 1.0 / (2 * np_ * nq_) if np_ and nq_ else np.nan
     return pd.DataFrame(
         {"n_pos": [np_], "n_neg": [nq_], "auc": [float(_r(auc, 6))]}
     )
@@ -18602,7 +18607,7 @@ ORACLE_SQL["roc_auc"] = r"""
         FROM o
     )
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nq AS BIGINT) AS n_neg,
-           round((r2 - np * (np + 1)) * 1.0 / (2 * np * nq), 6) AS auc
+           round((r2 - np * (np + 1)) * 1.0 / nullif(2 * np * nq, 0), 6) AS auc
     FROM f
 """
 
