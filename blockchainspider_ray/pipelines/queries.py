@@ -18663,8 +18663,9 @@ def q_ngram_novelty(sf_dir: str, n: int = 3):
         firsts.map_batches(own_part, batch_format="pyarrow")
         .groupby("doc_id")
         .sum("n_novel")
-        .to_pandas()
-        .rename(columns={"sum(n_novel)": "n_novel"})
+        .map_batches(
+            lambda b: b.rename_columns(["doc_id", "n_novel"]), batch_format="pyarrow"
+        )
     )
 
     def totals(b: pa.Table) -> pa.Table:
@@ -18682,11 +18683,27 @@ def q_ngram_novelty(sf_dir: str, n: int = 3):
             }
         )
 
-    tot = docs.map_batches(totals, batch_format="pyarrow").to_pandas()
-    out = tot.merge(own, on="doc_id", how="left").fillna({"n_novel": 0})
-    out["n_novel"] = out["n_novel"].astype("int64")
-    out["novelty"] = _r(out["n_novel"].to_numpy() * 1.0 / out["n_grams"].to_numpy(), 6)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # per-doc tables are corpus-linear: join them with the partitioned
+    # hash_join, never a driver-side merge
+    from ..stages.joins import hash_join
+
+    tot = docs.map_batches(totals, batch_format="pyarrow")
+    joined = hash_join(tot, own, key="doc_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = b.column("n_grams").to_numpy()
+        nv = b.column("n_novel").to_numpy(zero_copy_only=False)
+        nv = np.where(np.isnan(nv.astype(np.float64)), 0, nv).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_grams": b.column("n_grams"),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty": pa.array(_r(nv * 1.0 / ng, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 SQL_QUERIES["ngram_novelty"] = q_ngram_novelty
@@ -18913,10 +18930,14 @@ def q_edit_journeys(sf_dir: str):
     users' event-TYPE sequences (each journey rendered as one string of
     per-event type initials, time-ordered) — the session-comparison
     primitive behind behavioral cohorting and bot-pattern detection.
-    Journeys build with one groupby(user).map_groups fold; the dim-sized
-    journey table pairs rank-adjacent users and scores them with the
-    repo's _levenshtein kernel (already pinned cell-for-cell against
-    DuckDB's levenshtein in levenshtein_verify)."""
+    Journeys build with one groupby(user).map_groups fold; rank-adjacent
+    pairing is fully distributed (journeys are corpus-linear, one row per
+    user): user_id//64 is an order-preserving bucket, pass 1 gives the
+    driver per-bucket counts for exclusive offsets, and pairing re-buckets
+    by rank//chunk with a 1-row boundary replica so every adjacent pair
+    sits whole in exactly one chunk — the sorted_neighborhood machinery at
+    window 1.  Scores use the repo's _levenshtein kernel (pinned
+    cell-for-cell against DuckDB's levenshtein in levenshtein_verify)."""
     ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
 
     def journey(g: pa.Table) -> pa.Table:
@@ -18929,28 +18950,70 @@ def q_edit_journeys(sf_dir: str):
             }
         )
 
-    j = (
-        ev.groupby("user_id")
-        .map_groups(journey, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("user_id")
-        .reset_index(drop=True)
+    j = ev.groupby("user_id").map_groups(journey, batch_format="pyarrow")
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column("bkt", pa.array(u // 64, pa.int64()))
+
+    jb_ds = j.map_batches(bucketed, batch_format="pyarrow").materialize()
+    bc = jb_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    offsets = dict(
+        zip(bc["bkt"].astype(int),
+            bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
     )
-    rows = []
-    for (ua, ja), (ub, jb) in zip(
-        j[["user_id", "journey"]].itertuples(index=False),
-        j[["user_id", "journey"]].iloc[1:].itertuples(index=False),
-    ):
-        rows.append(
+    off_ref = ray.put(offsets)
+    chunk = 256
+
+    def rank_and_chunk(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values("user_id").reset_index(drop=True)
+        rn = off[int(df["bkt"].iloc[0])] + np.arange(len(df), dtype=np.int64)
+        df["rn"] = rn
+        t = pa.Table.from_pandas(df[["user_id", "journey", "rn"]], preserve_index=False)
+        own = rn // chunk
+        tables = [t.append_column("chunk", pa.array(own, pa.int64()))]
+        repl = (rn % chunk == 0) & (own > 0)
+        if repl.any():
+            rep = t.filter(pa.array(repl))
+            tables.append(
+                rep.append_column(
+                    "chunk",
+                    pa.array(rep.column("rn").to_numpy() // chunk - 1, pa.int64()),
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def adjacent_pairs(g: pa.Table) -> pa.Table:
+        c = int(g.column("chunk")[0].as_py())
+        df = g.to_pandas().sort_values("rn").reset_index(drop=True)
+        rn = df["rn"].to_numpy()
+        rows = []
+        for i in range(len(df) - 1):
+            if rn[i] // chunk != c or rn[i + 1] != rn[i] + 1:
+                continue
+            ja, jb = df["journey"].iloc[i], df["journey"].iloc[i + 1]
+            rows.append(
+                (int(df["user_id"].iloc[i]), int(df["user_id"].iloc[i + 1]),
+                 len(ja), len(jb), _levenshtein(ja, jb))
+            )
+        return pa.table(
             {
-                "user_a": int(ua),
-                "user_b": int(ub),
-                "len_a": len(ja),
-                "len_b": len(jb),
-                "edit_dist": _levenshtein(ja, jb),
+                "user_a": pa.array([r[0] for r in rows], pa.int64()),
+                "user_b": pa.array([r[1] for r in rows], pa.int64()),
+                "len_a": pa.array([r[2] for r in rows], pa.int64()),
+                "len_b": pa.array([r[3] for r in rows], pa.int64()),
+                "edit_dist": pa.array([r[4] for r in rows], pa.int64()),
             }
         )
-    return pd.DataFrame(rows)
+
+    return (
+        jb_ds.groupby("bkt")
+        .map_groups(rank_and_chunk, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(adjacent_pairs, batch_format="pyarrow")
+        .sort("user_a")
+    )
 
 
 SQL_QUERIES["edit_journeys"] = q_edit_journeys
