@@ -17564,18 +17564,25 @@ def q_mutual_knn(sf_dir: str, k: int = 3, grid: int = 4):
             }
         )
 
-    mutual = (
+    def finish(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b.column("cnt"), 2))
+        return pa.table(
+            {
+                "vec_a": keep.column("vec_a"),
+                "vec_b": keep.column("vec_b"),
+                "sim": pa.array(
+                    _r(keep.column("sim").to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
         knn.map_batches(keyed, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Sum("one", alias_name="cnt"), Max("sim", alias_name="sim"))
-        .filter(expr="cnt == 2")
-        .to_pandas()
-    )
-    mutual["sim"] = _r(mutual["sim"].to_numpy(), 4)
-    return (
-        mutual[["vec_a", "vec_b", "sim"]]
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
     )
 
 
