@@ -19318,3 +19318,171 @@ def q_huffman_code_lengths(sf_dir: str, k: int = 50):
 
 
 NOSQL_QUERIES["huffman_code_lengths"] = q_huffman_code_lengths
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation / Gonzalez k-center greedy
+# ---------------------------------------------------------------------------
+
+def q_neyman_allocation(sf_dir: str, budget: int = 1000):
+    """Neyman optimal stratified-sampling allocation: split an audit
+    budget across sources proportionally to N_h * sigma_h (stratum size x
+    doc-length std) — the survey-sampling rule that minimizes the
+    estimator variance for a fixed labeling budget; the quantitative
+    upgrade of proportional stratified_sample.  One combiner pass reduces
+    each source to exact integer (n, sum, sumsq); sigma uses the
+    computational formula in the mirror's operation order; shares round
+    6dp and integer allocations floor identically."""
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": b.column("source").to_pandas(),
+                "v": b.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby("source").agg(
+            n=("v", "size"), s=("v", "sum"), ss=("v", lambda x: int((x.astype(object) ** 2).sum()))
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    import math
+
+    ws = []
+    for _, r in agg.iterrows():
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        var = (ss - s * s * 1.0 / n) / (n - 1) if n > 1 else 0.0
+        ws.append(n * math.sqrt(var))
+    tot = sum(ws)
+    rows = []
+    for (_, r), w in zip(agg.iterrows(), ws):
+        share = w / tot if tot else np.nan
+        rows.append(
+            {
+                "source": r["source"],
+                "n_docs": int(r["n"]),
+                "share": float(_r(share, 6)) if tot else np.nan,
+                "n_alloc": int(math.floor(budget * share)) if tot else 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["neyman_allocation"] = q_neyman_allocation
+
+ORACLE_SQL["neyman_allocation"] = """
+    WITH s AS (
+        SELECT source, count(*) AS n, sum(n_chars) AS sm,
+               sum(n_chars * n_chars) AS ss
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n,
+               n * sqrt(CASE WHEN n > 1
+                             THEN (ss - sm * sm * 1.0 / n) / (n - 1)
+                             ELSE 0.0 END) AS w
+        FROM s
+    ),
+    t AS (SELECT sum(w) AS tot FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(w / nullif(tot, 0), 6) AS share,
+           CAST(coalesce(floor(1000 * (w / nullif(tot, 0))), 0) AS BIGINT)
+               AS n_alloc
+    FROM w, t ORDER BY source
+"""
+
+
+def q_kcenter_greedy(sf_dir: str, k: int = 5):
+    """Gonzalez k-center greedy (farthest-point traversal) over the
+    embedding corpus: start from vec_id 0, repeatedly add the vector
+    farthest (euclidean) from the chosen set — the 2-approximation
+    coverage/diversity sampler behind coreset selection and diverse
+    seed picking (the opposite pull of SemDeDup's prune-the-close).
+    Each of the k-1 rounds is ONE streaming pass: the chosen matrix
+    (k x d, tiny) broadcasts via ray.put, every batch emits only its own
+    argmax candidate, and the driver merges O(blocks) rows — the corpus
+    is never collected or re-shuffled."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    first = emb.filter(expr="vec_id == 0").to_pandas()
+    chosen_ids = [0]
+    chosen_vecs = [np.asarray(first["embedding"].iloc[0], dtype=np.float64)]
+    rows = [{"step": 1, "vec_id": 0, "dist": 0.0}]
+    for step in range(2, k + 1):
+        ref = ray.put(np.stack(chosen_vecs))
+
+        def far(b: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            ids = b.column("vec_id").to_numpy()
+            m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            # min distance to the chosen set, per row
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            dmin = np.sqrt(d2.min(axis=1))
+            order = np.lexsort((ids, -dmin))
+            i = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "dist": pa.array([float(dmin[i])], pa.float64()),
+                    "emb": pa.array([m[i].tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        cands = emb.map_batches(far, batch_format="pyarrow").to_pandas()
+        cands = cands.sort_values(["dist", "vec_id"], ascending=[False, True])
+        best = cands.iloc[0]
+        chosen_ids.append(int(best["vec_id"]))
+        chosen_vecs.append(np.asarray(best["emb"], dtype=np.float64))
+        rows.append(
+            {"step": step, "vec_id": int(best["vec_id"]), "dist": float(_r(best["dist"], 4))}
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["kcenter_greedy"] = q_kcenter_greedy
+
+ORACLE_SQL["kcenter_greedy"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),
+    d2 AS (
+        SELECT e.vec_id, e.v, min(list_distance(e.v, c.v)) AS d
+        FROM e, c1 c GROUP BY e.vec_id, e.v
+    ),
+    p2 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+    c2 AS (SELECT vec_id, v FROM c1 UNION ALL SELECT vec_id, v FROM p2),
+    d3 AS (
+        SELECT e.vec_id, e.v, min(list_distance(e.v, c.v)) AS d
+        FROM e, c2 c GROUP BY e.vec_id, e.v
+    ),
+    p3 AS (SELECT vec_id, v, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+    c3 AS (SELECT vec_id, v FROM c2 UNION ALL SELECT vec_id, v FROM p3),
+    d4 AS (
+        SELECT e.vec_id, e.v, min(list_distance(e.v, c.v)) AS d
+        FROM e, c3 c GROUP BY e.vec_id, e.v
+    ),
+    p4 AS (SELECT vec_id, v, d FROM d4 ORDER BY d DESC, vec_id LIMIT 1),
+    c4 AS (SELECT vec_id, v FROM c3 UNION ALL SELECT vec_id, v FROM p4),
+    d5 AS (
+        SELECT e.vec_id, e.v, min(list_distance(e.v, c.v)) AS d
+        FROM e, c4 c GROUP BY e.vec_id, e.v
+    ),
+    p5 AS (SELECT vec_id, v, d FROM d5 ORDER BY d DESC, vec_id LIMIT 1)
+    SELECT 1 AS step, 0 AS vec_id, 0.0 AS dist
+    UNION ALL SELECT 2, vec_id, round(d, 4) FROM p2
+    UNION ALL SELECT 3, vec_id, round(d, 4) FROM p3
+    UNION ALL SELECT 4, vec_id, round(d, 4) FROM p4
+    UNION ALL SELECT 5, vec_id, round(d, 4) FROM p5
+    ORDER BY step
+"""
