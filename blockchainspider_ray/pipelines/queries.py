@@ -19486,3 +19486,158 @@ ORACLE_SQL["kcenter_greedy"] = """
     UNION ALL SELECT 5, vec_id, round(d, 4) FROM p5
     ORDER BY step
 """
+
+
+# ---------------------------------------------------------------------------
+# rank correlation between centralities (Kendall tau-b + Spearman rho)
+# ---------------------------------------------------------------------------
+
+def q_rank_correlation(sf_dir: str):
+    """Rank agreement between two node orderings — out-degree vs Katz
+    centrality over the events graph: Kendall tau-b (tie-corrected
+    concordance) and Spearman rho (Pearson over average ranks) — the
+    'do my cheap and expensive signals order the corpus the same way'
+    dial a curation pipeline reads before swapping a costly scorer for a
+    proxy.  Degree folds combiner-style; Katz reuses q_katz_centrality's
+    6dp values on BOTH sides (the mirror nests the same unrolled CTE);
+    the pair/rank arithmetic runs over the dim-sized 50-node table in
+    exact integer halves (2x average ranks), floats only at the final
+    divisions."""
+    deg = (
+        _events_edges(sf_dir)
+        .groupby("src")
+        .count()
+        .to_pandas()
+        .rename(columns={"src": "node", "count()": "d"})
+    )
+    katz = q_katz_centrality(sf_dir)
+    df = katz.merge(deg, on="node", how="left").fillna({"d": 0})
+    x = df["d"].astype(int).to_numpy()
+    y = df["katz"].to_numpy()
+    n = len(df)
+
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = int(x[i] > x[j]) - int(x[i] < x[j])
+            dy = int(y[i] > y[j]) - int(y[i] < y[j])
+            s = dx * dy
+            if s > 0:
+                C += 1
+            elif s < 0:
+                D += 1
+    import math
+    from collections import Counter
+
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x.tolist()).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y.tolist()).values())
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+
+    def avg_ranks2(v) -> np.ndarray:
+        # 2x average rank, exact integers: 2*(#less) + (#tied) + 1
+        order = sorted(v)
+        import bisect
+
+        return np.array(
+            [2 * bisect.bisect_left(order, a) + (bisect.bisect_right(order, a) - bisect.bisect_left(order, a)) + 1 for a in v],
+            dtype=np.int64,
+        )
+
+    rx = avg_ranks2(x.tolist())
+    ry = avg_ranks2(y.tolist())
+    sx, sy = int(rx.sum()), int(ry.sum())
+    sxx = int((rx.astype(object) ** 2).sum())
+    syy = int((ry.astype(object) ** 2).sum())
+    sxy = int((rx.astype(object) * ry.astype(object)).sum())
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "concordant": [C],
+            "discordant": [D],
+            "tau_b": [float(_r(tau, 6))],
+            "spearman": [float(_r(rho, 6))],
+        }
+    )
+
+
+SQL_QUERIES["rank_correlation"] = q_rank_correlation
+
+ORACLE_SQL["rank_correlation"] = """
+    WITH e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    deg AS (
+        SELECT nodes.n, count(e.src) AS d
+        FROM nodes LEFT JOIN e ON e.src = nodes.n GROUP BY nodes.n
+    ),
+    r0 AS (SELECT n, 1.0 AS x FROM nodes),
+    r1 AS (
+        SELECT nodes.n, 1.0 + 0.05 * coalesce(sum(r0.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r0 ON r0.n = e.src
+        GROUP BY nodes.n
+    ),
+    r2 AS (
+        SELECT nodes.n, 1.0 + 0.05 * coalesce(sum(r1.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r1 ON r1.n = e.src
+        GROUP BY nodes.n
+    ),
+    r3 AS (
+        SELECT nodes.n, 1.0 + 0.05 * coalesce(sum(r2.x), 0) AS x
+        FROM nodes LEFT JOIN e ON e.dst = nodes.n LEFT JOIN r2 ON r2.n = e.src
+        GROUP BY nodes.n
+    ),
+    v AS (
+        SELECT deg.n, deg.d AS x, round(r3.x, 6) AS y
+        FROM deg JOIN r3 ON r3.n = deg.n
+    ),
+    pairs AS (
+        SELECT sign(a.x - b.x) * sign(a.y - b.y) AS s
+        FROM v a JOIN v b ON a.n < b.n
+    ),
+    cd AS (
+        SELECT count(*) FILTER (s > 0) AS C, count(*) FILTER (s < 0) AS D
+        FROM pairs
+    ),
+    nn AS (SELECT count(*) AS n FROM v),
+    tx AS (
+        SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n1
+        FROM (SELECT count(*) AS t FROM v GROUP BY x)
+    ),
+    ty AS (
+        SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n2
+        FROM (SELECT count(*) AS t FROM v GROUP BY y)
+    ),
+    rk AS (
+        SELECT n,
+               2 * (count(*) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                    - count(*) OVER (PARTITION BY x)) +
+               count(*) OVER (PARTITION BY x) + 1 AS rx,
+               2 * (count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                    - count(*) OVER (PARTITION BY y)) +
+               count(*) OVER (PARTITION BY y) + 1 AS ry
+        FROM v
+    ),
+    sp AS (
+        SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        FROM rk
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           CAST(cd.C AS BIGINT) AS concordant,
+           CAST(cd.D AS BIGINT) AS discordant,
+           round((cd.C - cd.D)
+                 / sqrt((nn.n * (nn.n - 1) // 2 - tx.n1)
+                        * 1.0 * (nn.n * (nn.n - 1) // 2 - ty.n2)), 6) AS tau_b,
+           round((sp.n * sp.sxy - sp.sx * sp.sy)
+                 / sqrt((sp.n * sp.sxx - sp.sx * sp.sx)
+                        * 1.0 * (sp.n * sp.syy - sp.sy * sp.sy)), 6) AS spearman
+    FROM cd, nn, tx, ty, sp
+"""
