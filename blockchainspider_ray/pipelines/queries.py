@@ -19641,3 +19641,259 @@ ORACLE_SQL["rank_correlation"] = """
                         * 1.0 * (sp.n * sp.syy - sp.sy * sp.sy)), 6) AS spearman
     FROM cd, nn, tx, ty, sp
 """
+
+
+# ---------------------------------------------------------------------------
+# paired gate comparison (McNemar) / 4-filter ablation table
+# ---------------------------------------------------------------------------
+
+def _gate_verdicts(sf_dir: str):
+    """Per-doc (gopher keep, c4 keep) verdicts in one map pass — shared by
+    q_mcnemar_gates and q_filter_ablation so the two gates' definitions
+    cannot drift from q_gopher_quality / q_c4_filter."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def verdicts(b: pa.Table) -> pa.Table:
+        gs, cs = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            gs.append(_gopher_stats(_oracle_tokens(t))[4])
+            kept = [l for l in _c4_lines(d, t) if _c4_line_kept(l)]
+            cs.append(int(len(kept) >= 2))
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "g": pa.array(gs, pa.int64()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(verdicts, batch_format="pyarrow")
+
+
+def q_mcnemar_gates(sf_dir: str):
+    """McNemar's paired test between the Gopher gate and the C4 gate on
+    the SAME docs — the significance check behind 'can I swap quality
+    filters without changing the kept set' (only the discordant cells
+    matter: statistic = (|n10 - n01| - 1)^2 / (n10 + n01), the
+    continuity-corrected chi-square).  One map pass computes both
+    verdicts per doc; each batch folds to the four 2x2 cells — only four
+    integers ever shuffle."""
+    v = _gate_verdicts(sf_dir)
+
+    def cells(b: pa.Table) -> pa.Table:
+        g = b.column("g").to_numpy()
+        c = b.column("c").to_numpy()
+        return pa.table(
+            {
+                "n11": pa.array([int(((g == 1) & (c == 1)).sum())], pa.int64()),
+                "n10": pa.array([int(((g == 1) & (c == 0)).sum())], pa.int64()),
+                "n01": pa.array([int(((g == 0) & (c == 1)).sum())], pa.int64()),
+                "n00": pa.array([int(((g == 0) & (c == 0)).sum())], pa.int64()),
+            }
+        )
+
+    f = v.map_batches(cells, batch_format="pyarrow").to_pandas().sum()
+    n11, n10, n01, n00 = (int(f[k]) for k in ("n11", "n10", "n01", "n00"))
+    d = n10 + n01
+    stat = (abs(n10 - n01) - 1) ** 2 * 1.0 / d if d else np.nan
+    return pd.DataFrame(
+        {
+            "n11": [n11],
+            "n10": [n10],
+            "n01": [n01],
+            "n00": [n00],
+            "mcnemar": [float(_r(stat, 6)) if d else np.nan],
+        }
+    )
+
+
+SQL_QUERIES["mcnemar_gates"] = q_mcnemar_gates
+
+
+def q_filter_ablation(sf_dir: str, n: int = 4, mod: int = 97):
+    """Curation-filter ablation: the 2^4 overlap histogram of (Gopher
+    keep, C4 keep, decontamination drop, exact-dup) verdicts per doc —
+    the table that says which filters do unique work and which only
+    re-drop what another already caught (the first question a pipeline
+    owner asks before paying for a new gate).  One map pass computes
+    gopher/c4/eval/fingerprint per doc with the decontamination
+    blocklist broadcast; the dup flag joins the per-fingerprint min
+    doc_id back via the partitioned hash_join; the final groupby folds
+    to <= 16 rows."""
+    from ..stages.dedup import _stable_h64
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bl_ref = _eval_blocklist(docs, n, mod)
+
+    def flags(b: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        out = {"doc_id": [], "g": [], "c": [], "x": [], "fp": []}
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            out["doc_id"].append(d)
+            out["g"].append(_gopher_stats(_oracle_tokens(t))[4])
+            kept = [l for l in _c4_lines(d, t) if _c4_line_kept(l)]
+            out["c"].append(int(len(kept) >= 2))
+            if _stable_h64(str(d)) % mod == 0:
+                out["x"].append(1)  # held-out doc: always dropped
+            else:
+                toks = re.findall(r"\S+", t)
+                hit = any(
+                    " ".join(toks[i : i + n]) in bl
+                    for i in range(len(toks) - n + 1)
+                )
+                out["x"].append(int(hit))
+            out["fp"].append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "g": pa.array(out["g"], pa.int64()),
+                "c": pa.array(out["c"], pa.int64()),
+                "x": pa.array(out["x"], pa.int64()),
+                "fp": pa.array(out["fp"], pa.string()),
+            }
+        )
+
+    flagged = docs.map_batches(flags, batch_format="pyarrow")
+    keepers = (
+        flagged.groupby("fp")
+        .min("doc_id")
+        .map_batches(
+            lambda b: b.rename_columns(["fp", "keep_id"]), batch_format="pyarrow"
+        )
+    )
+    joined = hash_join(flagged, keepers, key="fp", how="inner")
+
+    def pattern(b: pa.Table) -> pa.Table:
+        dup = (
+            b.column("doc_id").to_numpy() != b.column("keep_id").to_numpy()
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "gopher_keep": b.column("g"),
+                "c4_keep": b.column("c"),
+                "decon_drop": b.column("x"),
+                "is_dup": pa.array(dup, pa.int64()),
+            }
+        )
+        return t.group_by(["gopher_keep", "c4_keep", "decon_drop", "is_dup"]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["gopher_keep", "c4_keep", "decon_drop", "is_dup", "n"])
+
+    return (
+        joined.map_batches(pattern, batch_format="pyarrow")
+        .groupby(["gopher_keep", "c4_keep", "decon_drop", "is_dup"])
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["gopher_keep", "c4_keep", "decon_drop", "is_dup", "n"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["gopher_keep", "c4_keep", "decon_drop", "is_dup"])
+    )
+
+
+SQL_QUERIES["filter_ablation"] = q_filter_ablation
+
+_GATES_SQL = r"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    bgr AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bgr GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM bgc GROUP BY doc_id),
+    gk AS (
+        SELECT ws.doc_id,
+               CASE WHEN ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+                     AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+                    THEN 1 ELSE 0 END AS g
+        FROM ws LEFT JOIN tp USING (doc_id)
+    ),
+    judged AS (
+        SELECT doc_id, line,
+               (len(regexp_extract_all(line, '\S+')) >= 5
+                AND regexp_matches(line, '[.!?"]$')
+                AND NOT contains(line, 'javascript')
+                AND NOT contains(line, '{')
+                AND NOT contains(line, 'lorem ipsum')) AS kept
+        FROM lines
+    ),
+    c4k AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (kept) >= 2 AS BIGINT) AS c
+        FROM judged GROUP BY doc_id
+    )
+"""
+
+ORACLE_SQL["mcnemar_gates"] = (
+    "WITH " + _C4_LINES_SQL.format() + "," + _GATES_SQL + """,
+    j AS (SELECT gk.g, c4k.c FROM gk JOIN c4k USING (doc_id)),
+    cells AS (
+        SELECT count(*) FILTER (g = 1 AND c = 1) AS n11,
+               count(*) FILTER (g = 1 AND c = 0) AS n10,
+               count(*) FILTER (g = 0 AND c = 1) AS n01,
+               count(*) FILTER (g = 0 AND c = 0) AS n00
+        FROM j
+    )
+    SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           round((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1.0
+                 / nullif(n10 + n01, 0), 6) AS mcnemar
+    FROM cells
+"""
+)
+
+ORACLE_SQL["filter_ablation"] = (
+    "WITH " + _C4_LINES_SQL.format() + "," + _GATES_SQL + r""",
+    grams4 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 2),
+                                     i -> list_aggregate(t[i:i+3], 'string_agg', ' ')))
+                   AS g4
+        FROM toks
+    ),
+    test AS (
+        SELECT DISTINCT g4 FROM grams4
+        WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 97 = 0
+    ),
+    hits AS (
+        SELECT gr.doc_id, count(*) AS nh
+        FROM grams4 gr JOIN test USING (g4)
+        WHERE md5_number_lower(CAST(gr.doc_id AS VARCHAR)) % 97 <> 0
+        GROUP BY gr.doc_id
+    ),
+    decon AS (
+        SELECT d.doc_id,
+               CASE WHEN md5_number_lower(CAST(d.doc_id AS VARCHAR)) % 97 = 0 THEN 1
+                    WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END AS x
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    ),
+    dup AS (
+        SELECT doc_id,
+               CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS dp
+        FROM documents
+    )
+    SELECT gk.g AS gopher_keep, c4k.c AS c4_keep,
+           CAST(decon.x AS BIGINT) AS decon_drop, dup.dp AS is_dup,
+           CAST(count(*) AS BIGINT) AS n
+    FROM gk JOIN c4k USING (doc_id) JOIN decon USING (doc_id)
+            JOIN dup USING (doc_id)
+    GROUP BY gk.g, c4k.c, decon.x, dup.dp
+    ORDER BY gopher_keep, c4_keep, decon_drop, is_dup
+"""
+)
