@@ -19897,3 +19897,107 @@ ORACLE_SQL["filter_ablation"] = (
     ORDER BY gopher_keep, c4_keep, decon_drop, is_dup
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (seeded anti-spam PageRank)
+# ---------------------------------------------------------------------------
+
+def q_trustrank(sf_dir: str, alpha: float = 0.85, iters: int = 3):
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB'04): PageRank
+    with teleport biased to a trusted seed set (nodes 0-4) so trust decays
+    with link distance from the seeds — the crawl-frontier spam damper
+    that plain PageRank (uniform teleport) can't express.  Three unrolled
+    iterations x_{t+1} = alpha * A_norm^T x_t + (1-alpha) * d_seed over
+    the out-degree-normalized events graph, dangling mass dropped on both
+    sides; each iteration is one streaming message pass (broadcast
+    50-float vector, per-batch partial sums, groupby(dst)) exactly like
+    katz_centrality."""
+    edges = _events_edges(sf_dir).materialize()
+    deg = (
+        edges.groupby("src")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "outdeg"})
+        .set_index("src")["outdeg"]
+        .to_dict()
+    )
+    seeds = set(range(5))
+    d_seed = {n: (1.0 / 5 if n in seeds else 0.0) for n in range(50)}
+    x = dict(d_seed)
+    for _ in range(iters):
+        ref = ray.put((dict(x), dict(deg)))
+
+        def msg(b: pa.Table, _ref=ref) -> pa.Table:
+            xv, dg = ray.get(_ref)
+            xs = np.array([xv[n] for n in range(50)], dtype=np.float64)
+            ds_ = np.array([dg.get(n, 0) for n in range(50)], dtype=np.float64)
+            s = b.column("src").to_numpy()
+            d = b.column("dst").to_numpy()
+            w = xs[s] / ds_[s]  # every src on an edge has outdeg >= 1
+            df = pd.DataFrame({"dst": d, "m": w}).groupby("dst", as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        inc = (
+            edges.map_batches(msg, batch_format="pyarrow")
+            .groupby("dst")
+            .sum("m")
+            .to_pandas()
+        )
+        x = {n: (1 - alpha) * d_seed[n] for n in range(50)}
+        for _, r in inc.iterrows():
+            n = int(r["dst"])
+            x[n] = alpha * float(r["sum(m)"]) + (1 - alpha) * d_seed[n]
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "trust": [float(_r(x[n], 6)) for n in range(50)],
+        }
+    )
+
+
+SQL_QUERIES["trustrank"] = q_trustrank
+
+ORACLE_SQL["trustrank"] = """
+    WITH e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    sd AS (
+        SELECT n, CASE WHEN n < 5 THEN 1.0 / 5 ELSE 0.0 END AS d FROM nodes
+    ),
+    r0 AS (SELECT n, d AS x FROM sd),
+    r1 AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum(r0.x / deg.outdeg), 0)
+               + 0.15 * any_value(sd.d) AS x
+        FROM nodes JOIN sd ON sd.n = nodes.n
+        LEFT JOIN e ON e.dst = nodes.n
+        LEFT JOIN r0 ON r0.n = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY nodes.n
+    ),
+    r2 AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum(r1.x / deg.outdeg), 0)
+               + 0.15 * any_value(sd.d) AS x
+        FROM nodes JOIN sd ON sd.n = nodes.n
+        LEFT JOIN e ON e.dst = nodes.n
+        LEFT JOIN r1 ON r1.n = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY nodes.n
+    ),
+    r3 AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum(r2.x / deg.outdeg), 0)
+               + 0.15 * any_value(sd.d) AS x
+        FROM nodes JOIN sd ON sd.n = nodes.n
+        LEFT JOIN e ON e.dst = nodes.n
+        LEFT JOIN r2 ON r2.n = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY nodes.n
+    )
+    SELECT n AS node, round(x, 6) AS trust FROM r3 ORDER BY node
+"""
