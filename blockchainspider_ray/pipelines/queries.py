@@ -15997,40 +15997,41 @@ ORACLE_SQL["touch_attribution"] = """
 """
 
 
+def _directed_closure(edges: "ray.data.Dataset", pivot: int, forward: bool) -> set:
+    """Transitive closure of ``pivot`` over a materialized (src, dst) edge
+    Dataset, one streaming frontier-filter pass per hop; only node-id
+    frontier sets touch the driver (at web scale the frontier would live
+    in the sharded seen-set actors instead — state/seen.py)."""
+    a, b = ("src", "dst") if forward else ("dst", "src")
+    seen = {pivot}
+    frontier = {pivot}
+    while frontier:
+        fr = pa.array(sorted(frontier), pa.int64())
+
+        def hop(batch: pa.Table, _fr=fr, _a=a, _b=b) -> pa.Table:
+            m = pc.is_in(batch.column(_a), value_set=_fr)
+            return pa.table({"d": pc.unique(batch.filter(m).column(_b))})
+
+        reached: set = set()
+        for blk in edges.map_batches(hop, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            reached.update(pa.table(blk).column("d").to_pylist())
+        frontier = reached - seen
+        seen |= frontier
+    return seen
+
+
 def q_scc_pivot(sf_dir: str, pivot: int = 0):
     """Strongly connected component of a pivot node over the DIRECTED
     events graph — the forward-BFS ∩ backward-BFS step at the core of the
     FW-BW distributed SCC algorithm (the directed complement of the
     undirected connected components in dedup_clusters).  Both closures
     run to fixpoint as streaming frontier-filter passes (q_bfs_reachable's
-    wave, one per direction per hop); only node-id frontier sets touch
-    the driver."""
+    wave, one per direction per hop)."""
     edges = _events_edges(sf_dir).materialize()
-
-    def closure(forward: bool) -> set:
-        a, b = ("src", "dst") if forward else ("dst", "src")
-        seen = {pivot}
-        frontier = {pivot}
-        while frontier:
-            fr = pa.array(sorted(frontier), pa.int64())
-
-            def hop(batch: pa.Table, _fr=fr, _a=a, _b=b) -> pa.Table:
-                m = pc.is_in(batch.column(_a), value_set=_fr)
-                return pa.table(
-                    {"d": pc.unique(batch.filter(m).column(_b))}
-                )
-
-            reached: set = set()
-            for blk in edges.map_batches(hop, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=65536
-            ):
-                reached.update(pa.table(blk).column("d").to_pylist())
-            frontier = reached - seen
-            seen |= frontier
-        return seen
-
-    fwd = closure(True)
-    bwd = closure(False)
+    fwd = _directed_closure(edges, pivot, True)
+    bwd = _directed_closure(edges, pivot, False)
     scc = sorted(fwd & bwd)
     return pd.DataFrame({"node": scc, "scc_size": [len(scc)] * len(scc)}).astype(
         {"node": "int64", "scc_size": "int64"}
@@ -16057,6 +16058,77 @@ ORACLE_SQL["scc_pivot"] = """
     scc AS (SELECT fwd.node FROM fwd JOIN bwd USING (node))
     SELECT node, (SELECT count(*) FROM scc) AS scc_size
     FROM scc ORDER BY node
+"""
+
+
+def q_bowtie(sf_dir: str, pivot: int = 0):
+    """Bow-tie decomposition of the directed events link graph (Broder et
+    al., "Graph structure in the Web", WWW'00) anchored at the pivot's SCC:
+    CORE = fwd(pivot) ∩ bwd(pivot), IN = bwd \\ CORE (reaches the core),
+    OUT = fwd \\ CORE (reachable from it), OTHER = tendrils/tubes/
+    disconnected.  The two closures are the same streaming frontier waves
+    FW-BW SCC uses (one filter pass over the edge Dataset per hop); the
+    classification itself is a driver-side set partition over node ids —
+    at web scale it becomes one map_batches CASE over a broadcast pair of
+    membership filters.  Crawl relevance: seeds inside IN∪CORE cover
+    CORE∪OUT; seeds in OUT waste budget (reference's seed-selection
+    concern, strategies/txs/*)."""
+    edges = _events_edges(sf_dir).materialize()
+    fwd = _directed_closure(edges, pivot, True)
+    bwd = _directed_closure(edges, pivot, False)
+    core = fwd & bwd
+    parts = {
+        n: (
+            "core"
+            if n in core
+            else "in" if n in bwd else "out" if n in fwd else "other"
+        )
+        for n in range(50)
+    }
+    sizes: dict = {}
+    for p in parts.values():
+        sizes[p] = sizes.get(p, 0) + 1
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "part": [parts[n] for n in range(50)],
+            "part_size": [sizes[parts[n]] for n in range(50)],
+        }
+    ).astype({"node": "int64", "part_size": "int64"})
+
+
+SQL_QUERIES["bowtie"] = q_bowtie
+
+ORACLE_SQL["bowtie"] = """
+    WITH RECURSIVE e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS node FROM range(0, 50) t(i)),
+    fwd AS (
+        SELECT 0 AS node
+        UNION
+        SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node
+    ),
+    bwd AS (
+        SELECT 0 AS node
+        UNION
+        SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node
+    ),
+    lab AS (
+        SELECT n.node,
+               CASE
+                   WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+                   WHEN b.node IS NOT NULL THEN 'in'
+                   WHEN f.node IS NOT NULL THEN 'out'
+                   ELSE 'other'
+               END AS part
+        FROM nodes n
+        LEFT JOIN fwd f ON f.node = n.node
+        LEFT JOIN bwd b ON b.node = n.node
+    )
+    SELECT node, part, count(*) OVER (PARTITION BY part) AS part_size
+    FROM lab ORDER BY node
 """
 
 
