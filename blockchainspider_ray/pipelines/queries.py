@@ -20073,3 +20073,347 @@ ORACLE_SQL["trustrank"] = """
     )
     SELECT n AS node, round(x, 6) AS trust FROM r3 ORDER BY node
 """
+
+
+def q_line_dedup(sf_dir: str, seg: int = 8):
+    """CCNet-style segment-level exact dedup (Wenzek et al. 2020 dedupe
+    paragraph hashes corpus-wide; C4 drops repeated three-sentence spans):
+    split each doc into non-overlapping ``seg``-token segments, keep only
+    the globally FIRST occurrence (smallest (doc_id, seg_idx)) of each
+    distinct segment, report per-doc survival.  Shape: one row per segment,
+    pre-bucketed by a 64-bit md5 hash of the segment text (256-way); the
+    keeper decision is a vectorized first-occurrence mask inside each
+    bucket group (a bucket co-locates all copies of a segment but holds
+    many segments, never the corpus); per-doc counts reunite through one
+    groupby — no join, no driver-side state.  At 10^10 docs the only
+    all-to-all is the segment-row shuffle; swap the segment strings for
+    128-bit hashes to cut shuffle bytes (same trick as dup_span_fraction)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.dedup import _hash_strings64
+
+    def emit(b: pa.Table) -> pa.Table:
+        ds_, is_, gs = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = re.findall(r"\S+", t)
+            for k in range(0, len(toks), seg):
+                ds_.append(d)
+                is_.append(k // seg + 1)
+                gs.append(" ".join(toks[k : k + seg]))
+        gb = (_hash_strings64(gs) % np.uint64(256)).astype(np.int64)
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int64()),
+                "g": pa.array(gs, pa.string()),
+                "doc_id": pa.array(ds_, pa.int64()),
+                "seg_idx": pa.array(is_, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(emit, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        df = (
+            b.select(["g", "doc_id", "seg_idx"])
+            .to_pandas()
+            .sort_values(["g", "doc_id", "seg_idx"], kind="mergesort")
+        )
+        kept = (~df.duplicated("g")).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "kept": pa.array(kept, pa.int64()),
+                "one": pa.array(np.ones(len(df), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        rows.groupby("gb")
+        .map_groups(keep, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("kept", alias_name="kept_segs"), Sum("one", alias_name="n_segs")
+        )
+        .to_pandas()
+    )
+    agg["dropped_segs"] = agg["n_segs"] - agg["kept_segs"]
+    agg["kept_frac"] = _r(agg["kept_segs"] / agg["n_segs"], 6)
+    return (
+        agg[["doc_id", "n_segs", "kept_segs", "dropped_segs", "kept_frac"]]
+        .astype(
+            {
+                "doc_id": "int64",
+                "n_segs": "int64",
+                "kept_segs": "int64",
+                "dropped_segs": "int64",
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["line_dedup"] = q_line_dedup
+
+ORACLE_SQL["line_dedup"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1)) AS seg_idx,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1),
+                   k -> list_aggregate(t[(k-1)*8+1:k*8], 'string_agg', ' '))) AS g
+        FROM toks
+    ),
+    rk AS (
+        SELECT doc_id, seg_idx,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_segs,
+           round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS kept_frac
+    FROM rk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _distinct_edges(sf_dir: str) -> "ray.data.Dataset":
+    """DISTINCT (src, dst) of the events link graph — per-batch dedup
+    combiner first so only unique pairs per block reach the groupby
+    shuffle, then a (src, dst) groupby as the global dedup."""
+
+    def pair_unique(b: pa.Table) -> pa.Table:
+        df = b.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _events_edges(sf_dir)
+        .map_batches(pair_unique, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+
+def q_salsa(sf_dir: str, iters: int = 2):
+    """SALSA authority scores (Lempel & Moran, WWW'00): the random walk
+    that hops backward along an in-link then forward along that hub's
+    out-link — HITS' mutual reinforcement with degree-stochastic instead
+    of unnormalized updates, so no per-iteration renormalization.  Two
+    unrolled iterations over the DISTINCT events edge set: h(j) =
+    sum_{j->i} a(i)/indeg(i), then a'(i) = sum_{j->i} h(j)/outdeg(j);
+    each half-step is one streaming message pass (broadcast 50-float
+    vector + degree table, per-batch partial sums, groupby) exactly like
+    trustrank/katz.  Completes the link-analysis family next to pagerank,
+    hits, katz, trustrank and opic_priority (stages/graph.py)."""
+    de = _distinct_edges(sf_dir)
+    degs = de.to_pandas()
+    outdeg = degs.groupby("src").size().to_dict()
+    indeg = degs.groupby("dst").size().to_dict()
+
+    a = {n: 1.0 / 50 for n in range(50)}
+    for _ in range(iters):
+
+        def half(vec: dict, norm: dict, key_col: str, val_col: str) -> dict:
+            ref = ray.put((dict(vec), dict(norm)))
+
+            def msg(b: pa.Table, _ref=ref, _k=key_col, _v=val_col) -> pa.Table:
+                xv, nv = ray.get(_ref)
+                k = b.column(_k).to_numpy()
+                v = b.column(_v).to_numpy()
+                m = np.array([xv.get(int(n), 0.0) for n in v]) / np.array(
+                    [nv[int(n)] for n in v]
+                )
+                df = (
+                    pd.DataFrame({"n": k, "m": m}).groupby("n", as_index=False).sum()
+                )
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            out = de.map_batches(msg, batch_format="pyarrow").groupby("n").sum("m")
+            return {
+                int(r["n"]): float(r["sum(m)"]) for _, r in out.to_pandas().iterrows()
+            }
+
+        h = half(a, indeg, "src", "dst")  # hub update: pull authority mass
+        a_new = half(h, outdeg, "dst", "src")  # authority: push hub mass
+        a = {n: a_new.get(n, 0.0) for n in range(50)}
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "authority": [float(_r(a[n], 6)) for n in range(50)],
+        }
+    )
+
+
+SQL_QUERIES["salsa"] = q_salsa
+
+ORACLE_SQL["salsa"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    ind AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+    a0 AS (SELECT n, 1.0 / 50 AS a FROM nodes),
+    h1 AS (
+        SELECT e.src AS n, sum(a0.a / ind.idg) AS h
+        FROM e JOIN a0 ON a0.n = e.dst JOIN ind ON ind.dst = e.dst
+        GROUP BY e.src
+    ),
+    a1 AS (
+        SELECT nodes.n, coalesce(sum(h1.h / outd.od), 0) AS a
+        FROM nodes
+        LEFT JOIN e ON e.dst = nodes.n
+        LEFT JOIN h1 ON h1.n = e.src
+        LEFT JOIN outd ON outd.src = e.src
+        GROUP BY nodes.n
+    ),
+    h2 AS (
+        SELECT e.src AS n, sum(a1.a / ind.idg) AS h
+        FROM e JOIN a1 ON a1.n = e.dst JOIN ind ON ind.dst = e.dst
+        GROUP BY e.src
+    ),
+    a2 AS (
+        SELECT nodes.n, coalesce(sum(h2.h / outd.od), 0) AS a
+        FROM nodes
+        LEFT JOIN e ON e.dst = nodes.n
+        LEFT JOIN h2 ON h2.n = e.src
+        LEFT JOIN outd ON outd.src = e.src
+        GROUP BY nodes.n
+    )
+    SELECT n AS node, round(a, 6) AS authority FROM a2 ORDER BY node
+"""
+
+
+def q_cocitation(sf_dir: str):
+    """Co-citation and bibliographic coupling (Small 1973 / Kessler 1963)
+    over the distinct events link graph: for node pairs a<b, how many
+    common IN-neighbors cite both (co-citation) and how many common
+    OUT-neighbors both cite (coupling) — the classic related-page signals
+    next to SALSA/HITS.  Shape: in-group pair emission per neighborhood
+    (groupby src emits dst-pairs; groupby dst emits src-pairs), then one
+    pair-keyed groupby count per side; the two sparse pair tables reunite
+    with a full outer merge.  The per-neighborhood emission is O(d^2) —
+    at web scale cap hub neighborhoods the way emit_bucket_pairs does
+    (stages/dedup.py) and log the truncation."""
+    de = _distinct_edges(sf_dir)
+
+    def pairs(key: str, other: str):
+        def emit(b: pa.Table) -> pa.Table:
+            vs = np.sort(np.unique(b.column(other).to_numpy()))
+            i, j = np.triu_indices(len(vs), k=1)
+            return pa.table(
+                {
+                    "a": pa.array(vs[i], pa.int64()),
+                    "b": pa.array(vs[j], pa.int64()),
+                }
+            )
+
+        return (
+            de.groupby(key)
+            .map_groups(emit, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .count()
+            .to_pandas()
+        )
+
+    cc = pairs("src", "dst").rename(columns={"count()": "cocitation"})
+    bc = pairs("dst", "src").rename(columns={"count()": "coupling"})
+    out = cc.merge(bc, on=["a", "b"], how="outer").fillna(0)
+    return (
+        out.astype(
+            {"a": "int64", "b": "int64", "cocitation": "int64", "coupling": "int64"}
+        )
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["cocitation"] = q_cocitation
+
+ORACLE_SQL["cocitation"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    cc AS (
+        SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocitation
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2
+    ),
+    bc AS (
+        SELECT e1.src AS a, e2.src AS b, count(*) AS coupling
+        FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        GROUP BY 1, 2
+    )
+    SELECT coalesce(cc.a, bc.a) AS a,
+           coalesce(cc.b, bc.b) AS b,
+           CAST(coalesce(cc.cocitation, 0) AS BIGINT) AS cocitation,
+           CAST(coalesce(bc.coupling, 0) AS BIGINT) AS coupling
+    FROM cc FULL OUTER JOIN bc ON cc.a = bc.a AND cc.b = bc.b
+    ORDER BY a, b
+"""
+
+
+def q_gap_stats(sf_dir: str):
+    """WebGraph-style adjacency compressibility (Boldi & Vigna, WWW'04):
+    per source node, sort its distinct successors, take the consecutive
+    gaps (first gap anchored at dst+1 so every gap is >= 1) and charge
+    each gap its Elias-gamma cost 2*floor(log2(gap)) + 1 bits — the
+    locality signal that decides whether a 10^10-node link graph fits in
+    RAM.  floor(log2) is computed EXACTLY on both sides (frexp exponent
+    here, length(bin(gap))-1 in the mirror) so no libm rounding can split
+    the oracle.  Shape: groupby(src) with an in-group vectorized kernel;
+    one row out per source."""
+    de = _distinct_edges(sf_dir)
+
+    def enc(b: pa.Table) -> pa.Table:
+        src = int(b.column("src")[0].as_py())
+        vs = np.sort(b.column("dst").to_numpy())
+        gaps = np.diff(vs, prepend=-1).astype(np.int64)  # first gap = dst + 1
+        exp = (np.frexp(gaps.astype(np.float64))[1] - 1).astype(np.int64)
+        bits = 2 * exp + 1
+        total = int(bits.sum())
+        return pa.table(
+            {
+                "src": pa.array([src], pa.int64()),
+                "n_links": pa.array([len(vs)], pa.int64()),
+                "total_bits": pa.array([total], pa.int64()),
+                "bits_per_link": pa.array([_r(total / len(vs), 4)], pa.float64()),
+            }
+        )
+
+    return (
+        de.groupby("src")
+        .map_groups(enc, batch_format="pyarrow")
+        .sort("src")
+        .to_pandas()
+    )
+
+
+SQL_QUERIES["gap_stats"] = q_gap_stats
+
+ORACLE_SQL["gap_stats"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    g AS (
+        SELECT src,
+               coalesce(dst - lag(dst) OVER (PARTITION BY src ORDER BY dst),
+                        dst + 1) AS gap
+        FROM e
+    ),
+    b AS (SELECT src, 2 * (length(bin(gap)) - 1) + 1 AS bits FROM g)
+    SELECT src,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           round(sum(bits) * 1.0 / count(*), 4) AS bits_per_link
+    FROM b GROUP BY src ORDER BY src
+"""
