@@ -20417,3 +20417,440 @@ ORACLE_SQL["gap_stats"] = """
            round(sum(bits) * 1.0 / count(*), 4) AS bits_per_link
     FROM b GROUP BY src ORDER BY src
 """
+
+
+def q_count_min(sf_dir: str, depth: int = 4, width: int = 32):
+    """Count-Min sketch (Cormode & Muthukrishnan '05) over the corpus
+    token stream, audited against exact counts: build a depth=4 x
+    width=32 counter grid with version-stable md5 row hashes (token ||
+    ':' || row — the same md5-low-64 DuckDB's md5_number_lower computes,
+    so the mirror rebuilds the sketch bit-for-bit), then report the CMS
+    point estimate next to the true count for the top-20 tokens.  The
+    estimate is min over rows and NEVER undercounts — the invariant the
+    oracle pins.  Shape: per-batch token Counter combiner -> one vocab
+    groupby; cells derive from the vocab Dataset (depth rows per term,
+    groupby (r, b) sum) so the full token stream shuffles once; the 128
+    finished cells broadcast back for the driver-side min."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+    from ..stages.dedup import _hash_strings64
+
+    def toks(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(re.findall(r"\S+", t))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby("token")
+        .sum("c")
+        .materialize()
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        tk = b.column("token").to_pylist()
+        cnt = b.column("sum(c)").to_numpy()
+        rs, bs, cs = [], [], []
+        for r in range(depth):
+            h = _hash_strings64([f"{t}:{r}" for t in tk]) % np.uint64(width)
+            rs.append(np.full(len(tk), r, np.int64))
+            bs.append(h.astype(np.int64))
+            cs.append(cnt)
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rs), pa.int64()),
+                "b": pa.array(np.concatenate(bs), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+    grid = (
+        vocab.map_batches(cells, batch_format="pyarrow")
+        .groupby(["r", "b"])
+        .sum("c")
+        .to_pandas()
+    )
+    cm = {(int(x["r"]), int(x["b"])): int(x["sum(c)"]) for _, x in grid.iterrows()}
+    top = (
+        vocab.sort(["sum(c)", "token"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    est = [
+        min(
+            cm[(r, int(_hash_strings64([f"{t}:{r}"])[0] % np.uint64(width)))]
+            for r in range(depth)
+        )
+        for t in top["token"]
+    ]
+    return pd.DataFrame(
+        {
+            "token": top["token"],
+            "true_count": top["sum(c)"].astype("int64"),
+            "cms_count": pd.Series(est, dtype="int64"),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_QUERIES["count_min"] = q_count_min
+
+ORACLE_SQL["count_min"] = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    hashed AS (
+        SELECT token, c, r,
+               CAST(md5_number_lower(token || ':' || r) % 32 AS BIGINT) AS b
+        FROM cnt, unnest([0, 1, 2, 3]) AS t(r)
+    ),
+    grid AS (SELECT r, b, sum(c) AS cell FROM hashed GROUP BY r, b),
+    top AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 20),
+    est AS (
+        SELECT top.token, top.c, min(grid.cell) AS cms
+        FROM top
+        JOIN hashed ON hashed.token = top.token
+        JOIN grid ON grid.r = hashed.r AND grid.b = hashed.b
+        GROUP BY top.token, top.c
+    )
+    SELECT token,
+           CAST(c AS BIGINT) AS true_count,
+           CAST(cms AS BIGINT) AS cms_count
+    FROM est ORDER BY true_count DESC, token
+"""
+
+
+def q_simrank(sf_dir: str, c: float = 0.8, iters: int = 2):
+    """SimRank (Jeh & Widom, KDD'02) over the distinct events link graph:
+    s(a,b) = C/(|I(a)||I(b)|) * sum over in-neighbor pairs of s(i,j),
+    s(a,a)=1 — "two pages are similar if similar pages point to them".
+    Two unrolled iterations as message passes over the TENSOR-PRODUCT
+    pair graph: each edge batch crosses with the broadcast distinct-edge
+    table (small side via ray.put, never reshipped) to form pair-edge
+    rows (i,j)->(a,b); the broadcast 50x50 score matrix scores each row
+    and partial sums reduce through one (a,b) groupby per iteration.
+    All-pairs SimRank is O(n^2) state — at web scale keep this form for
+    per-seed slices and switch to Monte-Carlo meeting probabilities for
+    the full matrix (the standard scale-out)."""
+    de = _distinct_edges(sf_dir)
+    edges_df = de.to_pandas()  # small side: <= 2500 distinct pairs
+    indeg = edges_df.groupby("dst").size().to_dict()
+    eref = ray.put((edges_df["src"].to_numpy(), edges_df["dst"].to_numpy()))
+
+    s = np.eye(50, dtype=np.float64)
+    for _ in range(iters):
+        sref = ray.put(s)
+
+        def msg(b: pa.Table, _e=eref, _s=sref) -> pa.Table:
+            js, bs_ = ray.get(_e)
+            sm = ray.get(_s)
+            i = np.repeat(b.column("src").to_numpy(), len(js))
+            a = np.repeat(b.column("dst").to_numpy(), len(js))
+            j = np.tile(js, b.num_rows)
+            bb = np.tile(bs_, b.num_rows)
+            df = (
+                pd.DataFrame({"a": a, "b": bb, "m": sm[i, j]})
+                .groupby(["a", "b"], as_index=False)
+                .sum()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        inc = (
+            de.map_batches(msg, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .sum("m")
+            .to_pandas()
+        )
+        s = np.zeros((50, 50), dtype=np.float64)
+        for _, r_ in inc.iterrows():
+            a_, b_ = int(r_["a"]), int(r_["b"])
+            if a_ != b_:
+                s[a_, b_] = c * float(r_["sum(m)"]) / (indeg[a_] * indeg[b_])
+        np.fill_diagonal(s, 1.0)
+    ii, jj = np.triu_indices(50, k=1)
+    return pd.DataFrame(
+        {
+            "a": ii.astype("int64"),
+            "b": jj.astype("int64"),
+            "simrank": _r(s[ii, jj], 6),
+        }
+    )
+
+
+SQL_QUERIES["simrank"] = q_simrank
+
+ORACLE_SQL["simrank"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    ind AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst),
+    s1o AS (
+        SELECT ea.dst AS a, eb.dst AS b,
+               0.8 * sum(CASE WHEN ea.src = eb.src THEN 1 ELSE 0 END)
+                   / (any_value(ia.idg) * any_value(ib.idg)) AS s
+        FROM e ea
+        JOIN e eb ON ea.dst <> eb.dst
+        JOIN ind ia ON ia.dst = ea.dst
+        JOIN ind ib ON ib.dst = eb.dst
+        GROUP BY ea.dst, eb.dst
+    ),
+    t1 AS (
+        SELECT a, b, s FROM s1o
+        UNION ALL
+        SELECT n, n, 1.0 FROM nodes
+    ),
+    s2o AS (
+        SELECT ea.dst AS a, eb.dst AS b,
+               0.8 * coalesce(sum(t1.s), 0)
+                   / (any_value(ia.idg) * any_value(ib.idg)) AS s
+        FROM e ea
+        JOIN e eb ON ea.dst <> eb.dst
+        LEFT JOIN t1 ON t1.a = ea.src AND t1.b = eb.src
+        JOIN ind ia ON ia.dst = ea.dst
+        JOIN ind ib ON ib.dst = eb.dst
+        GROUP BY ea.dst, eb.dst
+    )
+    SELECT na.n AS a, nb.n AS b, round(coalesce(s2o.s, 0), 6) AS simrank
+    FROM nodes na
+    JOIN nodes nb ON na.n < nb.n
+    LEFT JOIN s2o ON s2o.a = na.n AND s2o.b = nb.n
+    ORDER BY a, b
+"""
+
+
+def q_adamic_adar(sf_dir: str):
+    """Link-prediction triad (Liben-Nowell & Kleinberg '03) over the
+    undirected view of the events link graph: per candidate pair (a<b)
+    with at least one common neighbor, the common-neighbor count, the
+    neighborhood Jaccard, and the Adamic-Adar score sum_z 1/ln(deg(z))
+    over shared neighbors z — the crawl-frontier "probably related pages"
+    signals.  Shape: wedge emission per center (groupby the center node,
+    emit its neighbor pairs weighted 1/ln(deg(center))), one (a,b)
+    groupby to finish both sums, degrees broadcast as a 50-entry dict
+    for the Jaccard denominator.  Per-center emission is O(d^2): cap hub
+    neighborhoods at web scale (emit_bucket_pairs pattern)."""
+    de = _distinct_edges(sf_dir)
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        n = np.concatenate([s, d])
+        nb = np.concatenate([d, s])
+        keep = n != nb
+        df = pd.DataFrame({"n": n[keep], "nb": nb[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    und = (
+        de.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["n", "nb"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    deg = und.groupby("n").count().to_pandas()
+    degs = deg.set_index("n")["count()"].to_dict()
+    dref = ray.put(dict(degs))
+
+    def wedges(b: pa.Table, _d=dref) -> pa.Table:
+        dd = ray.get(_d)
+        z = int(b.column("n")[0].as_py())
+        vs = np.sort(b.column("nb").to_numpy())
+        i, j = np.triu_indices(len(vs), k=1)
+        w = 1.0 / np.log(dd[z]) if len(vs) >= 2 else 0.0
+        return pa.table(
+            {
+                "a": pa.array(vs[i], pa.int64()),
+                "b": pa.array(vs[j], pa.int64()),
+                "c": pa.array(np.ones(len(i), np.int64), pa.int64()),
+                "w": pa.array(np.full(len(i), w, np.float64), pa.float64()),
+            }
+        )
+
+    agg = (
+        und.groupby("n")
+        .map_groups(wedges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="common_neighbors"), Sum("w", alias_name="aa"))
+        .to_pandas()
+    )
+    da = agg["a"].map(degs).to_numpy(dtype=np.float64)
+    db = agg["b"].map(degs).to_numpy(dtype=np.float64)
+    common = agg["common_neighbors"].to_numpy(dtype=np.float64)
+    agg["jaccard"] = _r(common / (da + db - common), 6)
+    agg["adamic_adar"] = _r(agg["aa"], 6)
+    return (
+        agg[["a", "b", "common_neighbors", "jaccard", "adamic_adar"]]
+        .astype({"a": "int64", "b": "int64", "common_neighbors": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["adamic_adar"] = q_adamic_adar
+
+ORACLE_SQL["adamic_adar"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    und AS (
+        SELECT DISTINCT n, nb FROM (
+            SELECT src AS n, dst AS nb FROM e
+            UNION ALL
+            SELECT dst AS n, src AS nb FROM e
+        ) WHERE n <> nb
+    ),
+    deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+    wedge AS (
+        SELECT w1.nb AS a, w2.nb AS b, w1.n AS z
+        FROM und w1 JOIN und w2 ON w1.n = w2.n AND w1.nb < w2.nb
+    ),
+    sc AS (
+        SELECT wedge.a, wedge.b,
+               count(*) AS common_neighbors,
+               sum(1.0 / ln(dz.d)) AS aa
+        FROM wedge JOIN deg dz ON dz.n = wedge.z
+        GROUP BY wedge.a, wedge.b
+    )
+    SELECT sc.a, sc.b,
+           CAST(sc.common_neighbors AS BIGINT) AS common_neighbors,
+           round(sc.common_neighbors * 1.0
+                 / (da.d + db.d - sc.common_neighbors), 6) AS jaccard,
+           round(sc.aa, 6) AS adamic_adar
+    FROM sc
+    JOIN deg da ON da.n = sc.a
+    JOIN deg db ON db.n = sc.b
+    ORDER BY a, b
+"""
+
+
+def q_wl_refinement(sf_dir: str, rounds: int = 2):
+    """Weisfeiler-Lehman color refinement (directed 1-WL, the canonical-
+    labeling pass under WL graph kernels / GNN expressivity): start from
+    color0 = indeg*64 + outdeg over the distinct edge set, then twice
+    re-color every node with a version-stable md5 hash of (own color |
+    sorted in-neighbor colors # sorted out-neighbor colors), colors
+    compressed mod 1e9+7.  The mirror rebuilds the exact same strings
+    with string_agg(... ORDER BY) + md5_number_lower, so colors match
+    bit-for-bit.  Shape per round: one streaming pass over the edges maps
+    src/dst through the broadcast 50-entry color dict, a groupby(node)
+    builds each side's sorted multiset string — driver holds only the
+    50-color dict."""
+    de = _distinct_edges(sf_dir)
+    pairs = de.to_pandas()
+    from ..stages.dedup import _hash_strings64
+
+    indeg = pairs.groupby("dst").size().to_dict()
+    outdeg = pairs.groupby("src").size().to_dict()
+    colors = {
+        n: int(indeg.get(n, 0)) * 64 + int(outdeg.get(n, 0)) for n in range(50)
+    }
+
+    def side(cref, key: str, other: str) -> dict:
+        def emit(b: pa.Table, _c=cref, _k=key, _o=other) -> pa.Table:
+            cd = ray.get(_c)
+            return pa.table(
+                {
+                    "n": b.column(_k),
+                    "c": pa.array(
+                        [cd[int(v)] for v in b.column(_o).to_pylist()], pa.int64()
+                    ),
+                }
+            )
+
+        def join_sorted(b: pa.Table) -> pa.Table:
+            n = int(b.column("n")[0].as_py())
+            cs = sorted(b.column("c").to_pylist())
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "s": pa.array([",".join(str(c) for c in cs)], pa.string()),
+                }
+            )
+
+        out = (
+            de.map_batches(emit, batch_format="pyarrow")
+            .groupby("n")
+            .map_groups(join_sorted, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return out.set_index("n")["s"].to_dict()
+
+    for _ in range(rounds):
+        cref = ray.put(dict(colors))
+        ins = side(cref, "dst", "src")
+        outs = side(cref, "src", "dst")
+        sigs = [
+            f"{colors[n]}|{ins.get(n, '')}#{outs.get(n, '')}" for n in range(50)
+        ]
+        h = _hash_strings64(sigs) % np.uint64(1000000007)
+        colors = {n: int(h[n]) for n in range(50)}
+
+    out = pd.DataFrame(
+        {"node": list(range(50)), "color": [colors[n] for n in range(50)]}
+    )
+    sizes = out.groupby("color")["node"].transform("size")
+    out["class_size"] = sizes.astype("int64")
+    return out.astype({"node": "int64", "color": "int64"})
+
+
+SQL_QUERIES["wl_refinement"] = q_wl_refinement
+
+ORACLE_SQL["wl_refinement"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    ind AS (SELECT dst AS n, count(*) AS d FROM e GROUP BY dst),
+    outd AS (SELECT src AS n, count(*) AS d FROM e GROUP BY src),
+    c0 AS (
+        SELECT nodes.n,
+               CAST(coalesce(ind.d, 0) * 64 + coalesce(outd.d, 0) AS BIGINT) AS c
+        FROM nodes LEFT JOIN ind ON ind.n = nodes.n
+        LEFT JOIN outd ON outd.n = nodes.n
+    ),
+    i1 AS (
+        SELECT e.dst AS n, string_agg(CAST(cp.c AS VARCHAR), ',' ORDER BY cp.c) AS s
+        FROM e JOIN c0 cp ON cp.n = e.src GROUP BY e.dst
+    ),
+    o1 AS (
+        SELECT e.src AS n, string_agg(CAST(cp.c AS VARCHAR), ',' ORDER BY cp.c) AS s
+        FROM e JOIN c0 cp ON cp.n = e.dst GROUP BY e.src
+    ),
+    c1 AS (
+        SELECT c0.n,
+               CAST(md5_number_lower(CAST(c0.c AS VARCHAR) || '|' ||
+                    coalesce(i1.s, '') || '#' || coalesce(o1.s, ''))
+                    % 1000000007 AS BIGINT) AS c
+        FROM c0 LEFT JOIN i1 ON i1.n = c0.n LEFT JOIN o1 ON o1.n = c0.n
+    ),
+    i2 AS (
+        SELECT e.dst AS n, string_agg(CAST(cp.c AS VARCHAR), ',' ORDER BY cp.c) AS s
+        FROM e JOIN c1 cp ON cp.n = e.src GROUP BY e.dst
+    ),
+    o2 AS (
+        SELECT e.src AS n, string_agg(CAST(cp.c AS VARCHAR), ',' ORDER BY cp.c) AS s
+        FROM e JOIN c1 cp ON cp.n = e.dst GROUP BY e.src
+    ),
+    c2 AS (
+        SELECT c1.n,
+               CAST(md5_number_lower(CAST(c1.c AS VARCHAR) || '|' ||
+                    coalesce(i2.s, '') || '#' || coalesce(o2.s, ''))
+                    % 1000000007 AS BIGINT) AS c
+        FROM c1 LEFT JOIN i2 ON i2.n = c1.n LEFT JOIN o2 ON o2.n = c1.n
+    )
+    SELECT n AS node, c AS color,
+           count(*) OVER (PARTITION BY c) AS class_size
+    FROM c2 ORDER BY node
+"""
