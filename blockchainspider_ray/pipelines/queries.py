@@ -20854,3 +20854,210 @@ ORACLE_SQL["wl_refinement"] = """
            count(*) OVER (PARTITION BY c) AS class_size
     FROM c2 ORDER BY node
 """
+
+
+def q_ndcg_eval(sf_dir: str, k: int = 10):
+    """IR ranking evaluation (nDCG@10 / precision@10 / MRR) of the
+    deterministic "longest docs first" ranking against binary relevance
+    lang='en' — the eval harness shape every retrieval/curation ranker
+    needs.  Distributed form: the only global materialization is the
+    top-k slice (sort + limit, k rows); the MRR rank of the first
+    relevant doc is computed WITHOUT ranking the corpus — take the best
+    relevant doc (sort of the relevant slice, 1 row) and count how many
+    docs order before it (one filtered count aggregate)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    top = (
+        docs.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    rel_top = (top["lang"] == "en").to_numpy(np.float64)
+    dcg = float(np.sum(rel_top / np.log2(np.arange(1, k + 1) + 1)))
+    nrel = docs.filter(lambda r: r["lang"] == "en").count()
+    idcg = float(np.sum(1.0 / np.log2(np.arange(1, min(k, nrel) + 1) + 1)))
+    first = (
+        docs.filter(lambda r: r["lang"] == "en")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(1)
+        .to_pandas()
+    )
+    fc, fid = int(first["n_chars"][0]), int(first["doc_id"][0])
+    before = docs.filter(
+        lambda r, _c=fc, _i=fid: r["n_chars"] > _c
+        or (r["n_chars"] == _c and r["doc_id"] < _i)
+    ).count()
+    return pd.DataFrame(
+        {
+            "ndcg10": [float(_r(dcg / idcg, 6))],
+            "prec10": [float(_r(rel_top.sum() / k, 6))],
+            "mrr": [float(_r(1.0 / (before + 1), 6))],
+        }
+    )
+
+
+SQL_QUERIES["ndcg_eval"] = q_ndcg_eval
+
+ORACLE_SQL["ndcg_eval"] = """
+    WITH r AS (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ),
+    d AS (
+        SELECT sum(rel / log2(rk + 1)) AS dcg, sum(rel) AS hits
+        FROM r WHERE rk <= 10
+    ),
+    tot AS (SELECT count(*) AS nrel FROM r WHERE rel = 1),
+    idcg AS (
+        SELECT sum(1.0 / log2(i + 1)) AS v
+        FROM tot, unnest(range(1, least(10, nrel) + 1)) t(i)
+    ),
+    mr AS (SELECT min(rk) AS frk FROM r WHERE rel = 1)
+    SELECT round(d.dcg / idcg.v, 6) AS ndcg10,
+           round(d.hits / 10.0, 6) AS prec10,
+           round(1.0 / mr.frk, 6) AS mrr
+    FROM d, idcg, mr
+"""
+
+
+def q_shard_balance(sf_dir: str, shards: int = 16):
+    """Rendezvous (highest-random-weight) sharding balance report
+    (Thaler & Ravishankar '98) — the assignment rule the frontier/seen
+    shards would use on a real cluster because it moves only 1/n of keys
+    when a node joins: doc -> argmax over shards of md5(doc_id || '@' ||
+    shard).  Reports per-shard counts and skew vs the uniform share; md5
+    on both sides makes the mirror rebuild the same assignment
+    bit-for-bit.  Pure map + one 16-group count — no shuffle of the doc
+    ids themselves."""
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    from ..stages.dedup import _hash_strings64
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        hs = np.stack(
+            [_hash_strings64([f"{i}@{s}" for i in ids]) for s in range(shards)]
+        )
+        return pa.table({"shard": pa.array(np.argmax(hs, axis=0).astype(np.int64))})
+
+    counts = (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    total = int(counts["n_docs"].sum())
+    counts["skew"] = _r(counts["n_docs"] * shards / total, 6)
+    return (
+        counts.astype({"shard": "int64", "n_docs": "int64"})
+        .sort_values("shard")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["shard_balance"] = q_shard_balance
+
+ORACLE_SQL["shard_balance"] = """
+    WITH hashed AS (
+        SELECT doc_id, s, md5_number_lower(doc_id || '@' || s) AS h
+        FROM documents, unnest(range(0, 16)) t(s)
+    ),
+    pick AS (SELECT doc_id, arg_max(s, h) AS shard FROM hashed GROUP BY doc_id),
+    c AS (SELECT shard, count(*) AS n_docs FROM pick GROUP BY shard),
+    tot AS (SELECT sum(n_docs) AS t FROM c)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 16.0 / tot.t, 6) AS skew
+    FROM c, tot ORDER BY shard
+"""
+
+
+def q_hll_audit(sf_dir: str, m: int = 16):
+    """HyperLogLog distinct-count audit (Flajolet et al. '07): build the
+    16-register sketch of the corpus vocabulary from version-stable md5
+    hashes (bucket = h % 16, rho = trailing-zeros+1 of the next 40 bits
+    — exact integer bit math on both sides, no libm), report each
+    register next to the raw estimate alpha_16 * m^2 / sum 2^-M_j and
+    the exact distinct count.  Small-range bias correction is deliberately
+    omitted so the mirror is a pure formula replay; registers build from
+    the DISTINCT-token Dataset (sketch state depends only on the value
+    set), i.e. one vocab groupby then a 16-group max."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+    from ..stages.dedup import _hash_strings64
+
+    def toks(b: pa.Table) -> pa.Table:
+        vs = set()
+        for t in b.column("text").to_pylist():
+            vs.update(re.findall(r"\S+", t))
+        return pa.table({"token": pa.array(sorted(vs), pa.string())})
+
+    vocab = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby("token")
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def regs(b: pa.Table) -> pa.Table:
+        h = _hash_strings64(b.column("token").to_pylist())
+        bucket = (h % np.uint64(m)).astype(np.int64)
+        v = ((h >> np.uint64(4)) % np.uint64(1 << 40)).astype(np.int64)
+        low = v & -v  # lowest set bit
+        rho = np.where(v == 0, 41, np.frexp(low.astype(np.float64))[1]).astype(
+            np.int64
+        )
+        df = (
+            pd.DataFrame({"bucket": bucket, "rho": rho})
+            .groupby("bucket", as_index=False)
+            .max()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    reg = (
+        vocab.map_batches(regs, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("rho")
+        .to_pandas()
+        .rename(columns={"max(rho)": "register"})
+    )
+    full = pd.DataFrame({"bucket": range(m)}).merge(reg, on="bucket", how="left")
+    full["register"] = full["register"].fillna(0).astype("int64")
+    est = 0.673 * m * m / float(np.sum(np.power(2.0, -full["register"].to_numpy())))
+    true_d = vocab.count()
+    full["raw_estimate"] = float(_r(est, 4))
+    full["true_distinct"] = np.int64(true_d)
+    return full.astype({"bucket": "int64"})
+
+
+SQL_QUERIES["hll_audit"] = q_hll_audit
+
+ORACLE_SQL["hll_audit"] = r"""
+    WITH tok AS (
+        SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    h AS (SELECT md5_number_lower(token) AS hv FROM tok),
+    b AS (
+        SELECT CAST(hv % 16 AS BIGINT) AS bucket,
+               CAST((hv // 16) % 1099511627776 AS BIGINT) AS v
+        FROM h
+    ),
+    r AS (
+        SELECT bucket,
+               CASE WHEN v = 0 THEN 41 ELSE length(bin(v & -v)) END AS rho
+        FROM b
+    ),
+    buckets AS (SELECT i AS bucket FROM range(0, 16) t(i)),
+    reg AS (
+        SELECT buckets.bucket, CAST(coalesce(max(r.rho), 0) AS BIGINT) AS register
+        FROM buckets LEFT JOIN r ON r.bucket = buckets.bucket
+        GROUP BY buckets.bucket
+    ),
+    est AS (SELECT 0.673 * 256.0 / sum(power(2.0, -register)) AS e FROM reg),
+    td AS (SELECT count(*) AS d FROM tok)
+    SELECT reg.bucket, reg.register,
+           round(est.e, 4) AS raw_estimate,
+           CAST(td.d AS BIGINT) AS true_distinct
+    FROM reg, est, td ORDER BY reg.bucket
+"""
