@@ -21061,3 +21061,258 @@ ORACLE_SQL["hll_audit"] = r"""
            CAST(td.d AS BIGINT) AS true_distinct
     FROM reg, est, td ORDER BY reg.bucket
 """
+
+
+def q_cdc_chunks(sf_dir: str, window: int = 8, mask: int = 16):
+    """Content-defined chunking stats (the gear/Rabin boundary rule under
+    LBFS / restic / data-dedup stores): cut a doc's token stream wherever
+    the rolling window hash % 16 == 0, so insertions shift chunk
+    boundaries only locally — unlike fixed-size segments (line_dedup).
+    Reuses the EXACT Mersenne61 rolling-hash recipe rolling_fingerprints
+    pins against DuckDB (textstats.rolling_fingerprints), so the mirror
+    replays boundaries bit-for-bit.  Pure map per doc (vectorized
+    sliding-window dot), no shuffle; output one row per doc with its cut
+    count and mean chunk size."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.textstats import _B, _MOD, hash_token
+
+    powers = np.array(
+        [pow(int(_B), i, int(_MOD)) for i in range(window)], dtype=np.uint64
+    )[::-1]
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids, nt, nc, av = [], [], [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            toks = re.findall(r"\S+", t)
+            h = np.array([hash_token(x) for x in toks], dtype=np.uint64)
+            if len(toks) >= window:
+                sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                win = (sw * powers).sum(axis=1, dtype=np.uint64) % _MOD
+                cuts = int((win % np.uint64(mask) == 0).sum())
+            else:
+                cuts = 0
+            ids.append(did)
+            nt.append(len(toks))
+            nc.append(cuts)
+            av.append(float(_r(len(toks) / (cuts + 1), 4)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_cuts": pa.array(nc, pa.int64()),
+                "avg_chunk_tokens": pa.array(av, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["cdc_chunks"] = q_cdc_chunks
+
+
+def _cdc_oracle_sql(window: int = 8, mask: int = 16) -> str:
+    M = (1 << 61) - 1
+    W = 1 << 64
+    B = 1000003
+    powers = []
+    p = 1
+    for _ in range(window):
+        powers.append(p)
+        p = (p * B) % M
+    powers = powers[::-1]
+    leads = ",\n                   ".join(
+        f"lead(h, {j}) OVER (PARTITION BY doc_id ORDER BY i) AS h{j}"
+        for j in range(1, window)
+    )
+    dot = " + ".join(f"h{j}::HUGEINT * {powers[j]}::HUGEINT" for j in range(window))
+    return rf"""
+        WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+        tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks),
+        th AS (SELECT doc_id, i, md5_number_lower(w[i]) % {M}::UBIGINT AS h FROM tok),
+        nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+        sh AS (
+            SELECT doc_id, h AS h0,
+                   {leads}
+            FROM th
+        ),
+        win AS (
+            SELECT doc_id,
+                   CAST((({dot}) % {W}::HUGEINT) % {M}::HUGEINT AS BIGINT) AS wh
+            FROM sh WHERE h{window - 1} IS NOT NULL
+        ),
+        cuts AS (
+            SELECT doc_id, sum(CASE WHEN wh % {mask} = 0 THEN 1 ELSE 0 END) AS c
+            FROM win GROUP BY doc_id
+        )
+        SELECT nt.doc_id,
+               CAST(nt.n AS BIGINT) AS n_tokens,
+               CAST(coalesce(cuts.c, 0) AS BIGINT) AS n_cuts,
+               round(nt.n * 1.0 / (coalesce(cuts.c, 0) + 1), 4) AS avg_chunk_tokens
+        FROM nt LEFT JOIN cuts ON cuts.doc_id = nt.doc_id
+        ORDER BY nt.doc_id
+    """
+
+
+ORACLE_SQL["cdc_chunks"] = _cdc_oracle_sql()
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit over positive event values — the
+    classic fabricated-data / instrumentation-bug screen for a metrics
+    table.  First significant digit comes from the printf('%.6e')
+    rendering on BOTH sides (never floor(log10(v)), whose libm rounding
+    can misbin exact powers of ten); chi-squared against the log10(1+1/d)
+    expectation.  One map + 9-group count."""
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        v = v[v > 0]
+        d = np.array([int(f"{x:.6e}"[0]) for x in v], dtype=np.int64)
+        df = pd.DataFrame({"digit": d}).groupby("digit", as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    c = (
+        ev.map_batches(digits, batch_format="pyarrow")
+        .groupby("digit")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    full = pd.DataFrame({"digit": range(1, 10)}).merge(c, on="digit", how="left")
+    full["n"] = full["n"].fillna(0).astype("int64")
+    t = float(full["n"].sum())
+    p = np.log10(1 + 1.0 / full["digit"].to_numpy(np.float64))
+    chi2 = float(np.sum((full["n"] - t * p) ** 2 / (t * p)))
+    full["obs_frac"] = _r(full["n"] / t, 6)
+    full["benford_frac"] = _r(p, 6)
+    full["chi2"] = float(_r(chi2, 4))
+    return full.astype({"digit": "int64"})
+
+
+SQL_QUERIES["benford_digits"] = q_benford_digits
+
+ORACLE_SQL["benford_digits"] = """
+    WITH d AS (
+        SELECT CAST(substr(printf('%.6e', value), 1, 1) AS BIGINT) AS digit
+        FROM events WHERE value > 0
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    digits AS (SELECT i AS digit FROM range(1, 10) t(i)),
+    f AS (
+        SELECT digits.digit, coalesce(c.n, 0) AS n,
+               log10(1 + 1.0 / digits.digit) AS p
+        FROM digits LEFT JOIN c ON c.digit = digits.digit
+    ),
+    tot AS (SELECT sum(n) AS t FROM f),
+    chi AS (
+        SELECT sum((n - t * p) * (n - t * p) / (t * p)) AS x FROM f, tot
+    )
+    SELECT f.digit,
+           CAST(f.n AS BIGINT) AS n,
+           round(f.n * 1.0 / tot.t, 6) AS obs_frac,
+           round(f.p, 6) AS benford_frac,
+           round(chi.x, 4) AS chi2
+    FROM f, tot, chi ORDER BY f.digit
+"""
+
+
+def q_walk_corpus(sf_dir: str, steps: int = 4):
+    """Deterministic random-walk corpus over the distinct link graph —
+    the DeepWalk/node2vec data-prep stage made reproducible: from every
+    node, 4 steps where the next hop is the out-neighbor minimizing
+    md5(current || '>' || step || '>' || neighbor) (rendezvous pick — a
+    keyed PRNG both sides can replay; walks stop at sinks).  Shape per
+    step: the 50-entry position table broadcasts, one streaming pass over
+    the edges emits per-batch partial argmins, the driver folds <= 50
+    rows; at 10^9 walks the fold becomes a (start)-keyed min groupby."""
+    de = _distinct_edges(sf_dir)
+    from ..stages.dedup import _hash_strings64
+
+    cur = {n: n for n in range(50)}  # start -> current node
+    rows = []
+    for t in range(1, steps + 1):
+        cref = ray.put(dict(cur))
+
+        def part(b: pa.Table, _c=cref, _t=t) -> pa.Table:
+            cd = ray.get(_c)
+            inv: dict = {}
+            for st, nd in cd.items():
+                inv.setdefault(nd, []).append(st)
+            s = b.column("src").to_pylist()
+            d = b.column("dst").to_pylist()
+            starts, dsts, keys = [], [], []
+            for sv, dv in zip(s, d):
+                for st in inv.get(sv, ()):
+                    starts.append(st)
+                    dsts.append(dv)
+                    keys.append(f"{sv}>{_t}>{dv}")
+            if not starts:
+                return pa.table(
+                    {
+                        "start": pa.array([], pa.int64()),
+                        "dst": pa.array([], pa.int64()),
+                        "h": pa.array([], pa.uint64()),
+                    }
+                )
+            h = _hash_strings64(keys)
+            df = pd.DataFrame({"start": starts, "dst": dsts, "h": h})
+            df = df.loc[df.groupby("start")["h"].idxmin()]
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = de.map_batches(part, batch_format="pyarrow").to_pandas()
+        nxt = (
+            parts.loc[parts.groupby("start")["h"].idxmin()]
+            .set_index("start")["dst"]
+            .to_dict()
+            if len(parts)
+            else {}
+        )
+        cur = {st: int(nd) for st, nd in nxt.items()}  # sinks drop out
+        rows.extend((st, t, nd) for st, nd in sorted(cur.items()))
+    out = pd.DataFrame(rows, columns=["start", "step", "node"])
+    return out.astype({"start": "int64", "step": "int64", "node": "int64"})
+
+
+SQL_QUERIES["walk_corpus"] = q_walk_corpus
+
+ORACLE_SQL["walk_corpus"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    w1 AS (
+        SELECT nodes.n AS start,
+               arg_min(e.dst, md5_number_lower(nodes.n || '>' || 1 || '>' || e.dst))
+                   AS node
+        FROM nodes JOIN e ON e.src = nodes.n GROUP BY nodes.n
+    ),
+    w2 AS (
+        SELECT w1.start,
+               arg_min(e.dst, md5_number_lower(w1.node || '>' || 2 || '>' || e.dst))
+                   AS node
+        FROM w1 JOIN e ON e.src = w1.node GROUP BY w1.start
+    ),
+    w3 AS (
+        SELECT w2.start,
+               arg_min(e.dst, md5_number_lower(w2.node || '>' || 3 || '>' || e.dst))
+                   AS node
+        FROM w2 JOIN e ON e.src = w2.node GROUP BY w2.start
+    ),
+    w4 AS (
+        SELECT w3.start,
+               arg_min(e.dst, md5_number_lower(w3.node || '>' || 4 || '>' || e.dst))
+                   AS node
+        FROM w3 JOIN e ON e.src = w3.node GROUP BY w3.start
+    )
+    SELECT start, 1 AS step, node FROM w1
+    UNION ALL SELECT start, 2, node FROM w2
+    UNION ALL SELECT start, 3, node FROM w3
+    UNION ALL SELECT start, 4, node FROM w4
+    ORDER BY step, start
+"""
