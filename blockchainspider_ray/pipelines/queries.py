@@ -20315,13 +20315,16 @@ def q_cocitation(sf_dir: str):
                 }
             )
 
-        return (
+        df = (
             de.groupby(key)
             .map_groups(emit, batch_format="pyarrow")
             .groupby(["a", "b"])
             .count()
             .to_pandas()
         )
+        if df.empty:  # no neighborhood emitted any pair
+            df = pd.DataFrame({"a": [], "b": [], "count()": []})
+        return df
 
     cc = pairs("src", "dst").rename(columns={"count()": "cocitation"})
     bc = pairs("dst", "src").rename(columns={"count()": "coupling"})
@@ -20872,7 +20875,8 @@ def q_ndcg_eval(sf_dir: str, k: int = 10):
         .to_pandas()
     )
     rel_top = (top["lang"] == "en").to_numpy(np.float64)
-    dcg = float(np.sum(rel_top / np.log2(np.arange(1, k + 1) + 1)))
+    kk = len(top)  # corpus may be smaller than k
+    dcg = float(np.sum(rel_top / np.log2(np.arange(1, kk + 1) + 1)))
     nrel = docs.filter(lambda r: r["lang"] == "en").count()
     idcg = float(np.sum(1.0 / np.log2(np.arange(1, min(k, nrel) + 1) + 1)))
     first = (
