@@ -21320,3 +21320,175 @@ ORACLE_SQL["walk_corpus"] = """
     UNION ALL SELECT start, 4, node FROM w4
     ORDER BY step, start
 """
+
+
+def q_late_arrivals(sf_dir: str, delay_us: int = 3_600_000_000):
+    """Streaming watermark accounting (the Flink/Beam allowed-lateness
+    rule): replay events in arrival order (event_id), hold a watermark =
+    running max(ts) - 1h over STRICTLY EARLIER arrivals, and count per
+    event type how many events land behind it — the late-data volume a
+    windowed aggregate would have to retract.  Distributed as the
+    order-preserving two-pass prefix max: pass 1 computes per-bucket
+    (event_id // 4096) ts maxima (tiny table), the driver folds the
+    running carry, pass 2 finishes the within-bucket running max in-group
+    with the broadcast carry — same shape as shuffle_rank/pack_sequences'
+    prefix sums, no global sort."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    B = 4096
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        return b.append_column(
+            "bucket", pa.array((eid // B).astype(np.int64), pa.int64())
+        )
+
+    bk = ev.map_batches(bucketize, batch_format="pyarrow").materialize()
+    bmax = bk.groupby("bucket").max("ts").to_pandas().sort_values("bucket")
+    carry: dict = {}
+    run = None
+    for _, r_ in bmax.iterrows():
+        carry[int(r_["bucket"])] = run  # max over strictly earlier buckets
+        m = r_["max(ts)"]
+        run = m if run is None or m > run else run
+    cref = ray.put(
+        {k: (np.datetime64(v, "us") if v is not None else None) for k, v in carry.items()}
+    )
+
+    def flag(b: pa.Table, _c=cref) -> pa.Table:
+        cd = ray.get(_c)
+        df = b.select(["bucket", "event_id", "ts", "event_type"]).to_pandas()
+        df = df.sort_values("event_id", kind="mergesort")
+        ts = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        prev = np.empty(len(ts), np.int64)
+        prev[0] = np.iinfo(np.int64).min
+        np.maximum.accumulate(ts[:-1], out=prev[1:]) if len(ts) > 1 else None
+        c0 = cd.get(int(df["bucket"].iloc[0]))
+        if c0 is not None:
+            prev = np.maximum(prev, np.int64(c0.astype("int64")))
+        late = (ts < prev - delay_us) & (prev != np.iinfo(np.int64).min)
+        out = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "late": late})
+            .groupby("event_type", as_index=False)
+            .agg(n_events=("late", "size"), n_late=("late", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        bk.groupby("bucket")
+        .map_groups(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
+        .to_pandas()
+    )
+    agg["late_frac"] = _r(agg["n_late"] / agg["n_events"], 6)
+    return (
+        agg.astype({"n_events": "int64", "n_late": "int64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["late_arrivals"] = q_late_arrivals
+
+ORACLE_SQL["late_arrivals"] = """
+    WITH w AS (
+        SELECT event_type, ts,
+               max(ts) OVER (
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < seen - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ts < seen - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS late_frac
+    FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+_FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered funnel analysis (the product-analytics staple): how many
+    users progress view -> click -> signup -> purchase, where each stage
+    must happen STRICTLY after the user's earliest completion of the
+    previous stage.  Shape: per-user fold inside groupby(user_id) (sort
+    the user's events once, walk the stages), then a max-step histogram
+    whose cumulative counts the driver folds over 4 rows — user event
+    lists never co-locate beyond their own group."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = b.select(["ts", "event_type"]).to_pandas().sort_values("ts")
+        t = None
+        step = 0
+        for stage in _FUNNEL_STAGES:
+            sel = df[df["event_type"] == stage]
+            if t is not None:
+                sel = sel[sel["ts"] > t]
+            if sel.empty:
+                break
+            t = sel["ts"].iloc[0]
+            step += 1
+        return pa.table({"max_step": pa.array([step], pa.int64())})
+
+    hist = (
+        ev.groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("max_step")
+        .count()
+        .to_pandas()
+    )
+    reach = [
+        int(hist.loc[hist["max_step"] >= s, "count()"].sum())
+        for s in range(1, len(_FUNNEL_STAGES) + 1)
+    ]
+    base = reach[0] if reach[0] else 1
+    return pd.DataFrame(
+        {
+            "step": pd.Series(range(1, 5), dtype="int64"),
+            "stage": list(_FUNNEL_STAGES),
+            "n_users": pd.Series(reach, dtype="int64"),
+            "conversion": [_r(r / base, 6) for r in reach],
+        }
+    )
+
+
+SQL_QUERIES["funnel_steps"] = q_funnel_steps
+
+ORACLE_SQL["funnel_steps"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'signup' GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN s3 ON s3.user_id = e.user_id AND e.ts > s3.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    f AS (
+        SELECT 1 AS step, 'view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'signup', count(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    ),
+    b AS (SELECT greatest(max(CASE WHEN step = 1 THEN n_users END), 1) AS base FROM f)
+    SELECT CAST(f.step AS BIGINT) AS step, f.stage,
+           CAST(f.n_users AS BIGINT) AS n_users,
+           round(f.n_users * 1.0 / b.base, 6) AS conversion
+    FROM f, b ORDER BY f.step
+"""
