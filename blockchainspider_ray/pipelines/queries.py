@@ -21492,3 +21492,297 @@ ORACLE_SQL["funnel_steps"] = """
            round(f.n_users * 1.0 / b.base, 6) AS conversion
     FROM f, b ORDER BY f.step
 """
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve for time from first signup to first
+    subsequent purchase, users without a purchase right-censored at the
+    corpus's last timestamp — the classic churn/time-to-event estimator.
+    S(t) = prod over event times t_i <= t of (1 - d_i / n_i), evaluated
+    as exp(cumsum(ln ...)) with the IDENTICAL op order to the SQL window
+    mirror.  Shape: per-user duration fold inside groupby(user_id) (one
+    broadcast scalar: the global max ts), then a per-duration groupby;
+    the driver folds only the distinct-duration table (bounded by the
+    user count, never the event count)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    mx = ev.max("ts")
+    mref = ray.put(np.datetime64(mx, "us"))
+
+    def fold(b: pa.Table, _m=mref) -> pa.Table:
+        m = ray.get(_m).astype("int64")
+        df = b.select(["ts", "event_type"]).to_pandas().sort_values("ts")
+        sg = df[df["event_type"] == "signup"]
+        if sg.empty:
+            return pa.table(
+                {"dur": pa.array([], pa.int64()), "ev": pa.array([], pa.int64())}
+            )
+        t0 = sg["ts"].iloc[0]
+        pu = df[(df["event_type"] == "purchase") & (df["ts"] > t0)]
+        t0us = np.datetime64(t0, "us").astype("int64")
+        if pu.empty:
+            dur, evt = int(m - t0us), 0
+        else:
+            dur = int(np.datetime64(pu["ts"].iloc[0], "us").astype("int64") - t0us)
+            evt = 1
+        return pa.table(
+            {"dur": pa.array([dur], pa.int64()), "ev": pa.array([evt], pa.int64())}
+        )
+
+    obs = (
+        ev.groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("dur")
+        .aggregate(Sum("ev", alias_name="d"), Count("ev", alias_name="c"))
+        .to_pandas()
+        .sort_values("dur")
+        .reset_index(drop=True)
+    )
+    at_risk_total = int(obs["c"].sum())
+    seen = 0
+    rows = []
+    log_s = 0.0
+    dead = False  # a time with d == n drives S to exactly 0 thereafter
+    for _, r_ in obs.iterrows():
+        n = at_risk_total - seen  # users with duration >= this t
+        d = int(r_["d"])
+        if d > 0:
+            if d == n:
+                dead = True
+            else:
+                log_s += float(np.log(1.0 - d / n))
+            s = 0.0 if dead else float(_r(np.exp(log_s), 6))
+            rows.append((int(r_["dur"]), n, d, s))
+        seen += int(r_["c"])
+    return pd.DataFrame(
+        rows, columns=["t_us", "n_risk", "n_events", "survival"]
+    ).astype({"t_us": "int64", "n_risk": "int64", "n_events": "int64"})
+
+
+SQL_QUERIES["kaplan_meier"] = q_kaplan_meier
+
+ORACLE_SQL["kaplan_meier"] = """
+    WITH su AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN su ON su.user_id = e.user_id AND e.ts > su.t0
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    mx AS (SELECT max(ts) AS m FROM events),
+    obs AS (
+        SELECT su.user_id,
+               CASE WHEN pu.t1 IS NOT NULL
+                    THEN epoch_us(pu.t1) - epoch_us(su.t0)
+                    ELSE epoch_us(mx.m) - epoch_us(su.t0) END AS dur,
+               CASE WHEN pu.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM su LEFT JOIN pu ON pu.user_id = su.user_id CROSS JOIN mx
+    ),
+    tt AS (SELECT dur AS t, count(*) AS d FROM obs WHERE ev = 1 GROUP BY dur),
+    rk AS (
+        SELECT tt.t, tt.d,
+               (SELECT count(*) FROM obs WHERE obs.dur >= tt.t) AS n
+        FROM tt
+    )
+    SELECT CAST(t AS BIGINT) AS t_us,
+           CAST(n AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t) = 1 THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n THEN ln(1 - d * 1.0 / n)
+                                        ELSE 0 END) OVER (ORDER BY t)), 6)
+           END AS survival
+    FROM rk ORDER BY t
+"""
+
+
+def q_bipartite_check(sf_dir: str, pivot: int = 0):
+    """Two-coloring / odd-cycle detection on the pivot's weakly-connected
+    component: min-depth BFS parity over the undirected view, then count
+    edges whose endpoints share a parity — zero conflicts iff the
+    component is bipartite (the classic check before any bipartite-graph
+    algorithm, e.g. SALSA's hub/authority split).  The BFS is the same
+    streaming frontier wave as scc_pivot with depth tracking; the
+    conflict count is one filtered pass over the edges with the 50-entry
+    parity map broadcast."""
+    de = _distinct_edges(sf_dir)
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        n = np.concatenate([s, d])
+        nb = np.concatenate([d, s])
+        keep = n != nb
+        df = pd.DataFrame({"src": n[keep], "dst": nb[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    und = (
+        de.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    depth = {pivot: 0}
+    frontier = {pivot}
+    d_cur = 0
+    while frontier:
+        fr = pa.array(sorted(frontier), pa.int64())
+
+        def hop(b: pa.Table, _fr=fr) -> pa.Table:
+            m = pc.is_in(b.column("src"), value_set=_fr)
+            return pa.table({"d": pc.unique(b.filter(m).column("dst"))})
+
+        reached: set = set()
+        for blk in und.map_batches(hop, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            reached.update(pa.table(blk).column("d").to_pylist())
+        d_cur += 1
+        frontier = reached - set(depth)
+        for n in frontier:
+            depth[n] = d_cur
+
+    pref = ray.put({n: d % 2 for n, d in depth.items()})
+
+    def conflicts(b: pa.Table, _p=pref) -> pa.Table:
+        par = ray.get(_p)
+        s = b.column("src").to_pylist()
+        d = b.column("dst").to_pylist()
+        c = sum(
+            1
+            for a_, b_ in zip(s, d)
+            if a_ < b_ and a_ in par and b_ in par and par[a_] == par[b_]
+        )
+        return pa.table({"c": pa.array([c], pa.int64())})
+
+    n_conf = int(
+        und.map_batches(conflicts, batch_format="pyarrow").sum("c")
+    )
+    out = pd.DataFrame(
+        sorted(depth.items()), columns=["node", "depth"]
+    ).astype({"node": "int64", "depth": "int64"})
+    out["parity"] = (out["depth"] % 2).astype("int64")
+    out["n_conflict_edges"] = np.int64(n_conf)
+    out["is_bipartite"] = bool(n_conf == 0)
+    return out
+
+
+SQL_QUERIES["bipartite_check"] = q_bipartite_check
+
+ORACLE_SQL["bipartite_check"] = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        ) WHERE src <> dst
+    ),
+    b AS (
+        SELECT 0 AS node, 0 AS d
+        UNION
+        SELECT und.dst, b.d + 1 FROM b JOIN und ON und.src = b.node
+        WHERE b.d < 50
+    ),
+    md AS (SELECT node, min(d) AS depth FROM b GROUP BY node),
+    conf AS (
+        SELECT count(*) AS c
+        FROM und JOIN md ma ON ma.node = und.src JOIN md mb ON mb.node = und.dst
+        WHERE und.src < und.dst AND ma.depth % 2 = mb.depth % 2
+    )
+    SELECT md.node, md.depth, md.depth % 2 AS parity,
+           CAST(conf.c AS BIGINT) AS n_conflict_edges,
+           conf.c = 0 AS is_bipartite
+    FROM md, conf ORDER BY md.node
+"""
+
+
+def q_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13): each
+    user's pre-period spend (first half of their events by time) is the
+    covariate X, post-period spend the metric Y, theta = cov(X,Y)/var(X)
+    pooled across arms (user_id parity), adjusted metric Y - theta*(X -
+    mean X).  Per-event values go through integer cents so the per-user
+    sums are exact; the per-user fold runs inside groupby(user_id) and
+    only the (arm, x, y) user table leaves the shuffle — at 10^9 users
+    swap the driver-side moments for centered sufficient-stat combiners
+    (corr_matrix's shape)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = (
+            b.select(["user_id", "event_id", "ts", "value"])
+            .to_pandas()
+            .sort_values(["ts", "event_id"], kind="mergesort")
+        )
+        uid = int(df["user_id"].iloc[0])
+        cents = np.floor(np.abs(df["value"].to_numpy()) * 100 + 0.5).astype(
+            np.int64
+        ) * np.sign(df["value"].to_numpy()).astype(np.int64)
+        k = len(df)
+        x = int(cents[: k // 2].sum()) / 100.0
+        y = int(cents[k // 2 :].sum()) / 100.0
+        return pa.table(
+            {
+                "arm": pa.array([uid % 2], pa.int64()),
+                "x": pa.array([x], pa.float64()),
+                "y": pa.array([y], pa.float64()),
+            }
+        )
+
+    xy = (
+        ev.groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["arm", "x", "y"])
+        .reset_index(drop=True)
+    )
+    mx, my = float(xy["x"].mean()), float(xy["y"].mean())
+    dx = xy["x"].to_numpy() - mx
+    dy = xy["y"].to_numpy() - my
+    varx = float(np.sum(dx * dx))
+    theta = float(np.sum(dx * dy) / varx) if varx != 0 else 0.0
+    xy["y_adj"] = xy["y"] - theta * (xy["x"] - mx)
+    out = (
+        xy.groupby("arm", as_index=False)
+        .agg(n_users=("y", "size"), mean_y=("y", "mean"), mean_y_adj=("y_adj", "mean"))
+        .sort_values("arm")
+        .reset_index(drop=True)
+    )
+    out["mean_y"] = _r(out["mean_y"], 6)
+    out["mean_y_adj"] = _r(out["mean_y_adj"], 6)
+    out["theta"] = float(_r(theta, 6))
+    return out.astype({"arm": "int64", "n_users": "int64"})
+
+
+SQL_QUERIES["cuped"] = q_cuped
+
+ORACLE_SQL["cuped"] = """
+    WITH r AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS k
+        FROM events
+    ),
+    xy AS (
+        SELECT user_id, user_id % 2 AS arm,
+               sum(CASE WHEN rn <= k // 2 THEN cents ELSE 0 END) / 100.0 AS x,
+               sum(CASE WHEN rn > k // 2 THEN cents ELSE 0 END) / 100.0 AS y
+        FROM r GROUP BY user_id
+    ),
+    g AS (SELECT avg(x) AS mx, avg(y) AS my FROM xy),
+    th AS (
+        SELECT CASE WHEN sum((x - mx) * (x - mx)) = 0 THEN 0
+               ELSE sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)) END AS theta
+        FROM xy, g
+    )
+    SELECT CAST(xy.arm AS BIGINT) AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(xy.y), 6) AS mean_y,
+           round(avg(xy.y - th.theta * (xy.x - g.mx)), 6) AS mean_y_adj,
+           round(th.theta, 6) AS theta
+    FROM xy, g, th GROUP BY xy.arm, th.theta, g.mx ORDER BY arm
+"""
