@@ -21786,3 +21786,293 @@ ORACLE_SQL["cuped"] = """
            round(th.theta, 6) AS theta
     FROM xy, g, th GROUP BY xy.arm, th.theta, g.mx ORDER BY arm
 """
+
+
+def q_hitting_time(sf_dir: str, pivot: int = 0, iters: int = 3):
+    """Expected random-walk hitting time to the pivot, three unrolled
+    Jacobi sweeps of h = 1 + mean over out-neighbors h(nbr), h(pivot)=0,
+    h0=0 — the absorbing-walk distance that ranks crawl frontiers by
+    "steps until the walk reaches the seed" (truncated, so values are
+    lower bounds that tighten per sweep).  Each sweep is one streaming
+    message pass over the distinct edges with the 50-float vector
+    broadcast, same shape as trustrank/katz; sinks keep h = 1 + 0."""
+    de = _distinct_edges(sf_dir)
+    degs = de.to_pandas()
+    outdeg = degs.groupby("src").size().to_dict()
+
+    h = {n: 0.0 for n in range(50)}
+    for _ in range(iters):
+        ref = ray.put(dict(h))
+
+        def msg(b: pa.Table, _ref=ref) -> pa.Table:
+            hv = ray.get(_ref)
+            s = b.column("src").to_numpy()
+            d = b.column("dst").to_numpy()
+            m = np.array([hv[int(x)] for x in d], dtype=np.float64)
+            df = pd.DataFrame({"src": s, "m": m}).groupby("src", as_index=False).sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        inc = (
+            de.map_batches(msg, batch_format="pyarrow")
+            .groupby("src")
+            .sum("m")
+            .to_pandas()
+        )
+        nh = {n: 1.0 for n in range(50)}
+        for _, r_ in inc.iterrows():
+            n = int(r_["src"])
+            nh[n] = 1.0 + float(r_["sum(m)"]) / outdeg[n]
+        nh[pivot] = 0.0
+        h = nh
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "hitting_time": [float(_r(h[n], 6)) for n in range(50)],
+        }
+    )
+
+
+SQL_QUERIES["hitting_time"] = q_hitting_time
+
+ORACLE_SQL["hitting_time"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+    h0 AS (SELECT n, 0.0 AS h FROM nodes),
+    h1 AS (
+        SELECT nodes.n,
+               CASE WHEN nodes.n = 0 THEN 0.0
+                    ELSE 1.0 + coalesce(sum(h0.h) / any_value(outd.od), 0) END AS h
+        FROM nodes
+        LEFT JOIN e ON e.src = nodes.n
+        LEFT JOIN h0 ON h0.n = e.dst
+        LEFT JOIN outd ON outd.src = nodes.n
+        GROUP BY nodes.n
+    ),
+    h2 AS (
+        SELECT nodes.n,
+               CASE WHEN nodes.n = 0 THEN 0.0
+                    ELSE 1.0 + coalesce(sum(h1.h) / any_value(outd.od), 0) END AS h
+        FROM nodes
+        LEFT JOIN e ON e.src = nodes.n
+        LEFT JOIN h1 ON h1.n = e.dst
+        LEFT JOIN outd ON outd.src = nodes.n
+        GROUP BY nodes.n
+    ),
+    h3 AS (
+        SELECT nodes.n,
+               CASE WHEN nodes.n = 0 THEN 0.0
+                    ELSE 1.0 + coalesce(sum(h2.h) / any_value(outd.od), 0) END AS h
+        FROM nodes
+        LEFT JOIN e ON e.src = nodes.n
+        LEFT JOIN h2 ON h2.n = e.dst
+        LEFT JOIN outd ON outd.src = nodes.n
+        GROUP BY nodes.n
+    )
+    SELECT n AS node, round(h, 6) AS hitting_time FROM h3 ORDER BY node
+"""
+
+
+def q_set_cover_greedy(sf_dir: str, k: int = 5):
+    """Greedy maximum-coverage corpus selection (the classic (1-1/e)
+    approximation): pick 5 docs, each maximizing NEW vocabulary covered,
+    ties to the smallest doc_id — the coverage-driven seed/exemplar
+    selection used for eval-set and prompt-set construction.  Each of the
+    5 rounds is one streaming pass: the covered-token set broadcasts,
+    every batch reports its best (gain, doc_id) candidate, the driver
+    folds batch winners; the chosen doc's token set (bounded by one doc)
+    is the only per-round driver state."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    covered: set = set()
+    picks = []
+    for step in range(1, k + 1):
+        cref = ray.put(set(covered))
+
+        def best(b: pa.Table, _c=cref) -> pa.Table:
+            cov = ray.get(_c)
+            bg, bid = -1, None
+            for did, t in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                g = len(set(re.findall(r"\S+", t)) - cov)
+                if g > bg or (g == bg and bid is not None and did < bid):
+                    bg, bid = g, did
+            return pa.table(
+                {
+                    "doc_id": pa.array([bid], pa.int64()),
+                    "gain": pa.array([bg], pa.int64()),
+                }
+            )
+
+        cand = (
+            docs.map_batches(best, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["gain", "doc_id"], ascending=[False, True])
+        )
+        did, gain = int(cand["doc_id"].iloc[0]), int(cand["gain"].iloc[0])
+        txt = (
+            docs.filter(lambda r, _d=did: r["doc_id"] == _d)
+            .take(1)[0]["text"]
+        )
+        covered |= set(re.findall(r"\S+", txt))
+        picks.append((step, did, gain, len(covered)))
+    return pd.DataFrame(
+        picks, columns=["step", "doc_id", "gain", "covered_vocab"]
+    ).astype("int64")
+
+
+SQL_QUERIES["set_cover_greedy"] = q_set_cover_greedy
+
+# 5 unrolled greedy rounds; per round pick the doc with the largest count
+# of tokens not yet covered (ties -> min doc_id), then fold its tokens in.
+ORACLE_SQL["set_cover_greedy"] = r"""
+    WITH sets AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+        FROM documents
+    ),
+    p1 AS (
+        SELECT doc_id, len(s) AS gain FROM sets
+        ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c1 AS (SELECT sets.s AS cov FROM sets JOIN p1 USING (doc_id)),
+    p2 AS (
+        SELECT sets.doc_id,
+               len(list_filter(sets.s, x -> NOT list_contains(c1.cov, x))) AS gain
+        FROM sets, c1 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c2 AS (
+        SELECT list_distinct(list_concat(c1.cov, sets.s)) AS cov
+        FROM sets, c1 WHERE sets.doc_id = (SELECT doc_id FROM p2)
+    ),
+    p3 AS (
+        SELECT sets.doc_id,
+               len(list_filter(sets.s, x -> NOT list_contains(c2.cov, x))) AS gain
+        FROM sets, c2 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c3 AS (
+        SELECT list_distinct(list_concat(c2.cov, sets.s)) AS cov
+        FROM sets, c2 WHERE sets.doc_id = (SELECT doc_id FROM p3)
+    ),
+    p4 AS (
+        SELECT sets.doc_id,
+               len(list_filter(sets.s, x -> NOT list_contains(c3.cov, x))) AS gain
+        FROM sets, c3 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c4 AS (
+        SELECT list_distinct(list_concat(c3.cov, sets.s)) AS cov
+        FROM sets, c3 WHERE sets.doc_id = (SELECT doc_id FROM p4)
+    ),
+    p5 AS (
+        SELECT sets.doc_id,
+               len(list_filter(sets.s, x -> NOT list_contains(c4.cov, x))) AS gain
+        FROM sets, c4 ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    c5 AS (
+        SELECT list_distinct(list_concat(c4.cov, sets.s)) AS cov
+        FROM sets, c4 WHERE sets.doc_id = (SELECT doc_id FROM p5)
+    )
+    SELECT 1 AS step, p1.doc_id, p1.gain, len(c1.cov) AS covered_vocab FROM p1, c1
+    UNION ALL SELECT 2, p2.doc_id, p2.gain, len(c2.cov) FROM p2, c2
+    UNION ALL SELECT 3, p3.doc_id, p3.gain, len(c3.cov) FROM p3, c3
+    UNION ALL SELECT 4, p4.doc_id, p4.gain, len(c4.cov) FROM p4, c4
+    UNION ALL SELECT 5, p5.doc_id, p5.gain, len(c5.cov) FROM p5, c5
+    ORDER BY step
+"""
+
+
+def q_knapsack_select(sf_dir: str, budget: int = 5000):
+    """Token-budget corpus selection: order docs by quality-per-token
+    (Gopher-ish quality proxy = unique-token fraction, ties by doc_id),
+    admit greedily while the running token total stays within the 5000-
+    token budget — the "best data under a training-token budget" picker.
+    The running total is the order-preserving two-pass prefix sum over
+    rank buckets (shuffle_rank's shape): per-bucket token sums fold to a
+    carry on the driver, a second in-group pass finishes exact per-doc
+    prefix totals.  Output = admitted docs with their cumulative position."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        ids, nt, ratio = [], [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            toks = re.findall(r"\S+", t)
+            ids.append(did)
+            nt.append(len(toks))
+            ratio.append(len(set(toks)) / len(toks) if toks else 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "quality": pa.array(_r(np.array(ratio), 6), pa.float64()),
+            }
+        )
+
+    scored = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["quality", "doc_id"], descending=[True, False])
+        .materialize()
+    )
+    # two-pass prefix sum over the sorted blocks: per-block token subtotals
+    # fold into a carry, then each block finishes its exact running totals
+    sub = []
+    for i, blk in enumerate(
+        scored.iter_batches(batch_format="pyarrow", batch_size=4096)
+    ):
+        sub.append(pa.table(blk))
+    out_rows = []
+    carry = 0
+    for blk in sub:
+        nt = blk.column("n_tokens").to_numpy()
+        run = carry + np.cumsum(nt)
+        keep = run <= budget
+        if keep.any():
+            out_rows.append(
+                pa.table(
+                    {
+                        "doc_id": blk.column("doc_id").filter(pa.array(keep)),
+                        "n_tokens": blk.column("n_tokens").filter(pa.array(keep)),
+                        "quality": blk.column("quality").filter(pa.array(keep)),
+                        "cum_tokens": pa.array(run[keep], pa.int64()),
+                    }
+                )
+            )
+        carry += int(nt.sum())
+        if carry > budget:
+            break
+    if not out_rows:
+        return pd.DataFrame(
+            {"doc_id": [], "n_tokens": [], "quality": [], "cum_tokens": []}
+        ).astype({"doc_id": "int64", "n_tokens": "int64", "cum_tokens": "int64"})
+    return pa.concat_tables(out_rows).to_pandas()
+
+
+SQL_QUERIES["knapsack_select"] = q_knapsack_select
+
+ORACLE_SQL["knapsack_select"] = r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               round(len(list_distinct(w)) * 1.0 / len(w), 6) AS quality
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, quality,
+               sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 5000
+    ORDER BY quality DESC, doc_id
+"""
