@@ -22076,3 +22076,278 @@ ORACLE_SQL["knapsack_select"] = r"""
     FROM r WHERE cum_tokens <= 5000
     ORDER BY quality DESC, doc_id
 """
+
+
+def q_containment_pairs(sf_dir: str):
+    """Broder containment (the asymmetric cousin of resemblance):
+    C(A,B) = |A∩B| / |A| over consecutive doc pairs — the quote /
+    subsumption detector Jaccard misses when one doc embeds another.
+    Same pair-shuffle as jaccard_pairs: each doc emits its distinct-token
+    list under pair ids (own, own-1), groupby(pair_id) co-locates exactly
+    two docs, both directions computed in-group."""
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def emit_roles(b: pa.Table) -> pa.Table:
+        pair_ids, roles, toks = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            distinct = sorted(set(re.findall(r"\S+", t)))
+            if i + 1 < n_docs:
+                pair_ids.append(i)
+                roles.append("a")
+                toks.append(distinct)
+            if i - 1 >= 0:
+                pair_ids.append(i - 1)
+                roles.append("b")
+                toks.append(distinct)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_ids, pa.int64()),
+                "role": pa.array(roles, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
+
+    def contain(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            return pa.table(
+                {
+                    "pair_id": pa.array([], pa.int64()),
+                    "cont_a_in_b": pa.array([], pa.float64()),
+                    "cont_b_in_a": pa.array([], pa.float64()),
+                }
+            )
+        df = group.to_pandas().sort_values("role")
+        a = set(df["tokens"].iloc[0])
+        b_ = set(df["tokens"].iloc[1])
+        inter = len(a & b_)
+        return pa.table(
+            {
+                "pair_id": pa.array([int(df["pair_id"].iloc[0])], pa.int64()),
+                "cont_a_in_b": pa.array([float(_r(inter / len(a), 6))], pa.float64()),
+                "cont_b_in_a": pa.array(
+                    [float(_r(inter / len(b_), 6))], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(emit_roles, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(contain, batch_format="pyarrow")
+        .sort("pair_id")
+    )
+
+
+SQL_QUERIES["containment_pairs"] = q_containment_pairs
+
+ORACLE_SQL["containment_pairs"] = r"""
+    WITH sets AS (
+        SELECT doc_id,
+               list_distinct(regexp_split_to_array(trim(text), '\s+')) AS s
+        FROM documents
+    )
+    SELECT a.doc_id AS pair_id,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+               AS cont_a_in_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6)
+               AS cont_b_in_a
+    FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+    ORDER BY pair_id
+"""
+
+
+def q_rbo_overlap(sf_dir: str, p: float = 0.9, k: int = 10):
+    """Rank-biased overlap (Webber et al., TOIS'10), truncated at depth
+    10, between two deterministic document rankings — length-first
+    (n_chars DESC) vs quality-first (unique-token ratio DESC) — the
+    top-weighted ranking-agreement metric for comparing curation
+    policies.  RBO@10 = (1-p) * sum_{d<=10} p^(d-1) * |A_d ∩ B_d| / d.
+    Distributed cost: two sort+limit(10) slices; the depth fold runs on
+    20 driver rows."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    top_a = (
+        docs.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        ids, q = [], []
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            toks = re.findall(r"\S+", t)
+            ids.append(did)
+            q.append(float(_r(len(set(toks)) / len(toks) if toks else 0.0, 6)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    top_b = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["quality", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    rbo = 0.0
+    overlap10 = 0
+    for d in range(1, k + 1):
+        ov = len(set(top_a[:d]) & set(top_b[:d]))
+        rbo += (1 - p) * (p ** (d - 1)) * ov / d
+        if d == k:
+            overlap10 = ov
+    return pd.DataFrame(
+        {
+            "rbo10": [float(_r(rbo, 6))],
+            "overlap10": pd.Series([overlap10], dtype="int64"),
+        }
+    )
+
+
+SQL_QUERIES["rbo_overlap"] = q_rbo_overlap
+
+ORACLE_SQL["rbo_overlap"] = r"""
+    WITH q AS (
+        SELECT doc_id, n_chars,
+               round(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                     * 1.0 / len(regexp_split_to_array(trim(text), '\s+')), 6)
+                   AS quality
+        FROM documents
+    ),
+    ra AS (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM q
+    ),
+    rb AS (
+        SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS r
+        FROM q
+    ),
+    d AS (SELECT i AS depth FROM range(1, 11) t(i)),
+    ov AS (
+        SELECT d.depth,
+               (SELECT count(*) FROM ra JOIN rb USING (doc_id)
+                WHERE ra.r <= d.depth AND rb.r <= d.depth) AS a
+        FROM d
+    )
+    SELECT round(sum(0.1 * power(0.9, depth - 1) * a / depth), 6) AS rbo10,
+           CAST(max(CASE WHEN depth = 10 THEN a END) AS BIGINT) AS overlap10
+    FROM ov
+"""
+
+
+def q_info_gain(sf_dir: str):
+    """Decision-stump split scoring: information gain of thresholding
+    n_chars at k*max/10 (k = 1..9) for predicting lang = 'en' — the
+    feature-selection primitive under every tree/GBM and under
+    "which signal separates good docs" curation analyses.  One combiner
+    pass accumulates per-threshold (n_left, pos_left) sufficient stats
+    inside map_batches (9 integers per batch, no shuffle of rows); the
+    driver applies the entropy formula; ties on the best flag go to the
+    smallest threshold."""
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    mx = int(docs.max("n_chars"))
+    thr = np.array([k * mx // 10 for k in range(1, 10)], dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy()
+        y = (np.asarray(b.column("lang").to_pylist()) == "en").astype(np.int64)
+        left = nc[None, :] <= thr[:, None]
+        return pa.table(
+            {
+                "k": pa.array(np.arange(1, 10), pa.int64()),
+                "nl": pa.array(left.sum(axis=1).astype(np.int64), pa.int64()),
+                "pl": pa.array((left * y[None, :]).sum(axis=1), pa.int64()),
+                "n": pa.array(np.full(9, len(nc), np.int64), pa.int64()),
+                "pos": pa.array(np.full(9, int(y.sum()), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("nl", alias_name="nl"),
+            Sum("pl", alias_name="pl"),
+            Sum("n", alias_name="n"),
+            Sum("pos", alias_name="pos"),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+    def ent(pos: np.ndarray, n: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = np.where(n > 0, pos / np.maximum(n, 1), 0.0)
+            h = -(
+                np.where(pr > 0, pr * np.log(pr), 0.0)
+                + np.where(pr < 1, (1 - pr) * np.log(1 - pr), 0.0)
+            )
+        return np.where(n > 0, h, 0.0)
+
+    n = agg["n"].to_numpy(np.float64)
+    pos = agg["pos"].to_numpy(np.float64)
+    nl = agg["nl"].to_numpy(np.float64)
+    pl = agg["pl"].to_numpy(np.float64)
+    nr, pr_ = n - nl, pos - pl
+    ig = ent(pos, n) - (nl / n) * ent(pl, nl) - (nr / n) * ent(pr_, nr)
+    out = pd.DataFrame(
+        {
+            "k": agg["k"].astype("int64"),
+            "threshold": pd.Series(thr, dtype="int64"),
+            "n_left": agg["nl"].astype("int64"),
+            "info_gain": _r(ig, 6),
+        }
+    )
+    out["is_best"] = out["info_gain"] == out["info_gain"].max()
+    return out
+
+
+SQL_QUERIES["info_gain"] = q_info_gain
+
+ORACLE_SQL["info_gain"] = """
+    WITH mx AS (SELECT max(n_chars) AS m FROM documents),
+    th AS (
+        SELECT i AS k, CAST(i * m // 10 AS BIGINT) AS threshold
+        FROM mx, unnest(range(1, 10)) t(i)
+    ),
+    s AS (
+        SELECT th.k, th.threshold,
+               count(*) AS n,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN n_chars <= th.threshold THEN 1 ELSE 0 END) AS nl,
+               sum(CASE WHEN n_chars <= th.threshold AND lang = 'en'
+                        THEN 1 ELSE 0 END) AS pl
+        FROM documents, th GROUP BY th.k, th.threshold
+    ),
+    e AS (
+        SELECT k, threshold, n, pos, nl, pl,
+               n - nl AS nr, pos - pl AS prr FROM s
+    ),
+    ig AS (
+        SELECT k, threshold, nl,
+               (CASE WHEN pos IN (0, n) THEN 0
+                     ELSE -(pos * 1.0 / n) * ln(pos * 1.0 / n)
+                          - (1 - pos * 1.0 / n) * ln(1 - pos * 1.0 / n) END)
+               - (nl * 1.0 / n) *
+                 (CASE WHEN nl = 0 OR pl IN (0, nl) THEN 0
+                       ELSE -(pl * 1.0 / nl) * ln(pl * 1.0 / nl)
+                            - (1 - pl * 1.0 / nl) * ln(1 - pl * 1.0 / nl) END)
+               - (nr * 1.0 / n) *
+                 (CASE WHEN nr = 0 OR prr IN (0, nr) THEN 0
+                       ELSE -(prr * 1.0 / nr) * ln(prr * 1.0 / nr)
+                            - (1 - prr * 1.0 / nr) * ln(1 - prr * 1.0 / nr) END)
+                   AS g
+        FROM e
+    )
+    SELECT k, threshold, CAST(e.nl AS BIGINT) AS n_left,
+           round(ig.g, 6) AS info_gain,
+           round(ig.g, 6) = (SELECT max(round(g, 6)) FROM ig) AS is_best
+    FROM ig JOIN e USING (k, threshold) ORDER BY k
+"""
