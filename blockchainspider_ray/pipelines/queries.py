@@ -21884,7 +21884,9 @@ def q_set_cover_greedy(sf_dir: str, k: int = 5):
     5 rounds is one streaming pass: the covered-token set broadcasts,
     every batch reports its best (gain, doc_id) candidate, the driver
     folds batch winners; the chosen doc's token set (bounded by one doc)
-    is the only per-round driver state."""
+    is the only per-round driver state.  The materialize() pins the
+    (doc_id, text) projection for the repeated passes — at 100 TB drop
+    it and re-read from parquet per round (or pre-shingle to hashes)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     covered: set = set()
@@ -21990,10 +21992,11 @@ def q_knapsack_select(sf_dir: str, budget: int = 5000):
     (Gopher-ish quality proxy = unique-token fraction, ties by doc_id),
     admit greedily while the running token total stays within the 5000-
     token budget — the "best data under a training-token budget" picker.
-    The running total is the order-preserving two-pass prefix sum over
-    rank buckets (shuffle_rank's shape): per-bucket token sums fold to a
-    carry on the driver, a second in-group pass finishes exact per-doc
-    prefix totals.  Output = admitted docs with their cumulative position."""
+    The sorted blocks stream to the driver IN ORDER with an early stop
+    at the first block whose carry exceeds the budget, so only the
+    admitted prefix (narrow columns) ever leaves the cluster — the
+    admitted set is budget/avg_tokens docs by construction, not corpus-
+    sized.  Output = admitted docs with their cumulative position."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(b: pa.Table) -> pa.Table:
@@ -22350,4 +22353,196 @@ ORACLE_SQL["info_gain"] = """
            round(ig.g, 6) AS info_gain,
            round(ig.g, 6) = (SELECT max(round(g, 6)) FROM ig) AS is_best
     FROM ig JOIN e USING (k, threshold) ORDER BY k
+"""
+
+
+def _distinct_edges_parity(sf_dir: str, parity: int) -> "ray.data.Dataset":
+    """DISTINCT (src, dst) restricted to events with event_id % 2 ==
+    parity — the two temporal half-snapshots of the link graph."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def half(b: pa.Table, _p=parity) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), _p)
+        sub = b.filter(keep)
+        t = _edges_batch(sub)
+        df = t.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ev.map_batches(half, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+
+def q_triadic_closure(sf_dir: str):
+    """Temporal triadic closure rate (the wedge-closing eval behind
+    link-prediction benchmarks): wedges formed by the EARLY half of the
+    event stream (even event_id) — distinct dst pairs sharing an early
+    source — checked against the LATE half (odd event_id) for a closing
+    edge in either direction.  Wedge pairs emit in-group per early
+    neighborhood (cocitation's shape), dedupe through one pair groupby,
+    and the verdict is a broadcast membership test against the late edge
+    set (dimension-sized; at web scale make it a partitioned semi-join)."""
+    e0 = _distinct_edges_parity(sf_dir, 0)
+    e1 = _distinct_edges_parity(sf_dir, 1).to_pandas()
+    late = set(zip(e1["src"].tolist(), e1["dst"].tolist()))
+    lref = ray.put(late)
+
+    def emit(b: pa.Table) -> pa.Table:
+        vs = np.sort(np.unique(b.column("dst").to_numpy()))
+        i, j = np.triu_indices(len(vs), k=1)
+        return pa.table(
+            {
+                "a": pa.array(vs[i], pa.int64()),
+                "b": pa.array(vs[j], pa.int64()),
+            }
+        )
+
+    def verdict(b: pa.Table, _l=lref) -> pa.Table:
+        lt = ray.get(_l)
+        a = b.column("a").to_pylist()
+        bb = b.column("b").to_pylist()
+        closed = sum(
+            1 for x, y in zip(a, bb) if (x, y) in lt or (y, x) in lt
+        )
+        return pa.table(
+            {
+                "n_pairs": pa.array([len(a)], pa.int64()),
+                "n_closed": pa.array([closed], pa.int64()),
+            }
+        )
+
+    agg = (
+        e0.groupby("src")
+        .map_groups(emit, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .drop_columns(["count()"])
+        .map_batches(verdict, batch_format="pyarrow")
+        .to_pandas()  # one partial row per batch — tiny
+    )
+    np_, nc = int(agg["n_pairs"].sum()), int(agg["n_closed"].sum())
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([np_], dtype="int64"),
+            "n_closed": pd.Series([nc], dtype="int64"),
+            "closure_rate": [float(_r(nc / np_, 6)) if np_ else 0.0],
+        }
+    )
+
+
+SQL_QUERIES["triadic_closure"] = q_triadic_closure
+
+ORACLE_SQL["triadic_closure"] = """
+    WITH e0 AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events WHERE event_id % 2 = 0
+    ),
+    e1 AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events WHERE event_id % 2 = 1
+    ),
+    w AS (
+        SELECT DISTINCT a1.dst AS a, a2.dst AS b
+        FROM e0 a1 JOIN e0 a2 ON a1.src = a2.src AND a1.dst < a2.dst
+    ),
+    c AS (
+        SELECT w.a, w.b,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM e1
+                   WHERE (e1.src = w.a AND e1.dst = w.b)
+                      OR (e1.src = w.b AND e1.dst = w.a)
+               ) THEN 1 ELSE 0 END AS closed
+        FROM w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(closed) AS BIGINT) AS n_closed,
+           round(sum(closed) * 1.0 / count(*), 6) AS closure_rate
+    FROM c
+"""
+
+
+def q_snapshot_drift(sf_dir: str):
+    """Structural drift between the two temporal half-snapshots of the
+    link graph (even vs odd event_id): out-degree distributions of the
+    distinct edge sets, compared per degree value with the total-
+    variation distance 0.5 * sum |p0 - p1| — the cheap "did the graph's
+    shape change" monitor that triggers recrawls / model refreshes.
+    Two degree groupbys (tiny), one driver fold over the degree-value
+    union."""
+    d0 = (
+        _distinct_edges_parity(sf_dir, 0)
+        .groupby("src")
+        .count()
+        .to_pandas()
+        .groupby("count()")
+        .size()
+    )
+    d1 = (
+        _distinct_edges_parity(sf_dir, 1)
+        .groupby("src")
+        .count()
+        .to_pandas()
+        .groupby("count()")
+        .size()
+    )
+    degs = sorted(set(d0.index) | set(d1.index))
+    n0, n1 = float(d0.sum()), float(d1.sum())
+    rows = []
+    tv = 0.0
+    for dg in degs:
+        p0 = int(d0.get(dg, 0)) / n0
+        p1 = int(d1.get(dg, 0)) / n1
+        tv += abs(p0 - p1)
+    tv *= 0.5
+    for dg in degs:
+        rows.append(
+            (
+                int(dg),
+                int(d0.get(dg, 0)),
+                int(d1.get(dg, 0)),
+                float(_r(int(d0.get(dg, 0)) / n0, 6)),
+                float(_r(int(d1.get(dg, 0)) / n1, 6)),
+                float(_r(tv, 6)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["outdeg", "n_early", "n_late", "p_early", "p_late", "tv_dist"]
+    ).astype({"outdeg": "int64", "n_early": "int64", "n_late": "int64"})
+
+
+SQL_QUERIES["snapshot_drift"] = q_snapshot_drift
+
+ORACLE_SQL["snapshot_drift"] = """
+    WITH e0 AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events WHERE event_id % 2 = 0
+    ),
+    e1 AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events WHERE event_id % 2 = 1
+    ),
+    g0 AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+    g1 AS (SELECT src, count(*) AS d FROM e1 GROUP BY src),
+    h0 AS (SELECT d AS outdeg, count(*) AS n FROM g0 GROUP BY d),
+    h1 AS (SELECT d AS outdeg, count(*) AS n FROM g1 GROUP BY d),
+    u AS (
+        SELECT coalesce(h0.outdeg, h1.outdeg) AS outdeg,
+               coalesce(h0.n, 0) AS n_early,
+               coalesce(h1.n, 0) AS n_late
+        FROM h0 FULL OUTER JOIN h1 ON h0.outdeg = h1.outdeg
+    ),
+    t AS (SELECT sum(n_early) AS t0, sum(n_late) AS t1 FROM u),
+    tv AS (
+        SELECT 0.5 * sum(abs(n_early * 1.0 / t.t0 - n_late * 1.0 / t.t1)) AS v
+        FROM u, t
+    )
+    SELECT u.outdeg, u.n_early, u.n_late,
+           round(u.n_early * 1.0 / t.t0, 6) AS p_early,
+           round(u.n_late * 1.0 / t.t1, 6) AS p_late,
+           round(tv.v, 6) AS tv_dist
+    FROM u, t, tv ORDER BY u.outdeg
 """
