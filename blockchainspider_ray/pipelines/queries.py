@@ -22546,3 +22546,333 @@ ORACLE_SQL["snapshot_drift"] = """
            round(tv.v, 6) AS tv_dist
     FROM u, t, tv ORDER BY u.outdeg
 """
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient phi(k) (Colizza et al. '06) of the
+    undirected link graph at k in {1, 2, 4, 8}: the edge density among
+    nodes of degree > k — "do the hubs link to each other", the
+    topology signal behind hub-first crawl prioritization.  One pass
+    over the undirected edge set with the 50-entry degree dict
+    broadcast accumulates the 4 edge counts; node counts come off the
+    degree table."""
+    de = _distinct_edges(sf_dir)
+
+    def undirect(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        n = np.concatenate([s, d])
+        nb = np.concatenate([d, s])
+        keep = n != nb
+        df = pd.DataFrame({"n": n[keep], "nb": nb[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    und = (
+        de.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["n", "nb"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    degs = und.groupby("n").count().to_pandas().set_index("n")["count()"].to_dict()
+    dref = ray.put(dict(degs))
+    ks = [1, 2, 4, 8]
+
+    def count_edges(b: pa.Table, _d=dref) -> pa.Table:
+        dd = ray.get(_d)
+        n = b.column("n").to_pylist()
+        nb = b.column("nb").to_pylist()
+        outs = []
+        for k in ks:
+            outs.append(
+                sum(1 for a_, b_ in zip(n, nb) if a_ < b_ and dd[a_] > k and dd[b_] > k)
+            )
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "e": pa.array(outs, pa.int64()),
+            }
+        )
+
+    ec = (
+        und.map_batches(count_edges, batch_format="pyarrow")
+        .groupby("k")
+        .sum("e")
+        .to_pandas()
+        .set_index("k")["sum(e)"]
+        .to_dict()
+    )
+    rows = []
+    for k in ks:
+        nn = sum(1 for v in degs.values() if v > k)
+        e = int(ec.get(k, 0))
+        phi = 2.0 * e / (nn * (nn - 1)) if nn > 1 else 0.0
+        rows.append((k, nn, e, float(_r(phi, 6))))
+    return pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges", "phi"]).astype(
+        {"k": "int64", "n_nodes": "int64", "n_edges": "int64"}
+    )
+
+
+SQL_QUERIES["rich_club"] = q_rich_club
+
+ORACLE_SQL["rich_club"] = """
+    WITH e AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    und AS (
+        SELECT DISTINCT n, nb FROM (
+            SELECT src AS n, dst AS nb FROM e
+            UNION ALL SELECT dst, src FROM e
+        ) WHERE n <> nb
+    ),
+    deg AS (SELECT n, count(*) AS d FROM und GROUP BY n),
+    ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+    nn AS (
+        SELECT ks.k, count(*) AS n_nodes
+        FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    ee AS (
+        SELECT ks.k, count(*) AS n_edges
+        FROM ks
+        LEFT JOIN und ON und.n < und.nb
+        JOIN deg da ON da.n = und.n AND da.d > ks.k
+        JOIN deg db ON db.n = und.nb AND db.d > ks.k
+        GROUP BY ks.k
+    )
+    SELECT nn.k,
+           CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(ee.n_edges, 0) AS BIGINT) AS n_edges,
+           CASE WHEN nn.n_nodes > 1
+                THEN round(2.0 * coalesce(ee.n_edges, 0)
+                           / (nn.n_nodes * (nn.n_nodes - 1)), 6)
+                ELSE 0.0 END AS phi
+    FROM nn LEFT JOIN ee ON ee.k = nn.k ORDER BY nn.k
+"""
+
+
+def q_cosine_pairs(sf_dir: str):
+    """TF-IDF-weighted cosine similarity for consecutive doc pairs — the
+    weighted counterpart of jaccard_pairs/containment_pairs (rare shared
+    terms count more, boilerplate counts less).  idf = ln(N/df) from one
+    vocab groupby, broadcast (31 terms here; bucket-hash it at web
+    scale); pairs co-locate through the same (pair_id, role) shuffle and
+    the cosine happens in-group on the two tf vectors."""
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def dfs(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(set(re.findall(r"\S+", t)))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tab = (
+        docs.map_batches(dfs, batch_format="pyarrow").groupby("token").sum("c").to_pandas()
+    )
+    idf = {
+        t: float(np.log(n_docs / c))
+        for t, c in zip(df_tab["token"], df_tab["sum(c)"])
+    }
+    iref = ray.put(idf)
+
+    def emit_roles(b: pa.Table) -> pa.Table:
+        pair_ids, roles, toks = [], [], []
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            tl = re.findall(r"\S+", t)
+            if i + 1 < n_docs:
+                pair_ids.append(i)
+                roles.append("a")
+                toks.append(tl)
+            if i - 1 >= 0:
+                pair_ids.append(i - 1)
+                roles.append("b")
+                toks.append(tl)
+        return pa.table(
+            {
+                "pair_id": pa.array(pair_ids, pa.int64()),
+                "role": pa.array(roles, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
+
+    def cosine(group: pa.Table, _i=iref) -> pa.Table:
+        if group.num_rows != 2:
+            return pa.table(
+                {
+                    "pair_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        idf_ = ray.get(_i)
+        from collections import Counter
+
+        df = group.to_pandas().sort_values("role")
+        wa = {t: c * idf_[t] for t, c in Counter(df["tokens"].iloc[0]).items()}
+        wb = {t: c * idf_[t] for t, c in Counter(df["tokens"].iloc[1]).items()}
+        dot = sum(wa[t] * wb[t] for t in sorted(set(wa) & set(wb)))
+        na = np.sqrt(sum(v * v for v in wa.values()))
+        nb_ = np.sqrt(sum(v * v for v in wb.values()))
+        sim = dot / (na * nb_) if na > 0 and nb_ > 0 else 0.0
+        return pa.table(
+            {
+                "pair_id": pa.array([int(df["pair_id"].iloc[0])], pa.int64()),
+                "cosine": pa.array([float(_r(sim, 6))], pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(emit_roles, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(cosine, batch_format="pyarrow")
+        .sort("pair_id")
+    )
+
+
+SQL_QUERIES["cosine_pairs"] = q_cosine_pairs
+
+ORACLE_SQL["cosine_pairs"] = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    nd AS (SELECT count(*) AS n FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.token, tf.c * ln(nd.n * 1.0 / dfreq.df) AS w
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nv FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS pair_id, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND b.token = a.token
+        GROUP BY a.doc_id
+    ),
+    pairs AS (
+        SELECT na.doc_id AS pair_id,
+               coalesce(dots.dot, 0) / (na.nv * nb.nv) AS sim
+        FROM nrm na JOIN nrm nb ON nb.doc_id = na.doc_id + 1
+        LEFT JOIN dots ON dots.pair_id = na.doc_id
+        WHERE na.nv > 0 AND nb.nv > 0
+    )
+    SELECT pair_id, round(sim, 6) AS cosine FROM pairs ORDER BY pair_id
+"""
+
+
+def q_pagerank_delta(sf_dir: str, iters: int = 2, alpha: float = 0.85):
+    """Incremental-maintenance readout: PageRank over the EARLY half of
+    the event stream (even event_id) vs over the full graph, per-node
+    delta — what a batch of new edges does to the rank vector, the
+    signal an incremental crawler uses to decide which frontiers to
+    re-score.  Both vectors run the same two unrolled uniform-teleport
+    message passes as trustrank (broadcast 50-float vector, per-batch
+    partial sums, one groupby per iteration); only the edge Dataset
+    differs."""
+    def pr(edges: "ray.data.Dataset") -> dict:
+        deg = (
+            edges.groupby("src")
+            .count()
+            .to_pandas()
+            .set_index("src")["count()"]
+            .to_dict()
+        )
+        x = {n: 1.0 / 50 for n in range(50)}
+        for _ in range(iters):
+            ref = ray.put((dict(x), dict(deg)))
+
+            def msg(b: pa.Table, _ref=ref) -> pa.Table:
+                xv, dg = ray.get(_ref)
+                s = b.column("src").to_numpy()
+                d = b.column("dst").to_numpy()
+                w = np.array(
+                    [xv[int(n)] / dg[int(n)] for n in s], dtype=np.float64
+                )
+                df = (
+                    pd.DataFrame({"dst": d, "m": w})
+                    .groupby("dst", as_index=False)
+                    .sum()
+                )
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            inc = (
+                edges.map_batches(msg, batch_format="pyarrow")
+                .groupby("dst")
+                .sum("m")
+                .to_pandas()
+            )
+            x = {n: (1 - alpha) / 50 for n in range(50)}
+            for _, r_ in inc.iterrows():
+                x[int(r_["dst"])] = alpha * float(r_["sum(m)"]) + (1 - alpha) / 50
+        return x
+
+    base = pr(_distinct_edges_parity(sf_dir, 0))
+    full = pr(_distinct_edges(sf_dir))
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "rank_base": [float(_r(base[n], 6)) for n in range(50)],
+            "rank_full": [float(_r(full[n], 6)) for n in range(50)],
+            "delta": [float(_r(full[n] - base[n], 6)) for n in range(50)],
+        }
+    )
+
+
+SQL_QUERIES["pagerank_delta"] = q_pagerank_delta
+
+
+def _pr_unrolled(edge_cte: str, prefix: str) -> str:
+    """Two unrolled uniform-teleport PageRank iterations over ``edge_cte``
+    (a CTE name holding (src, dst)); emits CTEs ``{prefix}d``, ``{prefix}0``,
+    ``{prefix}1``, ``{prefix}2`` and leaves the final vector in ``{prefix}2``."""
+    p = prefix
+    e = edge_cte
+    return f"""
+    {p}d AS (SELECT src, count(*) AS od FROM {e} GROUP BY src),
+    {p}0 AS (SELECT n, 1.0 / 50 AS x FROM nodes),
+    {p}1 AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum({p}0.x / {p}d.od), 0) + 0.15 / 50 AS x
+        FROM nodes
+        LEFT JOIN {e} ON {e}.dst = nodes.n
+        LEFT JOIN {p}0 ON {p}0.n = {e}.src
+        LEFT JOIN {p}d ON {p}d.src = {e}.src
+        GROUP BY nodes.n
+    ),
+    {p}2 AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum({p}1.x / {p}d.od), 0) + 0.15 / 50 AS x
+        FROM nodes
+        LEFT JOIN {e} ON {e}.dst = nodes.n
+        LEFT JOIN {p}1 ON {p}1.n = {e}.src
+        LEFT JOIN {p}d ON {p}d.src = {e}.src
+        GROUP BY nodes.n
+    )"""
+
+
+ORACLE_SQL["pagerank_delta"] = f"""
+    WITH e0 AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events WHERE event_id % 2 = 0
+    ),
+    ef AS (
+        SELECT DISTINCT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    {_pr_unrolled("e0", "a")},
+    {_pr_unrolled("ef", "b")}
+    SELECT nodes.n AS node,
+           round(a2.x, 6) AS rank_base,
+           round(b2.x, 6) AS rank_full,
+           round(b2.x - a2.x, 6) AS delta
+    FROM nodes JOIN a2 ON a2.n = nodes.n JOIN b2 ON b2.n = nodes.n
+    ORDER BY node
+"""
