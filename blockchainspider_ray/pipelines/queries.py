@@ -22876,3 +22876,164 @@ ORACLE_SQL["pagerank_delta"] = f"""
     FROM nodes JOIN a2 ON a2.n = nodes.n JOIN b2 ON b2.n = nodes.n
     ORDER BY node
 """
+
+
+def q_persistent_items(sf_dir: str, frac: float = 0.5):
+    """Persistent-item detection (Dai et al.'s streaming notion: present
+    in many windows, not merely frequent overall): users active in at
+    least half of all hourly windows — the "steady crawler vs burst bot"
+    screen a rate limiter can't express.  One (user, hour) dedup
+    groupby, one per-user count, one scalar (total distinct hours)
+    broadcast into the final map."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hourly(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[h]")
+        df = pd.DataFrame(
+            {"user_id": b.column("user_id").to_numpy(), "hour": ts}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    uh = (
+        ev.map_batches(hourly, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    total_hours = int(uh.groupby("hour").count().count())
+    per_user = (
+        uh.groupby("user_id").count().to_pandas().rename(columns={"count()": "n_hours"})
+    )
+    per_user["hour_frac"] = _r(per_user["n_hours"] / total_hours, 6)
+    per_user["is_persistent"] = per_user["n_hours"] >= frac * total_hours
+    return (
+        per_user.astype({"user_id": "int64", "n_hours": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["persistent_items"] = q_persistent_items
+
+ORACLE_SQL["persistent_items"] = """
+    WITH uh AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM events
+    ),
+    th AS (SELECT count(DISTINCT hour) AS t FROM uh),
+    pu AS (SELECT user_id, count(*) AS n_hours FROM uh GROUP BY user_id)
+    SELECT pu.user_id,
+           CAST(pu.n_hours AS BIGINT) AS n_hours,
+           round(pu.n_hours * 1.0 / th.t, 6) AS hour_frac,
+           pu.n_hours >= 0.5 * th.t AS is_persistent
+    FROM pu, th ORDER BY pu.user_id
+"""
+
+
+def q_sparsify_error(sf_dir: str, topk: int = 2, iters: int = 2):
+    """Graph-sparsification fidelity: keep each source's top-2 out-edges
+    by event multiplicity (ties to the smaller dst), re-run the same
+    two-iteration PageRank, and report per-node rank drift plus the
+    global L1 error — the "how much graph can we drop before the crawl
+    prioritizer degrades" knob for 10^10-edge link graphs.  The top-k
+    prune is an in-group head after one (src, dst) multiplicity groupby;
+    both rank vectors reuse the streaming message passes."""
+    ew = (
+        _events_edges(sf_dir)
+        .groupby(["src", "dst"])
+        .count()
+        .materialize()
+    )
+
+    def head2(b: pa.Table, _k=topk) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .sort_values(["count()", "dst"], ascending=[False, True])
+            .head(_k)
+        )
+        return pa.Table.from_pandas(
+            df[["src", "dst"]], preserve_index=False
+        )
+
+    sparse = ew.groupby("src").map_groups(head2, batch_format="pyarrow").materialize()
+    full = ew.drop_columns(["count()"]).materialize()
+
+    def pr(edges: "ray.data.Dataset") -> dict:
+        deg = (
+            edges.groupby("src")
+            .count()
+            .to_pandas()
+            .set_index("src")["count()"]
+            .to_dict()
+        )
+        x = {n: 1.0 / 50 for n in range(50)}
+        for _ in range(iters):
+            ref = ray.put((dict(x), dict(deg)))
+
+            def msg(b: pa.Table, _ref=ref) -> pa.Table:
+                xv, dg = ray.get(_ref)
+                s = b.column("src").to_numpy()
+                d = b.column("dst").to_numpy()
+                w = np.array(
+                    [xv[int(n)] / dg[int(n)] for n in s], dtype=np.float64
+                )
+                df = (
+                    pd.DataFrame({"dst": d, "m": w})
+                    .groupby("dst", as_index=False)
+                    .sum()
+                )
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            inc = (
+                edges.map_batches(msg, batch_format="pyarrow")
+                .groupby("dst")
+                .sum("m")
+                .to_pandas()
+            )
+            x = {n: 0.15 / 50 for n in range(50)}
+            for _, r_ in inc.iterrows():
+                x[int(r_["dst"])] = 0.85 * float(r_["sum(m)"]) + 0.15 / 50
+        return x
+
+    pf = pr(full)
+    ps = pr(sparse)
+    l1 = float(
+        _r(sum(abs(float(_r(pf[n], 9)) - float(_r(ps[n], 9))) for n in range(50)), 6)
+    )
+    return pd.DataFrame(
+        {
+            "node": list(range(50)),
+            "rank_full": [float(_r(float(_r(pf[n], 9)), 6)) for n in range(50)],
+            "rank_sparse": [float(_r(float(_r(ps[n], 9)), 6)) for n in range(50)],
+            "l1_error": [l1] * 50,
+        }
+    )
+
+
+SQL_QUERIES["sparsify_error"] = q_sparsify_error
+
+ORACLE_SQL["sparsify_error"] = f"""
+    WITH ew AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ef AS (SELECT src, dst FROM ew),
+    es AS (
+        SELECT src, dst FROM ew
+        QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) <= 2
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    {_pr_unrolled("ef", "f")},
+    {_pr_unrolled("es", "s")},
+    l1 AS (
+        SELECT sum(abs(round(f2.x, 9) - round(s2.x, 9))) AS v
+        FROM f2 JOIN s2 ON s2.n = f2.n
+    )
+    SELECT nodes.n AS node,
+           round(round(f2.x, 9), 6) AS rank_full,
+           round(round(s2.x, 9), 6) AS rank_sparse,
+           round(l1.v, 6) AS l1_error
+    FROM nodes JOIN f2 ON f2.n = nodes.n JOIN s2 ON s2.n = nodes.n, l1
+    ORDER BY node
+"""
