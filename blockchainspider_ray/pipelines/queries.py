@@ -21412,7 +21412,7 @@ ORACLE_SQL["late_arrivals"] = """
 _FUNNEL_STAGES = ("view", "click", "signup", "purchase")
 
 
-def q_funnel_steps(sf_dir: str):
+def q_funnel_conversion(sf_dir: str):
     """Ordered funnel analysis (the product-analytics staple): how many
     users progress view -> click -> signup -> purchase, where each stage
     must happen STRICTLY after the user's earliest completion of the
@@ -21458,9 +21458,9 @@ def q_funnel_steps(sf_dir: str):
     )
 
 
-SQL_QUERIES["funnel_steps"] = q_funnel_steps
+SQL_QUERIES["funnel_conversion"] = q_funnel_conversion
 
-ORACLE_SQL["funnel_steps"] = """
+ORACLE_SQL["funnel_conversion"] = """
     WITH s1 AS (
         SELECT user_id, min(ts) AS t FROM events
         WHERE event_type = 'view' GROUP BY user_id

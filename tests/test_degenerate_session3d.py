@@ -146,7 +146,7 @@ def test_s3d_partitioning_independent(ray_session, monkeypatch):
         "bowtie", "line_dedup", "salsa", "cocitation", "gap_stats",
         "count_min", "simrank", "adamic_adar", "wl_refinement",
         "ndcg_eval", "shard_balance", "hll_audit", "cdc_chunks",
-        "benford_digits", "walk_corpus", "late_arrivals", "funnel_steps",
+        "benford_digits", "walk_corpus", "late_arrivals", "funnel_conversion",
         "kaplan_meier", "bipartite_check", "cuped", "hitting_time",
         "set_cover_greedy", "knapsack_select", "containment_pairs",
         "rbo_overlap", "info_gain", "triadic_closure", "snapshot_drift",
