@@ -23037,3 +23037,260 @@ ORACLE_SQL["sparsify_error"] = f"""
     FROM nodes JOIN f2 ON f2.n = nodes.n JOIN s2 ON s2.n = nodes.n, l1
     ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# link-spam mass, classifier macro-F1, sequential-pattern support
+# (continuing the web-curation/eval family)
+# ---------------------------------------------------------------------------
+
+def q_spam_mass(sf_dir: str, alpha: float = 0.85, iters: int = 2):
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen,
+    VLDB'06): the fraction of a node's PageRank NOT accounted for by
+    trust flowing from a known-good seed set, M(n) = (p(n) - t(n)) / p(n)
+    where p is uniform-teleport PageRank and t the seed-biased TrustRank
+    — the classic link-spam screen a crawl frontier applies before
+    spending fetch budget.  Both vectors run the SAME two unrolled
+    message-pass iterations over the out-degree-normalized events graph
+    (broadcast 50-float state, per-batch partial sums, groupby(dst)); the
+    driver folds only the 50-row vector per iteration.  Mirrors the
+    reference's rank-then-filter frontier shape (strategies push weights,
+    spiders drop low-trust hosts) in one declarative pass."""
+    edges = _events_edges(sf_dir).materialize()
+    degs = (
+        edges.groupby("src").count().to_pandas().set_index("src")["count()"]
+    )
+    deg = np.zeros(50, np.float64)
+    deg[degs.index.to_numpy()] = degs.to_numpy()
+    d_seed = np.array([1.0 / 5 if n < 5 else 0.0 for n in range(50)])
+    p = np.full(50, 1.0 / 50)
+    t = d_seed.copy()
+    for _ in range(iters):
+        ref = ray.put((p.copy(), t.copy(), deg.copy()))
+
+        def msg(b: pa.Table, _ref=ref) -> pa.Table:
+            pv, tv, dg = ray.get(_ref)
+            s = b.column("src").to_numpy()
+            d = b.column("dst").to_numpy()
+            df = (
+                pd.DataFrame(
+                    {"dst": d, "mp": pv[s] / dg[s], "mt": tv[s] / dg[s]}
+                )
+                .groupby("dst", as_index=False)
+                .sum()
+            )
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        inc = (
+            edges.map_batches(msg, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("mp", alias_name="mp"), Sum("mt", alias_name="mt"))
+            .to_pandas()
+        )
+        p = (1 - alpha) / 50 * np.ones(50)
+        t = (1 - alpha) * d_seed
+        idx = inc["dst"].to_numpy()
+        p[idx] += alpha * inc["mp"].to_numpy()
+        t[idx] += alpha * inc["mt"].to_numpy()
+    p9, t9 = _r(p, 9), _r(t, 9)
+    return pd.DataFrame(
+        {
+            "node": pd.Series(range(50), dtype="int64"),
+            "pr": _r(p9, 6),
+            "trust": _r(t9, 6),
+            "spam_mass": _r((p9 - t9) / p9, 6),
+        }
+    )
+
+
+SQL_QUERIES["spam_mass"] = q_spam_mass
+
+
+def _seed_pr_unrolled(edge_cte: str, deg_cte: str, prefix: str, iters: int = 2) -> str:
+    """Unrolled seed-biased PageRank (TrustRank) iterations over
+    ``edge_cte``; teleport vector is the ``sd`` CTE (must exist).  Leaves
+    the final vector in ``{prefix}{iters}``."""
+    p, e = prefix, edge_cte
+    its = "\n".join(
+        f"""    {p}{k + 1} AS (
+        SELECT nodes.n,
+               0.85 * coalesce(sum({p}{k}.x / {deg_cte}.od), 0)
+               + 0.15 * any_value(sd.d) AS x
+        FROM nodes JOIN sd ON sd.n = nodes.n
+        LEFT JOIN {e} ON {e}.dst = nodes.n
+        LEFT JOIN {p}{k} ON {p}{k}.n = {e}.src
+        LEFT JOIN {deg_cte} ON {deg_cte}.src = {e}.src
+        GROUP BY nodes.n
+    ),"""
+        for k in range(iters)
+    )
+    return f"""    {p}0 AS (SELECT n, d AS x FROM sd),
+{its}"""
+
+
+ORACLE_SQL["spam_mass"] = f"""
+    WITH e AS (
+        SELECT user_id % 50 AS src, (user_id * 13 + event_id) % 50 AS dst
+        FROM events
+    ),
+    nodes AS (SELECT i AS n FROM range(0, 50) t(i)),
+    sd AS (SELECT n, CASE WHEN n < 5 THEN 1.0 / 5 ELSE 0.0 END AS d FROM nodes),
+    {_pr_unrolled("e", "g")},
+{_seed_pr_unrolled("e", "gd", "t")}
+    fin AS (
+        SELECT nodes.n, round(g2.x, 9) AS p, round(t2.x, 9) AS t
+        FROM nodes JOIN g2 ON g2.n = nodes.n JOIN t2 ON t2.n = nodes.n
+    )
+    SELECT n AS node, round(p, 6) AS pr, round(t, 6) AS trust,
+           round((p - t) / p, 6) AS spam_mass
+    FROM fin ORDER BY node
+"""
+
+
+def q_langid_macro_f1(sf_dir: str):
+    """Per-class precision/recall/F1 of the pinned n-gram language-ID
+    heuristic against the labelled ``lang`` column, plus the
+    macro-averaged row (``lang='__macro__'``) — the standard
+    classifier-quality readout a corpus-curation run reports next to the
+    confusion matrix.  Reuses the confusion-matrix combiner plan
+    (O(langs^2) cells cross the wire, never documents); the driver folds
+    only the tiny cell table.  Macro averages the UNROUNDED per-class
+    values over the truth classes, as the SQL mirror does."""
+    cm = q_langid_confusion(sf_dir).to_pandas()
+    classes = sorted(cm["lang"].unique())
+    rows = []
+    prs, rcs, f1s = [], [], []
+    for c in classes:
+        tp = int(cm.loc[(cm["lang"] == c) & (cm["lang_pred"] == c), "cnt"].sum())
+        fp = int(cm.loc[(cm["lang"] != c) & (cm["lang_pred"] == c), "cnt"].sum())
+        fn = int(cm.loc[(cm["lang"] == c) & (cm["lang_pred"] != c), "cnt"].sum())
+        prec = tp / (tp + fp) if tp + fp > 0 else 0.0
+        rec = tp / (tp + fn) if tp + fn > 0 else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        prs.append(prec)
+        rcs.append(rec)
+        f1s.append(f1)
+        rows.append((c, _r(prec, 6), _r(rec, 6), _r(f1, 6)))
+    rows.insert(
+        0,
+        (
+            "__macro__",
+            _r(float(np.mean(prs)), 6),
+            _r(float(np.mean(rcs)), 6),
+            _r(float(np.mean(f1s)), 6),
+        ),
+    )
+    return pd.DataFrame(rows, columns=["lang", "precision", "recall", "f1"])
+
+
+SQL_QUERIES["langid_macro_f1"] = q_langid_macro_f1
+
+ORACLE_SQL["langid_macro_f1"] = (
+    "WITH pred AS (" + ORACLE_SQL["langid"] + """),
+    cm AS (
+        SELECT d.lang AS lang, p.lang_pred
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cls AS (SELECT DISTINCT lang FROM cm),
+    st AS (
+        SELECT c.lang,
+               sum(CASE WHEN cm.lang = c.lang AND cm.lang_pred = c.lang
+                        THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN cm.lang <> c.lang AND cm.lang_pred = c.lang
+                        THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN cm.lang = c.lang AND cm.lang_pred <> c.lang
+                        THEN 1 ELSE 0 END) AS fn
+        FROM cls c, cm GROUP BY c.lang
+    ),
+    f AS (
+        SELECT lang,
+               CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) ELSE 0.0 END AS prec,
+               CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) ELSE 0.0 END AS rec
+        FROM st
+    ),
+    g AS (
+        SELECT lang, prec, rec,
+               CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+                    ELSE 0.0 END AS f1
+        FROM f
+    )
+    SELECT lang, round(prec, 6) AS precision, round(rec, 6) AS recall,
+           round(f1, 6) AS f1
+    FROM g
+    UNION ALL
+    SELECT '__macro__', round(avg(prec), 6), round(avg(rec), 6),
+           round(avg(f1), 6)
+    FROM g
+    ORDER BY lang
+"""
+)
+
+
+def q_event_order_pairs(sf_dir: str):
+    """Sequential-pattern support (the length-2, any-gap case of
+    GSP/PrefixSpan): for every ordered pair of distinct event types
+    (a, b), how many users performed some a strictly before some b —
+    i.e. min_ts(a) < max_ts(b) within the user's history — and the
+    support as a fraction of all users.  Shape: per-user fold inside
+    groupby(user_id) emits at most |types|^2 pair rows plus one user
+    marker, one small groupby reduces them; no user's history leaves its
+    group and the driver folds only the O(types^2) pair table."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = b.select(["ts", "event_type"]).to_pandas()
+        g = df.groupby("event_type")["ts"].agg(["min", "max"])
+        ants, cons = ["__user__"], ["__user__"]
+        for a in g.index:
+            for c in g.index:
+                if a != c and g.loc[a, "min"] < g.loc[c, "max"]:
+                    ants.append(a)
+                    cons.append(c)
+        return pa.table(
+            {
+                "antecedent": pa.array(ants, pa.string()),
+                "consequent": pa.array(cons, pa.string()),
+            }
+        )
+
+    agg = (
+        ev.groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby(["antecedent", "consequent"])
+        .count()
+        .to_pandas()
+    )
+    total = int(
+        agg.loc[agg["antecedent"] == "__user__", "count()"].sum()
+    )
+    out = agg[agg["antecedent"] != "__user__"].copy()
+    out["n_users"] = out["count()"].astype("int64")
+    out["support"] = _r(out["n_users"] / max(total, 1), 6)
+    return (
+        out[["antecedent", "consequent", "n_users", "support"]]
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_QUERIES["event_order_pairs"] = q_event_order_pairs
+
+ORACLE_SQL["event_order_pairs"] = """
+    WITH mm AS (
+        SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               count(*) AS n_users
+        FROM mm a JOIN mm b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.mn < b.mx
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT greatest(count(DISTINCT user_id), 1) AS n FROM events)
+    SELECT antecedent, consequent, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users * 1.0 / tot.n, 6) AS support
+    FROM pairs, tot ORDER BY antecedent, consequent
+"""

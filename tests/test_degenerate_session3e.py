@@ -1,0 +1,104 @@
+"""Degenerate-corpus + partitioning-independence guards for the
+spam-mass / macro-F1 / sequential-pattern session.
+
+Tiny fixture (3 docs / 3 events) mirrors test_degenerate_session3d:
+events (user 7, event 0/1) and (user 8, event 2) give link-graph edges
+7->41, 7->42, 8->6, no edges out of the trust seeds 0-4, and no ordered
+cross-type pair within either user's history.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3e"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b c d e", "a b c d e", "x y"], pa.string()),
+                "lang": pa.array(["en", "en", "en"], pa.string()),
+                "source": pa.array(["s0", "s0", "s1"], pa.string()),
+                "n_chars": pa.array([9, 9, 3], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    ts = pa.array(
+        pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 05:00", "2024-01-02 00:00"]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([7, 7, 8], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy"], pa.string()),
+                "value": pa.array([1.0, 1.0, 2.5], pa.float64()),
+                "props": pa.array(["{}", "{}", "{}"], pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def _df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_s3e_tiny_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    sm = _df(q.q_spam_mass(tiny_sf)).set_index("node")
+    # seeds keep pure teleport pr = 0.15/50 = 0.003 but trust 0.15*0.2 = 0.03
+    for n in range(5):
+        assert sm.loc[n, "pr"] == 0.003
+        assert sm.loc[n, "trust"] == 0.03
+        assert sm.loc[n, "spam_mass"] == -9.0
+    # no trust ever reaches the 7/8 component -> relative spam mass 1.0
+    assert sm.loc[41, "trust"] == 0.0
+    assert sm.loc[41, "spam_mass"] == 1.0
+    assert sm.loc[6, "spam_mass"] == 1.0
+    # two-hop pr: 41 gets 0.85 * (p1[7]=0.003)/2 + 0.003
+    assert abs(sm.loc[41, "pr"] - 0.004275) < 1e-9
+    assert abs(sm.loc[6, "pr"] - 0.00555) < 1e-9
+
+    # same-type repeats and single events produce NO ordered pairs
+    op = _df(q.q_event_order_pairs(tiny_sf))
+    assert len(op) == 0
+    assert list(op.columns) == ["antecedent", "consequent", "n_users", "support"]
+
+    f1 = _df(q.q_langid_macro_f1(tiny_sf))
+    assert f1["lang"].iloc[0] == "__macro__"
+    assert len(f1) == 2  # one truth class + macro
+    for c in ("precision", "recall", "f1"):
+        assert ((f1[c] >= 0) & (f1[c] <= 1)).all()
+
+
+def test_s3e_partitioning_independent(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("spam_mass", "langid_macro_f1", "event_order_pairs")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
