@@ -23294,3 +23294,291 @@ ORACLE_SQL["event_order_pairs"] = """
            round(n_users * 1.0 / tot.n, 6) AS support
     FROM pairs, tot ORDER BY antecedent, consequent
 """
+
+
+def q_cusum_changepoints(sf_dir: str, k: float = 0.5, h: float = 4.0):
+    """Two-sided standardized CUSUM drift detector over the daily event
+    volume (Page 1954; the ops-alerting staple a crawl dashboard runs on
+    ingest counts): z_t = (x_t - mu)/sigma, S+_t = max(0, S+_{t-1} + z_t
+    - k), S-_t = max(0, S-_{t-1} - z_t - k), alarm when either side
+    crosses h.  The corpus reduces to the dim-sized daily series via a
+    combiner groupby; mu/sigma and the inherently-sequential recursion
+    fold driver-side over O(days) rows in the exact double order the
+    recursive-CTE mirror replays (z pinned at 9dp on both sides before
+    the recursion so the stddev algorithm difference can't drift)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        vals, cnts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    d = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = d["n"].to_numpy(np.float64)
+    mu = float(x.mean())
+    sig = float(np.sqrt(((x - mu) ** 2).mean()))
+    z = _r((x - mu) / sig, 9) if sig > 0 else np.zeros(len(x))
+    sp = sn = 0.0
+    sps, sns, alarms = [], [], []
+    for zt in z:
+        sp = max(0.0, sp + zt - k)
+        sn = max(0.0, sn - zt - k)
+        sps.append(sp)
+        sns.append(sn)
+        alarms.append(1 if (sp > h or sn > h) else 0)
+    return pd.DataFrame(
+        {
+            "day": d["day"],
+            "n_events": d["n"].astype("int64"),
+            "z": [float(v) for v in z],
+            "s_pos": [float(_r(v, 4)) for v in sps],
+            "s_neg": [float(_r(v, 4)) for v in sns],
+            "alarm": pd.Series(alarms, dtype="int64"),
+        }
+    )
+
+
+SQL_QUERIES["cusum_changepoints"] = q_cusum_changepoints
+
+ORACLE_SQL["cusum_changepoints"] = """
+    WITH RECURSIVE d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    st AS (SELECT avg(n) AS mu, stddev_pop(n) AS sig FROM d),
+    r AS (
+        SELECT day, n,
+               CASE WHEN st.sig > 0
+                    THEN round((n - st.mu) / st.sig, 9) ELSE 0.0 END AS z,
+               row_number() OVER (ORDER BY day) AS rk
+        FROM d, st
+    ),
+    c(rk, sp, sn) AS (
+        SELECT rk, greatest(0.0, z - 0.5), greatest(0.0, -z - 0.5)
+        FROM r WHERE rk = 1
+        UNION ALL
+        SELECT r.rk,
+               greatest(0.0, c.sp + r.z - 0.5),
+               greatest(0.0, c.sn - r.z - 0.5)
+        FROM c JOIN r ON r.rk = c.rk + 1
+    )
+    SELECT r.day, CAST(r.n AS BIGINT) AS n_events, r.z,
+           round(c.sp, 4) AS s_pos, round(c.sn, 4) AS s_neg,
+           CAST(CASE WHEN c.sp > 4.0 OR c.sn > 4.0 THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm
+    FROM r JOIN c USING (rk) ORDER BY r.day
+"""
+
+
+def q_holt_linear(sf_dir: str, alpha: float = 0.5, beta: float = 0.3):
+    """Holt's linear-trend double exponential smoothing over the daily
+    event volume (the capacity-forecast step after q_ewma_daily's single
+    smoother): l_t = a*x_t + (1-a)(l_{t-1} + b_{t-1}), b_t = B*(l_t -
+    l_{t-1}) + (1-B)*b_{t-1}, initialized l_1 = x_1, b_1 = x_2 - x_1 (0
+    on a single-day series); the one-step forecast is l_t + b_t.  Same
+    shape as the other recursive series: a combiner groupby reduces the
+    corpus to O(days), the driver replays the recursion in the mirror's
+    exact double order (the b_t update re-derives l_t from the same
+    expression the SQL repeats, so both sides run identical ops)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        vals, cnts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    d = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = d["n"].to_numpy(np.float64)
+    lv = x[0]
+    bt = (x[1] - x[0]) if len(x) > 1 else 0.0
+    ls, bs = [lv], [bt]
+    for t in range(1, len(x)):
+        lp = alpha * x[t] + (1 - alpha) * (lv + bt)
+        bt = beta * (lp - lv) + (1 - beta) * bt
+        lv = lp
+        ls.append(lv)
+        bs.append(bt)
+    return pd.DataFrame(
+        {
+            "day": d["day"],
+            "n_events": d["n"].astype("int64"),
+            "level": [float(_r(v, 4)) for v in ls],
+            "trend": [float(_r(v, 4)) for v in bs],
+            "forecast": [float(_r(a + b, 4)) for a, b in zip(ls, bs)],
+        }
+    )
+
+
+SQL_QUERIES["holt_linear"] = q_holt_linear
+
+ORACLE_SQL["holt_linear"] = """
+    WITH RECURSIVE d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    r AS (
+        SELECT day, n,
+               coalesce(lead(n) OVER (ORDER BY day), n) AS n2,
+               row_number() OVER (ORDER BY day) AS rk
+        FROM d
+    ),
+    e(rk, l, b) AS (
+        SELECT rk, CAST(n AS DOUBLE), CAST(n2 - n AS DOUBLE)
+        FROM r WHERE rk = 1
+        UNION ALL
+        SELECT r.rk,
+               0.5 * r.n + 0.5 * (e.l + e.b),
+               0.3 * ((0.5 * r.n + 0.5 * (e.l + e.b)) - e.l) + 0.7 * e.b
+        FROM e JOIN r ON r.rk = e.rk + 1
+    )
+    SELECT r.day, CAST(r.n AS BIGINT) AS n_events,
+           round(e.l, 4) AS level, round(e.b, 4) AS trend,
+           round(e.l + e.b, 4) AS forecast
+    FROM r JOIN e USING (rk) ORDER BY r.day
+"""
+
+
+def q_v_measure(sf_dir: str, k: int = 8):
+    """V-measure cluster-quality readout (Rosenberg & Hirschberg 2007):
+    homogeneity h = 1 - H(C|K)/H(C), completeness c = 1 - H(K|C)/H(K),
+    V = 2hc/(h+c), of the nearest-centroid clusters (q_kmeans_assign's
+    routing) against the embedding labels — the entropy-based companion
+    to topic_purity that also punishes splitting one label across many
+    clusters.  One streaming pass assigns + reduces to (cluster, label)
+    contingency cells via a combiner groupby; all entropies fold
+    driver-side over the O(k * labels) cell table in the exact ordered-
+    sum sequence the SQL mirror replays."""
+    import math
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    cent_rows = sorted(
+        emb.filter(lambda r: r["vec_id"] < k).take_all(), key=lambda r: r["vec_id"]
+    )
+    C = np.array([r["embedding"] for r in cent_rows], np.float64)
+    c_ref = ray.put(C)
+
+    def cells(b: pa.Table) -> pa.Table:
+        C_ = ray.get(c_ref)
+        X = _emb_matrix(b)
+        dmat = np.sqrt(((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2))
+        j = dmat.argmin(axis=1)
+        df = (
+            pd.DataFrame({"cluster": j.astype(np.int64), "label": b.column("label").to_numpy()})
+            .groupby(["cluster", "label"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cm = (
+        emb.map_batches(cells, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "c"})
+        .sort_values(["cluster", "label"])
+        .reset_index(drop=True)
+    )
+    n = float(cm["c"].sum())
+    nk = cm.groupby("cluster")["c"].sum().to_dict()
+    nl = cm.groupby("label")["c"].sum().to_dict()
+    h_c = -sum((nl[l] / n) * math.log(nl[l] / n) for l in sorted(nl))
+    h_k = -sum((nk[c] / n) * math.log(nk[c] / n) for c in sorted(nk))
+    h_ck = 0.0  # H(C|K): fold ordered by (cluster, label)
+    h_kc = 0.0  # H(K|C): same cell order
+    for _, r in cm.iterrows():
+        c = float(r["c"])
+        h_ck -= (c / n) * math.log(c / float(nk[r["cluster"]]))
+        h_kc -= (c / n) * math.log(c / float(nl[r["label"]]))
+    hom = 1.0 if h_c == 0 else 1.0 - h_ck / h_c
+    com = 1.0 if h_k == 0 else 1.0 - h_kc / h_k
+    v = 0.0 if hom + com == 0 else 2 * hom * com / (hom + com)
+    return pd.DataFrame(
+        {
+            "n_clusters": [int(len(nk))],
+            "n_labels": [int(len(nl))],
+            "homogeneity": [float(_r(hom, 6))],
+            "completeness": [float(_r(com, 6))],
+            "v_measure": [float(_r(v, 6))],
+        }
+    )
+
+
+SQL_QUERIES["v_measure"] = q_v_measure
+
+ORACLE_SQL["v_measure"] = """
+    WITH cdef AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cx
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+        SELECT e.vec_id, e.label, c.cid AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.embedding::DOUBLE[], c.cx),
+                                           c.cid) AS rn
+        FROM embeddings e CROSS JOIN cdef c
+    ),
+    cm AS (
+        SELECT cluster, label, count(*)::DOUBLE AS c
+        FROM assign WHERE rn = 1 GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(c) AS n FROM cm),
+    mk AS (SELECT cluster, sum(c) AS nk FROM cm GROUP BY cluster),
+    ml AS (SELECT label, sum(c) AS nl FROM cm GROUP BY label),
+    hc AS (
+        SELECT -sum((nl / n) * ln(nl / n) ORDER BY label) AS v
+        FROM ml, tot
+    ),
+    hk AS (
+        SELECT -sum((nk / n) * ln(nk / n) ORDER BY cluster) AS v
+        FROM mk, tot
+    ),
+    hck AS (
+        SELECT -sum((c / n) * ln(c / nk) ORDER BY cluster, label) AS v
+        FROM cm JOIN mk USING (cluster), tot
+    ),
+    hkc AS (
+        SELECT -sum((c / n) * ln(c / nl) ORDER BY cluster, label) AS v
+        FROM cm JOIN ml USING (label), tot
+    ),
+    f AS (
+        SELECT CASE WHEN hc.v = 0 THEN 1.0 ELSE 1.0 - hck.v / hc.v END AS hom,
+               CASE WHEN hk.v = 0 THEN 1.0 ELSE 1.0 - hkc.v / hk.v END AS com
+        FROM hc, hk, hck, hkc
+    )
+    SELECT (SELECT count(*) FROM mk) AS n_clusters,
+           (SELECT count(*) FROM ml) AS n_labels,
+           round(hom, 6) AS homogeneity,
+           round(com, 6) AS completeness,
+           round(CASE WHEN hom + com = 0 THEN 0.0
+                      ELSE 2 * hom * com / (hom + com) END, 6) AS v_measure
+    FROM f
+"""

@@ -84,11 +84,27 @@ def test_s3e_tiny_corpus(ray_session, tiny_sf):
     for c in ("precision", "recall", "f1"):
         assert ((f1[c] >= 0) & (f1[c] <= 1)).all()
 
+    # days (2, 1): mu=1.5 sigma=0.5 -> z = (+1, -1); closed-form CUSUM
+    cu = _df(q.q_cusum_changepoints(tiny_sf))
+    assert cu["z"].tolist() == [1.0, -1.0]
+    assert cu["s_pos"].tolist() == [0.5, 0.0]
+    assert cu["s_neg"].tolist() == [0.0, 0.5]
+    assert cu["alarm"].tolist() == [0, 0]
+
+    # Holt: l1=2 b1=-1; l2 = 0.5*1 + 0.5*(2-1) = 1, b2 = 0.3*(1-2) - 0.7 = -1
+    hl = _df(q.q_holt_linear(tiny_sf))
+    assert hl["level"].tolist() == [2.0, 1.0]
+    assert hl["trend"].tolist() == [-1.0, -1.0]
+    assert hl["forecast"].tolist() == [1.0, 0.0]
+
 
 def test_s3e_partitioning_independent(ray_session, monkeypatch):
     from blockchainspider_ray.pipelines import queries as Q
 
-    names = ("spam_mass", "langid_macro_f1", "event_order_pairs")
+    names = (
+        "spam_mass", "langid_macro_f1", "event_order_pairs",
+        "cusum_changepoints", "holt_linear", "v_measure",
+    )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
 
     real_read = Q._read
