@@ -23582,3 +23582,220 @@ ORACLE_SQL["v_measure"] = """
                       ELSE 2 * hom * com / (hom + com) END, 6) AS v_measure
     FROM f
 """
+
+
+def q_ktruss_peel(sf_dir: str, k: int = 4, rounds: int = 2):
+    """k-truss peeling rounds (Cohen 2008; the community-core detector a
+    web-graph pipeline runs after triangle counting): repeatedly drop
+    every undirected edge supported by fewer than k-2 triangles,
+    recomputing supports on the surviving graph — here the PINNED first
+    ``rounds`` rounds (the SQL mirror unrolls the same two), reporting
+    per-round edge/removal counts plus the support range, exactly the
+    convergence telemetry a full peel would emit per iteration.  Shape:
+    the distributed distinct-edge reduction of _distinct_edges feeds a
+    dim-sized (<= 50^2) canonical edge table; supports are vectorized
+    bitset intersections against the broadcast 50x50 adjacency — at web
+    scale this step is the standard per-edge map over a broadcast
+    neighbor sketch, re-sharded per round."""
+    pairs = _distinct_edges(sf_dir).to_pandas()
+    a = np.minimum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+    b = np.maximum(pairs["src"].to_numpy(), pairs["dst"].to_numpy())
+    keep = a != b
+    edges = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+    thr = k - 2
+    out = []
+    for rnd in range(1, rounds + 1):
+        adj = np.zeros((50, 50), dtype=bool)
+        adj[edges[:, 0], edges[:, 1]] = True
+        adj[edges[:, 1], edges[:, 0]] = True
+        sup = (adj[edges[:, 0]] & adj[edges[:, 1]]).sum(axis=1)
+        kept = sup >= thr
+        out.append(
+            (
+                rnd,
+                int(len(edges)),
+                int((~kept).sum()),
+                int(kept.sum()),
+                int(sup.min()) if len(sup) else 0,
+                int(sup.max()) if len(sup) else 0,
+            )
+        )
+        edges = edges[kept]
+    return pd.DataFrame(
+        out,
+        columns=[
+            "round",
+            "n_edges_before",
+            "n_removed",
+            "n_edges_after",
+            "min_support",
+            "max_support",
+        ],
+    ).astype("int64")
+
+
+SQL_QUERIES["ktruss_peel"] = q_ktruss_peel
+
+ORACLE_SQL["ktruss_peel"] = """
+    WITH base AS (
+        SELECT DISTINCT least(user_id % 50, (user_id * 13 + event_id) % 50) AS a,
+               greatest(user_id % 50, (user_id * 13 + event_id) % 50) AS b
+        FROM events
+        WHERE user_id % 50 <> (user_id * 13 + event_id) % 50
+    ),
+    adj0 AS (SELECT a AS u, b AS v FROM base UNION ALL SELECT b, a FROM base),
+    sup0 AS (
+        SELECT e.a, e.b, count(n2.v) AS s
+        FROM base e
+        LEFT JOIN adj0 n1 ON n1.u = e.a
+        LEFT JOIN adj0 n2 ON n2.u = e.b AND n2.v = n1.v
+        GROUP BY e.a, e.b
+    ),
+    e1 AS (SELECT a, b FROM sup0 WHERE s >= 2),
+    adj1 AS (SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1),
+    sup1 AS (
+        SELECT e.a, e.b, count(n2.v) AS s
+        FROM e1 e
+        LEFT JOIN adj1 n1 ON n1.u = e.a
+        LEFT JOIN adj1 n2 ON n2.u = e.b AND n2.v = n1.v
+        GROUP BY e.a, e.b
+    ),
+    e2 AS (SELECT a, b FROM sup1 WHERE s >= 2)
+    SELECT CAST(1 AS BIGINT) AS round,
+           (SELECT count(*) FROM base) AS n_edges_before,
+           (SELECT count(*) FROM base) - (SELECT count(*) FROM e1) AS n_removed,
+           (SELECT count(*) FROM e1) AS n_edges_after,
+           coalesce((SELECT min(s) FROM sup0), 0) AS min_support,
+           coalesce((SELECT max(s) FROM sup0), 0) AS max_support
+    UNION ALL
+    SELECT 2,
+           (SELECT count(*) FROM e1),
+           (SELECT count(*) FROM e1) - (SELECT count(*) FROM e2),
+           (SELECT count(*) FROM e2),
+           coalesce((SELECT min(s) FROM sup1), 0),
+           coalesce((SELECT max(s) FROM sup1), 0)
+    ORDER BY round
+"""
+
+
+def q_interval_overlap_join(sf_dir: str, topn: int = 5):
+    """Interval-overlap join between the per-user session intervals (the
+    30-minute-gap sessions of q_sessionize) and the ``topn`` busiest
+    clock hours — "how many user sessions touched each traffic spike",
+    the interval x interval workload behind incident forensics and
+    politeness post-mortems.  Shape: sessions come from the same
+    groupby(user).map_groups fold as sessionize; the hour table reduces
+    to dim size through a combiner groupby and only the topn window
+    bounds broadcast back; each session batch counts overlaps against
+    the tiny window matrix vectorized and ships (window, partial-count)
+    rows — neither side ever shuffles against the other (the classic
+    broadcast interval join; the two-large-sides form would bucket both
+    by hour exactly like asof_join_partitioned)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hour_cnt(b: pa.Table) -> pa.Table:
+        hrs = b.column("ts").to_numpy().astype("datetime64[h]")
+        vals, cnts = np.unique(hrs, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(vals.astype("datetime64[us]"), pa.timestamp("us")),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hours = (
+        ev.map_batches(hour_cnt, batch_format="pyarrow")
+        .groupby("w")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+        .head(topn)
+        .reset_index(drop=True)
+    )
+    w_us = hours["w"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    w_ref = ray.put(w_us)
+
+    def bounds(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        gap_us = 30 * 60 * 1_000_000
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = ts[new_sess]
+        ends = ts[np.roll(new_sess, -1)]
+        return pa.table(
+            {
+                "st": pa.array(starts, pa.int64()),
+                "en": pa.array(ends, pa.int64()),
+            }
+        )
+
+    sessions = ev.groupby("user_id").map_groups(bounds, batch_format="pyarrow")
+    hour_us = 3_600_000_000
+
+    def overlap(b: pa.Table, _w=w_ref) -> pa.Table:
+        w = ray.get(_w)
+        st = b.column("st").to_numpy()[:, None]
+        en = b.column("en").to_numpy()[:, None]
+        hit = (st < w[None, :] + hour_us) & (en >= w[None, :])
+        return pa.table(
+            {
+                "w_us": pa.array(w, pa.int64()),
+                "c": pa.array(hit.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        sessions.map_batches(overlap, batch_format="pyarrow")
+        .groupby("w_us")
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "n_sessions"})
+    )
+    out = hours.copy()
+    out["w_us"] = w_us
+    out = out.merge(cnt, on="w_us", how="left").fillna({"n_sessions": 0})
+    return pd.DataFrame(
+        {
+            "window_start": out["w"],
+            "n_events": out["n"].astype("int64"),
+            "n_sessions": out["n_sessions"].astype("int64"),
+        }
+    ).sort_values("window_start").reset_index(drop=True)
+
+
+SQL_QUERIES["interval_overlap_join"] = q_interval_overlap_join
+
+ORACLE_SQL["interval_overlap_join"] = """
+    WITH hours AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT w, n FROM hours
+        QUALIFY row_number() OVER (ORDER BY n DESC, w) <= 5
+    ),
+    es AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    sid AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+        FROM es
+    ),
+    sess AS (
+        SELECT user_id, s, min(ts) AS st, max(ts) AS en
+        FROM sid GROUP BY 1, 2
+    )
+    SELECT win.w AS window_start, CAST(win.n AS BIGINT) AS n_events,
+           CAST(count(sess.user_id) AS BIGINT) AS n_sessions
+    FROM win LEFT JOIN sess
+      ON sess.st < win.w + INTERVAL 1 HOUR AND sess.en >= win.w
+    GROUP BY win.w, win.n ORDER BY window_start
+"""

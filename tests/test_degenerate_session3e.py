@@ -97,6 +97,21 @@ def test_s3e_tiny_corpus(ray_session, tiny_sf):
     assert hl["trend"].tolist() == [-1.0, -1.0]
     assert hl["forecast"].tolist() == [1.0, 0.0]
 
+    # triangle-free graph: every edge has support 0 and dies in round 1
+    kt = _df(q.q_ktruss_peel(tiny_sf))
+    assert kt[["round", "n_edges_before", "n_removed", "n_edges_after"]].values.tolist() == [
+        [1, 3, 3, 0],
+        [2, 0, 0, 0],
+    ]
+    assert kt["max_support"].tolist() == [0, 0]
+
+    # 3 busiest hours = all 3 hours (1 event each); each hour overlaps
+    # exactly the one single-event session inside it
+    ij = _df(q.q_interval_overlap_join(tiny_sf))
+    assert len(ij) == 3
+    assert ij["n_events"].tolist() == [1, 1, 1]
+    assert ij["n_sessions"].tolist() == [1, 1, 1]
+
 
 def test_s3e_partitioning_independent(ray_session, monkeypatch):
     from blockchainspider_ray.pipelines import queries as Q
@@ -104,6 +119,7 @@ def test_s3e_partitioning_independent(ray_session, monkeypatch):
     names = (
         "spam_mass", "langid_macro_f1", "event_order_pairs",
         "cusum_changepoints", "holt_linear", "v_measure",
+        "ktruss_peel", "interval_overlap_join",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
 
