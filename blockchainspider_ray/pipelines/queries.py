@@ -23799,3 +23799,252 @@ ORACLE_SQL["interval_overlap_join"] = """
       ON sess.st < win.w + INTERVAL 1 HOUR AND sess.en >= win.w
     GROUP BY win.w, win.n ORDER BY window_start
 """
+
+
+def q_ams_f2(sf_dir: str, reps: int = 8):
+    """AMS second-moment (F2) sketch audit (Alon, Matias & Szegedy '96):
+    estimate sum_t c_t^2 of the corpus token frequencies with ``reps``
+    independent +/-1 sign projections Z_j = sum_t s_j(t) * c_t, taking
+    the median of Z_j^2 — the self-join-size estimator a shuffle planner
+    consults before materializing a heavy join — next to the exact F2.
+    Sign hashes are version-stable md5-low-64 parity (token || '#' || j,
+    == DuckDB md5_number_lower bit-for-bit, same family as count_min),
+    so the mirror rebuilds every projection exactly.  Shape: the vocab
+    builds through the standard per-batch Counter combiner + one
+    groupby; each vocab batch emits ``reps`` (j, partial-Z) rows plus an
+    (exact-F2, n) partial, so only O(reps x blocks) rows reach the
+    driver's median fold."""
+    docs = _read(sf_dir, "documents", columns=["text"])
+    from ..stages.dedup import _hash_strings64
+
+    def toks(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(re.findall(r"\S+", t))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby("token")
+        .sum("c")
+        .materialize()
+    )
+
+    def partials(b: pa.Table, _r=reps) -> pa.Table:
+        tk = b.column("token").to_pylist()
+        cnt = b.column("sum(c)").to_numpy().astype(np.int64)
+        js, zs = [], []
+        for j in range(_r):
+            sign = (
+                (_hash_strings64([f"{t}#{j}" for t in tk]) % np.uint64(2)).astype(
+                    np.int64
+                )
+                * 2
+                - 1
+            )
+            js.append(j)
+            zs.append(int((sign * cnt).sum()))
+        js.append(-1)  # exact-F2 partial rides the same reduction
+        zs.append(int((cnt * cnt).sum()))
+        js.append(-2)  # vocab-size partial
+        zs.append(len(tk))
+        return pa.table(
+            {"j": pa.array(js, pa.int64()), "z": pa.array(zs, pa.int64())}
+        )
+
+    agg = (
+        vocab.map_batches(partials, batch_format="pyarrow")
+        .groupby("j")
+        .sum("z")
+        .to_pandas()
+        .set_index("j")["sum(z)"]
+    )
+    f2 = int(agg.loc[-1])
+    n_tokens = int(agg.loc[-2])
+    ests = np.sort(
+        np.array([agg.loc[j] for j in range(reps)], np.float64) ** 2
+    )
+    med = (ests[reps // 2 - 1] + ests[reps // 2]) / 2.0
+    return pd.DataFrame(
+        {
+            "n_tokens": [n_tokens],
+            "f2_exact": [f2],
+            "f2_est": [float(med)],
+            "rel_error": [float(_r(abs(med - f2) / f2, 6))],
+        }
+    )
+
+
+SQL_QUERIES["ams_f2"] = q_ams_f2
+
+ORACLE_SQL["ams_f2"] = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '\S+')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+    signs AS (
+        SELECT v.t, v.c, r.j,
+               CASE WHEN md5_number_lower(v.t || '#' || r.j) % 2 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM vocab v, range(0, 8) r(j)
+    ),
+    z AS (SELECT j, sum(s * c) AS z FROM signs GROUP BY j),
+    est AS (SELECT list_sort(list(CAST(z AS DOUBLE) * z)) AS arr FROM z),
+    ex AS (SELECT sum(c * c) AS f2, count(*) AS n FROM vocab)
+    SELECT CAST(ex.n AS BIGINT) AS n_tokens,
+           CAST(ex.f2 AS BIGINT) AS f2_exact,
+           (est.arr[4] + est.arr[5]) / 2.0 AS f2_est,
+           round(abs((est.arr[4] + est.arr[5]) / 2.0 - ex.f2) / ex.f2, 6)
+               AS rel_error
+    FROM ex, est
+"""
+
+
+def q_blocking_quality(sf_dir: str, w: int = 3, chunk: int = 256):
+    """Blocking-quality audit for the sorted-neighborhood candidate
+    generator (Christen 2012's two standard metrics): REDUCTION RATIO =
+    1 - candidates/allpairs (how much comparison work blocking saves)
+    and PAIRS COMPLETENESS = caught/true (how many genuinely-duplicate
+    pairs the window still covers), with exact-text equality as ground
+    truth.  Shape: the same two-pass order-preserving rank as
+    q_sorted_neighborhood (per-bucket counts -> exclusive offsets ->
+    in-bucket argsort) gives every doc its global (lede-key, doc_id)
+    rank without a global sort; caught pairs come from rank-chunk
+    re-bucketing with w-row boundary replication comparing 64-bit text
+    hashes in-window; true pairs reduce through a text-hash groupby.
+    Only counters leave the cluster."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..stages.dedup import _hash_strings64
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids, ks, hs = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            ids.append(d)
+            ks.append(" ".join(toks[:2]))
+            hs.append(t)
+        th = _hash_strings64(hs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.string()),
+                "bkt": pa.array([x[:2] for x in ks], pa.string()),
+                "th": pa.array(th, pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = keyed_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    n_docs = int(bc["count()"].sum())
+    offsets = dict(
+        zip(bc["bkt"], bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    def rank(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values(["k", "doc_id"]).reset_index(drop=True)
+        base = off[df["bkt"].iloc[0]]
+        df["rn"] = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df[["doc_id", "th", "rn"]], preserve_index=False)
+
+    ranked = keyed_ds.groupby("bkt").map_groups(rank, batch_format="pyarrow")
+
+    def to_chunks(b: pa.Table, _w=w, _c=chunk) -> pa.Table:
+        rn = b.column("rn").to_numpy()
+        own = rn // _c
+        tables = [b.append_column("chunk", pa.array(own, pa.int64()))]
+        repl = (rn % _c < _w) & (own > 0)
+        if repl.any():
+            rep = b.filter(pa.array(repl))
+            tables.append(
+                rep.append_column(
+                    "chunk", pa.array(rep.column("rn").to_numpy() // _c - 1, pa.int64())
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def caught_in_chunk(g: pa.Table, _w=w, _c=chunk) -> pa.Table:
+        c = int(g.column("chunk")[0].as_py())
+        df = g.to_pandas().sort_values("rn").reset_index(drop=True)
+        rn = df["rn"].to_numpy()
+        th = df["th"].to_numpy()
+        caught = 0
+        for i in range(len(df)):
+            if rn[i] // _c != c:
+                continue
+            for j in range(i + 1, len(df)):
+                if rn[j] - rn[i] > _w:
+                    break
+                if th[j] == th[i]:
+                    caught += 1
+        return pa.table({"caught": pa.array([caught], pa.int64())})
+
+    caught = int(
+        ranked.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(caught_in_chunk, batch_format="pyarrow")
+        .sum("caught")
+    )
+    sizes = keyed_ds.groupby("th").count().to_pandas()["count()"].to_numpy(np.int64)
+    true_pairs = int((sizes * (sizes - 1) // 2).sum())
+    ranks = np.arange(1, n_docs + 1, dtype=np.int64)
+    candidates = int(np.minimum(w, n_docs - ranks).sum())
+    allpairs = n_docs * (n_docs - 1) // 2
+    return pd.DataFrame(
+        {
+            "n_docs": [n_docs],
+            "n_candidates": [candidates],
+            "n_true_pairs": [true_pairs],
+            "n_caught": [caught],
+            "reduction_ratio": [float(_r(1.0 - candidates / allpairs, 6))],
+            "completeness": [
+                float(_r(caught / true_pairs, 6)) if true_pairs else 1.0
+            ],
+        }
+    )
+
+
+SQL_QUERIES["blocking_quality"] = q_blocking_quality
+
+ORACLE_SQL["blocking_quality"] = r"""
+    WITH toks AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, text,
+               list_aggregate(t[1:2], 'string_agg', ' ') AS k
+        FROM toks
+    ),
+    r AS (
+        SELECT doc_id, text, row_number() OVER (ORDER BY k, doc_id) AS rn
+        FROM f
+    ),
+    nn AS (SELECT count(*) AS n FROM r),
+    cand AS (SELECT sum(least(3, nn.n - rn)) AS c FROM r, nn),
+    tp AS (
+        SELECT coalesce(sum(g * (g - 1) // 2), 0) AS c
+        FROM (SELECT count(*) AS g FROM documents GROUP BY text)
+    ),
+    cg AS (
+        SELECT count(*) AS c
+        FROM r a JOIN r b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + 3 AND a.text = b.text
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_docs,
+           CAST(cand.c AS BIGINT) AS n_candidates,
+           CAST(tp.c AS BIGINT) AS n_true_pairs,
+           CAST(cg.c AS BIGINT) AS n_caught,
+           round(1.0 - cand.c / (nn.n * (nn.n - 1) / 2.0), 6) AS reduction_ratio,
+           CASE WHEN tp.c > 0 THEN round(cg.c * 1.0 / tp.c, 6) ELSE 1.0 END
+               AS completeness
+    FROM nn, cand, tp, cg
+"""

@@ -112,6 +112,18 @@ def test_s3e_tiny_corpus(ray_session, tiny_sf):
     assert ij["n_events"].tolist() == [1, 1, 1]
     assert ij["n_sessions"].tolist() == [1, 1, 1]
 
+    # counts: a-e x2, x,y x1 -> F2 = 5*4 + 2*1 = 22 over 7 distinct tokens
+    f2 = _df(q.q_ams_f2(tiny_sf))
+    assert int(f2["f2_exact"].iloc[0]) == 22
+    assert int(f2["n_tokens"].iloc[0]) == 7
+    assert float(f2["f2_est"].iloc[0]) >= 0
+
+    # docs 0/1 identical and rank-adjacent: 1 true pair, caught; 3 candidates
+    bq = _df(q.q_blocking_quality(tiny_sf))
+    assert bq[["n_docs", "n_candidates", "n_true_pairs", "n_caught"]].values.tolist() == [[3, 3, 1, 1]]
+    assert float(bq["reduction_ratio"].iloc[0]) == 0.0
+    assert float(bq["completeness"].iloc[0]) == 1.0
+
 
 def test_s3e_partitioning_independent(ray_session, monkeypatch):
     from blockchainspider_ray.pipelines import queries as Q
@@ -120,6 +132,7 @@ def test_s3e_partitioning_independent(ray_session, monkeypatch):
         "spam_mass", "langid_macro_f1", "event_order_pairs",
         "cusum_changepoints", "holt_linear", "v_measure",
         "ktruss_peel", "interval_overlap_join",
+        "ams_f2", "blocking_quality",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
 
