@@ -24048,3 +24048,273 @@ ORACLE_SQL["blocking_quality"] = r"""
                AS completeness
     FROM nn, cand, tp, cg
 """
+
+
+def q_cube_agg(sf_dir: str):
+    """CUBE grouping-sets rollup of event value by (event_type, day-of-
+    week) — all four lattice levels [(type,dow), (type), (dow), ()] from
+    ONE pass, the OLAP companion to q_rollup_agg's single hierarchy.
+    Shape: the corpus reduces once to the fine (type, dow) cells via a
+    per-batch combiner + one groupby; every coarser level is a
+    driver-side fold over the O(types x 7) cell table (never a second
+    corpus scan), summed in deterministic (type, dow) cell order so the
+    2dp-rounded sums match the mirror's direct CUBE.  NULL lattice
+    markers are pinned to '__all__' / -1 on both sides."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(np.int64)
+        dow = ((days + 4) % 7).astype(np.int64)  # 1970-01-01 = Thursday; 0 = Sunday
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_pylist(),
+                    "dow": dow,
+                    "v": b.column("value").to_numpy(),
+                }
+            )
+            .groupby(["event_type", "dow"], as_index=False)
+            .agg(v=("v", "sum"), n=("v", "size"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fine = (
+        ev.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "dow"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in fine.iterrows():
+        rows.append((r["event_type"], int(r["dow"]), float(r["v"]), int(r["n"])))
+    by_type = fine.groupby("event_type", sort=True)
+    for t, g in by_type:
+        rows.append((t, -1, float(g["v"].sum()), int(g["n"].sum())))
+    by_dow = fine.groupby("dow", sort=True)
+    for d, g in by_dow:
+        rows.append(("__all__", int(d), float(g["v"].sum()), int(g["n"].sum())))
+    rows.append(("__all__", -1, float(fine["v"].sum()), int(fine["n"].sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "dow", "sum_value", "n_events"])
+    out["sum_value"] = _r(out["sum_value"], 2)
+    out["dow"] = out["dow"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+SQL_QUERIES["cube_agg"] = q_cube_agg
+
+ORACLE_SQL["cube_agg"] = """
+    SELECT coalesce(event_type, '__all__') AS event_type,
+           CAST(coalesce(dayofweek(ts), -1) AS BIGINT) AS dow,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts))
+    ORDER BY event_type, dow
+"""
+
+
+def q_hll_groups(sf_dir: str, m: int = 16):
+    """Per-group HyperLogLog distinct-user estimate (the GROUP BY
+    approx_count_distinct shape — hll_audit's registers sharded by
+    event_type, the form a 10^10-row engine actually runs): registers
+    build from the distinct (event_type, user_id) pairs with the same
+    version-stable md5 bucket/rho bit math as hll_audit, reduce through
+    one (type, bucket) groupby-max, and the driver folds only the
+    O(types x 16) register table into per-type raw estimates next to
+    the exact distincts."""
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    from ..stages.dedup import _hash_strings64
+
+    def pair_unique(b: pa.Table) -> pa.Table:
+        df = b.select(["event_type", "user_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ev.map_batches(pair_unique, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def regs(b: pa.Table, _m=m) -> pa.Table:
+        h = _hash_strings64([str(u) for u in b.column("user_id").to_pylist()])
+        bucket = (h % np.uint64(_m)).astype(np.int64)
+        v = ((h >> np.uint64(4)) % np.uint64(1 << 40)).astype(np.int64)
+        low = v & -v
+        rho = np.where(v == 0, 41, np.frexp(low.astype(np.float64))[1]).astype(
+            np.int64
+        )
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_pylist(),
+                    "bucket": bucket,
+                    "rho": rho,
+                }
+            )
+            .groupby(["event_type", "bucket"], as_index=False)
+            .max()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    reg = (
+        pairs.map_batches(regs, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .max("rho")
+        .to_pandas()
+        .rename(columns={"max(rho)": "register"})
+    )
+    true_d = (
+        pairs.groupby("event_type")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "d"})
+        .set_index("event_type")["d"]
+    )
+    out = []
+    for t in sorted(true_d.index):
+        r = reg[reg["event_type"] == t].set_index("bucket")["register"]
+        full = np.zeros(m, np.int64)
+        full[r.index.to_numpy()] = r.to_numpy()
+        est = 0.673 * m * m / float(np.sum(np.power(2.0, -full)))
+        d = int(true_d.loc[t])
+        out.append((t, float(_r(est, 4)), d, float(_r(abs(est - d) / d, 4))))
+    return pd.DataFrame(
+        out, columns=["event_type", "raw_estimate", "true_distinct", "rel_error"]
+    )
+
+
+SQL_QUERIES["hll_groups"] = q_hll_groups
+
+ORACLE_SQL["hll_groups"] = """
+    WITH pairs AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+        FROM pairs
+    ),
+    b AS (
+        SELECT event_type, CAST(hv % 16 AS BIGINT) AS bucket,
+               CAST((hv // 16) % 1099511627776 AS BIGINT) AS v
+        FROM h
+    ),
+    r AS (
+        SELECT event_type, bucket,
+               CASE WHEN v = 0 THEN 41 ELSE length(bin(v & -v)) END AS rho
+        FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM pairs),
+    grid AS (
+        SELECT types.event_type, t.i AS bucket
+        FROM types, range(0, 16) t(i)
+    ),
+    reg AS (
+        SELECT grid.event_type, grid.bucket,
+               coalesce(max(r.rho), 0) AS register
+        FROM grid LEFT JOIN r
+          ON r.event_type = grid.event_type AND r.bucket = grid.bucket
+        GROUP BY grid.event_type, grid.bucket
+    ),
+    est AS (
+        SELECT event_type,
+               0.673 * 256.0 / sum(power(2.0, -register)) AS e
+        FROM reg GROUP BY event_type
+    ),
+    td AS (SELECT event_type, count(*) AS d FROM pairs GROUP BY event_type)
+    SELECT est.event_type, round(est.e, 4) AS raw_estimate,
+           CAST(td.d AS BIGINT) AS true_distinct,
+           round(abs(est.e - td.d) / td.d, 4) AS rel_error
+    FROM est JOIN td USING (event_type)
+    ORDER BY est.event_type
+"""
+
+
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_NONASCII_RE = re.compile("[^\x00-\x7f]")
+
+
+def q_mojibake_screen(sf_dir: str):
+    """Encoding-quality screen (the CCNet/C4 pre-filter that catches
+    charset-decode failures before they poison dedup and LM stats): per
+    source, how many docs carry U+FFFD replacement characters, raw C0
+    control bytes (beyond tab/newline/CR), or a suspicious (> 30%)
+    non-ASCII ratio, and the combined flag rate.  Pure per-batch
+    vectorized counting folded through a combiner groupby — only
+    O(sources) counter rows move."""
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def screen(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        rows = []
+        for s, t in zip(srcs, b.column("text").to_pylist()):
+            t = t or ""
+            moji = 1 if "�" in t else 0
+            ctrl = 1 if _CTRL_RE.search(t) else 0
+            na = len(_NONASCII_RE.findall(t))
+            heavy = 1 if len(t) > 0 and na * 1.0 / len(t) > 0.3 else 0
+            rows.append((s, moji, ctrl, heavy, 1 if (moji or ctrl or heavy) else 0))
+        df = (
+            pd.DataFrame(
+                rows, columns=["source", "moji", "ctrl", "heavy", "flagged"]
+            )
+            .groupby("source", as_index=False)
+            .agg(
+                n_docs=("moji", "size"),
+                n_mojibake=("moji", "sum"),
+                n_control=("ctrl", "sum"),
+                n_nonascii_heavy=("heavy", "sum"),
+                n_flagged=("flagged", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (
+        docs.map_batches(screen, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_mojibake", alias_name="n_mojibake"),
+            Sum("n_control", alias_name="n_control"),
+            Sum("n_nonascii_heavy", alias_name="n_nonascii_heavy"),
+            Sum("n_flagged", alias_name="n_flagged"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in agg.columns[1:]:
+        agg[c] = agg[c].astype("int64")
+    agg["flag_rate"] = _r(agg["n_flagged"] / agg["n_docs"], 6)
+    return agg
+
+
+SQL_QUERIES["mojibake_screen"] = q_mojibake_screen
+
+ORACLE_SQL["mojibake_screen"] = r"""
+    WITH per AS (
+        SELECT source,
+               CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS moji,
+               CASE WHEN regexp_matches(text,
+                    '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS ctrl,
+               CASE WHEN length(text) > 0
+                         AND len(regexp_extract_all(text, '[^\x00-\x7F]'))
+                             * 1.0 / length(text) > 0.3
+                    THEN 1 ELSE 0 END AS heavy
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(moji) AS BIGINT) AS n_mojibake,
+           CAST(sum(ctrl) AS BIGINT) AS n_control,
+           CAST(sum(heavy) AS BIGINT) AS n_nonascii_heavy,
+           CAST(sum(greatest(moji, ctrl, heavy)) AS BIGINT) AS n_flagged,
+           round(sum(greatest(moji, ctrl, heavy)) * 1.0 / count(*), 6)
+               AS flag_rate
+    FROM per GROUP BY source ORDER BY source
+"""

@@ -133,6 +133,7 @@ def test_s3e_partitioning_independent(ray_session, monkeypatch):
         "cusum_changepoints", "holt_linear", "v_measure",
         "ktruss_peel", "interval_overlap_join",
         "ams_f2", "blocking_quality",
+        "cube_agg", "hll_groups", "mojibake_screen",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
 
@@ -147,3 +148,58 @@ def test_s3e_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3e_cube_hll_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # fine cells (view, Mon=1) and (buy, Tue=2) -> 7 CUBE lattice rows
+    cu = _df(q.q_cube_agg(tiny_sf))
+    assert cu.values.tolist() == [
+        ["__all__", -1, 4.5, 3],
+        ["__all__", 1, 2.0, 2],
+        ["__all__", 2, 2.5, 1],
+        ["buy", -1, 2.5, 1],
+        ["buy", 2, 2.5, 1],
+        ["view", -1, 2.0, 2],
+        ["view", 1, 2.0, 2],
+    ]
+
+    hg = _df(q.q_hll_groups(tiny_sf))
+    assert hg["event_type"].tolist() == ["buy", "view"]
+    assert hg["true_distinct"].tolist() == [1, 1]
+    assert (hg["raw_estimate"] > 0).all()
+
+
+def test_s3e_mojibake_injection(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "clean ascii text",
+                        "bad � replacement",
+                        "ctrl\x01byte",
+                        "中文全部非 ascii heavy 文文文文",
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s0", "s0", "s1", "s1"], pa.string()),
+                "n_chars": pa.array([16, 17, 9, 20], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    ms = _df(q.q_mojibake_screen(d)).set_index("source")
+    assert int(ms.loc["s0", "n_mojibake"]) == 1
+    assert int(ms.loc["s0", "n_flagged"]) == 1
+    assert int(ms.loc["s1", "n_control"]) == 1
+    assert int(ms.loc["s1", "n_nonascii_heavy"]) == 1
+    assert int(ms.loc["s1", "n_flagged"]) == 2
+    assert float(ms.loc["s0", "flag_rate"]) == 0.5
