@@ -24318,3 +24318,241 @@ ORACLE_SQL["mojibake_screen"] = r"""
                AS flag_rate
     FROM per GROUP BY source ORDER BY source
 """
+
+
+def q_vocab_js_drift(sf_dir: str):
+    """Jensen-Shannon divergence between the token distributions of the
+    two doc_id-parity halves of the corpus — the vocabulary-drift monitor
+    a continuously-crawled corpus runs between snapshots (complementing
+    the length-based ks_drift/wasserstein_drift with a CONTENT drift
+    signal).  Shape: one combiner pass counts each half's tokens into a
+    (token, c0, c1) vocab (per-batch Counters, one groupby); totals and
+    the per-token JS terms then reduce DISTRIBUTIVELY (per-batch partial
+    sums over the vocab Dataset, one tiny groupby) — the driver sees six
+    counters, never the vocabulary.  6dp rounding absorbs the
+    summation-order difference vs the mirror."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cs = [Counter(), Counter()]
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            cs[int(d) % 2].update(re.findall(r"\S+", t))
+        keys = sorted(set(cs[0]) | set(cs[1]))
+        return pa.table(
+            {
+                "token": pa.array(keys, pa.string()),
+                "c0": pa.array([cs[0].get(k, 0) for k in keys], pa.int64()),
+                "c1": pa.array([cs[1].get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    vocab = (
+        docs.map_batches(toks, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1"))
+        .materialize()
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        c0 = b.column("c0").to_numpy()
+        c1 = b.column("c1").to_numpy()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "t0": pa.array([int(c0.sum())], pa.int64()),
+                "t1": pa.array([int(c1.sum())], pa.int64()),
+                "nv": pa.array([len(b)], pa.int64()),
+                "o0": pa.array([int(((c0 > 0) & (c1 == 0)).sum())], pa.int64()),
+                "o1": pa.array([int(((c1 > 0) & (c0 == 0)).sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        vocab.map_batches(totals, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Sum("t0", alias_name="t0"),
+            Sum("t1", alias_name="t1"),
+            Sum("nv", alias_name="nv"),
+            Sum("o0", alias_name="o0"),
+            Sum("o1", alias_name="o1"),
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    t0, t1 = float(tot["t0"]), float(tot["t1"])
+    ref = ray.put((t0, t1))
+
+    def js_part(b: pa.Table, _ref=ref) -> pa.Table:
+        t0_, t1_ = ray.get(_ref)
+        p = b.column("c0").to_numpy() / t0_
+        q = b.column("c1").to_numpy() / t1_
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0, p * np.log(p / m), 0.0)
+            tq = np.where(q > 0, q * np.log(q / m), 0.0)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "s": pa.array([float(tp.sum() + tq.sum())], pa.float64()),
+            }
+        )
+
+    s = float(
+        vocab.map_batches(js_part, batch_format="pyarrow").groupby("k").sum("s")
+        .to_pandas()["sum(s)"].iloc[0]
+    )
+    return pd.DataFrame(
+        {
+            "n_tokens_union": [int(tot["nv"])],
+            "n_only_first": [int(tot["o0"])],
+            "n_only_second": [int(tot["o1"])],
+            "js_divergence": [float(_r(0.5 * s, 6))],
+        }
+    )
+
+
+SQL_QUERIES["vocab_js_drift"] = q_vocab_js_drift
+
+ORACLE_SQL["vocab_js_drift"] = r"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half,
+               unnest(regexp_extract_all(text, '\S+')) AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT t,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS c0,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS c1
+        FROM tok GROUP BY t
+    ),
+    tt AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM c),
+    terms AS (
+        SELECT
+            CASE WHEN c0 > 0 THEN (c0 / t0)
+                 * ln((c0 / t0) / ((c0 / t0 + c1 / t1) / 2)) ELSE 0 END
+          + CASE WHEN c1 > 0 THEN (c1 / t1)
+                 * ln((c1 / t1) / ((c0 / t0 + c1 / t1) / 2)) ELSE 0 END AS term,
+            c0, c1
+        FROM c, tt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens_union,
+           CAST(sum(CASE WHEN c0 > 0 AND c1 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_first,
+           CAST(sum(CASE WHEN c1 > 0 AND c0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_second,
+           round(0.5 * sum(term), 6) AS js_divergence
+    FROM terms
+"""
+
+
+def q_adjacent_lcp(sf_dir: str, cap: int = 32, chunk: int = 256):
+    """Longest-common-prefix histogram between GLOBALLY text-rank-adjacent
+    docs (capped at ``cap`` chars) — the prefix-duplication telemetry a
+    suffix-array-style exact-substring dedup (Lee et al. 2022) reads
+    before committing to the full pass: a heavy tail of high LCPs means
+    template boilerplate that minhash shingles under-weight.  Shape: the
+    two-pass order-preserving bucket rank (q_blocking_quality's) gives
+    global ranks without a global sort; adjacent pairs form inside
+    rank-chunk groups with 1-row boundary replication; only the <= cap+1
+    histogram rows reach the driver."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        txt = b.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text"),
+                "bkt": pa.array([(t or "")[:2] for t in txt], pa.string()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    bc = keyed_ds.groupby("bkt").count().to_pandas().sort_values("bkt")
+    offsets = dict(
+        zip(bc["bkt"], bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    off_ref = ray.put(offsets)
+
+    def rank(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values(["text", "doc_id"]).reset_index(drop=True)
+        base = off[df["bkt"].iloc[0]]
+        df["rn"] = base + np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df[["text", "rn"]], preserve_index=False)
+
+    ranked = keyed_ds.groupby("bkt").map_groups(rank, batch_format="pyarrow")
+
+    def to_chunks(b: pa.Table, _c=chunk) -> pa.Table:
+        rn = b.column("rn").to_numpy()
+        own = rn // _c
+        tables = [b.append_column("chunk", pa.array(own, pa.int64()))]
+        repl = (rn % _c < 1) & (own > 0)
+        if repl.any():
+            rep = b.filter(pa.array(repl))
+            tables.append(
+                rep.append_column(
+                    "chunk", pa.array(rep.column("rn").to_numpy() // _c - 1, pa.int64())
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def lcp_hist(g: pa.Table, _cap=cap, _c=chunk) -> pa.Table:
+        df = g.to_pandas().sort_values("rn").reset_index(drop=True)
+        c = int(df["chunk"].iloc[0])
+        rn = df["rn"].to_numpy()
+        from collections import Counter
+
+        h: "Counter[int]" = Counter()
+        for i in range(len(df) - 1):
+            if rn[i] // _c != c or rn[i + 1] != rn[i] + 1:
+                continue
+            a = (df["text"].iloc[i] or "")[:_cap]
+            b_ = (df["text"].iloc[i + 1] or "")[:_cap]
+            j = 0
+            while j < min(len(a), len(b_)) and a[j] == b_[j]:
+                j += 1
+            h[j] += 1
+        return pa.table(
+            {
+                "lcp": pa.array(list(h.keys()), pa.int64()),
+                "n_pairs": pa.array(list(h.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(lcp_hist, batch_format="pyarrow")
+        .groupby("lcp")
+        .sum("n_pairs")
+        .map_batches(
+            lambda b: b.rename_columns(["lcp", "n_pairs"]), batch_format="pyarrow"
+        )
+        .sort("lcp")
+    )
+
+
+SQL_QUERIES["adjacent_lcp"] = q_adjacent_lcp
+
+ORACLE_SQL["adjacent_lcp"] = """
+    WITH r AS (
+        SELECT text, row_number() OVER (ORDER BY text, doc_id) AS rn
+        FROM documents
+    ),
+    p AS (
+        SELECT substr(a.text, 1, 32) AS ta, substr(b.text, 1, 32) AS tb
+        FROM r a JOIN r b ON b.rn = a.rn + 1
+    ),
+    l AS (
+        SELECT (SELECT max(j.i) FROM range(0, 33) j(i)
+                WHERE substr(ta, 1, CAST(j.i AS INT))
+                      = substr(tb, 1, CAST(j.i AS INT))) AS lcp
+        FROM p
+    )
+    SELECT CAST(lcp AS BIGINT) AS lcp, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM l GROUP BY lcp ORDER BY lcp
+"""

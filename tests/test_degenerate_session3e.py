@@ -134,6 +134,7 @@ def test_s3e_partitioning_independent(ray_session, monkeypatch):
         "ktruss_peel", "interval_overlap_join",
         "ams_f2", "blocking_quality",
         "cube_agg", "hll_groups", "mojibake_screen",
+        "vocab_js_drift", "adjacent_lcp",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
 
@@ -203,3 +204,22 @@ def test_s3e_mojibake_injection(ray_session, tmp_path):
     assert int(ms.loc["s1", "n_nonascii_heavy"]) == 1
     assert int(ms.loc["s1", "n_flagged"]) == 2
     assert float(ms.loc["s0", "flag_rate"]) == 0.5
+
+
+def test_s3e_drift_lcp_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # half0 = docs 0,2 (7 tokens), half1 = doc 1 (5 tokens); x,y only-first
+    js = _df(q.q_vocab_js_drift(tiny_sf))
+    assert int(js["n_tokens_union"].iloc[0]) == 7
+    assert int(js["n_only_first"].iloc[0]) == 2
+    assert int(js["n_only_second"].iloc[0]) == 0
+    expect = 0.5 * (
+        5 * ((1 / 7) * np.log(5 / 6) + (1 / 5) * np.log(7 / 6))
+        + 2 * (1 / 7) * np.log(2)
+    )
+    assert abs(float(js["js_divergence"].iloc[0]) - expect) < 1e-6
+
+    # sorted texts: dup pair shares all 9 chars, next pair none
+    lcp = _df(q.q_adjacent_lcp(tiny_sf))
+    assert lcp.values.tolist() == [[0, 1], [9, 1]]
