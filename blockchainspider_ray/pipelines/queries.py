@@ -24556,3 +24556,351 @@ ORACLE_SQL["adjacent_lcp"] = """
     SELECT CAST(lcp AS BIGINT) AS lcp, CAST(count(*) AS BIGINT) AS n_pairs
     FROM l GROUP BY lcp ORDER BY lcp
 """
+
+
+# ---------------------------------------------------------------------------
+# continuation session 3f: crawl-hygiene screens + CCNet perplexity buckets
+# + rank-based k-sample test
+# ---------------------------------------------------------------------------
+
+_SOFT404_RE = (
+    "page not found|error 404|no longer (exists|available)|"
+    "does not exist|page unavailable"
+)
+
+
+def q_soft404_screen(sf_dir: str):
+    """Soft-404 screen per source — the crawl-hygiene filter that catches
+    pages which return HTTP 200 but carry an error body (classic
+    Common-Crawl post-fetch cleanup; the reference's spiders trust HTTP
+    status only, spiders/txs/*).  A doc is flagged when its lowercased
+    text matches the canonical error phrases OR it has fewer than 5
+    tokens (the stub-body rule).  Pure map + one small groupby(source):
+    per-batch partial (n, flagged) counters reduce per source, so only
+    ~|sources| rows ever shuffle."""
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    pat = re.compile(_SOFT404_RE)
+
+    def part(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n: Counter = Counter()
+        fl: Counter = Counter()
+        for s, t in zip(b.column("source").to_pylist(), b.column("text").to_pylist()):
+            n[s] += 1
+            if pat.search(t.lower()) or len(_oracle_tokens(t)) < 5:
+                fl[s] += 1
+        ks = sorted(n)
+        return pa.table(
+            {
+                "source": pa.array(ks, pa.string()),
+                "n_docs": pa.array([n[k] for k in ks], pa.int64()),
+                "n_flagged": pa.array([fl.get(k, 0) for k in ks], pa.int64()),
+            }
+        )
+
+    def rate(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy()
+        nf = b.column("n_flagged").to_numpy()
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_flagged": pa.array(nf, pa.int64()),
+                "rate": pa.array(_r(nf * 1.0 / nd, 6), pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_flagged", alias_name="n_flagged"))
+        .map_batches(rate, batch_format="pyarrow")
+        .sort("source")
+    )
+
+
+SQL_QUERIES["soft404_screen"] = q_soft404_screen
+
+ORACLE_SQL["soft404_screen"] = r"""
+    WITH f AS (
+        SELECT source,
+               CASE WHEN regexp_matches(lower(text),
+                        'page not found|error 404|no longer (exists|available)|does not exist|page unavailable')
+                    OR len(regexp_split_to_array(trim(text), '\s+')) < 5
+                    THEN 1 ELSE 0 END AS fl
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(fl) AS BIGINT) AS n_flagged,
+           round(sum(fl) * 1.0 / count(*), 6) AS rate
+    FROM f GROUP BY source ORDER BY source
+"""
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    doc with the in-corpus unigram LM (q_unigram_logprob's exact chain),
+    rank the corpus by logprob DESC (head = least surprising) and split
+    into ntile(3) head/middle/tail buckets, reporting docs/tokens/mean
+    score per bucket — the standard corpus-mix telemetry before choosing
+    which quality slice to train on.  Shape: the LM is a vocab-sized
+    broadcast (two passes); the global rank is the two-pass
+    order-preserving bucket rank (per-coarse-key counts -> exclusive
+    offsets -> in-key argsort), so no global sort and only 3 rows reach
+    the driver."""
+    import math
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt = Counter()
+        for t in b.column("text").to_pylist():
+            cnt.update(_oracle_tokens(t))
+        return pa.table(
+            {
+                "token": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    tab = docs.map_batches(vc, batch_format="pyarrow").groupby("token").sum("c").to_pandas()
+    cnts = dict(zip(tab["token"], tab["sum(c)"].astype(int)))
+    total = int(tab["sum(c)"].sum())
+    ref = ray.put(cnts)
+
+    def score(b: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        ids, sc, nt = [], [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            sc.append(sum(math.log(cm[w] / total) for w in toks) / len(toks))
+            ids.append(d)
+            nt.append(len(toks))
+        s6 = _r(sc, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(s6, pa.float64()),
+                "nt": pa.array(nt, pa.int64()),
+                # coarse rank key: DESC order -> negate so ascending key sort
+                # matches (score DESC); 0.01-wide slabs keep groups bounded
+                "kb": pa.array(np.floor(-np.asarray(s6) * 100.0).astype(np.int64)),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow").materialize()
+    bc = scored.groupby("kb").count().to_pandas().sort_values("kb")
+    n_docs = int(bc["count()"].sum())
+    offsets = dict(
+        zip(bc["kb"], bc["count()"].cumsum().shift(1, fill_value=0).astype(int))
+    )
+    off_ref = ray.put(offsets)
+    q3, r3 = divmod(n_docs, 3)
+
+    def bucketize(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values(["score", "doc_id"], ascending=[False, True])
+        rank0 = off[int(df["kb"].iloc[0])] + np.arange(len(df), dtype=np.int64)
+        # ntile(3) semantics: first (n mod 3) buckets take q+1 rows
+        cut = r3 * (q3 + 1)
+        bi = np.where(rank0 < cut, rank0 // (q3 + 1), r3 + (rank0 - cut) // max(q3, 1)) + 1
+        return pa.table(
+            {
+                "bi": pa.array(bi.astype(np.int64)),
+                "nt": pa.array(df["nt"].to_numpy(), pa.int64()),
+                "score": pa.array(df["score"].to_numpy(), pa.float64()),
+                "one": pa.array(np.ones(len(df), dtype=np.int64)),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        names = {1: "head", 2: "middle", 3: "tail"}
+        bi = b.column("bi").to_pylist()
+        nd = b.column("n_docs").to_numpy()
+        return pa.table(
+            {
+                "bucket": pa.array([names[int(x)] for x in bi], pa.string()),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_tokens": pa.array(b.column("n_tokens").to_numpy(), pa.int64()),
+                "mean_logprob": pa.array(
+                    _r(b.column("s").to_numpy() / nd, 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        scored.groupby("kb")
+        .map_groups(bucketize, batch_format="pyarrow")
+        .groupby("bi")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("nt", alias_name="n_tokens"),
+            Sum("score", alias_name="s"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+
+SQL_QUERIES["perplexity_buckets"] = q_perplexity_buckets
+
+ORACLE_SQL["perplexity_buckets"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    cnt AS (SELECT token, count(*) AS c FROM w GROUP BY token),
+    tot AS (SELECT count(*) AS s FROM w),
+    sc AS (
+        SELECT w.doc_id,
+               round(sum(ln(cnt.c * 1.0 / tot.s)) / count(*), 6) AS score,
+               count(*) AS nt
+        FROM w JOIN cnt USING (token) CROSS JOIN tot
+        GROUP BY w.doc_id
+    ),
+    b AS (
+        SELECT ntile(3) OVER (ORDER BY score DESC, doc_id) AS bi, nt, score
+        FROM sc
+    )
+    SELECT CASE bi WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(sum(score) / count(*), 6) AS mean_logprob
+    FROM b GROUP BY bi ORDER BY 1
+"""
+
+
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis rank-sum H test of events.value across the
+    event_type groups (the k-sample generalization of the Mann-Whitney
+    machinery q_roc_auc uses for 2 classes) with exact average-rank tie
+    handling and the standard tie correction — the distribution-free
+    "does any segment differ" gate run before per-segment drilldowns.
+    Shape: one combiner groupby reduces the table to the distinct-value
+    histogram with per-group counts; global rank prefixes come from the
+    coarse-slab offsets (floor(v) counts on the driver, in-slab
+    cumulative in map_groups), so rank sums are computed in EXACT
+    integer arithmetic (2*ranksum folds) and only per-group scalars
+    reach the driver."""
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for g, v in zip(b.column("event_type").to_pylist(), b.column("value").to_pylist()):
+            cnt[(float(v), g)] += 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "v": pa.array([k[0] for k in ks], pa.float64()),
+                "g": pa.array([k[1] for k in ks], pa.string()),
+                "c": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    hist = (
+        ev.map_batches(part, batch_format="pyarrow")
+        .groupby(["v", "g"])
+        .sum("c")
+        .map_batches(
+            lambda b: b.rename_columns(["v", "g", "c"]).append_column(
+                "kb", pa.array(np.floor(b.column("v").to_numpy()).astype(np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    kc = (
+        hist.groupby("kb").sum("c").to_pandas().sort_values("kb").reset_index(drop=True)
+    )
+    offsets = dict(zip(kc["kb"], kc["sum(c)"].cumsum().shift(1, fill_value=0).astype(int)))
+    off_ref = ray.put(offsets)
+
+    def fold(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        df = g.to_pandas().sort_values(["v", "g"]).reset_index(drop=True)
+        a = int(off[int(df["kb"].iloc[0])])
+        out_g: dict = {}
+        out_n: dict = {}
+        tie = 0
+        for _, grp in df.groupby("v", sort=True):
+            m = int(grp["c"].sum())
+            tie += m * m * m - m
+            for gg, cc in zip(grp["g"], grp["c"]):
+                cc = int(cc)
+                out_g[gg] = out_g.get(gg, 0) + cc * (2 * a + m + 1)
+                out_n[gg] = out_n.get(gg, 0) + cc
+            a += m
+        ks = sorted(out_g)
+        return pa.table(
+            {
+                "g": pa.array(ks + ["__tie__"], pa.string()),
+                "s2": pa.array([out_g[k] for k in ks] + [tie], pa.int64()),
+                "n": pa.array([out_n[k] for k in ks] + [0], pa.int64()),
+            }
+        )
+
+    agg = (
+        hist.groupby("kb")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("s2", alias_name="s2"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tie_t = int(agg.loc[agg["g"] == "__tie__", "s2"].iloc[0])
+    grp = agg[agg["g"] != "__tie__"].sort_values("g").reset_index(drop=True)
+    n_tot = int(grp["n"].sum())
+    acc = sum(
+        (int(s) * int(s)) / (4.0 * int(n)) for s, n in zip(grp["s2"], grp["n"])
+    )
+    h = 12.0 / (n_tot * (n_tot + 1.0)) * acc - 3.0 * (n_tot + 1.0)
+    corr = 1.0 - tie_t / (n_tot * n_tot * n_tot * 1.0 - n_tot)
+    return pd.DataFrame(
+        {
+            "n_total": [n_tot],
+            "n_groups": [len(grp)],
+            "h": [float(_r(h, 6))],
+            "h_corrected": [float(_r(h / corr, 6))],
+        }
+    )
+
+
+SQL_QUERIES["kruskal_wallis"] = q_kruskal_wallis
+
+ORACLE_SQL["kruskal_wallis"] = r"""
+    WITH h AS (
+        SELECT value AS v, event_type AS g, count(*) AS c
+        FROM events GROUP BY v, g
+    ),
+    m AS (SELECT v, sum(c) AS m FROM h GROUP BY v),
+    a AS (
+        SELECT v, m,
+               coalesce(sum(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+        FROM m
+    ),
+    s AS (
+        SELECT h.g, sum(h.c * (2 * a.a + a.m + 1)) AS s2, sum(h.c) AS n
+        FROM h JOIN a USING (v) GROUP BY h.g
+    ),
+    tot AS (SELECT sum(n) AS nt, count(*) AS k FROM s),
+    tie AS (SELECT sum(m * m * m - m) AS t FROM m),
+    stat AS (
+        SELECT 12.0 / (tot.nt * (tot.nt + 1.0))
+                   * (SELECT sum(s2 * s2 / (4.0 * n)) FROM s)
+               - 3.0 * (tot.nt + 1.0) AS h_raw,
+               1.0 - tie.t / (tot.nt * tot.nt * tot.nt * 1.0 - tot.nt) AS corr,
+               tot.nt AS nt, tot.k AS k
+        FROM tot, tie
+    )
+    SELECT CAST(nt AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS n_groups,
+           round(h_raw, 6) AS h,
+           round(h_raw / corr, 6) AS h_corrected
+    FROM stat
+"""

@@ -1,0 +1,105 @@
+"""Degenerate-corpus + partitioning-independence guards for the
+soft-404 / perplexity-bucket / Kruskal-Wallis session.
+
+Tiny fixture (3 docs / 3 events): doc1 carries a literal soft-404 body,
+doc2 is a 2-token stub; every corpus token is unique so all three docs
+tie on unigram logprob and bucket assignment reduces to the doc_id
+tiebreak; the events values (1.0, 1.0, 2.5) give closed-form
+Kruskal-Wallis H = 1.5 and tie-corrected H = 2.0.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3f"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b c d e", "page not found", "x y"], pa.string()),
+                "lang": pa.array(["en", "en", "en"], pa.string()),
+                "source": pa.array(["s0", "s0", "s1"], pa.string()),
+                "n_chars": pa.array([9, 14, 3], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    ts = pa.array(
+        pd.to_datetime(
+            ["2024-01-01 00:10", "2024-01-01 05:00", "2024-01-02 00:00"]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([7, 7, 8], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy"], pa.string()),
+                "value": pa.array([1.0, 1.0, 2.5], pa.float64()),
+                "props": pa.array(["{}", "{}", "{}"], pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def _df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_s3f_soft404_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    s = _df(q.q_soft404_screen(tiny_sf))
+    # s0: doc0 clean, doc1 matches 'page not found' (and is <5 tokens);
+    # s1: doc2 is a 2-token stub
+    assert s.values.tolist() == [["s0", 2, 1, 0.5], ["s1", 1, 1, 1.0]]
+
+
+def test_s3f_perplexity_buckets_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    b = _df(q.q_perplexity_buckets(tiny_sf)).set_index("bucket")
+    # every token count 1 over 10 total -> all docs score ln(1/10);
+    # the tie breaks on doc_id: head=doc0(5 toks), middle=doc1(3), tail=doc2(2)
+    assert b.loc["head", "n_tokens"] == 5
+    assert b.loc["middle", "n_tokens"] == 3
+    assert b.loc["tail", "n_tokens"] == 2
+    assert (b["n_docs"] == 1).all()
+    assert (b["mean_logprob"] == -2.302585).all()
+
+
+def test_s3f_kruskal_wallis_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    kw = _df(q.q_kruskal_wallis(tiny_sf))
+    # ranks (1.5, 1.5, 3): R_view=3 (n=2), R_buy=3 (n=1)
+    # H = 12/(3*4) * (9/2 + 9) - 3*4 = 1.5; tie term 6 -> corr .75 -> 2.0
+    assert kw.values.tolist() == [[3, 2, 1.5, 2.0]]
+
+
+def test_s3f_partitioning_independent(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("soft404_screen", "perplexity_buckets", "kruskal_wallis")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
