@@ -24904,3 +24904,198 @@ ORACLE_SQL["kruskal_wallis"] = r"""
            round(h_raw / corr, 6) AS h_corrected
     FROM stat
 """
+
+
+def _daily_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared reduction for the daily-series detectors (cusum/holt shape):
+    combiner groupby folds the event stream to O(days) (day, n) rows —
+    the only thing that ever reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        vals, cnts = np.unique(days, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(vals, pa.string()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby("day")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend over the daily event volume: slope = median
+    of all pairwise slopes (n_j - n_i)/(j - i), intercept = median of
+    (n_i - slope * i) — the outlier-proof alternative to q_ols_fit's
+    least squares for ingest-volume drift.  The corpus reduces to the
+    O(days) series (calendar-bounded, so the O(days^2) pair median is a
+    driver scalar job even at 100 TB); both medians interpolate the two
+    middle values exactly like DuckDB's quantile_cont(0.5)."""
+    d = _daily_counts(sf_dir)
+    x = np.arange(1, len(d) + 1, dtype=np.float64)
+    y = d["n"].to_numpy(np.float64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = np.sort((y[j] - y[i]) / (x[j] - x[i]))
+
+    def med(a: np.ndarray) -> float:
+        m = len(a) // 2
+        return float(a[m]) if len(a) % 2 else float((a[m - 1] + a[m]) / 2.0)
+
+    slope = med(slopes) if len(slopes) else 0.0
+    inter = med(np.sort(y - slope * x)) if len(d) else 0.0
+    return pd.DataFrame(
+        {
+            "n_days": [len(d)],
+            "n_pairs": [len(slopes)],
+            "slope": [float(_r(slope, 6))],
+            "intercept": [float(_r(inter, 6))],
+        }
+    )
+
+
+SQL_QUERIES["theil_sen"] = q_theil_sen
+
+ORACLE_SQL["theil_sen"] = """
+    WITH d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    r AS (SELECT n, row_number() OVER (ORDER BY day) AS rk FROM d),
+    p AS (
+        SELECT (b.n - a.n) * 1.0 / (b.rk - a.rk) AS s
+        FROM r a JOIN r b ON b.rk > a.rk
+    ),
+    sl AS (SELECT median(s) AS slope FROM p),
+    ic AS (
+        SELECT median(r.n - sl.slope * r.rk) AS intercept
+        FROM r, sl
+    )
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_days,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+           round(sl.slope, 6) AS slope,
+           round(ic.intercept, 6) AS intercept
+    FROM sl, ic
+"""
+
+
+def q_page_hinkley(sf_dir: str, delta: float = 0.5, lam: float = 10.0):
+    """Page-Hinkley drift test over the daily event volume (the
+    sequential mean-shift monitor streaming systems run alongside CUSUM):
+    m_t = sum_{i<=t} (x_i - mean(x_1..i) - delta), alarm when m_t -
+    min(m_1..t) > lambda.  Unlike CUSUM's recursion this is pure prefix
+    algebra — running mean, prefix sum, prefix min — so the mirror is
+    plain window functions; the Ray side folds the same prefixes over
+    the O(days) series in identical order."""
+    d = _daily_counts(sf_dir)
+    n = d["n"].to_numpy(np.float64)
+    t = np.arange(1, len(d) + 1, dtype=np.float64)
+    run_mean = np.cumsum(n) / t
+    ph = np.cumsum(n - run_mean - delta)
+    ph_min = np.minimum.accumulate(ph)
+    return pd.DataFrame(
+        {
+            "day": d["day"],
+            "n_events": d["n"].astype("int64"),
+            "running_mean": [float(v) for v in _r(run_mean, 6)],
+            "ph": [float(v) for v in _r(ph, 6)],
+            "alarm": pd.Series((ph - ph_min > lam).astype(np.int64), dtype="int64"),
+        }
+    )
+
+
+SQL_QUERIES["page_hinkley"] = q_page_hinkley
+
+ORACLE_SQL["page_hinkley"] = """
+    WITH d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    m AS (
+        SELECT day, n,
+               sum(n) OVER w * 1.0 / count(*) OVER w AS rm
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    p AS (
+        SELECT day, n, rm,
+               sum(n - rm - 0.5) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS ph
+        FROM m
+    ),
+    q AS (
+        SELECT day, n, rm, ph,
+               min(ph) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS phm
+        FROM p
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           round(rm, 6) AS running_mean,
+           round(ph, 6) AS ph,
+           CAST(CASE WHEN ph - phm > 10.0 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+    FROM q ORDER BY day
+"""
+
+
+def q_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality profile of the event volume: per ISO
+    weekday (1=Mon..7=Sun) the day count and mean daily volume, plus
+    each weekday's share of the total between-day variance explained
+    (ss_within / ss_tot per weekday bucket) — the telemetry a recrawl
+    scheduler reads before fitting weekly periodicity.  Same O(days)
+    reduction as the other daily detectors; the variance folds are
+    driver scalars in mirror-identical expression order."""
+    d = _daily_counts(sf_dir)
+    dt = pd.to_datetime(d["day"])
+    dow = (dt.dt.dayofweek + 1).to_numpy(np.int64)  # ISO: 1=Mon..7=Sun
+    n = d["n"].to_numpy(np.float64)
+    mu = float(n.sum()) / len(n)
+    ss_tot = float(((n - mu) ** 2).sum())
+    rows = []
+    for w in sorted(set(dow.tolist())):
+        m = dow == w
+        mw = float(n[m].sum()) / int(m.sum())
+        ssw = float(((n[m] - mw) ** 2).sum())
+        rows.append(
+            {
+                "isodow": int(w),
+                "n_days": int(m.sum()),
+                "mean_n": float(_r(mw, 6)),
+                "var_share": float(_r(ssw / ss_tot, 6)) if ss_tot > 0 else 0.0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["dow_seasonality"] = q_dow_seasonality
+
+ORACLE_SQL["dow_seasonality"] = """
+    WITH d AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS day, count(*) AS n
+        FROM events GROUP BY day
+    ),
+    st AS (SELECT sum(n) * 1.0 / count(*) AS mu FROM d),
+    tot AS (SELECT sum((n - st.mu) * (n - st.mu)) AS ss FROM d, st),
+    g AS (
+        SELECT isodow(day) AS isodow, count(*) AS n_days,
+               sum(n) * 1.0 / count(*) AS mw
+        FROM d GROUP BY isodow
+    )
+    SELECT g.isodow, CAST(g.n_days AS BIGINT) AS n_days,
+           round(g.mw, 6) AS mean_n,
+           CASE WHEN tot.ss > 0 THEN
+               round((SELECT sum((d2.n - g.mw) * (d2.n - g.mw)) FROM d d2
+                      WHERE isodow(d2.day) = g.isodow) / tot.ss, 6)
+           ELSE 0.0 END AS var_share
+    FROM g, tot ORDER BY g.isodow
+"""

@@ -87,10 +87,31 @@ def test_s3f_kruskal_wallis_tiny(ray_session, tiny_sf):
     assert kw.values.tolist() == [[3, 2, 1.5, 2.0]]
 
 
+def test_s3f_daily_series_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # days (2, 1): single pair slope -1; intercept = median(3, 3) = 3
+    ts = _df(q.q_theil_sen(tiny_sf))
+    assert ts.values.tolist() == [[2, 1, -1.0, 3.0]]
+
+    # PH: day1 rm=2, ph=-0.5; day2 rm=1.5, ph=-1.5; never alarms
+    ph = _df(q.q_page_hinkley(tiny_sf))
+    assert ph["running_mean"].tolist() == [2.0, 1.5]
+    assert ph["ph"].tolist() == [-0.5, -1.5]
+    assert ph["alarm"].tolist() == [0, 0]
+
+    # 2024-01-01 = Monday (isodow 1); each dow bucket has zero within-var
+    dw = _df(q.q_dow_seasonality(tiny_sf))
+    assert dw.values.tolist() == [[1, 1, 2.0, 0.0], [2, 1, 1.0, 0.0]]
+
+
 def test_s3f_partitioning_independent(ray_session, monkeypatch):
     from blockchainspider_ray.pipelines import queries as Q
 
-    names = ("soft404_screen", "perplexity_buckets", "kruskal_wallis")
+    names = (
+        "soft404_screen", "perplexity_buckets", "kruskal_wallis",
+        "theil_sen", "page_hinkley", "dow_seasonality",
+    )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
 
