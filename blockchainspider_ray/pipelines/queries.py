@@ -25099,3 +25099,291 @@ ORACLE_SQL["dow_seasonality"] = """
            ELSE 0.0 END AS var_share
     FROM g, tot ORDER BY g.isodow
 """
+
+
+def q_mmr_select(sf_dir: str, k: int = 5, lam: float = 0.7):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    over the embedding corpus: with vec 0 as the query, greedily pick k
+    vectors maximizing lam*cos(v, query) - (1-lam)*max_{s in S} cos(v, s)
+    — the relevance-vs-redundancy re-ranker used to de-duplicate
+    retrieval contexts and diversify few-shot pools.  Same round shape as
+    q_kcenter_greedy: each step is ONE streaming pass; the chosen matrix
+    (k x d) and query broadcast via ray.put, every batch emits only its
+    own argmax row, the driver merges O(blocks) candidates."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q0 = np.asarray(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0], np.float64
+    )
+    chosen_ids: list = []
+    chosen_vecs: list = []
+    rows = []
+    for step in range(1, k + 1):
+        ref = ray.put(
+            (q0, np.stack(chosen_vecs) if chosen_vecs else None, tuple(chosen_ids))
+        )
+
+        def cand(b: pa.Table, _ref=ref, _lam=lam) -> pa.Table:
+            qv, cm, cids = ray.get(_ref)
+            ids = b.column("vec_id").to_numpy()
+            m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            keep = (ids != 0) & ~np.isin(ids, cids)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                        "emb": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            ids, m = ids[keep], m[keep]
+            nv = np.linalg.norm(m, axis=1)
+            rel = (m @ qv) / (nv * np.linalg.norm(qv))
+            if cm is None:
+                sc = _lam * rel
+            else:
+                cn = np.linalg.norm(cm, axis=1)
+                sim = (m @ cm.T) / (nv[:, None] * cn[None, :])
+                sc = _lam * rel - (1.0 - _lam) * sim.max(axis=1)
+            order = np.lexsort((ids, -sc))
+            i = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "score": pa.array([float(sc[i])], pa.float64()),
+                    "emb": pa.array([m[i].tolist()], pa.list_(pa.float64())),
+                }
+            )
+
+        c = emb.map_batches(cand, batch_format="pyarrow").to_pandas()
+        if not len(c):  # candidate pool exhausted before k (mirror: empty pN)
+            break
+        c = c.sort_values(["score", "vec_id"], ascending=[False, True])
+        best = c.iloc[0]
+        chosen_ids.append(int(best["vec_id"]))
+        chosen_vecs.append(np.asarray(best["emb"], np.float64))
+        rows.append(
+            {
+                "step": step,
+                "vec_id": int(best["vec_id"]),
+                "score": float(_r(best["score"], 4)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["mmr_select"] = q_mmr_select
+
+ORACLE_SQL["mmr_select"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    r AS (
+        SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.v) AS rel
+        FROM e, q WHERE e.vec_id != 0
+    ),
+    p1 AS (SELECT vec_id, v, 0.7 * rel AS sc FROM r
+           ORDER BY sc DESC, vec_id LIMIT 1),
+    s2 AS (
+        SELECT r.vec_id, r.v,
+               0.7 * r.rel - 0.3 * max(list_cosine_similarity(r.v, c.v)) AS sc
+        FROM r, p1 c WHERE r.vec_id NOT IN (SELECT vec_id FROM p1)
+        GROUP BY r.vec_id, r.v, r.rel
+    ),
+    p2 AS (SELECT vec_id, v, sc FROM s2 ORDER BY sc DESC, vec_id LIMIT 1),
+    c2 AS (SELECT vec_id, v FROM p1 UNION ALL SELECT vec_id, v FROM p2),
+    s3 AS (
+        SELECT r.vec_id, r.v,
+               0.7 * r.rel - 0.3 * max(list_cosine_similarity(r.v, c.v)) AS sc
+        FROM r, c2 c WHERE r.vec_id NOT IN (SELECT vec_id FROM c2)
+        GROUP BY r.vec_id, r.v, r.rel
+    ),
+    p3 AS (SELECT vec_id, v, sc FROM s3 ORDER BY sc DESC, vec_id LIMIT 1),
+    c3 AS (SELECT vec_id, v FROM c2 UNION ALL SELECT vec_id, v FROM p3),
+    s4 AS (
+        SELECT r.vec_id, r.v,
+               0.7 * r.rel - 0.3 * max(list_cosine_similarity(r.v, c.v)) AS sc
+        FROM r, c3 c WHERE r.vec_id NOT IN (SELECT vec_id FROM c3)
+        GROUP BY r.vec_id, r.v, r.rel
+    ),
+    p4 AS (SELECT vec_id, v, sc FROM s4 ORDER BY sc DESC, vec_id LIMIT 1),
+    c4 AS (SELECT vec_id, v FROM c3 UNION ALL SELECT vec_id, v FROM p4),
+    s5 AS (
+        SELECT r.vec_id, r.v,
+               0.7 * r.rel - 0.3 * max(list_cosine_similarity(r.v, c.v)) AS sc
+        FROM r, c4 c WHERE r.vec_id NOT IN (SELECT vec_id FROM c4)
+        GROUP BY r.vec_id, r.v, r.rel
+    ),
+    p5 AS (SELECT vec_id, v, sc FROM s5 ORDER BY sc DESC, vec_id LIMIT 1)
+    SELECT 1 AS step, vec_id, round(sc, 4) AS score FROM p1
+    UNION ALL SELECT 2, vec_id, round(sc, 4) FROM p2
+    UNION ALL SELECT 3, vec_id, round(sc, 4) FROM p3
+    UNION ALL SELECT 4, vec_id, round(sc, 4) FROM p4
+    UNION ALL SELECT 5, vec_id, round(sc, 4) FROM p5
+    ORDER BY step
+"""
+
+
+def q_event_dispersion(sf_dir: str):
+    """Fano factor (index of dispersion, var/mean of the daily count
+    series) per event type — the burstiness dial distinguishing Poisson
+    traffic (F~1) from bursty/clumped arrivals (F>1), read before sizing
+    politeness budgets per traffic class.  Days with zero events of a
+    type are out of that type's series (observed-day convention, like
+    the other daily detectors).  Combiner groupby folds the stream to
+    O(types x days) rows; per-type moments are distributive sums with
+    the variance expanded in mirror-identical order."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def per_day(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        cnt: Counter = Counter(zip(b.column("event_type").to_pylist(), days))
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in ks], pa.string()),
+                "day": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    d = (
+        ds.map_batches(per_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    rows = []
+    for et, g in d.groupby("event_type", sort=True):
+        n = g["n"].to_numpy(np.float64)
+        nd = len(n)
+        mean = float(n.sum()) / nd
+        var = float((n * n).sum()) / nd - mean * mean
+        rows.append(
+            {
+                "event_type": et,
+                "n_days": nd,
+                "mean_n": float(_r(mean, 6)),
+                "fano": float(_r(var / mean, 6)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["event_dispersion"] = q_event_dispersion
+
+ORACLE_SQL["event_dispersion"] = """
+    WITH d AS (
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    g AS (
+        SELECT event_type, count(*) AS nd,
+               sum(n) * 1.0 / count(*) AS mean_n,
+               sum(n * n) * 1.0 / count(*)
+                   - (sum(n) * 1.0 / count(*)) * (sum(n) * 1.0 / count(*)) AS v
+        FROM d GROUP BY event_type
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           round(mean_n, 6) AS mean_n,
+           round(v / mean_n, 6) AS fano
+    FROM g ORDER BY event_type
+"""
+
+
+def q_sq8_error(sf_dir: str):
+    """Int8 scalar-quantization audit for the embedding corpus: per-dim
+    min/max over the corpus define a 256-level grid, every value
+    round-trips through q = round(255*(v-min)/(max-min)), and the audit
+    reports reconstruction MSE and worst absolute error — the standard
+    go/no-go telemetry before switching an ANN index to SQ8 storage (4x
+    smaller than f32).  Two streaming passes: per-dim min/max partials
+    reduce to a d-sized broadcast, then per-batch squared-error partials
+    reduce to three scalars; the corpus never materializes."""
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def mm(b: pa.Table) -> pa.Table:
+        m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d = m.shape[1]
+        return pa.table(
+            {
+                "i": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    lim = (
+        emb.map_batches(mm, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("i")
+    )
+    mn = lim["mn"].to_numpy(np.float64)
+    scale = (lim["mx"].to_numpy(np.float64) - mn) / 255.0
+    ref = ray.put((mn, scale))
+
+    def err(b: pa.Table, _ref=ref) -> pa.Table:
+        mn_, s_ = ray.get(_ref)
+        m = np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        safe = np.where(s_ == 0.0, 1.0, s_)  # constant dims quantize exactly
+        q = _r((m - mn_) / safe, 0)
+        e = np.where(s_ == 0.0, 0.0, (mn_ + q * s_) - m)
+        return pa.table(
+            {
+                "sse": pa.array([float((e * e).sum())], pa.float64()),
+                "mx": pa.array([float(np.abs(e).max())], pa.float64()),
+                "n": pa.array([int(m.size)], pa.int64()),
+                "nv": pa.array([len(m)], pa.int64()),
+            }
+        )
+
+    p = emb.map_batches(err, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_vecs": [int(p["nv"].sum())],
+            "n_dims": [len(mn)],
+            "mse": [float(_r(p["sse"].sum() / n, 9))],
+            "max_abs_err": [float(_r(p["mx"].max(), 9))],
+        }
+    )
+
+
+SQL_QUERIES["sq8_error"] = q_sq8_error
+
+ORACLE_SQL["sq8_error"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    u AS (
+        SELECT e.vec_id, ge.i, e.v[ge.i] AS val
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) ge
+    ),
+    lim AS (SELECT i, min(val) AS mn, (max(val) - min(val)) / 255.0 AS s
+            FROM u GROUP BY i),
+    q AS (
+        SELECT u.vec_id,
+               CASE WHEN lim.s = 0 THEN 0.0
+                    ELSE (lim.mn + round((u.val - lim.mn) / lim.s, 0) * lim.s)
+                         - u.val END AS err
+        FROM u JOIN lim USING (i)
+    )
+    SELECT CAST((SELECT count(DISTINCT vec_id) FROM e) AS BIGINT) AS n_vecs,
+           CAST((SELECT count(*) FROM lim) AS BIGINT) AS n_dims,
+           round(sum(err * err) / count(*), 9) AS mse,
+           round(max(abs(err)), 9) AS max_abs_err
+    FROM q
+"""

@@ -111,6 +111,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
     names = (
         "soft404_screen", "perplexity_buckets", "kruskal_wallis",
         "theil_sen", "page_hinkley", "dow_seasonality",
+        "mmr_select", "event_dispersion", "sq8_error",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -124,3 +125,73 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_emb(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3f_emb"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.6, 0.8]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        ),
+        d + "/embeddings.parquet",
+    )
+    return d
+
+
+def test_s3f_mmr_exhausts_pool(ray_session, tiny_emb):
+    """k=5 over 3 candidates: MMR stops when the pool runs dry and the
+    greedy order is relevance-then-diversity (v1 dup of query wins, the
+    diverse v3 beats the orthogonal v2 at step 2)."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    m = _df(q.q_mmr_select(tiny_emb))
+    assert m[["step", "vec_id"]].values.tolist() == [[1, 1], [2, 3], [3, 2]]
+    assert m["score"].tolist() == [0.7, 0.24, -0.24]
+
+
+def test_s3f_event_dispersion_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = _df(q.q_event_dispersion(tiny_sf))
+    # single observed day per type -> zero variance -> Fano 0
+    assert d.values.tolist() == [["buy", 1, 1.0, 0.0], ["view", 1, 2.0, 0.0]]
+
+
+def test_s3f_sq8_error_bounds(ray_session, tiny_emb):
+    from blockchainspider_ray.pipelines import queries as q
+
+    s = _df(q.q_sq8_error(tiny_emb))
+    assert s["n_vecs"].iloc[0] == 4 and s["n_dims"].iloc[0] == 2
+    # quantization error is bounded by half a grid step = (max-min)/510
+    assert 0.0 <= s["max_abs_err"].iloc[0] <= 1.0 / 510 + 1e-12
+    assert 0.0 <= s["mse"].iloc[0] <= (1.0 / 510) ** 2 + 1e-12
+
+
+def test_s3f_sq8_constant_dim(ray_session, tmp_path):
+    """A constant dimension has zero range; both sides must report zero
+    error instead of dividing by zero."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[0.5, 1.0], [0.5, 3.0]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        d + "/embeddings.parquet",
+    )
+    s = _df(q.q_sq8_error(d))
+    assert s["mse"].iloc[0] == 0.0 and s["max_abs_err"].iloc[0] == 0.0
