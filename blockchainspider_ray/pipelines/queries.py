@@ -25387,3 +25387,289 @@ ORACLE_SQL["sq8_error"] = """
            round(max(abs(err)), 9) AS max_abs_err
     FROM q
 """
+
+
+def q_psi_drift(sf_dir: str, bin_w: int = 10):
+    """Population Stability Index between the even-doc_id and odd-doc_id
+    halves of the corpus on the token-count signal — the industry-standard
+    "did my score distribution move" gate (PSI < 0.1 stable, > 0.25
+    drifted), complementing the KS/Wasserstein/JS drift family with the
+    binned-ratio form monitoring teams actually page on.  Fixed-width
+    bins (bin_w tokens) with +1 Laplace smoothing on counts so empty
+    bins can't produce infinities; a combiner groupby reduces the corpus
+    to O(bins) (bin, n_even, n_odd) rows."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(b: pa.Table, _w=bin_w) -> pa.Table:
+        from collections import Counter
+
+        ev: Counter = Counter()
+        od: Counter = Counter()
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            bn = len(_oracle_tokens(t)) // _w
+            (ev if d % 2 == 0 else od)[bn] += 1
+        ks = sorted(set(ev) | set(od))
+        return pa.table(
+            {
+                "bin": pa.array(ks, pa.int64()),
+                "n_even": pa.array([ev.get(k, 0) for k in ks], pa.int64()),
+                "n_odd": pa.array([od.get(k, 0) for k in ks], pa.int64()),
+            }
+        )
+
+    h = (
+        docs.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_even", alias_name="n_even"), Sum("n_odd", alias_name="n_odd"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    import math
+
+    nb = len(h)
+    te = int(h["n_even"].sum()) + nb
+    to = int(h["n_odd"].sum()) + nb
+    psi = 0.0
+    for _, r in h.iterrows():
+        p = (int(r["n_even"]) + 1) / te
+        q = (int(r["n_odd"]) + 1) / to
+        psi += (p - q) * math.log(p / q)
+    return pd.DataFrame(
+        {
+            "n_bins": [nb],
+            "n_even": [int(h["n_even"].sum())],
+            "n_odd": [int(h["n_odd"].sum())],
+            "psi": [float(_r(psi, 6))],
+        }
+    )
+
+
+SQL_QUERIES["psi_drift"] = q_psi_drift
+
+ORACLE_SQL["psi_drift"] = r"""
+    WITH b AS (
+        SELECT len(regexp_split_to_array(trim(text), '\s+')) // 10 AS bin,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ev
+        FROM documents
+    ),
+    h AS (
+        SELECT bin, sum(ev) AS n_even, sum(1 - ev) AS n_odd
+        FROM b GROUP BY bin
+    ),
+    t AS (
+        SELECT sum(n_even) + count(*) AS te, sum(n_odd) + count(*) AS t_o,
+               sum(n_even) AS se, sum(n_odd) AS so, count(*) AS nb
+        FROM h
+    )
+    SELECT CAST(t.nb AS BIGINT) AS n_bins,
+           CAST(t.se AS BIGINT) AS n_even,
+           CAST(t.so AS BIGINT) AS n_odd,
+           round((SELECT sum(((n_even + 1.0) / t.te - (n_odd + 1.0) / t.t_o)
+                             * ln(((n_even + 1.0) / t.te)
+                                  / ((n_odd + 1.0) / t.t_o))) FROM h), 6) AS psi
+    FROM t
+"""
+
+
+def q_triplet_violation(sf_dir: str, margin: float = 0.05):
+    """Triplet-margin violation rate over the embedding corpus: anchors
+    pair with the NEXT same-label vector (positive) and the NEXT vector
+    overall when its label differs (negative); a triplet violates when
+    cos(a, pos) < cos(a, neg) + margin — the metric-learning eval that
+    says whether labels are linearly recoverable from the geometry,
+    complementing q_label_knn_accuracy's classifier view.  Both pairings
+    are the deterministic consecutive-pair shuffle (jaccard_pairs'
+    pair_id trick, per-label and global), so no O(n^2) join; vectors
+    travel WITH the pair rows and only counters reach the driver."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def pos_pairs(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        if len(df) < 2:
+            return pa.table(
+                {
+                    "anchor": pa.array([], pa.int64()),
+                    "pv": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "anchor": pa.array(df["vec_id"].iloc[:-1].to_numpy(), pa.int64()),
+                "pv": pa.array(
+                    [list(map(float, v)) for v in df["embedding"].iloc[1:]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    def tag_pos(b: pa.Table) -> pa.Table:
+        t = pos_pairs(b)
+        return t.append_column("role", pa.array(["p"] * len(t), pa.string()))
+
+    pos = emb.groupby("label").map_groups(tag_pos, batch_format="pyarrow")
+
+    # negatives: consecutive (i, i+1) with differing labels — vec_ids are
+    # dense, so each vec emits its own row as 'a' and its predecessor's
+    # 'n' row; groupby(anchor) co-locates the pair (jaccard_pairs trick)
+    def neg_roles(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_pylist()
+        labs = b.column("label").to_pylist()
+        vecs = [list(map(float, v)) for v in b.column("embedding").to_pylist()]
+        anchor, role, pv, lab = [], [], [], []
+        for i, l, v in zip(ids, labs, vecs):
+            anchor.append(i)
+            role.append("a")
+            pv.append(v)
+            lab.append(int(l))
+            if i > 0:
+                anchor.append(i - 1)
+                role.append("n")
+                pv.append(v)
+                lab.append(int(l))
+        return pa.table(
+            {
+                "anchor": pa.array(anchor, pa.int64()),
+                "pv": pa.array(pv, pa.list_(pa.float64())),
+                "role": pa.array(role, pa.string()),
+                "lab": pa.array(lab, pa.int64()),
+            }
+        )
+
+    neg = emb.map_batches(neg_roles, batch_format="pyarrow")
+    pos = pos.map_batches(
+        lambda b: b.append_column("lab", pa.array([-1] * len(b), pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    def judge(g: pa.Table, _m=margin) -> pa.Table:
+        df = g.to_pandas()
+        roles = dict(zip(df["role"], df.index))
+        empty = pa.table(
+            {"n": pa.array([], pa.int64()), "viol": pa.array([], pa.int64())}
+        )
+        if not {"a", "n", "p"} <= roles.keys():
+            return empty
+        la = int(df["lab"].iloc[roles["a"]])
+        ln = int(df["lab"].iloc[roles["n"]])
+        if la == ln:  # the global successor shares the label: no negative
+            return empty
+        av = np.asarray(df["pv"].iloc[roles["a"]], np.float64)
+        pvv = np.asarray(df["pv"].iloc[roles["p"]], np.float64)
+        ngv = np.asarray(df["pv"].iloc[roles["n"]], np.float64)
+        cp = float(av @ pvv / (np.linalg.norm(av) * np.linalg.norm(pvv)))
+        cn = float(av @ ngv / (np.linalg.norm(av) * np.linalg.norm(ngv)))
+        return pa.table(
+            {
+                "n": pa.array([1], pa.int64()),
+                "viol": pa.array([int(cp < cn + _m)], pa.int64()),
+            }
+        )
+
+    agg = (
+        neg.union(pos)
+        .groupby("anchor")
+        .map_groups(judge, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Sum("viol", alias_name="viol"))
+    )
+    n_trip = int(agg["n"] or 0)
+    n_viol = int(agg["viol"] or 0)
+    return pd.DataFrame(
+        {
+            "n_triplets": [n_trip],
+            "n_violations": [n_viol],
+            "violation_rate": [float(_r(n_viol / n_trip, 6)) if n_trip else 0.0],
+        }
+    )
+
+
+SQL_QUERIES["triplet_violation"] = q_triplet_violation
+
+ORACLE_SQL["triplet_violation"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pos AS (
+        SELECT vec_id AS anchor,
+               lead(v) OVER (PARTITION BY label ORDER BY vec_id) AS pv
+        FROM e
+    ),
+    neg AS (
+        SELECT vec_id AS anchor, v AS av,
+               lead(v) OVER (ORDER BY vec_id) AS ngv,
+               label, lead(label) OVER (ORDER BY vec_id) AS nl
+        FROM e
+    ),
+    t AS (
+        SELECT list_cosine_similarity(n.av, p.pv) AS cp,
+               list_cosine_similarity(n.av, n.ngv) AS cn
+        FROM neg n JOIN pos p USING (anchor)
+        WHERE n.nl IS NOT NULL AND n.label != n.nl AND p.pv IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(sum(CASE WHEN cp < cn + 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CASE WHEN count(*) > 0 THEN
+               round(sum(CASE WHEN cp < cn + 0.05 THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6)
+           ELSE 0.0 END AS violation_rate
+    FROM t
+"""
+
+
+def q_mattr(sf_dir: str, w: int = 50):
+    """Moving-Average Type-Token Ratio (Covington & McFall 2010) per doc:
+    mean over all length-w windows of (distinct tokens in window)/w —
+    the length-independent lexical-diversity signal (plain TTR shrinks
+    with doc length; q_heaps_law fits the corpus curve, MATTR scores
+    each doc).  Docs shorter than w fall back to whole-doc TTR.  Pure
+    map stage with an O(len) sliding Counter per doc; no shuffle."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table, _w=w) -> pa.Table:
+        from collections import Counter
+
+        ids, out = [], []
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(t)
+            n = len(toks)
+            if n < _w:
+                v = len(set(toks)) / n
+            else:
+                cnt = Counter(toks[:_w])
+                acc = len(cnt)
+                for i in range(n - _w):
+                    cnt[toks[i]] -= 1
+                    if not cnt[toks[i]]:
+                        del cnt[toks[i]]
+                    cnt[toks[i + _w]] += 1
+                    acc += len(cnt)
+                v = acc / (_w * (n - _w + 1))
+            ids.append(d)
+            out.append(v)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mattr": pa.array(_r(out, 6), pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_QUERIES["mattr"] = q_mattr
+
+ORACLE_SQL["mattr"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(t) < 50 THEN
+               round(len(list_distinct(t)) * 1.0 / len(t), 6)
+           ELSE
+               round(list_sum(list_transform(range(1, len(t) - 48),
+                                             i -> len(list_distinct(t[i:i+49]))))
+                     * 1.0 / (50 * (len(t) - 49)), 6)
+           END AS mattr
+    FROM toks ORDER BY doc_id
+"""

@@ -112,6 +112,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         "soft404_screen", "perplexity_buckets", "kruskal_wallis",
         "theil_sen", "page_hinkley", "dow_seasonality",
         "mmr_select", "event_dispersion", "sq8_error",
+        "psi_drift", "triplet_violation", "mattr",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -195,3 +196,60 @@ def test_s3f_sq8_constant_dim(ray_session, tmp_path):
     )
     s = _df(q.q_sq8_error(d))
     assert s["mse"].iloc[0] == 0.0 and s["max_abs_err"].iloc[0] == 0.0
+
+
+def test_s3f_psi_drift_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # all 3 docs land in bin 0; Laplace smoothing makes p = q = 1 -> PSI 0
+    p = _df(q.q_psi_drift(tiny_sf))
+    assert p.values.tolist() == [[1, 2, 1, 0.0]]
+
+
+def test_s3f_triplet_violation_tiny(ray_session, tiny_emb, tmp_path):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # labels (0,0,1,1): no anchor has both a positive successor and a
+    # differing-label global successor -> zero triplets, rate 0
+    t = _df(q.q_triplet_violation(tiny_emb))
+    assert t.values.tolist() == [[0, 0, 0.0]]
+
+    # interleaved labels (0,1,0,1): anchors 0 and 1 form triplets, and the
+    # geometry (dup of own class, orthogonal other class) never violates
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.6, 0.8]],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0, 1, 0, 1], pa.int32()),
+            }
+        ),
+        d + "/embeddings.parquet",
+    )
+    t2 = _df(q.q_triplet_violation(d))
+    assert t2.values.tolist() == [[2, 0, 0.0]]
+
+
+def test_s3f_mattr_tiny(ray_session, tmp_path):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a a b a", "x y"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s0", "s0"], pa.string()),
+                "n_chars": pa.array([7, 3], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    m = _df(q.q_mattr(d))
+    # short docs fall back to whole-doc TTR: 2/4 and 2/2
+    assert m.values.tolist() == [[0, 0.5], [1, 1.0]]
