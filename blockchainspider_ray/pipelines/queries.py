@@ -25673,3 +25673,332 @@ ORACLE_SQL["mattr"] = r"""
            END AS mattr
     FROM toks ORDER BY doc_id
 """
+
+
+def q_depth_quality_decay(sf_dir: str):
+    """Does page quality decay with crawl depth?  The BFS layer number of
+    every FOUND page (the budget-free engine run of q_crawl_bfs_depths)
+    joined against the per-doc Gopher keep verdict and token count, then
+    folded per depth into (n_docs, n_keep, keep_rate, mean_tokens) — the
+    frontier-scheduling telemetry (crawl deeper vs re-seed) Common-Crawl
+    curation reads before spending fetch budget.  The join is the
+    tagged-union groupby (no broadcast side: depth rows and quality rows
+    co-locate per doc_id), so a reachable set as large as the corpus
+    still streams."""
+    t = _run_crawl(
+        sf_dir,
+        "bfs",
+        _cfg=dict(pop_k=1_000_000, host_budget=0, max_fetches=None, max_rounds=32),
+        depth=32,
+    )
+    found = t.to_pandas()
+    found = found[found["found"]]
+    depth_rows = pa.table(
+        {
+            "doc_id": pa.array(
+                [int(u.rsplit("/", 1)[1]) for u in found["url"]], pa.int64()
+            ),
+            "role": pa.array(["d"] * len(found), pa.string()),
+            "depth": pa.array(found["round"].astype("int64").to_numpy(), pa.int64()),
+            "keep": pa.array([0] * len(found), pa.int64()),
+            "nt": pa.array([0] * len(found), pa.int64()),
+        }
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality(b: pa.Table) -> pa.Table:
+        ids, keeps, nts = [], [], []
+        for d, t_ in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            st = _gopher_stats(_oracle_tokens(t_))
+            ids.append(d)
+            keeps.append(st[4])
+            nts.append(st[0])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "role": pa.array(["q"] * len(ids), pa.string()),
+                "depth": pa.array([-1] * len(ids), pa.int64()),
+                "keep": pa.array(keeps, pa.int64()),
+                "nt": pa.array(nts, pa.int64()),
+            }
+        )
+
+    def join_doc(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        d_rows = df[df["role"] == "d"]
+        q_rows = df[df["role"] == "q"]
+        if not len(d_rows) or not len(q_rows):
+            return pa.table(
+                {
+                    "depth": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                    "nt": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "depth": pa.array([int(d_rows["depth"].iloc[0])], pa.int64()),
+                "keep": pa.array([int(q_rows["keep"].iloc[0])], pa.int64()),
+                "nt": pa.array([int(q_rows["nt"].iloc[0])], pa.int64()),
+                "one": pa.array([1], pa.int64()),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = b.column("n_docs").to_numpy()
+        nk = b.column("n_keep").to_numpy()
+        nt = b.column("snt").to_numpy()
+        return pa.table(
+            {
+                "depth": b.column("depth"),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_keep": pa.array(nk, pa.int64()),
+                "keep_rate": pa.array(_r(nk * 1.0 / nd, 6), pa.float64()),
+                "mean_tokens": pa.array(_r(nt * 1.0 / nd, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.from_arrow(depth_rows)
+        .union(docs.map_batches(quality, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(join_doc, batch_format="pyarrow")
+        .groupby("depth")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("keep", alias_name="n_keep"),
+            Sum("nt", alias_name="snt"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("depth")
+    )
+
+
+SQL_QUERIES["depth_quality_decay"] = q_depth_quality_decay
+
+ORACLE_SQL["depth_quality_decay"] = r"""
+    WITH RECURSIVE r AS (
+        SELECT CAST(0 AS BIGINT) AS doc, CAST(0 AS BIGINT) AS depth
+        UNION
+        SELECT s.nxt, s.depth + 1 FROM (
+            SELECT (doc * 7 + 1) % (SELECT count(*) FROM documents) AS nxt, depth
+            FROM r WHERE depth < 31
+            UNION ALL
+            SELECT (doc + 10) % (SELECT count(*) FROM documents) AS nxt, depth
+            FROM r
+            WHERE depth < 31
+              AND ((doc + 10) % (SELECT count(*) FROM documents)) % 10 = doc % 10
+        ) s
+    ),
+    f AS (SELECT doc, MIN(depth) AS depth FROM r GROUP BY doc),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    ws AS (
+        SELECT doc_id, count(*) AS n,
+               sum(len(w)) * 1.0 / count(*) AS mwl,
+               count(DISTINCT w) * 1.0 / count(*) AS uq
+        FROM w GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+    tp AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS topf FROM gc GROUP BY doc_id),
+    q AS (
+        SELECT ws.doc_id, ws.n,
+               CASE WHEN ws.n BETWEEN 30 AND 100000 AND ws.mwl BETWEEN 3.0 AND 10.0
+                     AND ws.uq >= 0.45 AND coalesce(tp.topf, 0.0) <= 0.10
+                    THEN 1 ELSE 0 END AS keep
+        FROM ws LEFT JOIN tp USING (doc_id)
+    )
+    SELECT f.depth, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.keep) AS BIGINT) AS n_keep,
+           round(sum(q.keep) * 1.0 / count(*), 6) AS keep_rate,
+           round(sum(q.n) * 1.0 / count(*), 6) AS mean_tokens
+    FROM f JOIN q ON q.doc_id = f.doc
+    GROUP BY f.depth ORDER BY f.depth
+"""
+
+
+def q_mase_daily(sf_dir: str, m: int = 7):
+    """MASE forecast-quality floor on the daily event volume: the mean
+    absolute error of the seasonal-naive forecast (x_{t-7}) scaled by the
+    one-step naive MAE (x_{t-1}) — MASE < 1 means weekly seasonality is
+    real signal a recrawl scheduler should exploit, > 1 means yesterday
+    already beats last-week.  Same O(days) reduction as the other daily
+    detectors; lag differences fold driver-side in mirror order."""
+    d = _daily_counts(sf_dir)
+    x = d["n"].to_numpy(np.float64)
+    naive = np.abs(x[1:] - x[:-1])
+    seas = np.abs(x[m:] - x[:-m]) if len(x) > m else np.array([])
+    mae_n = float(naive.mean()) if len(naive) else 0.0
+    mae_s = float(seas.mean()) if len(seas) else 0.0
+    mase = mae_s / mae_n if len(seas) and mae_n > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "n_days": [len(x)],
+            "mae_naive": [float(_r(mae_n, 6))],
+            "mae_seasonal": [float(_r(mae_s, 6))],
+            "mase": [float(_r(mase, 6))],
+        }
+    )
+
+
+SQL_QUERIES["mase_daily"] = q_mase_daily
+
+ORACLE_SQL["mase_daily"] = """
+    WITH d AS (
+        SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+               count(*) AS n
+        FROM events GROUP BY day
+    ),
+    l AS (
+        SELECT n, lag(n, 1) OVER (ORDER BY day) AS n1,
+               lag(n, 7) OVER (ORDER BY day) AS n7
+        FROM d
+    ),
+    s AS (
+        SELECT avg(abs(n - n1)) FILTER (n1 IS NOT NULL) AS mae_n,
+               avg(abs(n - n7)) FILTER (n7 IS NOT NULL) AS mae_s,
+               count(*) FILTER (n7 IS NOT NULL) AS k7
+        FROM l
+    )
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+           round(coalesce(mae_n, 0.0), 6) AS mae_naive,
+           round(coalesce(mae_s, 0.0), 6) AS mae_seasonal,
+           CASE WHEN k7 > 0 AND mae_n > 0
+                THEN round(mae_s / mae_n, 6) ELSE 0.0 END AS mase
+    FROM s
+"""
+
+
+def q_pagerank_convergence(sf_dir: str, iters: int = 3):
+    """PageRank convergence diagnostics: the L1 residual ||r_k -
+    r_{k-1}||_1 after each power iteration — the stop-early dial for
+    whole-graph scoring (q_pagerank pins values; this pins how fast they
+    settle).  The crawl store's own link graph is 2-in/2-out REGULAR
+    (uniform is already stationary; every residual would be 0), so this
+    runs on the irregular variant that keeps the t1 = 7d+1 edge for all
+    docs but the same-host t3 = d+10 edge only for EVEN docs (in-degree
+    1 or 2, no dangling).  The iteration ladder goes through the public
+    stages/graph.py pagerank (scalar-pair shuffles only); every residual
+    is a distributed signed union + groupby(node) fold, so no rank
+    vector reaches the driver."""
+    from ..stages.graph import pagerank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def to_edges(b: pa.Table, _n=n_docs) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        src = [d, d[d % 2 == 0]]
+        dst = [(7 * d + 1) % _n, (d[d % 2 == 0] + 10) % _n]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "dst": pa.array(np.concatenate(dst), pa.int64()),
+            }
+        )
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    r1 = pagerank(edges, iters=1).materialize()
+    n = r1.count()
+
+    def signed(ds, sign: float):
+        def f(b: pa.Table, _s=sign) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "v": pc.multiply(b.column("rank"), pa.scalar(_s, pa.float64())),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def uniform_neg(ds, _n=n):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column("node"),
+                    "v": pa.array([-1.0 / _n] * b.num_rows, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def l1(a, b_) -> float:
+        diff = (
+            a.union(b_)
+            .groupby("node")
+            .sum("v")
+            .map_batches(
+                lambda t: pa.table(
+                    {"a": pc.abs(t.column("sum(v)"))}
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("a")
+        )
+        return float(diff)
+
+    prev = r1
+    rows = [{"iter": 1, "l1_residual": float(_r(l1(signed(r1, 1.0), uniform_neg(r1)), 6))}]
+    for k in range(2, iters + 1):
+        cur = pagerank(edges, iters=k).materialize()
+        rows.append(
+            {
+                "iter": k,
+                "l1_residual": float(_r(l1(signed(cur, 1.0), signed(prev, -1.0)), 6)),
+            }
+        )
+        prev = cur
+    return pd.DataFrame(rows)
+
+
+SQL_QUERIES["pagerank_convergence"] = q_pagerank_convergence
+
+
+def _pagerank_conv_oracle_sql(iters: int = 3) -> str:
+    """Unrolled power-iteration chain (pagerank-mirror CTEs over the
+    even-docs-only t3 variant) with per-rung L1 residuals as the final
+    select."""
+    it = "\n".join(
+        f"""        r{k + 1} AS (
+            SELECT nodes.d AS node, 0.15 / nn.n + coalesce(c.s, 0) AS rank
+            FROM nodes CROSS JOIN nn LEFT JOIN (
+                SELECT e.dst, sum(0.85 * p.rank / dg.outdeg) AS s
+                FROM edges e JOIN r{k} p ON p.node = e.src
+                JOIN deg dg ON dg.src = e.src
+                GROUP BY e.dst) c ON c.dst = nodes.d
+        ),"""
+        for k in range(iters)
+    )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS iter, round(sum(abs(a.rank - b.rank)), 6) AS l1_residual "
+        f"FROM r{k} a JOIN r{k - 1} b USING (node)"
+        for k in range(1, iters + 1)
+    )
+    return f"""
+        WITH nodes AS (SELECT doc_id AS d FROM documents),
+        nn AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT d AS src, (7 * d + 1) % nn.n AS dst FROM nodes, nn
+            UNION
+            SELECT d AS src, (d + 10) % nn.n AS dst FROM nodes, nn
+            WHERE d % 2 = 0
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT d AS node, 1.0 / nn.n AS rank FROM nodes, nn),
+{it}
+        fin AS (SELECT 1 AS one)
+    {finals}
+    ORDER BY iter
+    """
+
+
+ORACLE_SQL["pagerank_convergence"] = _pagerank_conv_oracle_sql()

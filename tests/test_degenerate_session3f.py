@@ -253,3 +253,34 @@ def test_s3f_mattr_tiny(ray_session, tmp_path):
     m = _df(q.q_mattr(d))
     # short docs fall back to whole-doc TTR: 2/4 and 2/2
     assert m.values.tolist() == [[0, 0.5], [1, 1.0]]
+
+
+def test_s3f_mase_short_series(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # 2 days: one naive pair |1-2|=1, no 7-lag pairs -> seasonal/mase = 0
+    m = _df(q.q_mase_daily(tiny_sf))
+    assert m.values.tolist() == [[2, 1.0, 0.0, 0.0]]
+
+
+def test_s3f_pagerank_convergence_monotone(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    c = _df(q.q_pagerank_convergence(SF))
+    assert c["iter"].tolist() == [1, 2, 3]
+    # power iteration on a stochastic-ish graph: residuals shrink (the
+    # third rung rounds to 0 at 6dp on the sf0.001 graph)
+    r = c["l1_residual"].tolist()
+    assert r[0] > r[1] >= r[2] >= 0
+
+
+def test_s3f_depth_quality_decay_consistency(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = _df(q.q_depth_quality_decay(SF))
+    # depth 0 is exactly the seed doc
+    assert d["depth"].iloc[0] == 0 and d["n_docs"].iloc[0] == 1
+    # every found page is a real doc: totals equal the BFS-reachable
+    # component (a strict subset of the 500-doc corpus on this graph)
+    assert 0 < int(d["n_docs"].sum()) <= 500
+    assert ((d["n_keep"] <= d["n_docs"]) & (d["n_keep"] >= 0)).all()
