@@ -113,6 +113,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         "theil_sen", "page_hinkley", "dow_seasonality",
         "mmr_select", "event_dispersion", "sq8_error",
         "psi_drift", "triplet_violation", "mattr",
+        "split_leakage", "burrows_delta", "graph_components",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -284,3 +285,31 @@ def test_s3f_depth_quality_decay_consistency(ray_session):
     # component (a strict subset of the 500-doc corpus on this graph)
     assert 0 < int(d["n_docs"].sum()) <= 500
     assert ((d["n_keep"] <= d["n_docs"]) & (d["n_keep"] >= 0)).all()
+
+
+def test_s3f_graph_components_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # users 7 (events 0,1) and 8 (event 2): islands {7,41,42} and {6,8}
+    g = _df(q.q_graph_components(tiny_sf))
+    assert g.values.tolist() == [[6, 2], [7, 3]]
+
+
+def test_s3f_burrows_delta_two_sources(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # disjoint vocabularies: every top word's z-scores are (+1, -1), so
+    # delta = mean(2) = 2.0 for the single source pair
+    b = _df(q.q_burrows_delta(tiny_sf))
+    assert b.values.tolist() == [["s0", "s1", 2.0]]
+
+
+def test_s3f_split_leakage_structure(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    s = _df(q.q_split_leakage(tiny_sf))
+    # each doc pairs with its +10000 clone at minimum
+    assert int(s["n_pairs"].sum()) >= 3
+    assert (s["n_pairs"] > 0).all()
+    want = (s["split_a"] != s["split_b"]).astype(int)
+    assert s["is_leakage"].tolist() == want.tolist()
