@@ -114,6 +114,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         "mmr_select", "event_dispersion", "sq8_error",
         "psi_drift", "triplet_violation", "mattr",
         "split_leakage", "burrows_delta", "graph_components",
+        "misra_gries_heavy", "source_coverage_curve", "session_threshold_sweep",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -313,3 +314,28 @@ def test_s3f_split_leakage_structure(ray_session, tiny_sf):
     assert (s["n_pairs"] > 0).all()
     want = (s["split_a"] != s["split_b"]).astype(int)
     assert s["is_leakage"].tolist() == want.tolist()
+
+
+def test_s3f_misra_gries_flat_corpus(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # 10 distinct tokens x1 over N=10: every token clears N/40, and the
+    # MG candidate superset must not lose any of them
+    m = _df(q.q_misra_gries_heavy(tiny_sf))
+    assert len(m) == 10
+    assert (m["cnt"] == 1).all() and (m["share"] == 0.1).all()
+
+
+def test_s3f_source_coverage_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    c = _df(q.q_source_coverage_curve(tiny_sf))
+    assert c.values.tolist() == [[1, "s0", 8, 0.8], [2, "s1", 2, 1.0]]
+
+
+def test_s3f_session_sweep_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # user 7's 4h50m gap splits at every threshold; user 8 is a singleton
+    s = _df(q.q_session_threshold_sweep(tiny_sf))
+    assert s.values.tolist() == [[300, 3, 1.0], [1800, 3, 1.0], [7200, 3, 1.0]]
