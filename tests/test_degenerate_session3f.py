@@ -115,6 +115,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         "psi_drift", "triplet_violation", "mattr",
         "split_leakage", "burrows_delta", "graph_components",
         "misra_gries_heavy", "source_coverage_curve", "session_threshold_sweep",
+        "quantile_normalize", "interarrival_burstiness", "wilson_keep_ci",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -339,3 +340,36 @@ def test_s3f_session_sweep_tiny(ray_session, tiny_sf):
     # user 7's 4h50m gap splits at every threshold; user 8 is a singleton
     s = _df(q.q_session_threshold_sweep(tiny_sf))
     assert s.values.tolist() == [[300, 3, 1.0], [1800, 3, 1.0], [7200, 3, 1.0]]
+
+
+def test_s3f_quantile_normalize_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # en token counts (2, 3, 5): midpoint ranks 1/6, 3/6, 5/6
+    p = _df(q.q_quantile_normalize(tiny_sf))
+    assert p.values.tolist() == [
+        ["en", 2, 1, 0.166667],
+        ["en", 3, 1, 0.5],
+        ["en", 5, 1, 0.833333],
+    ]
+
+
+def test_s3f_burstiness_singleton_stream(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # 'buy' has a single event (no gaps) and must emit NO row (the mirror
+    # filters gap IS NULL); 'view' has one constant gap -> sigma 0 -> B=-1
+    b = _df(q.q_interarrival_burstiness(tiny_sf))
+    assert b["event_type"].tolist() == ["view"]
+    assert b["burstiness"].tolist() == [-1.0]
+    assert b["n_gaps"].tolist() == [1]
+
+
+def test_s3f_wilson_ci_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    w = _df(q.q_wilson_keep_ci(tiny_sf)).set_index("source")
+    # no doc passes Gopher (all under 30 tokens): rate 0, Wilson lo 0
+    assert (w["keep_rate"] == 0.0).all()
+    assert (w["ci_lo"] == 0.0).all()
+    assert ((w["ci_hi"] > 0) & (w["ci_hi"] < 1)).all()
