@@ -116,6 +116,7 @@ def test_s3f_partitioning_independent(ray_session, monkeypatch):
         "split_leakage", "burrows_delta", "graph_components",
         "misra_gries_heavy", "source_coverage_curve", "session_threshold_sweep",
         "quantile_normalize", "interarrival_burstiness", "wilson_keep_ci",
+        "feature_hash_collisions", "srm_check", "source_cross_entropy",
     )
     baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
     real_read = Q._read
@@ -373,3 +374,34 @@ def test_s3f_wilson_ci_tiny(ray_session, tiny_sf):
     assert (w["keep_rate"] == 0.0).all()
     assert (w["ci_lo"] == 0.0).all()
     assert ((w["ci_hi"] > 0) & (w["ci_hi"] < 1)).all()
+
+
+def test_s3f_feature_hash_no_collisions_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # 10 distinct tokens into 65536 buckets: no collisions
+    f = _df(q.q_feature_hash_collisions(tiny_sf))
+    assert f.values.tolist() == [[10, 10, 0, 0.0]]
+
+
+def test_s3f_srm_check_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    s = _df(q.q_srm_check(tiny_sf))
+    assert int(s["n_docs"].iloc[0]) == 3
+    assert (
+        int(s["n_train"].iloc[0]) + int(s["n_val"].iloc[0]) + int(s["n_test"].iloc[0])
+        == 3
+    )
+    assert float(s["chi2"].iloc[0]) >= 0.0
+
+
+def test_s3f_cross_entropy_diagonal_minimal(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # Gibbs: H(A, A) <= H(A, B) for every B under the same smoothing
+    ce = _df(q.q_source_cross_entropy(tiny_sf)).set_index(["source_a", "source_b"])
+    for a in ("s0", "s1"):
+        others = [b for b in ("s0", "s1") if b != a]
+        for b in others:
+            assert ce.loc[(a, a), "cross_entropy"] <= ce.loc[(a, b), "cross_entropy"]
