@@ -1,0 +1,139 @@
+"""Degenerate-corpus + partitioning-independence guards for the
+rank-association / trend-test / KMV-sketch session (3g).
+
+Tiny fixture (2 docs / 4 events over 3 days) with closed-form values:
+daily series n=(2,1,1), cents=(300,100,300) gives Kendall pairs C=1 D=0
+with one tie pair on each margin (tau_b = 1/sqrt(2*2) = 0.5) and
+Mann-Kendall S=-2 with tie group t=2 (var = 48/18, z = -1/sqrt(48/18));
+the 7-token vocabulary is far below k=16 so KMV degrades to the exact
+count with rel_error 0 (k=16).
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3g"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c d", "e f g"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s0", "s1"], pa.string()),
+                "n_chars": pa.array([7, 5], pa.int64()),
+            }
+        ),
+        d + "/documents.parquet",
+    )
+    ts = pa.array(
+        pd.to_datetime(
+            [
+                "2024-01-01 00:10",
+                "2024-01-01 05:00",
+                "2024-01-02 00:00",
+                "2024-01-03 12:00",
+            ]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([7, 7, 8, 9], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy", "view"], pa.string()),
+                "value": pa.array([1.0, 2.0, 1.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def _df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def test_s3g_kendall_tau_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    kt = _df(q.q_kendall_tau(tiny_sf))
+    # x=(2,1,1), y=(300,100,300): pair (d1,d2) concordant, the other two
+    # pairs tie on one margin; n1 = n2 = 1 -> tau = 1/sqrt((3-1)*(3-1)) = 0.5
+    assert kt.values.tolist() == [[3, 1, 0, 0.5]]
+
+
+def test_s3g_mann_kendall_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    mk = _df(q.q_mann_kendall(tiny_sf))
+    # S = -1 - 1 + 0 = -2; var = (3*2*11 - 2*1*9)/18 = 48/18
+    assert mk["n_days"].tolist() == [3]
+    assert mk["s_stat"].tolist() == [-2]
+    assert mk["var_s"].tolist() == [2.666667]
+    assert mk["z"].tolist() == [-0.612372]
+
+
+def test_s3g_mann_kendall_flat_series(ray_session, tiny_sf, tmp_path, monkeypatch):
+    """All-equal daily counts: S=0, every day ties, z must be exactly 0."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    ts = pa.array(
+        pd.to_datetime(
+            ["2024-01-01 01:00", "2024-01-02 01:00", "2024-01-03 01:00"]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([1, 2, 3], pa.int64()),
+                "event_type": pa.array(["view"] * 3, pa.string()),
+                "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    mk = _df(q.q_mann_kendall(d))
+    assert mk["s_stat"].tolist() == [0]
+    assert mk["z"].tolist() == [0.0]
+    kt = _df(q.q_kendall_tau(d))
+    # x all-tied: denominator hits the nullif guard -> NaN tau
+    assert pd.isna(kt["tau_b"].iloc[0])
+
+
+def test_s3g_kmv_small_vocab_exact(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    kmv = _df(q.q_kmv_sketch(tiny_sf))
+    # 7 distinct tokens < k=16 -> the sketch IS the exact set
+    assert kmv.values.tolist() == [[16, 7, 7.0, 0.0]]
+
+
+def test_s3g_partitioning_independent(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("kendall_tau", "mann_kendall", "kmv_sketch")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
