@@ -137,3 +137,39 @@ def test_s3g_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3g_yule_k_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    yk = _df(q.q_yule_k(tiny_sf))
+    # every token count 1: sum c^2 == N -> K is exactly 0
+    assert yk.values.tolist() == [[7, 7, 0.0]]
+
+
+def test_s3g_brier_empty_eval_window(ray_session, tiny_sf):
+    """Fixture events all precede the 2024-01-16 cutoff: eval window is
+    empty, so n_eval = 0 and every decomposition term is NULL/NaN."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    br = _df(q.q_brier_decomposition(tiny_sf))
+    assert br["n_eval"].tolist() == [0]
+    assert br[["brier", "reliability", "resolution", "uncertainty"]].isna().all().all()
+
+
+def test_s3g_partitioning_independent_b(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q5", "yule_k", "brier_decomposition")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
