@@ -173,3 +173,51 @@ def test_s3g_partitioning_independent_b(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3g_hurst_too_short(ray_session, tiny_sf):
+    """3 days < the smallest window (4): every R/S cell and H are NaN."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    h = _df(q.q_hurst_exponent(tiny_sf))
+    assert h.isna().all().all()
+
+
+def test_s3g_acf_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    a = _df(q.q_acf_profile(tiny_sf))
+    # x=(2,1,1), mu=4/3: acf1 = -1/6, acf2 = -1/3; lags >= 3 drop (no pairs)
+    assert a["lag"].tolist() == [1, 2]
+    assert a["n_pairs"].tolist() == [2, 1]
+    assert a["acf"].tolist() == [-0.166667, -0.333333]
+
+
+def test_s3g_runs_test_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    r = _df(q.q_runs_test(tiny_sf))
+    # median 1: both median days drop, one day above remains -> z undefined
+    assert r["n_kept"].tolist() == [1]
+    assert r["n_above"].tolist() == [1]
+    assert r["n_below"].tolist() == [0]
+    assert r["runs"].tolist() == [1.0]
+    assert pd.isna(r["z"].iloc[0])
+
+
+def test_s3g_partitioning_independent_c(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("hurst_exponent", "acf_profile", "runs_test")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
