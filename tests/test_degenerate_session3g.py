@@ -221,3 +221,56 @@ def test_s3g_partitioning_independent_c(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3g_mann_whitney_absent_sources(ray_session, tiny_sf):
+    """Fixture sources are s0/s1, not src0/src1: both samples empty ->
+    the NULL-stat row, matching the SQL mirror on the same corpus."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    mw = _df(q.q_mann_whitney(tiny_sf))
+    assert mw["n_a"].tolist() == [0]
+    assert mw["n_b"].tolist() == [0]
+    assert pd.isna(mw["u"].iloc[0]) and pd.isna(mw["z"].iloc[0])
+
+
+def test_s3g_cramers_v_degenerate_margin(ray_session, tiny_sf):
+    """One lang x two sources: min dimension 1, V undefined, chi2 = 0."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    cv = _df(q.q_cramers_v(tiny_sf))
+    assert cv["n"].tolist() == [2]
+    assert cv["n_langs"].tolist() == [1]
+    assert cv["n_sources"].tolist() == [2]
+    assert cv["chi2"].tolist() == [0.0]
+    assert pd.isna(cv["cramers_v"].iloc[0])
+    assert pd.isna(cv["cramers_v_corrected"].iloc[0])
+
+
+def test_s3g_lorenz_tiny(ray_session, tiny_sf):
+    from blockchainspider_ray.pipelines import queries as q
+
+    lz = _df(q.q_lorenz_curve(tiny_sf))
+    # users (8,1),(9,1),(7,2): cum shares .25/.5/1.0 at rank cuts 1/2/3
+    assert lz["decile"].tolist() == list(range(1, 11))
+    assert lz["cum_share"].tolist() == [
+        0.25, 0.25, 0.25, 0.5, 0.5, 0.5, 1.0, 1.0, 1.0, 1.0
+    ]
+
+
+def test_s3g_partitioning_independent_d(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("mann_whitney", "cramers_v", "lorenz_curve")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
