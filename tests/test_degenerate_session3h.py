@@ -218,3 +218,123 @@ def test_s3h_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_events(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3h_ev"))
+    ts = pa.array(
+        pd.to_datetime(
+            [
+                "2024-01-01 00:10",
+                "2024-01-01 05:00",
+                "2024-01-02 00:00",
+                "2024-01-03 12:00",
+            ]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([7, 7, 8, 9], pa.int64()),
+                "event_type": pa.array(["view", "view", "buy", "view"], pa.string()),
+                "value": pa.array([1.0, 2.0, 1.0, 3.0], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3h_rfm_tiny(ray_session, tiny_events):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_rfm_segments(tiny_events)).reset_index(drop=True)
+    # 3 users -> ntile(5) degenerates to one user per tile:
+    # u9 (most recent, 300c), u8 (1.5d old, 100c), u7 (2.3d old, 2 events, 300c)
+    want = pd.DataFrame(
+        {
+            "r_seg": [1, 2, 3],
+            "f_seg": [3, 2, 1],
+            "m_seg": [2, 3, 1],
+            "n_users": [1, 1, 1],
+            "cents": [300, 100, 300],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_s3h_dau_mau_tiny(ray_session, tiny_events):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_dau_mau(tiny_events)).reset_index(drop=True)
+    # 3 active days, one user each; u7's two same-day events dedupe
+    assert got["month"].tolist() == ["2024-01"]
+    assert got["n_days"].tolist() == [3]
+    assert got["avg_dau"].tolist() == [1.0]
+    assert got["mau"].tolist() == [3]
+    assert got["stickiness"].tolist() == [0.333333]
+
+
+def test_s3h_friedman_tiny(ray_session, tiny_events):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_friedman_test(tiny_events)).reset_index(drop=True)
+    # counts: d1 (view 2, buy 0), d2 (view 0, buy 1), d3 (view 1, buy 0)
+    # ranks all (1,2) -> a2 = 15, R = (5, 4), b2 = 41/3, c2 = 13.5,
+    # t1 = (2-1) * (41/3 - 13.5) / (15 - 13.5) = 1/9
+    assert got["n_days"].tolist() == [3]
+    assert got["n_types"].tolist() == [2]
+    assert got["a2"].tolist() == [15.0]
+    assert got["b2"].tolist() == [13.666667]
+    assert got["t1"].tolist() == [0.111111]
+
+
+def test_s3h_friedman_all_tied(ray_session, tmp_path):
+    """One event per (day, type): every within-day rank ties -> A2 == C2
+    and T1 must be NaN/NULL, not a crash."""
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path)
+    ts = pa.array(
+        pd.to_datetime(
+            ["2024-01-01 01:00", "2024-01-01 02:00", "2024-01-02 01:00", "2024-01-02 02:00"]
+        ).astype("datetime64[us]")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "event_type": pa.array(["view", "buy", "view", "buy"], pa.string()),
+                "value": pa.array([1.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_friedman_test(d))
+    assert got["n_days"].tolist() == [2]
+    assert pd.isna(got["t1"].iloc[0])
+
+
+def test_s3h_partitioning_independent_events(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("rfm_segments", "dau_mau", "friedman_test")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
