@@ -1,0 +1,155 @@
+"""Degenerate-corpus + partitioning-independence guards for the
+survival-comparison / normality / spectral session (3i).
+
+Tiny fixtures with closed-form values:
+- log_rank: two users, one per cohort, purchases 1h and 2h after signup
+  -> O1=1, E1=1.5, V=0.25, chi2=(1-1.5)^2/0.25 = 1.0 exactly; an
+  all-censored corpus must yield an empty frame, not a crash.
+- jarque_bera: one type with values (1,2,3) -> m2=2/3, m3=0, m4=2/3,
+  skew=0, kurt=1.5, JB = 3/6 * (1.5-3)^2/4 = 0.28125.
+- periodogram: 4 days alternating 1,3,1,3 events -> a pure period-2
+  square wave: power(2)=4, power(3)=0.75, power(4)=0, periods >4 absent.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(x):
+    return x if isinstance(x, pd.DataFrame) else x.to_pandas()
+
+
+def _events_table(ts, user_id, event_type, value=None):
+    n = len(ts)
+    return pa.table(
+        {
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts).astype("datetime64[us]")),
+            "user_id": pa.array(user_id, pa.int64()),
+            "event_type": pa.array(event_type, pa.string()),
+            "value": pa.array(value or [1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_survival(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_surv"))
+    # u0 (g0): signup 00:00, purchase 01:00; u1 (g1): signup 00:00, purchase 02:00
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 00:00", "2024-01-01 02:00"],
+            [0, 0, 1, 1],
+            ["signup", "purchase", "signup", "purchase"],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_censored(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_cens"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00", "2024-01-01 00:00", "2024-01-02 00:00"],
+            [0, 1, 0],
+            ["signup", "signup", "click"],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_log_rank_closed_form(ray_session, tiny_survival):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_log_rank_test(tiny_survival))
+    assert got["n_times"].tolist() == [2]
+    assert got["o1"].tolist() == [1]
+    assert got["e1"].tolist() == [1.5]
+    assert got["v"].tolist() == [0.25]
+    assert got["chi2"].tolist() == [1.0]
+
+
+def test_s3i_log_rank_all_censored(ray_session, tiny_censored):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_log_rank_test(tiny_censored))
+    assert len(got) == 0
+    assert list(got.columns) == ["n_times", "o1", "e1", "v", "chi2"]
+
+
+@pytest.fixture(scope="module")
+def tiny_values(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_jb"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 3,
+            [0, 1, 2],
+            ["click"] * 3,
+            value=[1.0, 2.0, 3.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_jarque_bera_closed_form(ray_session, tiny_values):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_jarque_bera(tiny_values))
+    assert got["event_type"].tolist() == ["click"]
+    assert got["n"].tolist() == [3]
+    assert got["skewness"].tolist() == [0.0]
+    assert got["kurtosis"].tolist() == [1.5]
+    assert got["jb"].tolist() == [0.28125]
+
+
+@pytest.fixture(scope="module")
+def tiny_wave(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_wave"))
+    # days 1..4 with 1,3,1,3 events: a pure period-2 signal
+    ts, uid = [], []
+    for day, cnt in zip(["01", "02", "03", "04"], [1, 3, 1, 3]):
+        for i in range(cnt):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            uid.append(i)
+    pq.write_table(
+        _events_table(ts, uid, ["click"] * len(ts)),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_periodogram_square_wave(ray_session, tiny_wave):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_periodogram(tiny_wave)).set_index("period")
+    assert sorted(got.index.tolist()) == [2, 3, 4]  # periods > m absent
+    assert got.loc[2, "power"] == 4.0
+    assert got.loc[3, "power"] == 0.75
+    assert got.loc[4, "power"] == 0.0
+
+
+def test_s3i_partitioning_independent(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("log_rank_test", "jarque_bera", "periodogram")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
