@@ -153,3 +153,128 @@ def test_s3i_partitioning_independent(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def _docs_table(texts, langs=None, sources=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["src0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_two_sources(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_fw"))
+    pq.write_table(
+        _docs_table(["a a b", "b c c"], sources=["src0", "src1"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_fightin_words_symmetric_token(ray_session, tiny_two_sources):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_fightin_words(tiny_two_sources))
+    # 3 tokens < k=10: both sides list all three
+    assert len(got) == 6
+    top0 = got[(got["side"] == "src0") & (got["rank"] == 1)]
+    top1 = got[(got["side"] == "src1") & (got["rank"] == 1)]
+    assert top0["token"].tolist() == ["a"]
+    assert top1["token"].tolist() == ["c"]
+    # y1 == y2 and n1 == n2 make 'b' exactly balanced -> z = 0
+    zb = got.loc[got["token"] == "b", "z"].unique()
+    assert list(zb) == [0.0]
+
+
+@pytest.fixture(scope="module")
+def tiny_quantiles(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_pq"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 4 + ["2024-01-01 01:00"],
+            [0, 1, 2, 3, 4],
+            ["click"] * 4 + ["view"],
+            value=[1.0, 2.0, 3.0, 4.0, 7.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_percentile_interp_closed_form(ray_session, tiny_quantiles):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_percentile_interp(tiny_quantiles)).set_index(["event_type", "q"])
+    # click: values 1..4 -> h=1.5 -> 2.5; h=2.7 -> 3.7; h=2.97 -> 3.97
+    assert got.loc[("click", 0.5), "p"] == 2.5
+    assert got.loc[("click", 0.9), "p"] == 3.7
+    assert got.loc[("click", 0.99), "p"] == 3.97
+    # single-row group: every quantile is the value itself
+    assert got.loc[("view", 0.5), "p"] == 7.0
+    assert got.loc[("view", 0.99), "p"] == 7.0
+
+
+@pytest.fixture(scope="module")
+def tiny_langid(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_mcc"))
+    pq.write_table(
+        _docs_table(["the of and", "le la pour"], langs=["en", "fr"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_no_en(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_mcc2"))
+    pq.write_table(
+        _docs_table(["le la pour", "le et que"], langs=["fr", "fr"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_mcc_binary_perfect(ray_session, tiny_langid):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_mcc_binary(tiny_langid))
+    assert got[["tp", "fp", "fn", "tn"]].values.tolist() == [[1, 0, 0, 1]]
+    assert got["mcc"].tolist() == [1.0]
+    assert got["balanced_acc"].tolist() == [1.0]
+    assert got["youden_j"].tolist() == [1.0]
+
+
+def test_s3i_mcc_binary_no_positives(ray_session, tiny_no_en):
+    from blockchainspider_ray.pipelines import queries as q
+    import math
+
+    got = _df(q.q_mcc_binary(tiny_no_en))
+    assert got[["tp", "fp", "fn"]].values.tolist() == [[0, 0, 0]]
+    assert got["tn"].tolist() == [2]
+    assert math.isnan(got["mcc"].iloc[0])
+    assert math.isnan(got["balanced_acc"].iloc[0])
+
+
+def test_s3i_partitioning_independent_b(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("fightin_words", "percentile_interp", "mcc_binary")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
