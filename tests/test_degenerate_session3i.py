@@ -278,3 +278,110 @@ def test_s3i_partitioning_independent_b(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_shift(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_pet"))
+    # daily counts 1,1,5,5: a clean level shift after day 2
+    ts, uid = [], []
+    for day, cnt in zip(["01", "02", "03", "04"], [1, 1, 5, 5]):
+        for i in range(cnt):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            uid.append(i)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_one_day(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_pet1"))
+    pq.write_table(
+        _events_table(["2024-01-01 00:00"], [0], ["click"]), d + "/events.parquet"
+    )
+    return d
+
+
+def test_s3i_pettitt_level_shift(ray_session, tiny_shift):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_pettitt_test(tiny_shift))
+    # ranks 1.5,1.5,3.5,3.5 -> U = (-2,-4,-2), K=4 at day 2
+    assert got["change_day"].tolist() == ["2024-01-02"]
+    assert got["m"].tolist() == [4]
+    assert got["k_stat"].tolist() == [4.0]
+    assert got["p_approx"].tolist() == [0.602388]  # 2*exp(-6*16/80)
+
+
+def test_s3i_pettitt_single_day(ray_session, tiny_one_day):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_pettitt_test(tiny_one_day))
+    assert len(got) == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_variances(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_bart"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 5,
+            [0, 1, 2, 3, 4],
+            ["click", "click", "view", "view", "error"],
+            value=[1.0, 3.0, 2.0, 6.0, 9.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_bartlett_closed_form(ray_session, tiny_variances):
+    from blockchainspider_ray.pipelines import queries as q
+    import math
+
+    got = _df(q.q_bartlett_test(tiny_variances))
+    # singleton 'error' group excluded: k=2, S1^2=2, S2^2=8, Sp^2=5
+    # T = (2 ln5 - (ln2 + ln8)) / (1 + ((1+1) - 0.5)/3) = ln(25/16)/1.5
+    assert got["k"].tolist() == [2]
+    assert got["n"].tolist() == [4]
+    assert got["df"].tolist() == [1]
+    want = round(math.log(25.0 / 16.0) / 1.5, 6)
+    assert got["t_stat"].tolist() == [want]
+
+
+@pytest.fixture(scope="module")
+def tiny_ranked(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_err"))
+    pq.write_table(
+        _docs_table(["long doc here", "court"], langs=["en", "fr"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_err_cascade_closed_form(ray_session, tiny_ranked):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_err_eval(tiny_ranked))
+    # rel = (0.75, 0.25): ERR = 0.75 + 0.25 * 0.25/2 = 0.78125
+    assert got["k"].tolist() == [2]
+    assert got["err"].tolist() == [0.78125]
+    assert got["sat_prob"].tolist() == [0.8125]  # 1 - 0.25*0.75
+
+
+def test_s3i_partitioning_independent_c(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("pettitt_test", "bartlett_test", "err_eval")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
