@@ -385,3 +385,95 @@ def test_s3i_partitioning_independent_c(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_mix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_simp"))
+    pq.write_table(
+        _docs_table(["x"] * 4, langs=["en", "en", "en", "fr"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_simpson_closed_form(ray_session, tiny_mix):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_simpson_diversity(tiny_mix))
+    assert got["source"].tolist() == ["src0"]
+    assert got["n_docs"].tolist() == [4]
+    assert got["simpson_d"].tolist() == [0.625]  # 0.75^2 + 0.25^2
+    assert got["gini_simpson"].tolist() == [0.375]
+    assert got["inv_simpson"].tolist() == [1.6]
+
+
+@pytest.fixture(scope="module")
+def tiny_lm(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_lm"))
+    pq.write_table(
+        _docs_table(["data query join", "data data"]),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_dirichlet_lm_closed_form(ray_session, tiny_lm):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_dirichlet_lm(tiny_lm))
+    # corpus: data=3, query=1, join=1, total=5
+    sa = (
+        math.log((1 + 2000 * 0.6) / 2003)
+        + math.log((1 + 2000 * 0.2) / 2003)
+        + math.log((1 + 2000 * 0.2) / 2003)
+    )
+    sb = (
+        math.log((2 + 2000 * 0.6) / 2002)
+        + math.log((0 + 2000 * 0.2) / 2002)
+        + math.log((0 + 2000 * 0.2) / 2002)
+    )
+    assert got["doc_id"].tolist() == [0, 1]  # doc 0 outranks doc 1
+    assert got["score"].tolist() == [round(sa, 6), round(sb, 6)]
+
+
+@pytest.fixture(scope="module")
+def tiny_gains(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gain"))
+    # 10 docs, strictly decreasing length; the 5 longest are 'en'
+    texts = ["x" * (100 - i) for i in range(10)]
+    langs = ["en"] * 5 + ["fr"] * 5
+    pq.write_table(_docs_table(texts, langs=langs), d + "/documents.parquet")
+    return d
+
+
+def test_s3i_gains_chart_perfect_ranking(ray_session, tiny_gains):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_gains_chart(tiny_gains)).set_index("decile")
+    assert got["n_docs"].tolist() == [1] * 10
+    # positives occupy deciles 1..5 exactly
+    assert got["n_pos"].tolist() == [1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+    assert got.loc[5, "cum_pos_share"] == 1.0
+    assert got.loc[1, "lift"] == 2.0  # (1/1) / (5/10)
+    assert got.loc[10, "lift"] == 1.0
+
+
+def test_s3i_partitioning_independent_d(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("simpson_diversity", "dirichlet_lm", "gains_chart")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
