@@ -477,3 +477,140 @@ def test_s3i_partitioning_independent_d(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_assort(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_assort"))
+    # edge formula src=u%50, dst=(13u+e)%50 with event_id = row index:
+    # (u=5,e=0) -> (5,15): groups (0,0); (u=12,e=1) -> (12,7): groups (2,2)
+    pq.write_table(
+        _events_table(["2024-01-01 00:00"] * 2, [5, 12], ["click"] * 2),
+        d + "/events.parquet",
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_selfloop(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_loop"))
+    # (u=0,e=0) -> src=0, dst=0: the only edge is a self-loop
+    pq.write_table(
+        _events_table(["2024-01-01 00:00"], [0], ["click"]),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_attr_assortativity_perfect(ray_session, tiny_assort):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_attr_assortativity(tiny_assort))
+    assert got["n_edges"].tolist() == [2]
+    assert got["trace"].tolist() == [1.0]
+    assert got["ab_sum"].tolist() == [0.5]
+    assert got["assortativity"].tolist() == [1.0]
+
+
+def test_s3i_attr_assortativity_selfloop_only(ray_session, tiny_selfloop):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_attr_assortativity(tiny_selfloop))
+    assert len(got) == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_outlier(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_tukey"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 5,
+            [0, 1, 2, 3, 4],
+            ["click"] * 5,
+            value=[1.0, 2.0, 3.0, 4.0, 100.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_tukey_fences_closed_form(ray_session, tiny_outlier):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tukey_fences(tiny_outlier))
+    # n=5: q1 at h=1 -> 2, q3 at h=3 -> 4, iqr=2, fences (-1,7)/(-4,10)
+    assert got["event_type"].tolist() == ["click"]
+    assert got["q1"].tolist() == [2.0]
+    assert got["q3"].tolist() == [4.0]
+    assert got["iqr"].tolist() == [2.0]
+    assert got["n_out"].tolist() == [1]
+    assert got["n_far"].tolist() == [1]
+
+
+@pytest.fixture(scope="module")
+def tiny_or(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_or"))
+    pq.write_table(
+        _docs_table(
+            ["x"] * 6,
+            langs=["en", "en", "fr", "en", "fr", "fr"],
+            sources=["src0", "src0", "src0", "src1", "src1", "src1"],
+        ),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_odds_ratio_closed_form(ray_session, tiny_or):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_odds_ratio_ci(tiny_or))
+    # a=2, b=1, c=1, d=2 -> OR=4, se=sqrt(1/2+1+1+1/2)=sqrt(3)
+    assert got[["a", "b", "c", "d"]].values.tolist() == [[2, 1, 1, 2]]
+    assert got["odds_ratio"].tolist() == [4.0]
+    se = math.sqrt(3.0)
+    assert got["ci_lo"].tolist() == [round(math.exp(math.log(4) - 1.96 * se), 6)]
+    assert got["ci_hi"].tolist() == [round(math.exp(math.log(4) + 1.96 * se), 6)]
+
+
+@pytest.fixture(scope="module")
+def tiny_or_zero(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_or0"))
+    pq.write_table(
+        _docs_table(
+            ["x"] * 3,
+            langs=["fr", "en", "fr"],
+            sources=["src0", "src1", "src1"],
+        ),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_odds_ratio_haldane_correction(ray_session, tiny_or_zero):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_odds_ratio_ci(tiny_or_zero))
+    # a=0 -> +0.5 everywhere: OR = (0.5*1.5)/(1.5*1.5) = 1/3
+    assert got[["a", "b", "c", "d"]].values.tolist() == [[0, 1, 1, 1]]
+    assert got["odds_ratio"].tolist() == [0.333333]
+
+
+def test_s3i_partitioning_independent_e(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("attr_assortativity", "tukey_fences", "odds_ratio_ci")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
