@@ -614,3 +614,112 @@ def test_s3i_partitioning_independent_e(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_maxima(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gum"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00", "2024-01-01 02:00", "2024-01-02 00:00"],
+            [0, 1, 2],
+            ["click"] * 3,
+            value=[1.0, 0.5, 3.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_gumbel_closed_form(ray_session, tiny_maxima):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_gumbel_maxima(tiny_maxima))
+    # daily maxima (1, 3): mu=2, var=2 (n-1), scale=sqrt(12)/pi
+    scale = math.sqrt(2.0) * math.sqrt(6.0) / math.pi
+    loc = 2.0 - 0.5772156649015329 * scale
+    assert got["n_days"].tolist() == [2]
+    assert got["scale"].tolist() == [round(scale, 6)]
+    assert got["loc"].tolist() == [round(loc, 6)]
+    rl30 = loc - scale * math.log(-math.log(1 - 1 / 30.0))
+    assert got["rl_30"].tolist() == [round(rl30, 6)]
+
+
+def test_s3i_gumbel_single_day(ray_session, tiny_one_day):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_gumbel_maxima(tiny_one_day))
+    assert len(got) == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_recapture(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_cap"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-03 00:00", "2024-01-03 01:00"],
+            [0, 1, 1, 2],
+            ["click"] * 4,
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_capture_recapture_closed_form(ray_session, tiny_recapture):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_capture_recapture(tiny_recapture))
+    # half1 users {0,1}, half2 users {1,2}: n1=n2=2, m=1
+    assert got[["n1", "n2", "m_both"]].values.tolist() == [[2, 2, 1]]
+    assert got["n_hat"].tolist() == [3.5]  # 3*3/2 - 1
+    assert got["se"].tolist() == [round(math.sqrt(9.0 / 12.0), 6)]
+
+
+@pytest.fixture(scope="module")
+def tiny_hours(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gof"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 00:30", "2024-01-01 12:00"],
+            [0, 1, 2, 3],
+            ["click"] * 4,
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_gof_uniform_closed_form(ray_session, tiny_hours):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_gof_uniform_hours(tiny_hours))
+    # O = (3, 1), E = 4/24: G = 2*(3 ln 18 + ln 6)
+    want = round(2.0 * (3.0 * math.log(18.0) + math.log(6.0)), 6)
+    assert got["n_events"].tolist() == [4]
+    assert got["n_hours"].tolist() == [2]
+    assert got["g_stat"].tolist() == [want]
+
+
+def test_s3i_partitioning_independent_f(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("gumbel_maxima", "capture_recapture", "gof_uniform_hours")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
