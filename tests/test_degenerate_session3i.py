@@ -723,3 +723,118 @@ def test_s3i_partitioning_independent_f(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_counts(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_nb"))
+    # user 0: 1 event; user 1: 5 events
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 6,
+            [0, 1, 1, 1, 1, 1],
+            ["click"] * 6,
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_negbin_closed_form(ray_session, tiny_counts):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_negbin_fit(tiny_counts))
+    # counts (1,5): mu=3, population var=4, r=9, p=0.75
+    assert got["n_users"].tolist() == [2]
+    assert got["mean_c"].tolist() == [3.0]
+    assert got["var_c"].tolist() == [4.0]
+    assert got["dispersion"].tolist() == [round(4.0 / 3.0, 6)]
+    assert got["nb_r"].tolist() == [9.0]
+    assert got["nb_p"].tolist() == [0.75]
+
+
+def test_s3i_negbin_underdispersed(ray_session, tiny_recapture):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_negbin_fit(tiny_recapture))
+    # counts (1,2,1): mu=4/3, var=2/9 < mu -> NB params undefined
+    assert math.isnan(got["nb_r"].iloc[0])
+    assert math.isnan(got["nb_p"].iloc[0])
+
+
+@pytest.fixture(scope="module")
+def tiny_growth(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_grow"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-05", "2024-02-05", "2024-01-06", "2024-01-07", "2024-03-07"],
+            [0, 0, 1, 2, 2],
+            ["click"] * 5,
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_growth_accounting_bridge(ray_session, tiny_growth):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_growth_accounting(tiny_growth)).set_index("month")
+    # Jan: 3 new; Feb: u0 retained, u1+u2 churn; Mar: u2 resurrected, u0 churns
+    assert got.loc["2024-01"].tolist() == [3, 0, 0, 0]
+    assert got.loc["2024-02"].tolist() == [0, 1, 0, 2]
+    assert got.loc["2024-03"].tolist() == [0, 0, 1, 1]
+    assert len(got) == 3  # no post-corpus churn-only month
+
+
+@pytest.fixture(scope="module")
+def tiny_weekly(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_seas"))
+    # 21 days, Mondays get 4 events, other days 1: a pure weekly signal
+    ts, uid = [], []
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    for i in range(21):
+        day = base + pd.Timedelta(days=i)
+        cnt = 4 if day.dayofweek == 0 else 1
+        for j in range(cnt):
+            ts.append(str(day + pd.Timedelta(hours=j)))
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    return d
+
+
+def test_s3i_seasonal_strength_pure_weekly(ray_session, tiny_weekly):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_seasonal_strength(tiny_weekly))
+    # flat trend + exact weekly pattern -> zero remainder -> strength 1
+    assert got["n_interior"].tolist() == [15]
+    assert got["var_remainder"].tolist() == [0.0]
+    assert got["strength"].tolist() == [1.0]
+
+
+def test_s3i_seasonal_strength_short_series(ray_session, tiny_shift):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_seasonal_strength(tiny_shift))
+    assert len(got) == 0  # < 8 days: no interior to decompose
+
+
+def test_s3i_partitioning_independent_g(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("negbin_fit", "growth_accounting", "seasonal_strength")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
