@@ -838,3 +838,117 @@ def test_s3i_partitioning_independent_g(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_did(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_did"))
+    ts, uid, et, val = [], [], [], []
+    # (g, pre/post) purchase cells: g0 pre (1,3), g0 post (2,2),
+    # g1 pre (1,1), g1 post (4,6)  ->  DiD = (5-1)-(2-2) = 4
+    for u, day, v in [
+        (0, "01", 1.0), (2, "01", 3.0), (0, "09", 2.0), (2, "09", 2.0),
+        (1, "01", 1.0), (3, "01", 1.0), (1, "09", 4.0), (3, "09", 6.0),
+    ]:
+        ts.append(f"2024-01-{day} 00:00")
+        uid.append(u)
+        et.append("purchase")
+        val.append(v)
+    ts.append("2024-01-05 00:00")  # a non-purchase row the filter must drop
+    uid.append(9)
+    et.append("click")
+    val.append(99.0)
+    pq.write_table(_events_table(ts, uid, et, value=val), d + "/events.parquet")
+    return d
+
+
+def test_s3i_diff_in_diff_closed_form(ray_session, tiny_did):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_diff_in_diff(tiny_did))
+    assert got["pre_0"].tolist() == [2.0]
+    assert got["post_0"].tolist() == [2.0]
+    assert got["pre_1"].tolist() == [1.0]
+    assert got["post_1"].tolist() == [5.0]
+    assert got["did"].tolist() == [4.0]
+    assert got["se"].tolist() == [round(math.sqrt(2.0), 6)]
+
+
+@pytest.fixture(scope="module")
+def tiny_ltv(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ltv"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-05", "2024-01-10", "2024-02-10", "2024-01-06"],
+            [0, 0, 0, 1],
+            ["signup", "purchase", "purchase", "signup"],
+            value=[0.0, 1.0, 2.0, 0.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_cohort_ltv_triangle(ray_session, tiny_ltv):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_cohort_ltv(tiny_ltv))
+    # one 2-user Jan cohort; cum revenue 100 then 300 cents over 2 users
+    assert got["cohort"].tolist() == ["2024-01", "2024-01"]
+    assert got["age"].tolist() == [0, 1]
+    assert got["n_users"].tolist() == [2, 2]
+    assert got["cum_cents"].tolist() == [100, 300]
+    assert got["ltv"].tolist() == [0.5, 1.5]
+
+
+@pytest.fixture(scope="module")
+def tiny_entropy(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ent"))
+    ts, uid = [], []
+    for i in range(10):  # user 0: 10 events, all at hour 3
+        ts.append(f"2024-01-{i + 1:02d} 03:00")
+        uid.append(0)
+    for i in range(6):  # user 1: 12 events split evenly over hours 2 and 14
+        ts.append(f"2024-01-{i + 1:02d} 02:00")
+        uid.append(1)
+        ts.append(f"2024-01-{i + 1:02d} 14:00")
+        uid.append(1)
+    for i in range(3):  # user 2: below the 10-event floor, excluded
+        ts.append(f"2024-01-{i + 1:02d} 05:00")
+        uid.append(2)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    return d
+
+
+def test_s3i_user_hour_entropy_closed_form(ray_session, tiny_entropy):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_user_hour_entropy(tiny_entropy))
+    h2 = math.log(2.0) / math.log(24.0)
+    assert got["tier"].tolist() == ["light"]
+    assert got["n_users"].tolist() == [2]
+    assert got["min_h"].tolist() == [0.0]
+    assert got["max_h"].tolist() == [round(h2, 6)]
+    assert got["mean_h"].tolist() == [round(h2 / 2.0, 6)]
+
+
+def test_s3i_partitioning_independent_h(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("diff_in_diff", "cohort_ltv", "user_hour_entropy")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
