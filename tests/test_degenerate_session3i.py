@@ -952,3 +952,107 @@ def test_s3i_partitioning_independent_h(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_levene(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_lev"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 5,
+            [0, 1, 2, 3, 4],
+            ["click", "click", "view", "view", "view"],
+            value=[0.0, 2.0, 0.0, 4.0, 8.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_levene_closed_form(ray_session, tiny_levene):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_levene_test(tiny_levene))
+    # z-click (1,1), z-view (4,0,4): F = 3 * (10/3)/(32/3) = 0.9375
+    assert got["k"].tolist() == [2]
+    assert got["n"].tolist() == [5]
+    assert got["df1"].tolist() == [1]
+    assert got["df2"].tolist() == [3]
+    assert got["f_stat"].tolist() == [0.9375]
+
+
+@pytest.fixture(scope="module")
+def tiny_cochran(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_cq"))
+    rows = [
+        (0, "view"), (0, "click"), (0, "purchase"),
+        (1, "view"),
+        (2, "view"), (2, "click"),
+        (2, "view"),  # duplicate presence must not double-count
+        (1, "error"),  # non-treatment types ignored
+    ]
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * len(rows),
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_cochran_q_closed_form(ray_session, tiny_cochran):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_cochran_q(tiny_cochran))
+    # C=(3,2,1), R=(3,1,2): Q = 6*(14 - 12)/(18 - 14) = 3
+    assert got["n_users"].tolist() == [3]
+    assert got["k"].tolist() == [3]
+    assert got["df"].tolist() == [2]
+    assert got["q_stat"].tolist() == [3.0]
+
+
+@pytest.fixture(scope="module")
+def tiny_leadlag(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_xc"))
+    ts, et = [], []
+    for day, nv, np_ in [("01", 1, 0), ("02", 2, 1), ("03", 3, 2)]:
+        for i in range(nv):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            et.append("view")
+        for i in range(np_):
+            ts.append(f"2024-01-{day} 1{i}:00")
+            et.append("purchase")
+    pq.write_table(
+        _events_table(ts, list(range(len(ts))), et), d + "/events.parquet"
+    )
+    return d
+
+
+def test_s3i_lag_xcorr_linear_series(ray_session, tiny_leadlag):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_lag_xcorr(tiny_leadlag)).set_index("lag")
+    # x=(1,2,3), y=(0,1,2): every overlapping window is perfectly linear
+    assert sorted(got.index.tolist()) == [-1, 0, 1]  # |lag|>=2 has n<2
+    assert got.loc[0, "n_pairs"] == 3
+    assert got["xcorr"].tolist() == [1.0, 1.0, 1.0]
+
+
+def test_s3i_partitioning_independent_i(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("levene_test", "cochran_q", "lag_xcorr")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
