@@ -1056,3 +1056,91 @@ def test_s3i_partitioning_independent_i(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_star(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_eig"))
+    # (u=1,e=0) -> edge (1,13); (u=51,e=1) -> edge (1,14): a 2-leaf star
+    pq.write_table(
+        _events_table(["2024-01-01 00:00"] * 2, [1, 51], ["click"] * 2),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_eigenvector_star(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_eigenvector_centrality(tiny_star, iters=1)).set_index("node")
+    # one push from uniform: root loses all mass, leaves split it evenly
+    assert sorted(got.index.tolist()) == [1, 13, 14]
+    assert got.loc[1, "centrality"] == 0.0
+    assert got.loc[13, "centrality"] == 0.5
+    assert got.loc[14, "centrality"] == 0.5
+    # a DAG drains: by iteration 2 no mass remains anywhere
+    got3 = _df(q.q_eigenvector_centrality(tiny_star)).set_index("node")
+    assert got3["centrality"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_s3i_conductance_star(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_graph_conductance(tiny_star))
+    # (1,13) odd-odd uncut, (1,14) odd-even cut; S = even nodes = {14}
+    assert got["n_edges"].tolist() == [2]
+    assert got["cut"].tolist() == [1]
+    assert got["vol_s"].tolist() == [1]
+    assert got["vol_t"].tolist() == [3]
+    assert got["conductance"].tolist() == [1.0]
+
+
+@pytest.fixture(scope="module")
+def tiny_jack(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_jack"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-02 00:00"],
+            [0, 1, 2],
+            ["click"] * 3,
+            value=[1.0, 3.0, 5.0],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_jackknife_closed_form(ray_session, tiny_jack):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_jackknife_mean(tiny_jack))
+    # theta = (5, 2), tdot = 3.5, var = (1/2)*(1.5^2 + 1.5^2) = 2.25
+    assert got["m_days"].tolist() == [2]
+    assert got["mean_all"].tolist() == [3.0]
+    assert got["theta_dot"].tolist() == [3.5]
+    assert got["se_jack"].tolist() == [1.5]
+
+
+def test_s3i_jackknife_single_day(ray_session, tiny_one_day):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_jackknife_mean(tiny_one_day))
+    assert len(got) == 0
+
+
+def test_s3i_partitioning_independent_j(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("eigenvector_centrality", "graph_conductance", "jackknife_mean")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
