@@ -1144,3 +1144,75 @@ def test_s3i_partitioning_independent_j(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_paired(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_wsr"))
+    ts, et = [], []
+    # day diffs view-click: +2, -1, 0 (the zero pair must drop)
+    for day, nv, nc in [("01", 3, 1), ("02", 1, 2), ("03", 2, 2)]:
+        for i in range(nv):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            et.append("view")
+        for i in range(nc):
+            ts.append(f"2024-01-{day} 1{i}:00")
+            et.append("click")
+    pq.write_table(_events_table(ts, list(range(len(ts))), et), d + "/events.parquet")
+    return d
+
+
+def test_s3i_wilcoxon_closed_form(ray_session, tiny_paired):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_wilcoxon_signed_rank(tiny_paired))
+    # d = (+2, -1): ranks of |d| = (2, 1), W+ = 2, mu = 1.5, var = 1.25
+    assert got["n_pairs"].tolist() == [2]
+    assert got["w_plus"].tolist() == [2.0]
+    assert got["z"].tolist() == [round(0.5 / math.sqrt(1.25), 6)]
+
+
+def test_s3i_ljung_box_short_series(ray_session, tiny_shift):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_ljung_box(tiny_shift))
+    assert len(got) == 0  # < 9 days: lag-7 window undefined
+
+
+def test_s3i_xmr_flags_spike(ray_session, monkeypatch, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_xmr"))
+    ts, uid = [], []
+    # 6 flat days of 2 events, then a 20-event spike day
+    counts = [2, 2, 2, 2, 2, 2, 20]
+    for i, cnt in enumerate(counts):
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    got = _df(q.q_xmr_control(d)).set_index("day")
+    # center = 32/7, mRbar = 18/6 = 3, UCL = 32/7 + 7.98
+    assert got["ooc"].tolist() == [0, 0, 0, 0, 0, 0, 1]
+    assert got.loc["2024-01-07", "n"] == 20
+    assert (got["ucl"] == round(32 / 7 + 2.66 * 3.0, 6)).all()
+
+
+def test_s3i_partitioning_independent_k(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("wilcoxon_signed_rank", "ljung_box", "xmr_control")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
