@@ -1216,3 +1216,128 @@ def test_s3i_partitioning_independent_k(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def _emb_table(vecs, labels=None):
+    n = len(vecs)
+    return pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels or [0] * n, pa.int32()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_line(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_2nn"))
+    pq.write_table(
+        _emb_table([[0.0, 0.0], [1.0, 0.0], [3.0, 0.0]]), d + "/embeddings.parquet"
+    )
+    return d
+
+
+def test_s3i_twonn_closed_form(ray_session, tiny_line):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_twonn_dimension(tiny_line))
+    # mus = (3, 2, 1.5): sum ln = ln 9, dim = 3/ln 9
+    assert got["n_used"].tolist() == [3]
+    assert got["n_dropped"].tolist() == [0]
+    assert got["sum_ln_mu"].tolist() == [round(math.log(9.0), 6)]
+    assert got["dim"].tolist() == [round(3.0 / math.log(9.0), 6)]
+
+
+@pytest.fixture(scope="module")
+def tiny_dups(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_2nnd"))
+    pq.write_table(
+        _emb_table([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0]]), d + "/embeddings.parquet"
+    )
+    return d
+
+
+def test_s3i_twonn_duplicates_dropped(ray_session, tiny_dups):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_twonn_dimension(tiny_dups))
+    # the two coincident points have d1=0 and drop; the third has mu=1
+    assert got["n_used"].tolist() == [1]
+    assert got["n_dropped"].tolist() == [2]
+    assert got["sum_ln_mu"].tolist() == [0.0]
+    assert math.isnan(got["dim"].iloc[0])
+
+
+@pytest.fixture(scope="module")
+def tiny_clusters(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_med"))
+    pq.write_table(
+        _emb_table(
+            [[0.0, 0.0], [1.0, 0.0], [5.0, 0.0], [9.0, 9.0]],
+            labels=[0, 0, 0, 1],
+        ),
+        d + "/embeddings.parquet",
+    )
+    return d
+
+
+def test_s3i_medoid_closed_form(ray_session, tiny_clusters):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_medoid_per_label(tiny_clusters)).set_index("label")
+    # label 0 row sums: 6, 5, 9 -> medoid vec 1 at mean 2.5
+    assert got.loc[0, "vec_id"] == 1
+    assert got.loc[0, "n_mates"] == 2
+    assert got.loc[0, "mean_dist"] == 2.5
+    # singleton label keeps itself with zero mean distance
+    assert got.loc[1, "vec_id"] == 3
+    assert got.loc[1, "n_mates"] == 0
+    assert got.loc[1, "mean_dist"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def tiny_twoclusters(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_dunn"))
+    pq.write_table(
+        _emb_table(
+            [[0.0, 0.0], [1.0, 0.0], [5.0, 0.0], [7.0, 0.0]],
+            labels=[0, 0, 1, 1],
+        ),
+        d + "/embeddings.parquet",
+    )
+    return d
+
+
+def test_s3i_dunn_closed_form(ray_session, tiny_twoclusters):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_dunn_index(tiny_twoclusters))
+    # min inter = |5-1| = 4, max intra = |7-5| = 2
+    assert got["min_inter"].tolist() == [4.0]
+    assert got["max_intra"].tolist() == [2.0]
+    assert got["dunn"].tolist() == [2.0]
+
+
+def test_s3i_partitioning_independent_l(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("twonn_dimension", "medoid_per_label", "dunn_index")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
