@@ -1341,3 +1341,99 @@ def test_s3i_partitioning_independent_l(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_q6(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_q6"))
+    pq.write_table(
+        pa.table(
+            {
+                "l_shipdate": pa.array(
+                    pd.to_datetime(["1996-06-01", "1996-06-02", "1995-01-01"]).astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "l_discount": pa.array([0.06, 0.10, 0.06], pa.float64()),
+                "l_quantity": pa.array([10.0, 10.0, 10.0], pa.float64()),
+                "l_extendedprice": pa.array([100.0, 100.0, 100.0], pa.float64()),
+            }
+        ),
+        d + "/lineitem.parquet",
+    )
+    return d
+
+
+def test_s3i_tpch_q6_closed_form(ray_session, tiny_q6):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q6(tiny_q6))
+    # only the first line passes all predicates: 100 * 0.06
+    assert got["revenue"].tolist() == [6.0]
+    assert got["n_lines"].tolist() == [1]
+
+
+@pytest.fixture(scope="module")
+def tiny_overlap(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_kmv"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 4,
+            [1, 2, 2, 3],
+            ["view", "view", "purchase", "purchase"],
+        ),
+        d + "/events.parquet",
+    )
+    return d
+
+
+def test_s3i_kmv_intersection_small_sets(ray_session, tiny_overlap):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_kmv_intersection(tiny_overlap))
+    # A={1,2}, B={2,3}, both < k: sketch algebra collapses to exact sets
+    assert got["exact_inter"].tolist() == [1]
+    assert got["jaccard_est"].tolist() == [0.333333]
+    assert got["inter_est"].tolist() == [1.0]
+    assert got["rel_error"].tolist() == [0.0]
+
+
+@pytest.fixture(scope="module")
+def tiny_cascade(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_haar"))
+    ts, uid = [], []
+    for i, cnt in enumerate([1, 3, 5, 9, 2]):
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    return d
+
+
+def test_s3i_haar_cascade(ray_session, tiny_cascade):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_haar_energy(tiny_cascade))
+    # (1,3,5,9,2): L1 details (-1,-2) -> 5; averages (2,7) (tail 2 drops);
+    # L2 detail (-2.5) -> 6.25; L3 has no pair
+    assert got["level"].tolist() == [1, 2]
+    assert got["n_coeffs"].tolist() == [2, 1]
+    assert got["energy"].tolist() == [5.0, 6.25]
+
+
+def test_s3i_partitioning_independent_m(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q6", "kmv_intersection", "haar_energy")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
