@@ -1437,3 +1437,67 @@ def test_s3i_partitioning_independent_m(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_ir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ir"))
+    pq.write_table(
+        _docs_table(
+            [
+                "data query data query join",   # both terms, phrase twice
+                "data data data",                # missing 'query'
+                "query x x x data",              # both, no adjacency
+                "join x data",                   # proximity gap 2
+            ]
+        ),
+        d + "/documents.parquet",
+    )
+    return d
+
+
+def test_s3i_boolean_and(ray_session, tiny_ir):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_boolean_and_query(tiny_ir))
+    # docs 0 (tf 2+2) and 2 (tf 1+1); doc 1 lacks 'query'
+    assert got["doc_id"].tolist() == [0, 2]
+    assert got["score"].tolist() == [4, 2]
+    assert got["rank"].tolist() == [1, 2]
+
+
+def test_s3i_phrase_search(ray_session, tiny_ir):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_phrase_search(tiny_ir))
+    # only doc 0 has ADJACENT "data query" (twice); doc 2 is not adjacent
+    assert got["doc_id"].tolist() == [0]
+    assert got["n_hits"].tolist() == [2]
+
+
+def test_s3i_proximity_score(ray_session, tiny_ir):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_proximity_score(tiny_ir))
+    # doc 0: data@2, join@4 -> gap 2... min over (0,4),(2,4) = 2;
+    # doc 3: join@0, data@2 -> gap 2; tie broken by doc_id
+    assert got["doc_id"].tolist() == [0, 3]
+    assert got["min_gap"].tolist() == [2, 2]
+
+
+def test_s3i_partitioning_independent_n(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("boolean_and_query", "phrase_search", "proximity_score")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
