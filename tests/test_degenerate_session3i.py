@@ -1501,3 +1501,70 @@ def test_s3i_partitioning_independent_n(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_walk(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_vr"))
+    ts, uid = [], []
+    for i, cnt in enumerate([1, 2, 4, 7, 11]):  # diffs 1,2,3,4 (trending)
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    return d
+
+
+def test_s3i_variance_ratio_trending(ray_session, tiny_walk):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_variance_ratio(tiny_walk)).set_index("q")
+    # diffs (1,2,3,4): v1 = 1.25; 2-step sums (3,5,7): vq = 8/3
+    # VR(2) = (8/3)/(2*1.25) = 16/15
+    assert got.loc[2, "n_windows"] == 3
+    assert got.loc[2, "vr"] == round(16.0 / 15.0, 6)
+    # 4-step: single window -> variance 0 -> VR(4) = 0
+    assert got.loc[4, "vr"] == 0.0
+
+
+def test_s3i_spectral_entropy_pure_tone(ray_session, tiny_wave):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_spectral_entropy(tiny_wave))
+    # periods (2,3,4) powers (4, 0.75, 0): concentrated spectrum
+    import math
+
+    p = [4.0, 0.75, 0.0]
+    tot = sum(p)
+    h = -sum(v / tot * math.log(v / tot) for v in p if v > 0)
+    assert got["n_periods"].tolist() == [3]
+    assert got["entropy"].tolist() == [round(h, 6)]
+    assert got["entropy_norm"].tolist() == [round(h / math.log(3), 6)]
+
+
+def test_s3i_turning_points_closed_form(ray_session, tiny_cascade):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_turning_points(tiny_cascade))
+    # series (1,3,5,9,2): one strict turning point (9)
+    assert got["m_days"].tolist() == [5]
+    assert got["n_turning"].tolist() == [1]
+    assert got["expected"].tolist() == [2.0]
+
+
+def test_s3i_partitioning_independent_o(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("variance_ratio", "spectral_entropy", "turning_points")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
