@@ -1568,3 +1568,61 @@ def test_s3i_partitioning_independent_o(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_consistent_hash_bound(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_consistent_hash_migration(SF))
+    # consistent hashing moves ONLY keys landing in the new shard's arc:
+    # the moved set must be well under 2/9 of keys and non-negative
+    assert got["n_keys"].iloc[0] > 0
+    frac = got["moved_frac"].iloc[0]
+    assert 0.0 <= frac <= 2.0 / 9.0
+
+
+def test_s3i_table_checksum_order_independent(ray_session, tiny_recapture):
+    from blockchainspider_ray.pipelines import queries as q
+    from blockchainspider_ray.stages.dedup import _stable_h64
+
+    got = _df(q.q_table_checksum(tiny_recapture)).set_index("bucket")
+    # recompute by hand: rows (0,0,click),(1,1,click),(2,1,click),(3,2,click)
+    want = {}
+    for eid, uid in [(0, 0), (1, 1), (2, 1), (3, 2)]:
+        b = eid % 8
+        want[b] = (want.get(b, 0) + _stable_h64(f"{eid}|{uid}|click")) % (1 << 64)
+    for b, cs in want.items():
+        assert got.loc[b, "checksum"] == str(cs)
+        assert got.loc[b, "n_rows"] == 1
+
+
+def test_s3i_token_movers_signed(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_mov"))
+    # half0 (doc 0): "a a b"; half1 (doc 1): "b c c"
+    pq.write_table(_docs_table(["a a b", "b c c"]), d + "/documents.parquet")
+    got = _df(q.q_token_movers(d)).set_index("token")
+    # deltas: a = 0 - 2/3, c = 2/3 - 0, b = 1/3 - 1/3 = 0
+    assert got.loc["a", "delta"] == round(-2.0 / 3.0, 6)
+    assert got.loc["c", "delta"] == round(2.0 / 3.0, 6)
+    assert got.loc["b", "delta"] == 0.0
+    assert sorted(got.loc[["a", "c"], "rank"].tolist()) == [1, 2]
+
+
+def test_s3i_partitioning_independent_p(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("consistent_hash_migration", "table_checksum", "token_movers")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
