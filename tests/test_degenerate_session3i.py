@@ -1626,3 +1626,153 @@ def test_s3i_partitioning_independent_p(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+@pytest.fixture(scope="module")
+def tiny_tpch17(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_q7"))
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([18, 19], pa.int32()),
+                "n_name": pa.array(["NATION_18", "NATION_19"], pa.string()),
+                "n_regionkey": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        d + "/nation.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_name": pa.array(["S1"], pa.string()),
+                "s_nationkey": pa.array([18], pa.int32()),
+                "s_acctbal": pa.array([0.0], pa.float64()),
+            }
+        ),
+        d + "/supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_name": pa.array(["C7", "C8"], pa.string()),
+                "c_nationkey": pa.array([19, 18], pa.int32()),
+                "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+                "c_mktsegment": pa.array(["BUILDING"] * 2, pa.string()),
+            }
+        ),
+        d + "/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101], pa.int64()),
+                "o_custkey": pa.array([7, 8], pa.int64()),
+                "o_orderstatus": pa.array(["F", "F"], pa.string()),
+                "o_totalprice": pa.array([0.0, 0.0], pa.float64()),
+                "o_orderdate": pa.array(
+                    pd.to_datetime(["1995-05-01", "1995-05-01"]).astype("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+            }
+        ),
+        d + "/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([100, 101], pa.int64()),
+                "l_partkey": pa.array([1, 2], pa.int64()),
+                "l_suppkey": pa.array([1, 1], pa.int64()),
+                "l_linenumber": pa.array([1, 1], pa.int32()),
+                "l_quantity": pa.array([1.0, 1.0], pa.float64()),
+                "l_extendedprice": pa.array([200.0, 300.0], pa.float64()),
+                "l_discount": pa.array([0.5, 0.0], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0], pa.float64()),
+                "l_shipdate": pa.array(
+                    pd.to_datetime(["1995-06-01", "1996-06-01"]).astype("datetime64[us]")
+                ),
+                "l_returnflag": pa.array(["N", "N"], pa.string()),
+                "l_linestatus": pa.array(["O", "O"], pa.string()),
+            }
+        ),
+        d + "/lineitem.parquet",
+    )
+    return d
+
+
+def test_s3i_tpch_q7_cross_nation_only(ray_session, tiny_tpch17):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q7(tiny_tpch17))
+    # order 100: supp 18 -> cust 19 (kept, 200*0.5=100); order 101:
+    # supp 18 -> cust 18 (same nation, dropped)
+    assert got["supp_nation"].tolist() == ["NATION_18"]
+    assert got["cust_nation"].tolist() == ["NATION_19"]
+    assert got["yr"].tolist() == [1995]
+    assert got["revenue"].tolist() == [100.0]
+
+
+def test_s3i_tpch_q14_promo_share(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_q14"))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_name": pa.array(["a", "b"], pa.string()),
+                "p_brand": pa.array(["B1", "B1"], pa.string()),
+                "p_type": pa.array(["PROMO", "STANDARD"], pa.string()),
+                "p_size": pa.array([1, 1], pa.int32()),
+                "p_retailprice": pa.array([1.0, 1.0], pa.float64()),
+            }
+        ),
+        d + "/part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2], pa.int64()),
+                "l_shipdate": pa.array(
+                    pd.to_datetime(["1996-02-01", "1996-02-02"]).astype("datetime64[us]")
+                ),
+                "l_extendedprice": pa.array([100.0, 300.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0], pa.float64()),
+            }
+        ),
+        d + "/lineitem.parquet",
+    )
+    got = _df(q.q_tpch_q14(d))
+    assert got["promo_cents"].tolist() == [10000]
+    assert got["total_cents"].tolist() == [40000]
+    assert got["promo_pct"].tolist() == [25.0]
+
+
+def test_s3i_tpch_q13_zero_order_customers(ray_session, tiny_tpch17):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q13(tiny_tpch17))
+    # both customers have exactly 1 order; with an extra no-order customer
+    # the zero bucket appears — here: one (1, 2) row only
+    assert got["c_count"].tolist() == [1]
+    assert got["custdist"].tolist() == [2]
+
+
+def test_s3i_partitioning_independent_q(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q7", "tpch_q14", "tpch_q13")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
