@@ -1857,3 +1857,73 @@ def test_s3i_partitioning_independent_r(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_max_repeat_ngram(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_rep"))
+    pq.write_table(
+        _docs_table(
+            [
+                "a b c a b",      # "a b" repeats -> max 2
+                "x y z",          # all unique -> 0
+                "p p p",          # "p p" repeats -> 2
+                "u v w u v w q",  # "u v w" repeats -> 3
+            ]
+        ),
+        d + "/documents.parquet",
+    )
+    got = _df(q.q_max_repeat_ngram(d)).set_index("max_rep_n")
+    assert got.loc[0, "n_docs"] == 1
+    assert got.loc[2, "n_docs"] == 2
+    assert got.loc[3, "n_docs"] == 1
+
+
+def test_s3i_casing_profile(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_case"))
+    pq.write_table(
+        _docs_table(["Hello WORLD x9 plain"]), d + "/documents.parquet"
+    )
+    got = _df(q.q_casing_profile(d))
+    # 4 tokens: 2 capitalized (Hello, WORLD), 1 all-caps, 1 with a digit
+    assert got["n_tokens"].tolist() == [4]
+    assert got["cap_frac"].tolist() == [0.5]
+    assert got["allcaps_frac"].tolist() == [0.25]
+    assert got["digit_frac"].tolist() == [0.25]
+
+
+def test_s3i_cooccurrence_pmi(ray_session, tmp_path_factory):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_pmi"))
+    # 4 docs over a 2-token vocabulary: a alone, b alone, both, both
+    pq.write_table(
+        _docs_table(["a", "b", "a b", "a b"]), d + "/documents.parquet"
+    )
+    got = _df(q.q_cooccurrence_pmi(d, k=2))
+    # df_a=3, df_b=3, df_ab=2, n=4: PMI = ln(4*2/9)
+    assert got[["df_a", "df_b", "df_ab"]].values.tolist() == [[3, 3, 2]]
+    assert got["pmi"].tolist() == [round(math.log(8.0 / 9.0), 6)]
+
+
+def test_s3i_partitioning_independent_s(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("max_repeat_ngram", "casing_profile", "cooccurrence_pmi")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
