@@ -1927,3 +1927,78 @@ def test_s3i_partitioning_independent_s(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_gmm_estep_equidistant(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gmm"))
+    # centroids = vec 0..3 at corners; vec 4 equidistant from all four
+    pq.write_table(
+        _emb_table(
+            [
+                [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0],
+                [0.0, 0.0],
+            ]
+        ),
+        d + "/embeddings.parquet",
+    )
+    got = _df(q.q_gmm_estep(d)).set_index("cluster")
+    # each centroid claims itself (resp ~1 at its own position is NOT 1
+    # because other centroids are 2 away, but symmetry still holds), and
+    # the center point splits 1/4 each -> column sums are all equal
+    assert sorted(got.index.tolist()) == [0, 1, 2, 3]
+    assert len(set(got["soft_count"].tolist())) == 1
+    assert abs(got["soft_count"].sum() - 5.0) < 1e-6
+
+
+def test_s3i_effect_size_closed_form(ray_session, tiny_did):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_effect_size_power(tiny_did))
+    # g0 purchases (1,3,2,2): mu=2, var=2/3; g1 (1,1,4,6): mu=3, var=6
+    n0 = n1 = 4
+    sp = math.sqrt((3 * (2 / 3) + 3 * 6.0) / 6.0)
+    d = 1.0 / sp
+    assert got["n0"].tolist() == [4]
+    assert got["n1"].tolist() == [4]
+    assert got["cohens_d"].tolist() == [round(d, 6)]
+    assert got["hedges_g"].tolist() == [round(d * (1 - 3 / (4 * 6 - 1)), 6)]
+    assert got["mde"].tolist() == [
+        round((1.96 + 0.8416) * math.sqrt((2 / 3) / 4 + 6.0 / 4), 6)
+    ]
+
+
+def test_s3i_sprt_monitor_accumulates(ray_session, tiny_leadlag):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_sprt_monitor(tiny_leadlag))
+    # day1: 1 view, 0 purchases -> llr = ln(.75/.85)
+    inc1 = math.log(0.75 / 0.85)
+    assert got["day"].tolist() == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert got["trials"].tolist() == [1, 3, 5]
+    assert got["conversions"].tolist() == [0, 1, 2]
+    assert got["llr"].iloc[0] == round(inc1, 6)
+    assert (got["decision"] == "").all()  # no boundary crossed this early
+
+
+def test_s3i_partitioning_independent_t(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("gmm_estep", "effect_size_power", "sprt_monitor")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
