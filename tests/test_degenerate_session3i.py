@@ -2002,3 +2002,63 @@ def test_s3i_partitioning_independent_t(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_avg_neighbor_degree_star(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_avg_neighbor_degree(tiny_star)).set_index("degree")
+    # star 1-(13,14): hub degree 2 with leaf-neighbors of degree 1;
+    # leaves degree 1 with the hub (degree 2) as neighbor
+    assert got.loc[1, "n_nodes"] == 2
+    assert got.loc[1, "knn"] == 2.0
+    assert got.loc[2, "n_nodes"] == 1
+    assert got.loc[2, "knn"] == 1.0
+
+
+def test_s3i_edge_embeddedness_star(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_edge_embeddedness(tiny_star))
+    # both star edges are local bridges: no common neighbors
+    assert got["embeddedness"].tolist() == [0]
+    assert got["n_edges"].tolist() == [2]
+
+
+def test_s3i_juilland_even_vs_concentrated(ray_session, tmp_path_factory):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_juil"))
+    # 'even' appears once per source; 'conc' only in src0
+    pq.write_table(
+        _docs_table(
+            ["even conc", "even"],
+            sources=["src0", "src1"],
+        ),
+        d + "/documents.parquet",
+    )
+    got = _df(q.q_juilland_dispersion(d)).set_index("token")
+    # rel(even) = (0.5, 1.0): cv = 0.25/0.75 = 1/3; D = 1 - (1/3)/1
+    assert got.loc["even", "juilland_d"] == round(1.0 - 1.0 / 3.0, 6)
+    # rel(conc) = (0.5, 0): cv = 1 -> D = 0
+    assert got.loc["conc", "juilland_d"] == 0.0
+
+
+def test_s3i_partitioning_independent_u(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("avg_neighbor_degree", "edge_embeddedness", "juilland_dispersion")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
