@@ -2062,3 +2062,58 @@ def test_s3i_partitioning_independent_u(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_map_eval_perfect_and_mixed(ray_session, tiny_gains, tiny_ranked):
+    from blockchainspider_ray.pipelines import queries as q
+
+    # perfect ranking (en docs are the 5 longest): AP = 1
+    got = _df(q.q_map_eval(tiny_gains))
+    assert got["n_relevant"].tolist() == [5]
+    assert got["map"].tolist() == [1.0]
+    # tiny_ranked: en doc ranks 1 of 2 -> AP = 1
+    got2 = _df(q.q_map_eval(tiny_ranked))
+    assert got2["map"].tolist() == [1.0]
+
+
+def test_s3i_bradley_terry_dominant(ray_session, tiny_leadlag):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_bradley_terry(tiny_leadlag)).set_index("event_type")
+    # views out-volume purchases every day: view wins 3 duels, loses 0
+    assert got.loc["view", "wins"] == 3
+    assert got.loc["purchase", "wins"] == 0
+    assert got.loc["view", "strength"] > got.loc["purchase", "strength"]
+    assert abs(got["strength"].sum() - 1.0) < 1e-5
+
+
+def test_s3i_stratified_diff_single_stratum(ray_session, tiny_did):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_stratified_diff(tiny_did))
+    # all purchases at midnight -> one stratum: estimate = plain mean diff
+    # g0 (1,3,2,2) mu=2; g1 (1,1,4,6) mu=3 -> diff=1
+    assert got["n_strata"].tolist() == [1]
+    assert got["strat_diff"].tolist() == [1.0]
+    v0, v1 = 2.0 / 3.0, 6.0
+    assert got["se"].tolist() == [round(math.sqrt(v0 / 4 + v1 / 4), 6)]
+
+
+def test_s3i_partitioning_independent_v(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("map_eval", "bradley_terry", "stratified_diff")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
