@@ -2117,3 +2117,55 @@ def test_s3i_partitioning_independent_v(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_logistic_newton_balanced(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_lgn"))
+    # identical-length docs: x constant -> singular design -> NaNs
+    pq.write_table(
+        _docs_table(["a b c", "d e f"]), d + "/documents.parquet"
+    )
+    got = _df(q.q_logistic_newton(d))
+    import math
+
+    assert got["n"].tolist() == [2]
+    assert math.isnan(got["beta0"].iloc[0])
+    assert math.isnan(got["beta1"].iloc[0])
+
+
+def test_s3i_conformal_coverage_range(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_conformal_interval(SF))
+    # split-conformal guarantee: coverage concentrates near 0.9
+    assert got["n_cal"].iloc[0] + got["n_test"].iloc[0] == 500
+    assert 0.8 <= got["coverage"].iloc[0] <= 1.0
+
+
+def test_s3i_white_test_homoskedastic(ray_session, tiny_weekly):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_white_test(tiny_weekly))
+    # 21 days: statistic exists and r2_aux is a valid fraction
+    assert got["m_days"].tolist() == [21]
+    assert 0.0 <= got["r2_aux"].iloc[0] <= 1.0
+
+
+def test_s3i_partitioning_independent_w(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("logistic_newton", "conformal_interval", "white_test")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
