@@ -2169,3 +2169,55 @@ def test_s3i_partitioning_independent_w(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_kleinberg_flags_spike(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_kb"))
+    ts, uid = [], []
+    # 5 quiet days of 2, then 3 loud days of 12
+    for i, cnt in enumerate([2, 2, 2, 2, 2, 12, 12, 12]):
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    got = _df(q.q_kleinberg_bursts(d)).set_index("day")
+    # the burst state wins on the loud tail, not on the quiet head
+    assert got.loc["2024-01-01", "burst"] == 0
+    assert got.loc["2024-01-08", "burst"] == 1
+
+
+def test_s3i_pacf_ar1_signature(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_pacf_profile(SF)).set_index("lag")
+    # lag-1 PACF equals the lag-1 ACF by construction
+    acf = _df(q.q_acf_profile(SF)).set_index("lag")
+    assert got.loc[1, "pacf"] == acf.loc[1, "acf"]
+    assert set(got.index) <= {1, 2, 3}
+
+
+def test_s3i_ar1_short_series(ray_session, tiny_jack):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_ar1_forecast(tiny_jack))
+    assert len(got) == 0  # 2 days < 3: no AR(1) fit
+
+
+def test_s3i_partitioning_independent_x(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("kleinberg_bursts", "pacf_profile", "ar1_forecast")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
