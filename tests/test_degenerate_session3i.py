@@ -2221,3 +2221,76 @@ def test_s3i_partitioning_independent_x(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_huber_mean_resists_outlier(ray_session, tiny_outlier):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_huber_mean(tiny_outlier)).set_index("event_type")
+    # values (1,2,3,4,100): median 3, MAD 1; the clipped mean stays near
+    # the bulk while the plain mean (22) is dragged to the outlier
+    assert got.loc["click", "median"] == 3.0
+    assert got.loc["click", "mad"] == 1.0
+    assert got.loc["click", "huber_mean"] < 5.0
+
+
+def test_s3i_median_polish_additive_table(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_mp"))
+    # perfectly additive 2x2 grid: counts = row + col effect
+    rows = []
+    for src, lang, cnt in [
+        ("src0", "en", 5), ("src0", "fr", 3), ("src1", "en", 7), ("src1", "fr", 5),
+    ]:
+        rows += [(src, lang)] * cnt
+    pq.write_table(
+        _docs_table(
+            ["x"] * len(rows),
+            langs=[r[1] for r in rows],
+            sources=[r[0] for r in rows],
+        ),
+        d + "/documents.parquet",
+    )
+    got = _df(q.q_median_polish(d)).set_index(["kind", "key"])
+    # additive table -> zero residuals after one polish
+    assert got.loc[("__resid_abs__", ""), "effect"] == 0.0
+    assert got.loc[("row", "src1"), "effect"] - got.loc[("row", "src0"), "effect"] == 2.0
+    assert got.loc[("col", "en"), "effect"] - got.loc[("col", "fr"), "effect"] == 2.0
+
+
+def test_s3i_bhattacharyya_identical_halves(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_bh"))
+    # identical purchase-value distributions in both cohorts -> BC = 1
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 4,
+            [0, 1, 2, 3],
+            ["purchase"] * 4,
+            value=[1.0, 1.0, 9.0, 9.0],
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_bhattacharyya(d))
+    assert got["bc_coeff"].tolist() == [1.0]
+    assert got["bhattacharyya"].tolist() == [0.0]
+
+
+def test_s3i_partitioning_independent_y(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("huber_mean", "median_polish", "bhattacharyya")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
