@@ -2294,3 +2294,74 @@ def test_s3i_partitioning_independent_y(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_target_encoding_smoothing(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_target_encoding(SF))
+    # smoothing pulls every encoding strictly between its raw rate and
+    # the global prior (or equals both when they coincide)
+    prior = (got["keep_rate"] * got["n_docs"]).sum() / got["n_docs"].sum()
+    for _, r in got.iterrows():
+        lo, hi = sorted([r["keep_rate"], prior])
+        assert lo - 1e-6 <= r["encoding"] <= hi + 1e-6
+
+
+def test_s3i_boosted_stumps_separable(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gbm"))
+    # y doubles with x: short docs 2 tokens, long docs 6 tokens
+    texts = ["a b"] * 8 + ["a b c d e f"] * 8
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(16)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 16, pa.string()),
+            "source": pa.array(["src0"] * 16, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d + "/documents.parquet")
+    got = _df(q.q_boosted_stumps(d))
+    assert got["round"].tolist() == [1, 2]
+    # round 1 splits the two groups: residual means are -2 and +2, so the
+    # lr=0.5 leaves add -1/+1 and the MSE drops from 4 to 1
+    assert got.loc[0, "left_add"] == -1.0
+    assert got.loc[0, "right_add"] == 1.0
+    assert got.loc[0, "train_mse"] == 1.0
+    # round 2 repeats on the remaining +/-1 residuals
+    assert got.loc[1, "train_mse"] == 0.25
+    # monotone improvement invariant
+    assert got["train_mse"].is_monotonic_decreasing
+
+
+def test_s3i_heldout_perplexity_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_heldout_perplexity(SF))
+    # perplexity of a smoothed unigram LM is bounded by vocab+1 above
+    # (uniform-floor worst case) and 1 below
+    assert got["n_test_tokens"].iloc[0] > 0
+    assert 1.0 < got["perplexity"].iloc[0] < got["vocab"].iloc[0] + 1
+
+
+def test_s3i_partitioning_independent_z(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("target_encoding", "heldout_perplexity")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    baseline["boosted_stumps"] = _df(Q.NOSQL_QUERIES["boosted_stumps"](SF))
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        fn = Q.SQL_QUERIES.get(name) or Q.NOSQL_QUERIES[name]
+        got = _df(fn(SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
