@@ -2365,3 +2365,60 @@ def test_s3i_partitioning_independent_z(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_politeness_makespan_hot_host(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_politeness_makespan(SF))
+    # every link in the fixture corpus lands on one of the 10 site hosts
+    assert len(got) == 10
+    assert (got["rounds"] >= 1).all()
+    assert (got["makespan"] == got["rounds"].max()).all()
+    assert 0.0 < got["utilization"].iloc[0] <= 1.0
+
+
+def test_s3i_lindley_congested(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_lind"))
+    # 3 purchases 600 s apart with 1800 s service: waits 0, 1200, 2400
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 00:20:00"],
+            [0, 1, 2],
+            ["purchase"] * 3,
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_lindley_queue(d))
+    assert got["n_jobs"].tolist() == [3]
+    assert got["busy_frac"].tolist() == [round(2 / 3, 6)]
+    assert got["mean_wait_s"].tolist() == [1200.0]
+    assert got["max_wait_s"].tolist() == [2400.0]
+
+
+def test_s3i_tpch_q8_share_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q8(SF))
+    assert got["yr"].tolist() == [1995, 1996]
+    assert ((got["mkt_share"] >= 0) & (got["mkt_share"] <= 1)).all()
+
+
+def test_s3i_partitioning_independent_aa(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("politeness_makespan", "tpch_q8", "lindley_queue")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
