@@ -2422,3 +2422,73 @@ def test_s3i_partitioning_independent_aa(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_tpch_q17_threshold(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_q17"))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_name": pa.array(["a"], pa.string()),
+                "p_brand": pa.array(["B"], pa.string()),
+                "p_type": pa.array(["SMALL"], pa.string()),
+                "p_size": pa.array([1], pa.int32()),
+                "p_retailprice": pa.array([1.0], pa.float64()),
+            }
+        ),
+        d + "/part.parquet",
+    )
+    # avg qty = 10; threshold 2: only the qty-1 line is below
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                "l_quantity": pa.array([1.0, 14.0, 15.0], pa.float64()),
+                "l_extendedprice": pa.array([70.0, 10.0, 10.0], pa.float64()),
+            }
+        ),
+        d + "/lineitem.parquet",
+    )
+    got = _df(q.q_tpch_q17(d))
+    assert got["n_lines"].tolist() == [1]
+    assert got["avg_yearly"].tolist() == [10.0]  # 70 / 7
+
+
+def test_s3i_referential_audit_clean_star(ray_session, tiny_tpch17):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_referential_audit(tiny_tpch17))
+    # the Q7 fixture is referentially clean by construction
+    assert got.values.tolist() == [[0, 0, 0]]
+
+
+def test_s3i_pettitt_bh_ranks(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_pettitt_bh(SF))
+    assert got["bh_rank"].tolist() == sorted(got["bh_rank"].tolist())
+    # p-values non-decreasing in BH rank; significance is a prefix
+    assert got["p_approx"].is_monotonic_increasing
+    sig = got["significant"].tolist()
+    assert sig == sorted(sig, reverse=True)
+
+
+def test_s3i_partitioning_independent_ab(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q17", "referential_audit", "pettitt_bh")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
