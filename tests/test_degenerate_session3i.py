@@ -2492,3 +2492,70 @@ def test_s3i_partitioning_independent_ab(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_geometric_median_symmetric(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_gmed"))
+    pq.write_table(
+        _emb_table(
+            [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]],
+            labels=[0, 0, 0, 0],
+        ),
+        d + "/embeddings.parquet",
+    )
+    got = _df(q.q_geometric_median(d))
+    # symmetric cross: the median is the origin at unit mean distance
+    assert got["n"].tolist() == [4]
+    assert got["coord_sum"].tolist() == [0.0]
+    assert got["mean_dist"].tolist() == [1.0]
+
+
+def test_s3i_join_skew_tiny(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_skew"))
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([1, 1, 1, 2], pa.int64())}),
+        d + "/lineitem.parquet",
+    )
+    got = _df(q.q_join_skew_report(d))
+    assert got["n_distinct"].tolist() == [2]
+    assert got["total_rows"].tolist() == [4]
+    assert got["max_fanout"].tolist() == [3]
+    assert got["p99_fanout"].tolist() == [3]
+    assert got["top1pct_share"].tolist() == [0.75]
+
+
+def test_s3i_bloom_planner_closed_form(ray_session, tiny_overlap):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_bloom_planner(tiny_overlap)).set_index("fpr")
+    # 3 distinct users in the fixture
+    n = 3
+    m = -n * math.log(0.01) / (math.log(2) ** 2)
+    assert got.loc[0.01, "n_keys"] == n
+    assert got.loc[0.01, "m_bits"] == math.ceil(m)
+    assert got.loc[0.01, "bits_per_key"] == round(m / n, 6)
+    assert got.loc[0.01, "k_hashes"] == math.ceil(-math.log(0.01) / math.log(2))
+
+
+def test_s3i_partitioning_independent_ac(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("geometric_median", "join_skew_report", "bloom_planner")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
