@@ -2559,3 +2559,52 @@ def test_s3i_partitioning_independent_ac(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_otsu_bimodal(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_otsu"))
+    # sharply bimodal lengths: 2-token and 34-token docs
+    texts = ["a b"] * 6 + [" ".join(["w"] * 34)] * 6
+    pq.write_table(_docs_table(texts), d + "/documents.parquet")
+    got = _df(q.q_otsu_threshold(d))
+    # threshold must separate the modes (2 < thr <= 34)
+    assert 2.0 < got["threshold"].iloc[0] <= 34.0
+    assert got["between_var"].iloc[0] == 256.0  # 0.5*0.5*(2-34)^2
+
+
+def test_s3i_feature_mi_informative(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_feature_mi(SF)).set_index("feature")
+    assert sorted(got.index.tolist()) == ["mwl", "ntok", "uniq"]
+    assert (got["mi"] >= 0).all()  # MI is non-negative
+
+
+def test_s3i_hash_uniformity_reasonable(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_hash_uniformity(SF))
+    # md5 over a few hundred keys: boundary-KS well under 0.5, CV finite
+    assert got["n_keys"].iloc[0] > 0
+    assert 0.0 <= got["ks_boundary"].iloc[0] < 0.5
+    assert got["bucket_cv"].iloc[0] >= 0.0
+
+
+def test_s3i_partitioning_independent_ad(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("otsu_threshold", "feature_mi", "hash_uniformity")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
