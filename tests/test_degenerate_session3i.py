@@ -2608,3 +2608,73 @@ def test_s3i_partitioning_independent_ad(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_lof_flags_isolated_point(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_lof"))
+    # tight 4-point cluster + one far outlier
+    pq.write_table(
+        _emb_table(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [50.0, 50.0]]
+        ),
+        d + "/embeddings.parquet",
+    )
+    got = _df(q.q_lof_outliers(d))
+    assert got.loc[0, "vec_id"] == 4  # the isolated point tops the list
+    assert got.loc[0, "lof"] > 1.5
+    # cluster members sit near LOF ~ 1
+    assert (got.loc[1:, "lof"] < 1.5).all()
+
+
+def test_s3i_dbscan_census(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_db"))
+    # 4 points within eps of each other (all core at minPts=4), 1 noise
+    pq.write_table(
+        _emb_table(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [50.0, 50.0]]
+        ),
+        d + "/embeddings.parquet",
+    )
+    got = _df(q.q_dbscan_cores(d))
+    assert got["n_points"].tolist() == [5]
+    assert got["core"].tolist() == [4]
+    assert got["border"].tolist() == [0]
+    assert got["noise"].tolist() == [1]
+
+
+def test_s3i_chao_shen_no_singletons(ray_session, tmp_path_factory):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_cse"))
+    # every type seen twice: full coverage, CS reduces toward plug-in
+    pq.write_table(_docs_table(["a b a b"]), d + "/documents.parquet")
+    got = _df(q.q_chao_shen_entropy(d))
+    assert got["coverage"].tolist() == [1.0]
+    assert got["h_plugin"].tolist() == [round(math.log(2.0), 6)]
+    # with C=1 the HT denominator is 1-(1-p)^N: H_CS = ln2 / (1 - (1/2)^4)
+    want = math.log(2.0) / (1.0 - 0.5**4)
+    assert got["h_chao_shen"].tolist() == [round(want, 6)]
+
+
+def test_s3i_partitioning_independent_ae(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("lof_outliers", "dbscan_cores", "chao_shen_entropy")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
