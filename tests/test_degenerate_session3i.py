@@ -2678,3 +2678,83 @@ def test_s3i_partitioning_independent_ae(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_split_half_perfect(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_shr"))
+    pq.write_table(
+        _docs_table(["a b a b", "a b c d", "a b a d"]), d + "/documents.parquet"
+    )
+    got = _df(q.q_split_half_reliability(d))
+    assert got["n_docs"].tolist() == [3]
+    # halves (0.5,0.5), (1,1), (1,0.5): correlation is well-defined
+    assert -1.0 <= got["half_corr"].iloc[0] <= 1.0
+
+
+def test_s3i_krippendorff_total_disagreement(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ka"))
+    pq.write_table(
+        _docs_table(["le la pour", "the of and"], langs=["en", "fr"]),
+        d + "/documents.parquet",
+    )
+    got = _df(q.q_krippendorff_alpha(d))
+    # both units disagree: Do = 1, De = 8/12 -> alpha = -0.5
+    assert got["d_observed"].tolist() == [1.0]
+    assert got["d_expected"].tolist() == [round(2.0 / 3.0, 6)]
+    assert got["alpha"].tolist() == [-0.5]
+
+
+def test_s3i_krippendorff_perfect(ray_session, tiny_langid):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_krippendorff_alpha(tiny_langid))
+    assert got["d_observed"].tolist() == [0.0]
+    assert got["alpha"].tolist() == [1.0]
+
+
+def test_s3i_qte_doubling(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_qte"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 6,
+            [0, 2, 4, 1, 3, 5],
+            ["purchase"] * 6,
+            value=[1.0, 2.0, 3.0, 2.0, 4.0, 6.0],
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_quantile_treatment_effect(d)).set_index("q")
+    # treatment doubles every quantile
+    assert got.loc[0.5, "control"] == 2.0
+    assert got.loc[0.5, "treatment"] == 4.0
+    assert got.loc[0.5, "qte"] == 2.0
+    assert got.loc[0.25, "qte"] == 1.5
+    assert got.loc[0.9, "qte"] == 2.8
+
+
+def test_s3i_partitioning_independent_af(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = (
+        "split_half_reliability",
+        "krippendorff_alpha",
+        "quantile_treatment_effect",
+    )
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
