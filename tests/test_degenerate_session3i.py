@@ -2758,3 +2758,50 @@ def test_s3i_partitioning_independent_af(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_hub_removal_star_collapse(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_hub_removal_robustness(tiny_star)).set_index("k_removed")
+    # star 1-(13,14): intact LCC = 1.0; removing the hub (degree 2)
+    # leaves 2 isolated leaves -> LCC fraction 0.5
+    assert got.loc[0, "lcc_frac"] == 1.0
+    assert got.loc[1, "n_nodes"] == 2
+    assert got.loc[1, "lcc_frac"] == 0.5
+
+
+def test_s3i_tpch_q9_profit_sign(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q9(SF))
+    # PROMO parts exist in every nation-year: rows present, profit finite
+    assert len(got) > 0
+    assert got["profit"].notna().all()
+
+
+def test_s3i_funnel_wilson_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_funnel_wilson(SF))
+    assert len(got) == 3  # view->click->signup->purchase transitions
+    for _, r in got.iterrows():
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+
+
+def test_s3i_partitioning_independent_ag(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("hub_removal_robustness", "tpch_q9", "funnel_wilson")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
