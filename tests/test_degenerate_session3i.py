@@ -2805,3 +2805,80 @@ def test_s3i_partitioning_independent_ag(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_tpch_q1_matches_reduced_agg(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    full = _df(q.q_tpch_q1(SF)).set_index(["l_returnflag", "l_linestatus"])
+    red = _df(q.SQL_QUERIES["lineitem_agg"](SF))
+    red = red.set_index(["l_returnflag", "l_linestatus"])
+    # the shipdate cutoff covers the whole sf0.001 corpus? not exactly —
+    # but counts can only be <= the unfiltered aggregate
+    for idx in full.index:
+        assert full.loc[idx, "count_order"] <= red.loc[idx, "cnt"]
+        assert full.loc[idx, "sum_disc_price"] <= full.loc[idx, "sum_base_price"]
+        assert full.loc[idx, "sum_charge"] >= full.loc[idx, "sum_disc_price"]
+
+
+def test_s3i_revenue_hhi_whale(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_hhi"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-05", "2024-01-06", "2024-02-05", "2024-02-06"],
+            [0, 1, 0, 1],
+            ["purchase"] * 4,
+            value=[9.0, 1.0, 5.0, 5.0],
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_revenue_hhi_monthly(d)).set_index("month")
+    # Jan: shares (0.9, 0.1) -> HHI 0.82; Feb: equal -> 0.5
+    assert got.loc["2024-01", "hhi"] == 0.82
+    assert got.loc["2024-02", "hhi"] == 0.5
+    assert got.loc["2024-02", "effective_n"] == 2.0
+
+
+def test_s3i_binseg_sharp_shift(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_bs"))
+    ts, et = [], []
+    # days 1-3: 0% conversion; days 4-6: 100%
+    for day in ["01", "02", "03"]:
+        for i in range(4):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            et.append("view")
+    for day in ["04", "05", "06"]:
+        for i in range(4):
+            ts.append(f"2024-01-{day} 0{i}:00")
+            et.append("purchase")
+    pq.write_table(
+        _events_table(ts, list(range(len(ts))), et), d + "/events.parquet"
+    )
+    got = _df(q.q_binseg_proportion(d))
+    assert got["split_day"].tolist() == ["2024-01-03"]  # last all-view day
+    # perfect separation: G2 = 2 * n * ln 2 with n = 24
+    import math
+
+    assert got["g2"].tolist() == [round(2 * 24 * math.log(2.0), 6)]
+
+
+def test_s3i_partitioning_independent_ah(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q1", "revenue_hhi_monthly", "binseg_proportion")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
