@@ -2882,3 +2882,78 @@ def test_s3i_partitioning_independent_ah(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_k_anonymity_singleton_risk(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_kan"))
+    # 3 docs share one qid class, 1 doc is a singleton class
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["src0", "src0", "src0", "src1"], pa.string()),
+            "n_chars": pa.array([10, 10, 10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d + "/documents.parquet")
+    got = _df(q.q_k_anonymity(d)).set_index("k")
+    assert got.loc[2, "n_classes"] == 2
+    assert got.loc[2, "min_class"] == 1
+    assert got.loc[2, "small_classes"] == 1
+    assert got.loc[2, "at_risk_frac"] == 0.25
+    assert got.loc[5, "at_risk_frac"] == 1.0  # both classes below 5
+
+
+def test_s3i_l_diversity_monoculture(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ldiv"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["en", "fr", "en", "en"], pa.string()),
+            "source": pa.array(["src0", "src0", "src1", "src1"], pa.string()),
+            "n_chars": pa.array([10, 10, 10, 10], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d + "/documents.parquet")
+    got = _df(q.q_l_diversity(d)).set_index("l")
+    # src0 class has 2 langs, src1 class has 1 -> min_l = 1
+    assert got.loc[1, "n_classes"] == 1
+    assert got.loc[2, "n_classes"] == 1
+    assert (got["min_l"] == 1).all()
+
+
+def test_s3i_dp_planner_scaling(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_dp_noise_planner(SF)).set_index("epsilon")
+    # noise scales as 1/epsilon exactly
+    assert got.loc[0.1, "laplace_b"] == 10.0
+    assert got.loc[1.0, "laplace_b"] == 1.0
+    assert got.loc[10.0, "laplace_b"] == 0.1
+    assert abs(
+        got.loc[0.1, "rel_err_at_median"] - got.loc[1.0, "rel_err_at_median"] * 10
+    ) < 1e-4
+
+
+def test_s3i_partitioning_independent_ai(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("k_anonymity", "l_diversity", "dp_noise_planner")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
