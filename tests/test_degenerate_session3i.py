@@ -2957,3 +2957,62 @@ def test_s3i_partitioning_independent_ai(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_nelson_aalen_vs_km(ray_session, tiny_survival):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_nelson_aalen(tiny_survival))
+    # two users, events at 1h (n=2) and 2h (n=1): H = 0.5 then 1.5
+    assert got["n_risk"].tolist() == [2, 1]
+    assert got["cum_hazard"].tolist() == [0.5, 1.5]
+    assert got["se"].tolist() == [0.5, round((0.25 + 1.0) ** 0.5, 6)]
+
+
+def test_s3i_sax_step_series(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_sax"))
+    ts, uid = [], []
+    # 8 days: 4 low (1 event) then 4 high (5 events): symbols low..high
+    for i, cnt in enumerate([1, 1, 1, 1, 5, 5, 5, 5]):
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    got = _df(q.q_sax_symbols(d))
+    # one day per segment; z = +/-1 exactly -> symbols 'a' x4 then 'd' x4
+    assert got["symbol"].tolist() == ["a"] * 4 + ["d"] * 4
+    assert got["rmse"].tolist() == [0.0] * 8
+
+
+def test_s3i_markov_mixing_decreases(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_markov_mixing(SF))
+    assert got["step"].tolist() == [1, 2, 3, 4, 5]
+    # the chain forgets its start: large early distance, tiny by step 5
+    # (pi is the EMPIRICAL visit share, so the tail may oscillate at the
+    # 1e-3 level rather than decrease strictly)
+    tv = got["tv_distance"].tolist()
+    assert all(0.0 <= t <= 1.0 for t in tv)
+    assert tv[-1] < tv[0]
+    assert tv[-1] < 0.05
+
+
+def test_s3i_partitioning_independent_aj(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("nelson_aalen", "sax_symbols", "markov_mixing")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
