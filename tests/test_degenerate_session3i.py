@@ -3016,3 +3016,63 @@ def test_s3i_partitioning_independent_aj(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_abc_analysis_pareto(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_abc"))
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_extendedprice": pa.array([80.0, 14.0, 3.0, 3.0], pa.float64()),
+                "l_discount": pa.array([0.0] * 4, pa.float64()),
+            }
+        ),
+        d + "/lineitem.parquet",
+    )
+    got = _df(q.q_abc_analysis(d)).set_index("cls")
+    # cum shares: 0.8 (A), 0.94 (B), 0.97, 1.0 (C)
+    assert got.loc["A", "n_parts"] == 1
+    assert got.loc["A", "rev_share"] == 0.8
+    assert got.loc["B", "n_parts"] == 1
+    assert got.loc["C", "n_parts"] == 2
+
+
+def test_s3i_harrell_c_perfect_ordering(ray_session, tiny_survival):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_harrell_c(tiny_survival))
+    # u0 (g=0) converts at 1h, u1 (g=1) at 2h: one comparable pair, the
+    # low-risk cohort converts FIRST -> fully discordant, C = 0
+    assert got["comparable_pairs"].tolist() == [1]
+    assert got["c_index"].tolist() == [0.0]
+
+
+def test_s3i_als_rank1_unit_vector(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_als_rank1(SF))
+    # v is reported L2-normalized; energy share is a valid fraction
+    assert abs((got["v"] ** 2).sum() - 1.0) < 1e-4
+    assert 0.0 < got["energy_share"].iloc[0] <= 1.0
+    assert (got["v"] > 0).all()  # counts are non-negative: one sign
+
+
+def test_s3i_partitioning_independent_ak(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("abc_analysis", "harrell_c", "als_rank1")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
