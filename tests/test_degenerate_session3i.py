@@ -3076,3 +3076,61 @@ def test_s3i_partitioning_independent_ak(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_learned_index_linear_keys(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_li"))
+    # perfectly linear key space 10,20,30,40: zero learned-index error
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 4, [10, 20, 30, 40], ["click"] * 4
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_learned_index_audit(d))
+    assert got["n_keys"].tolist() == [4]
+    assert got["slope"].tolist() == [0.1]
+    assert got["max_err"].tolist() == [0.0]
+
+
+def test_s3i_zone_map_time_sorted(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_zone_map_audit(SF))
+    # event_id order tracks ts in the fixture stream: most blocks prune
+    assert got["n_blocks"].iloc[0] >= 1
+    assert 0.0 <= got["prune_frac"].iloc[0] <= 1.0
+    assert got["blocks_read"].iloc[0] >= 1
+
+
+def test_s3i_sort_order_benefit_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_sort_order_benefit(SF))
+    # natural runs between k (fully clustered) and n (fully shuffled)
+    assert got["runs_sorted"].iloc[0] == 5
+    assert (
+        got["runs_sorted"].iloc[0]
+        <= got["runs_natural"].iloc[0]
+        <= got["n_rows"].iloc[0]
+    )
+
+
+def test_s3i_partitioning_independent_al(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("learned_index_audit", "zone_map_audit", "sort_order_benefit")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
