@@ -3134,3 +3134,50 @@ def test_s3i_partitioning_independent_al(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_dag_layers_chain(ray_session, tiny_star):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_dag_layers(tiny_star)).set_index("layer")
+    # star 1->13, 1->14 (both ascending): root at 0, leaves at 1
+    assert got.loc[0, "n_nodes"] == 1
+    assert got.loc[1, "n_nodes"] == 2
+    assert (got["depth"] == 1).all()
+
+
+def test_s3i_ipw_equals_diff_when_balanced(ray_session, tiny_did):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_ipw_ate(tiny_did))
+    # single stratum, balanced arms: IPW reduces to the plain mean diff
+    assert got["mu_control"].tolist() == [2.0]
+    assert got["mu_treated"].tolist() == [3.0]
+    assert got["ate_ipw"].tolist() == [1.0]
+
+
+def test_s3i_cache_working_set_monotone(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_cache_working_set(SF))
+    hr = got["hit_rate"].tolist()
+    assert hr == sorted(hr)  # bigger cache never hits less
+    assert 0.0 < hr[0] <= hr[-1] <= 1.0
+
+
+def test_s3i_partitioning_independent_am(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("dag_layers", "ipw_ate", "cache_working_set")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
