@@ -3181,3 +3181,58 @@ def test_s3i_partitioning_independent_am(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_coupon_collector_immediate(ray_session, tiny_cochran):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_coupon_collector(tiny_cochran))
+    # 4 distinct types in an 8-event fixture: completes within the stream
+    assert got["k_types"].tolist() == [4]
+    assert 4 <= got["n_draws"].iloc[0] <= 8
+    import math
+
+    assert got["expected_uniform"].iloc[0] == round(
+        4 * (1 + 0.5 + 1 / 3 + 0.25), 6
+    )
+
+
+def test_s3i_vocab_half_life_front_loaded(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_vhl"))
+    # doc 0 contains 3 of 4 types; doc 3 adds the last one
+    pq.write_table(
+        _docs_table(["a b c", "a", "b", "d"]), d + "/documents.parquet"
+    )
+    got = _df(q.q_vocab_half_life(d))
+    assert got["vocab"].tolist() == [4]
+    assert got["half_life_doc"].tolist() == [0]  # 3/4 >= 50% at doc 0
+    assert got["p90_doc"].tolist() == [3]
+
+
+def test_s3i_peak_to_mean_flat(ray_session, tiny_weekly):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_peak_to_mean(tiny_weekly))
+    # Mondays get 4 events, others 1: day PAR = 4 / (30/21)
+    assert got["n_days"].tolist() == [21]
+    assert got["day_par"].tolist() == [round(4.0 / (30.0 / 21.0), 6)]
+
+
+def test_s3i_partitioning_independent_an(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("coupon_collector", "vocab_half_life", "peak_to_mean")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
