@@ -3236,3 +3236,53 @@ def test_s3i_partitioning_independent_an(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_gompertz_nonempty(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_gompertz_fit(SF))
+    assert len(got) == 1
+    assert got["k_cap"].iloc[0] > 0
+    assert got["c"].iloc[0] > 0  # positive decay = a ramp that saturates
+
+
+def test_s3i_weibull_exponential_case(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_weibull_hazard(SF))
+    assert got["n_events"].iloc[0] > 0
+    assert got["shape_k"].iloc[0] > 0
+    assert got["scale_days"].iloc[0] > 0
+
+
+def test_s3i_price_band_shares_sum(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_price_band_mix(SF))
+    sums = got.groupby("yr")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()  # shares partition each year
+    # first year of each band has no YoY delta (groupby.first() would
+    # skip NaN, so pick the min-year row explicitly)
+    import math
+
+    idx = got.groupby("band")["yr"].idxmin()
+    assert all(math.isnan(x) for x in got.loc[idx, "yoy_delta"])
+
+
+def test_s3i_partitioning_independent_ao(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("gompertz_fit", "weibull_hazard", "price_band_mix")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
