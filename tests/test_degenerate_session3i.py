@@ -3286,3 +3286,76 @@ def test_s3i_partitioning_independent_ao(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_two_sample_separated(ray_session, tiny_twoclusters):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_embedding_two_sample(tiny_twoclusters))
+    # well-separated clusters: both statistics strictly positive
+    assert got["n_x"].tolist() == [2]
+    assert got["n_y"].tolist() == [2]
+    assert got["mmd2"].iloc[0] > 0
+    assert got["energy_dist"].iloc[0] > 0
+
+
+def test_s3i_two_sample_identical(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_mmd0"))
+    # identical point sets in both labels: both distances are exactly 0
+    pq.write_table(
+        _emb_table(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 0.0], [1.0, 0.0]],
+            labels=[0, 0, 1, 1],
+        ),
+        d + "/embeddings.parquet",
+    )
+    got = _df(q.q_embedding_two_sample(d))
+    assert got["mmd2"].tolist() == [0.0]
+    assert got["energy_dist"].tolist() == [0.0]
+
+
+def test_s3i_seasonal_chi2_shape(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_seasonal_chi2(SF))
+    assert got["df"].iloc[0] > 0
+    assert got["chi2"].iloc[0] >= 0
+
+
+def test_s3i_inspection_paradox_clockwork(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_insp"))
+    # one user, perfectly regular 1h gaps: paradox factor exactly 1
+    pq.write_table(
+        _events_table(
+            [f"2024-01-01 0{i}:00" for i in range(5)],
+            [7] * 5,
+            ["click"] * 5,
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_inspection_paradox(d))
+    assert got["n_gaps"].tolist() == [4]
+    assert got["mean_gap_s"].tolist() == [3600.0]
+    assert got["paradox_factor"].tolist() == [1.0]
+
+
+def test_s3i_partitioning_independent_ap(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("embedding_two_sample", "seasonal_chi2", "inspection_paradox")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
