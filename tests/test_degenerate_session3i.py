@@ -3359,3 +3359,56 @@ def test_s3i_partitioning_independent_ap(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_rmst_full_survival(ray_session, tiny_censored):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_rmst(tiny_censored))
+    # nobody converts: survival stays 1 -> RMST = tau exactly
+    assert got["rmst_days"].tolist() == [7.0]
+
+
+def test_s3i_rmst_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_rmst(SF))
+    assert 0.0 < got["rmst_days"].iloc[0] <= 7.0
+
+
+def test_s3i_aipw_matches_direct_standardization(ray_session, tiny_did):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_aipw_ate(tiny_did))
+    # exact stratum means zero the correction: AIPW = stratified means
+    assert got["mu0_aipw"].tolist() == [2.0]
+    assert got["mu1_aipw"].tolist() == [3.0]
+    assert got["ate_aipw"].tolist() == [1.0]
+
+
+def test_s3i_erlang_monotone(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_erlang_blocking(SF))
+    b = got["blocking"].tolist()
+    assert b == sorted(b, reverse=True)  # more servers block less
+    assert 0.0 <= b[-1] <= b[0] <= 1.0
+    assert got["offered_load"].iloc[0] > 0
+
+
+def test_s3i_partitioning_independent_aq(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("rmst", "aipw_ate", "erlang_blocking")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
