@@ -3412,3 +3412,47 @@ def test_s3i_partitioning_independent_aq(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_disparity_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_disparity_filter(SF))
+    assert 0 <= got["kept"].iloc[0] <= got["n_edges"].iloc[0]
+    assert 0.0 <= got["kept_frac"].iloc[0] <= 1.0
+    # the backbone concentrates weight: share >= edge fraction
+    assert got["weight_share"].iloc[0] >= got["kept_frac"].iloc[0] - 1e-6
+
+
+def test_s3i_var_cvar_ordering(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_var_cvar(SF))
+    # expected shortfall is at least as bad as the VaR cut
+    assert got["cvar95"].iloc[0] <= got["var95"].iloc[0]
+
+
+def test_s3i_s_metric_ratio(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_s_metric(SF))
+    assert got["s_value"].iloc[0] > 0
+    assert 0.0 < got["s_ratio"].iloc[0] <= 1.0 + 1e-9
+
+
+def test_s3i_partitioning_independent_ar(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("disparity_filter", "var_cvar", "s_metric")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
