@@ -3456,3 +3456,74 @@ def test_s3i_partitioning_independent_ar(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_theil_decomposes(ray_session, tmp_path_factory):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_theil"))
+    # equal lengths within each source: ALL inequality is between-source
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["src0", "src0", "src1", "src1"], pa.string()),
+            "n_chars": pa.array([10, 10, 30, 30], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d + "/documents.parquet")
+    got = _df(q.q_theil_decomposition(d))
+    assert got["t_within"].tolist() == [0.0]
+    # T_between = sum share_g ln(mu_g/mu): shares 0.25/0.75, mus 10/30 vs 20
+    want = 0.25 * math.log(10 / 20) + 0.75 * math.log(30 / 20)
+    assert got["t_between"].tolist() == [round(want, 6)]
+    assert got["t_total"].tolist() == [round(want, 6)]
+
+
+def test_s3i_dup_event_audit_clean_and_dirty(ray_session, tiny_jack, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    clean = _df(q.q_dup_event_audit(tiny_jack))
+    assert clean["dup_rows"].tolist() == [0]
+    assert clean["dup_rate"].tolist() == [0.0]
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_dup"))
+    pq.write_table(
+        _events_table(
+            ["2024-01-01 00:00"] * 3, [7, 7, 8], ["click"] * 3
+        ),
+        d + "/events.parquet",
+    )
+    dirty = _df(q.q_dup_event_audit(d))
+    assert dirty["logical_events"].tolist() == [2]
+    assert dirty["physical_rows"].tolist() == [3]
+    assert dirty["dup_rate"].tolist() == [round(1 / 3, 6)]
+
+
+def test_s3i_round_number_shares(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_round_number_bias(SF))
+    assert len(got) == 5
+    assert (got["share"] > 0).all()
+    assert got["n"].tolist() == sorted(got["n"].tolist(), reverse=True)
+
+
+def test_s3i_partitioning_independent_as(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("theil_decomposition", "dup_event_audit", "round_number_bias")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
