@@ -3527,3 +3527,63 @@ def test_s3i_partitioning_independent_as(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_core_periphery_densities(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_core_periphery(SF))
+    assert got["n_core"].tolist() == [10]
+    for c in ("cc_density", "cp_density", "pp_density"):
+        assert 0.0 <= got[c].iloc[0] <= 1.0
+
+
+def test_s3i_periodic_user_clockwork(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_per"))
+    ts, uid = [], []
+    for i in range(6):  # user 0: exact hourly cadence -> modal share 1.0
+        ts.append(f"2024-01-01 0{i}:00")
+        uid.append(0)
+    for i, mins in enumerate([0, 7, 20, 41, 55, 73]):  # user 1: irregular
+        ts.append(f"2024-01-01 00:{mins % 60:02d}" if mins < 60
+                  else f"2024-01-01 01:{mins - 60:02d}")
+        uid.append(1)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    got = _df(q.q_periodic_user_screen(d)).set_index("band")
+    assert got.loc["ge50", "n_users"] == 1  # the cron bot
+    assert got["n_users"].sum() == 2
+
+
+def test_s3i_erlang_c_consistency(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_erlang_c_wait(SF)).set_index("servers")
+    import math
+
+    for m in (2, 4, 8):
+        pw = got.loc[m, "p_wait"]
+        if not math.isnan(pw):
+            assert 0.0 <= pw <= 1.0
+    # more servers never wait more (among stable configurations)
+    stable = got["p_wait"].dropna()
+    assert stable.tolist() == sorted(stable.tolist(), reverse=True)
+
+
+def test_s3i_partitioning_independent_at(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("core_periphery", "periodic_user_screen", "erlang_c_wait")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
