@@ -3587,3 +3587,47 @@ def test_s3i_partitioning_independent_at(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_return_probability_bounds(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_return_probability(SF))
+    assert got["steps"].tolist() == [2, 3, 4]
+    assert ((got["mean_return_prob"] >= 0) & (got["mean_return_prob"] <= 1)).all()
+
+
+def test_s3i_quantizer_freq_wins_on_skew(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_quantizer_compare(SF))
+    assert got["mse_width"].iloc[0] > 0
+    assert got["mse_freq"].iloc[0] > 0
+    assert got["freq_vs_width"].iloc[0] > 0
+
+
+def test_s3i_simpson_consistent_fixture(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_simpson_paradox(SF))
+    # one aggregate value repeated on every row; paradox is a 0/1 flag
+    assert got["aggregate_diff"].nunique() == 1
+    assert set(got["paradox"].unique()) <= {0, 1}
+
+
+def test_s3i_partitioning_independent_au(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("return_probability", "quantizer_compare", "simpson_paradox")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
