@@ -3631,3 +3631,60 @@ def test_s3i_partitioning_independent_au(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_tpch_q19_branches(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_tpch_q19(SF))
+    assert got["n_lines"].iloc[0] >= 0
+    assert got["revenue"].iloc[0] >= 0
+
+
+def test_s3i_benford_second_digit_shape(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_benford_second_digit(SF))
+    assert len(got) == 10
+    assert abs(got["observed"].sum() - 1.0) < 1e-4
+    assert abs(got["expected"].sum() - 1.0) < 1e-4
+    # the Benford second-digit law decreases monotonically in d
+    e = got.sort_values("digit")["expected"].tolist()
+    assert e == sorted(e, reverse=True)
+
+
+def test_s3i_ttt_clockwork_is_ifr(ray_session, tmp_path_factory):
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_ttt"))
+    # one user, perfectly regular purchases: degenerate IFR -> TTT -> high
+    pq.write_table(
+        _events_table(
+            [f"2024-01-01 {i:02d}:00" for i in range(6)],
+            [3] * 6,
+            ["purchase"] * 6,
+        ),
+        d + "/events.parquet",
+    )
+    got = _df(q.q_ttt_statistic(d))
+    # identical gaps: H jumps to 1 at the first order stat, stays 1
+    assert got["n_gaps"].tolist() == [5]
+    assert got["ttt_stat"].tolist() == [1.0]
+
+
+def test_s3i_partitioning_independent_av(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("tpch_q19", "benford_second_digit", "ttt_statistic")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
