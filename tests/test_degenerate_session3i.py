@@ -3688,3 +3688,57 @@ def test_s3i_partitioning_independent_av(ray_session, monkeypatch):
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), want.reset_index(drop=True)
         )
+
+
+def test_s3i_grubbs_flags_spike(ray_session, tmp_path_factory):
+    import math
+
+    from blockchainspider_ray.pipelines import queries as q
+
+    d = str(tmp_path_factory.mktemp("sf_tiny_s3i_grb"))
+    ts, uid = [], []
+    for i, cnt in enumerate([2, 2, 2, 14]):  # one wild day
+        for j in range(cnt):
+            ts.append(f"2024-01-{i + 1:02d} {j:02d}:00")
+            uid.append(j)
+    pq.write_table(_events_table(ts, uid, ["click"] * len(ts)), d + "/events.parquet")
+    got = _df(q.q_grubbs_test(d))
+    # mean 5, sd 6, max dev 9 -> G = 1.5
+    assert got["day"].tolist() == ["2024-01-04"]
+    assert got["g_stat"].tolist() == [1.5]
+
+
+def test_s3i_cooks_distance_endpoint_leverage(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_cooks_distance(SF))
+    assert len(got) == 3
+    assert (got["cooks_d"] >= 0).all()
+    assert got["cooks_d"].tolist() == sorted(got["cooks_d"].tolist(), reverse=True)
+
+
+def test_s3i_newey_west_iid_close_to_naive(ray_session):
+    from blockchainspider_ray.pipelines import queries as q
+
+    got = _df(q.q_newey_west_se(SF))
+    # HAC and naive agree in order of magnitude; inflation is positive
+    assert got["se_naive"].iloc[0] > 0
+    assert got["inflation"].iloc[0] > 0
+
+
+def test_s3i_partitioning_independent_aw(ray_session, monkeypatch):
+    from blockchainspider_ray.pipelines import queries as Q
+
+    names = ("grubbs_test", "cooks_distance", "newey_west_se")
+    baseline = {n: _df(Q.SQL_QUERIES[n](SF)) for n in names}
+    real_read = Q._read
+
+    def skewed_read(sf_dir, table, columns=None):
+        return real_read(sf_dir, table, columns).repartition(17)
+
+    monkeypatch.setattr(Q, "_read", skewed_read)
+    for name, want in baseline.items():
+        got = _df(Q.SQL_QUERIES[name](SF))
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True)
+        )
