@@ -180,6 +180,51 @@ def _decode_parse_bundle(bundle: List[tuple], include_scripts: bool = True):
     return _decode_parse_bundle_impl(bundle, include_scripts)
 
 
+def _push_join_tables(adm_tbl, edges, mode: str, max_depth: int):
+    """Frontier push join: admitted (url, depth) rows x the edge table, in
+    (admitted-row, edge) order, with the FIFO strategy's depth gate + edge
+    shaping applied.  Returns the ready-to-enqueue (urls, depths) chunk or
+    None.  Shared by the whole-round joiner actor and the fused per-bundle
+    decode tasks."""
+    import numpy as np
+    import polars as pl
+
+    from ..strategies.bfs import _FifoBase, _interleave_arrow
+
+    if not edges.num_rows or not adm_tbl.num_rows:
+        return None
+    e = pl.from_arrow(edges.select(["src_url", "dst_url"])).with_row_index("ei")
+    a = pl.from_arrow(adm_tbl).with_row_index("ai")
+    j = a.join(e, left_on="url", right_on="src_url", how="inner").sort(["ai", "ei"])
+    s, t, d1 = _FifoBase._depth_filter_col(j["url"], j["dst_url"], j["depth"], max_depth)
+    if s is None:
+        return None
+    if mode == "interleave":
+        return (_interleave_arrow(s, t), np.repeat(d1, 2))
+    return (t, d1)
+
+
+@ray.remote(num_cpus=1, num_returns=5)
+def _decode_parse_bundle_push(bundle, include_scripts, adm_tbl, mode, max_depth):
+    """:func:`_decode_parse_bundle3` + the bundle's frontier push chunk:
+    the push join runs INSIDE the decode task, so frontier supply lands
+    the instant each bundle finishes — per-bundle granularity with no
+    extra hop and no whole-round straggler barrier (the engine's pipeline
+    mode; ordering across bundles is ready-first by design there)."""
+    r = _decode_parse_bundle_impl(bundle, include_scripts)
+    if r is None:
+        m, t, e = _empty_triple()
+        return m, t, e, None, 0
+    meta, texts, edges = r
+    return (
+        meta,
+        texts,
+        edges,
+        _push_join_tables(adm_tbl, edges, mode, max_depth),
+        edges.num_rows,
+    )
+
+
 @ray.remote(num_cpus=0)  # service actor: light routing/IO, zero CPU claim so
 # pools always schedule and can never deadlock compute tasks on small clusters
 class _FetchShard:
@@ -405,6 +450,72 @@ class _FetchShard:
         return _parse_pages(pages, include_scripts)
 
 
+@ray.remote(num_cpus=0)
+class _PushJoinShard:
+    """Warm, dedicated lane for the crawl engine's frontier push join.
+
+    The join is the frontier SUPPLY path: as a num_cpus=1 task it queues
+    behind the round's decode backlog and delays the next round's pops by
+    a whole wave; as a num_cpus=0 task Ray spawns cold worker processes
+    (polars + package import per process) whose startup dwarfs the join.
+    A single warm actor runs each round's join immediately, in order,
+    off the task queues.  ~30ms of CPU per round of oversubscription."""
+
+    def join(self, adm_tbl, mode: str, max_depth: int, edge_refs):
+        """See crawl.engine push semantics: join the admitted (url,
+        depth) frame onto the round's edge tables (refs — the link graph
+        never touches the driver), sort to (admitted-row, edge) push
+        order, apply the strategy's depth gate + edge shaping; returns
+        (ready-to-enqueue chunk | None, edge count)."""
+        import pyarrow as pa
+
+        parts = [t for t in ray.get(list(edge_refs)) if t.num_columns > 0]
+        nonempty = [t for t in parts if t.num_rows > 0]
+        edges = (
+            pa.concat_tables(nonempty)
+            if nonempty
+            else (parts[0].slice(0, 0) if parts else pa.table({}))
+        )
+        return _push_join_tables(adm_tbl, edges, mode, max_depth), edges.num_rows
+
+    def warm(self) -> bool:
+        import polars  # noqa: F401
+
+        from ..strategies import bfs  # noqa: F401
+
+        return True
+
+
+class FetchHandle:
+    """In-flight fetch+parse wave: text/edge ObjectRef lists (bundle
+    order) plus a deferred meta gather.  ``collect_meta()`` blocks until
+    the decode tasks finish and returns the concatenated html-free
+    (url, warc_ts) meta table; idempotent."""
+
+    __slots__ = ("meta_refs", "text_refs", "edge_refs", "chunk_refs", "count_refs", "_meta")
+
+    def __init__(self, meta_refs, text_refs, edge_refs, meta, chunk_refs=None, count_refs=None):
+        self.meta_refs = meta_refs
+        self.text_refs = text_refs
+        self.edge_refs = edge_refs
+        # set on fused-push waves (_decode_parse_bundle_push): per-bundle
+        # frontier chunk refs + edge-count refs, in bundle order
+        self.chunk_refs = chunk_refs
+        self.count_refs = count_refs
+        self._meta = meta
+
+    def collect_meta(self):
+        import pyarrow as pa
+
+        if self._meta is None:
+            metas = ray.get(self.meta_refs)
+            self._meta = pa.concat_tables(
+                [m for m in metas if m is not None and m.num_rows]
+                or [_empty_triple()[0]]
+            )
+        return self._meta
+
+
 class FetchPool:
     """K persistent fetch actors sharded by ``partition % k`` (the stateful
     actor-pool form of :meth:`PageStore.lookup_parallel`; reference fetch =
@@ -416,6 +527,8 @@ class FetchPool:
         self.store = store
         self.k = k
         self.actors = [_FetchShard.remote() for _ in range(k)]
+        self.push_joiner = _PushJoinShard.remote()  # see _PushJoinShard
+        self.push_joiner.warm.remote()
         self._prewarm_refs = None
         if prewarm:
             self.prewarm()
@@ -470,14 +583,27 @@ class FetchPool:
         return pa.concat_tables(tables)
 
     def _route(self, urls: Sequence[str]) -> Dict[int, Dict[int, List[str]]]:
-        """actor -> {partition -> urls} routing for a url batch."""
+        """actor -> {partition -> urls} routing for a url batch.
+
+        Vectorized: one stable argsort by partition + boundary split, so
+        routing a 16k-url round costs numpy kernels, not a per-url Python
+        dict append (measured ~6ms/round on the driver serial path)."""
+        import numpy as np
+
         parts = self.store.partitions_for(urls)
-        by_part: Dict[int, List[str]] = {}
-        for u, p in zip(urls, parts.tolist()):
-            by_part.setdefault(int(p), []).append(u)
+        n = len(parts)
+        if n == 0:
+            return {}
+        order = np.argsort(parts, kind="stable")
+        sorted_parts = parts[order]
+        bounds = np.flatnonzero(np.diff(sorted_parts)) + 1
+        urls_arr = np.asarray(list(urls), dtype=object)[order]
         per_actor: Dict[int, Dict[int, List[str]]] = {}
-        for p, us in by_part.items():
-            per_actor.setdefault(p % self.k, {})[p] = us
+        start = 0
+        for end in list(bounds) + [n]:
+            p = int(sorted_parts[start])
+            per_actor.setdefault(p % self.k, {})[p] = urls_arr[start:end].tolist()
+            start = end
         return per_actor
 
     @staticmethod
@@ -573,22 +699,26 @@ class FetchPool:
             pa.concat_tables(edges),
         )
 
-    def fetch_parse_refs(self, urls: Sequence[str], include_scripts: bool = True):
-        """Balanced fetch+parse that keeps texts and edges IN THE OBJECT
-        STORE: returns (meta_table, text_refs, edge_refs) where only the
-        html-free (url, warc_ts) meta is gathered to the driver.  Round
-        outputs and the frontier push join consume the refs in downstream
-        tasks, so page text and the link graph never stream through the
-        driver — the O(round-bytes) driver gather the plain fetch_parse
-        still pays.  Ref lists are in bundle order (deterministic), so a
-        consumer concatenating them reproduces fetch_parse's edge order
-        exactly."""
-        import pyarrow as pa
+    def fetch_parse_submit(
+        self, urls: Sequence[str], include_scripts: bool = True, push_spec=None
+    ):
+        """Asynchronous balanced fetch+parse: resolve the urls against the
+        sharded hash->row-group index (one fast RPC wave), pack the decode
+        bundles, SUBMIT the decode+parse tasks, and return a
+        :class:`FetchHandle` immediately.  The caller gathers the html-free
+        meta later via ``handle.collect_meta()`` — so the engine can
+        prepare/submit the NEXT crawl round while this round's decode wave
+        is still running (the round-pipelining that removes the BSP
+        driver-serial floor from the scaling-critical path).
 
+        ``push_spec=(adm_tbl, mode, max_depth)`` fuses the frontier push
+        join into each decode task (_decode_parse_bundle_push): the handle
+        then carries per-bundle ``chunk_refs``/``count_refs`` and no
+        separate join step is needed."""
         urls = list(urls)
         if not urls:
             m, t, e = _empty_triple()
-            return m, [ray.put(t)], [ray.put(e)]
+            return FetchHandle(None, [ray.put(t)], [ray.put(e)], m)
         per_actor = self._route(urls)
         item_refs = [
             self.actors[a].resolve.remote(
@@ -600,13 +730,41 @@ class FetchPool:
         bundles = self._pack_bundles(items)
         if not bundles:
             m, t, e = _empty_triple()
-            return m, [ray.put(t)], [ray.put(e)]
+            return FetchHandle(None, [ray.put(t)], [ray.put(e)], m)
+        if push_spec is not None:
+            adm_tbl, mode, max_depth = push_spec
+            adm_ref = ray.put(adm_tbl)  # shipped once, shared by all bundles
+            outs = [
+                _decode_parse_bundle_push.remote(
+                    b, include_scripts, adm_ref, mode, max_depth
+                )
+                for b in bundles
+            ]
+            return FetchHandle(
+                [o[0] for o in outs],
+                [o[1] for o in outs],
+                [o[2] for o in outs],
+                None,
+                chunk_refs=[o[3] for o in outs],
+                count_refs=[o[4] for o in outs],
+            )
         triples = [_decode_parse_bundle3.remote(b, include_scripts) for b in bundles]
-        metas = ray.get([t[0] for t in triples])
-        meta = pa.concat_tables([m for m in metas if m is not None and m.num_rows] or [
-            _empty_triple()[0]
-        ])
-        return meta, [t[1] for t in triples], [t[2] for t in triples]
+        return FetchHandle(
+            [t[0] for t in triples], [t[1] for t in triples], [t[2] for t in triples], None
+        )
+
+    def fetch_parse_refs(self, urls: Sequence[str], include_scripts: bool = True):
+        """Balanced fetch+parse that keeps texts and edges IN THE OBJECT
+        STORE: returns (meta_table, text_refs, edge_refs) where only the
+        html-free (url, warc_ts) meta is gathered to the driver.  Round
+        outputs and the frontier push join consume the refs in downstream
+        tasks, so page text and the link graph never stream through the
+        driver — the O(round-bytes) driver gather the plain fetch_parse
+        still pays.  Ref lists are in bundle order (deterministic), so a
+        consumer concatenating them reproduces fetch_parse's edge order
+        exactly."""
+        h = self.fetch_parse_submit(urls, include_scripts=include_scripts)
+        return h.collect_meta(), h.text_refs, h.edge_refs
 
     @staticmethod
     def _pack_bundles(items: List[tuple]) -> List[List[tuple]]:
@@ -621,7 +779,16 @@ class FetchPool:
         if not items:
             return []
         cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        n_bundles = max(1, min(3 * cpus, len(items)))
+        # floor on bundle cost (~8 rg decodes ≈ 50ms): small/partial rounds
+        # otherwise shatter into per-cpu-multiple tiny tasks whose fixed
+        # per-task overhead inflates total CPU at high core counts
+        # (measured +13% CPU at 16 vs 4 cpus on the pipelined crawl)
+        # 2 bundles/cpu measured best with the pipelined engine (depth-2+
+        # waves already absorb stragglers; 3x shatters rounds into tasks
+        # whose fixed cost inflates total CPU at high core counts)
+        per_cpu = int(os.environ.get("BCS_BUNDLES_PER_CPU", "2"))
+        rough_total = sum(len([rg]) + 0.02 * len(us) for _, rg, us in items)
+        n_bundles = max(1, min(per_cpu * cpus, len(items), int(rough_total / 8) or 1))
         # measured at the bench store shape: ~6.5ms per row-group decode vs
         # ~0.12ms per url parse -> decode dominates ~50:1; weighting urls
         # higher lets rg counts per bundle skew 4x and the decode tail

@@ -83,6 +83,45 @@ class _ChunkQueue:
         c[0] = c[0].to_pylist() if hasattr(c[0], "to_pylist") else list(c[0])
         c[1] = c[1].tolist() if hasattr(c[1], "tolist") else list(c[1])
 
+    # pushes outnumber pops ~13x on web link graphs, so materializing a
+    # whole columnar chunk at first touch wastes most of the Python-string
+    # conversions; pop_array touches windows of this size instead and the
+    # zero-copy arrow remainder re-queues behind them
+    TOUCH_WINDOW = 16384
+
+    def touch_head(self, window: int = None, nonblocking: bool = False) -> bool:
+        """Materialize the head chunk — or just its first ``window``
+        entries, splitting the untouched remainder off as the next chunk
+        (zero-copy arrow/numpy slices).  With ``nonblocking``, an
+        ObjectRef head whose producing task hasn't finished returns False
+        instead of blocking in ``ray.get`` (the engine's round-pipelining
+        probe: 'can I pop round N+1 without waiting for round N's push?')."""
+        c = self._chunks[0]
+        if type(c[0]).__name__ == "ObjectRef":
+            import ray as _ray
+
+            if nonblocking:
+                ready, _ = _ray.wait([c[0]], timeout=0, fetch_local=False)
+                if not ready:
+                    return False
+            payload = _ray.get(c[0])
+            if payload is None:
+                c[0], c[1] = [], []
+                return True
+            c[0], c[1] = payload
+        if isinstance(c[0], list):
+            return True
+        n = len(c[0])
+        if window is not None and n > window and c[2] == 0:
+            rest_u = c[0].slice(window) if hasattr(c[0], "slice") else c[0][window:]
+            rest_d = c[1][window:]
+            self._chunks.insert(1, [rest_u, rest_d, 0])
+            c[0] = c[0].slice(0, window) if hasattr(c[0], "slice") else c[0][:window]
+            c[1] = c[1][:window]
+        c[0] = c[0].to_pylist() if hasattr(c[0], "to_pylist") else list(c[0])
+        c[1] = c[1].tolist() if hasattr(c[1], "tolist") else list(c[1])
+        return True
+
     def popleft(self):
         """Next (node, depth) or None when empty."""
         chunks = self._chunks
@@ -171,24 +210,40 @@ class _FifoBase(FrontierStrategy):
     def pop_array(self, k: int) -> Tuple[List[str], List[int]]:
         """Bulk pop: up to ``k`` unvisited nodes + their depths, marking
         them visited — the engine's tabular round path (one call per
-        round instead of k ``pop()`` calls).
+        round instead of k ``pop()`` calls)."""
+        u, d, _ = self._pop_array_impl(k, nonblocking=False)
+        return u, d
 
-        Stays a scalar loop deliberately: the scan early-exits at the
-        k-th take and fresh-url density at the queue head is high, so the
-        loop touches only ~2-3x the taken entries.  A vectorized
-        (polars-mask) variant was measured SLOWER — it pays
+    def pop_array_nb(self, k: int) -> Tuple[List[str], List[int], bool]:
+        """Non-blocking bulk pop for the engine's round pipelining:
+        returns (urls, depths, blocked).  ``blocked=True`` means the scan
+        reached a queue chunk whose off-driver push task hasn't finished
+        (i.e. the in-flight round's edges) before collecting ``k`` —
+        the caller completes that round first and pops the remainder with
+        :meth:`pop_array`.  Entries already popped stay popped (vis
+        marked), exactly as a sequential pop prefix would."""
+        return self._pop_array_impl(k, nonblocking=True)
+
+    def _pop_array_impl(self, k: int, nonblocking: bool):
+        """Shared scan.  Stays a scalar loop deliberately: the scan
+        early-exits at the k-th take and fresh-url density at the queue
+        head is high, so the loop touches only ~2-3x the taken entries.
+        A vectorized (polars-mask) variant was measured SLOWER — it pays
         visited-set conversion + full-window masks for entries the scalar
-        loop never reaches.  Columnar chunks materialize lazily on first
-        touch (push is 13x more voluminous than pop on web link graphs)."""
+        loop never reaches.  Columnar chunks materialize lazily in
+        TOUCH_WINDOW slices (push is 13x more voluminous than pop on web
+        link graphs, so most pushed strings never materialize at all)."""
         vis = self._vis
         md = self._max_depth
         check = self._pop_depth_check
         out_u: List[str] = []
         out_d: List[int] = []
-        chunks = self._queue._chunks
+        q = self._queue
+        chunks = q._chunks
         while chunks and len(out_u) < k:
+            if not q.touch_head(window=_ChunkQueue.TOUCH_WINDOW, nonblocking=nonblocking):
+                return out_u, out_d, True
             c = chunks[0]
-            _ChunkQueue._touch(c)
             urls, depths, i = c
             n = len(urls)
             for j in range(i, n):
@@ -199,9 +254,9 @@ class _FifoBase(FrontierStrategy):
                     out_d.append(depths[j])
                     if len(out_u) == k:
                         c[2] = j + 1
-                        return out_u, out_d
+                        return out_u, out_d, False
             chunks.popleft()
-        return out_u, out_d
+        return out_u, out_d, False
 
     @staticmethod
     def _depth_filter_col(srcs, dsts, depths, md: int):

@@ -195,3 +195,51 @@ def test_refs_regime_matches_inline(pages_store, tmp_path, strategy, monkeypatch
         ta = pq.read_table(f"{tmp_path}/inline/{sub}").sort_by("url" if sub == "text" else "src_url")
         tb = pq.read_table(f"{tmp_path}/refs/{sub}").sort_by("url" if sub == "text" else "src_url")
         assert ta.equals(tb), sub
+
+
+def test_pipeline_mode_same_fetch_set(pages_store, pages_table, monkeypatch):
+    """pipeline=True (round-pipelining throughput mode) relaxes round
+    COMPOSITION, not crawl semantics: on an exhaustive crawl it must fetch
+    exactly the same url set as the strict BSP loop, fetch nothing twice,
+    and keep every round inside the per-host politeness budget."""
+    from collections import Counter
+
+    from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from blockchainspider_ray.stages.fetch import PageStore
+
+    # tiny rounds must still take the refs/fused path pipelining rides on
+    monkeypatch.setenv("BCS_FP_BALANCE_MIN", "1")
+    seeds = [pages_table.column("url")[0].as_py(), pages_table.column("url")[7].as_py()]
+
+    def run(pipeline):
+        cfg = CrawlConfig(
+            strategy="bfs",
+            strategy_kwargs={"depth": 8},
+            pop_k=96,
+            host_budget=3,
+            max_rounds=400,
+            seen_use_ray=True,
+            seen_shards=2,
+            fetch_actors=2,
+            tabular_threshold=0,
+            pipeline=pipeline,
+            pipeline_min_pop=4,
+        )
+        return CrawlEngine(PageStore(pages_store), seeds=seeds, config=cfg).run()
+
+    strict = run(False)
+    piped = run(True)
+    # same fetch set, nothing fetched twice
+    su = [r["url"] for r in strict.crawl_order if r["found"]]
+    pu = [r["url"] for r in piped.crawl_order if r["found"]]
+    assert Counter(pu) == Counter(su)
+    assert max(Counter(pu).values()) == 1
+    assert piped.fetched == strict.fetched
+    # politeness: no round admitted more than host_budget urls of one host
+    from blockchainspider_ray.functions.urls import host_of
+
+    for res in (strict, piped):
+        per_round_host = Counter()
+        for r in res.crawl_order:
+            per_round_host[(r["round"], host_of(r["url"]))] += 1
+        assert max(per_round_host.values()) <= 3
