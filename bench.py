@@ -383,7 +383,8 @@ def engine_crawl(
         seeds = [
             pads.dataset(f"{store}/part=0").to_table(columns=["url"]).column("url")[1].as_py()
         ]
-        strategy_kwargs = {"min_weight": 1e-9, "num_shards": 8, "use_ray": True}
+        strategy_kwargs = {"min_weight": 1e-9, "num_shards": 8, "use_ray": True,
+                           "reuse_actors": True}  # rank shards + push actor persist across reps
     t0 = time.perf_counter()
     engine = CrawlEngine(
         PageStore(store),

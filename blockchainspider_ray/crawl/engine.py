@@ -232,6 +232,10 @@ class CrawlEngine:
     def _init_state(self) -> None:
         c = self.config
         self.strategy = load_strategy(c.strategy, source=self.seeds[0], **c.strategy_kwargs)
+        if self.ckpt is not None and hasattr(self.strategy, "set_checkpoint_mode"):
+            # claims must not precede the round checkpoint (see
+            # ShardedHaircut.set_checkpoint_mode)
+            self.strategy.set_checkpoint_mode(True)
         self.seen = SeenSet(
             num_shards=c.seen_shards,
             capacity=c.seen_capacity,
@@ -250,6 +254,8 @@ class CrawlEngine:
         state = self.ckpt.load_round(latest)
         c = self.config
         self.strategy = state["strategy"]
+        if hasattr(self.strategy, "set_checkpoint_mode"):
+            self.strategy.set_checkpoint_mode(True)
         self.seen = SeenSet(
             num_shards=len(state["seen_blobs"]),
             capacity=c.seen_capacity,
@@ -1145,10 +1151,19 @@ class CrawlEngine:
                 stage_s[stage] = round(now - t_mark, 6)
                 t_mark = now
 
+            if hasattr(self.strategy, "last_pop_wait_s"):
+                self.strategy.last_pop_wait_s = 0.0
             cands = self.deferred + self._pop_candidates()
             self.deferred = []
             m["candidates"] = len(cands)
             _lap("pop")
+            # sharded strategies report the state-plane wait inside their
+            # batched pop (shard scan/claim RPCs — actor-bound latency,
+            # not driver compute); keep the driver-serial account honest
+            pw = getattr(self.strategy, "last_pop_wait_s", 0.0)
+            if pw:
+                stage_s["pop"] = round(max(stage_s["pop"] - pw, 0.0), 6)
+                stage_s["pop_wait"] = round(pw, 6)
             if not cands:
                 break
 

@@ -36,6 +36,16 @@ class _RankShardCore:
         # the shard-side half of APPR's "cached dist" drain predicate
         self.drainable: set = set()
 
+    def reset(self) -> bool:
+        """Clear all state (actor-reuse across crawls: spawning 8 shard
+        processes costs ~0.5s per crawl, the dominant fixed cost of a
+        short weight crawl)."""
+        self.value.clear()
+        self.arrival.clear()
+        self.visited.clear()
+        self.drainable.clear()
+        return True
+
     def apply_deltas(self, nodes: List[Any], deltas: List[float], arrivals: List[int]) -> None:
         for n, d, a in zip(nodes, deltas, arrivals):
             self.value[n] = self.value.get(n, 0.0) + d
@@ -57,6 +67,15 @@ class _RankShardCore:
         each popped node is marked visited and its mass parked)."""
         self.visited.update(nodes)
         return {n: self.take(n) for n in nodes}
+
+    def unclaim_many(self, nodes: List[Any], values: List[float]) -> None:
+        """Reverse a claim: restore the parked value (additive — other
+        deltas may have landed meanwhile) and unmark visited.  Arrival is
+        untouched (claimed nodes were already registered).  Used when a
+        speculative batched claim over-claimed (pop asked for fewer)."""
+        for n, v in zip(nodes, values):
+            self.value[n] = self.value.get(n, 0.0) + v
+            self.visited.discard(n)
 
     def mark_visited(self, node: Any) -> None:
         self.visited.add(node)
@@ -160,6 +179,12 @@ class RankShard:
     def claim_many(self, nodes):
         return self.core.claim_many(nodes)
 
+    def unclaim_many(self, nodes, values):
+        return self.core.unclaim_many(nodes, values)
+
+    def reset(self):
+        return self.core.reset()
+
     def mark_visited(self, node):
         return self.core.mark_visited(node)
 
@@ -191,11 +216,29 @@ class RankShard:
 class RankPool:
     """Facade over K rank shards, routing by xxhash64(node) % K."""
 
-    def __init__(self, num_shards: int = 4, use_ray: bool = True):
+    # process-wide reusable shard actors, keyed by shard count (opt-in via
+    # reuse_actors=True — the caller owns "one live pool at a time", the
+    # SeenSet convention).  Spawning 8 shard processes costs ~0.5s, the
+    # dominant fixed cost of a short crawl.
+    _shared_shards: "Dict[int, List[Any]]" = {}
+
+    def __init__(self, num_shards: int = 4, use_ray: bool = True, reuse_actors: bool = False):
         self.num_shards = num_shards
         self.use_ray = use_ray
         if use_ray:
-            self.shards = [RankShard.remote() for _ in range(num_shards)]
+            if reuse_actors:
+                shards = RankPool._shared_shards.get(num_shards)
+                if shards is not None:
+                    try:  # liveness probe + state reset in one wave
+                        ray.get([s.reset.remote() for s in shards])
+                    except Exception:
+                        shards = None
+                if shards is None:
+                    shards = [RankShard.remote() for _ in range(num_shards)]
+                    RankPool._shared_shards[num_shards] = shards
+                self.shards = shards
+            else:
+                self.shards = [RankShard.remote() for _ in range(num_shards)]
         else:
             self.shards = [_RankShardCore() for _ in range(num_shards)]
         # in-flight fire-and-forget mutation refs.  Ray orders actor tasks
@@ -204,6 +247,22 @@ class RankPool:
         # to block on pure mutations (apply/mark).  Refs are retained only
         # to surface worker errors at the next barrier (flush/snapshot).
         self._pending: List[Any] = []
+
+    @classmethod
+    def attached(cls, shard_handles: List[Any]) -> "RankPool":
+        """Facade over ALREADY-LIVE shard actors (no spawn, no ownership).
+
+        Used by the off-driver push actor (strategies/sharded.py
+        _HaircutPushActor): driver and push actor address the SAME shard
+        actors, each through its own facade.  The attached facade must
+        never be pickled into a checkpoint — the owning strategy
+        serializes through the driver-side pool instead."""
+        pool = cls.__new__(cls)
+        pool.num_shards = len(shard_handles)
+        pool.use_ray = True
+        pool.shards = list(shard_handles)
+        pool._pending = []
+        return pool
 
     def _note(self, refs: List[Any]) -> None:
         self._pending.extend(refs)
@@ -319,6 +378,22 @@ class RankPool:
         for p in parts:
             out.update(p)
         return out
+
+    def unclaim_many(self, pairs: List[Tuple[Any, float]]) -> None:
+        """Reverse claims: [(node, parked_value)] — fire-and-forget (the
+        next read per shard observes it by actor FIFO)."""
+        per_shard: Dict[int, Tuple[list, list]] = {}
+        for (n, v), sh in zip(pairs, self._shards_of([n for n, _ in pairs])):
+            b = per_shard.setdefault(sh, ([], []))
+            b[0].append(n)
+            b[1].append(v)
+        if self.use_ray:
+            self._note(
+                [self.shards[s].unclaim_many.remote(*b) for s, b in per_shard.items()]
+            )
+        else:
+            for s, b in per_shard.items():
+                self.shards[s].unclaim_many(*b)
 
     def mark_visited(self, node: Any) -> None:
         if self.use_ray:

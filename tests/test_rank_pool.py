@@ -345,3 +345,42 @@ def test_push_round_columnar_matches_generic():
                 assert abs(ra[kk] - rb[kk]) < 1e-12
             for _ in range(3):
                 assert a.pop()[0] == b.pop()[0]
+
+
+def test_sharded_haircut_ray_checkpoint_resume(pages_store, pages_table, tmp_path):
+    """Kill/resume byte-parity for the RAY-actor sharded haircut crawl.
+
+    Regression: the fused push used to claim the NEXT round's pops before
+    the round checkpoint was taken, so a resume found those nodes visited
+    with their parked mass lost (in an unpersisted object ref) and the
+    crawl died early.  Checkpoint mode must defer claims to pop time
+    (ShardedHaircut.set_checkpoint_mode)."""
+    from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from blockchainspider_ray.stages.fetch import PageStore
+
+    seeds = [pages_table.column("url")[i].as_py() for i in range(6)]
+
+    def run(ckpt, resume=False, max_fetches=None):
+        cfg = CrawlConfig(
+            strategy="haircut_sharded",
+            strategy_kwargs={"min_weight": 1e-9, "num_shards": 2, "use_ray": True},
+            pop_k=48,
+            host_budget=8,
+            max_rounds=200,
+            max_fetches=max_fetches,
+            seen_use_ray=True,
+            seen_shards=2,
+            fetch_actors=2,
+            checkpoint_dir=ckpt,
+        )
+        eng = CrawlEngine(PageStore(pages_store), seeds=seeds, config=cfg)
+        if resume:
+            assert eng.resume()
+        return eng.run()
+
+    full = run(str(tmp_path / "full"))
+    assert full.fetched > 20
+    run(str(tmp_path / "part"), max_fetches=15)
+    resumed = run(str(tmp_path / "part"), resume=True)
+    assert [r["url"] for r in resumed.crawl_order] == [r["url"] for r in full.crawl_order]
+    assert resumed.fetched == full.fetched
