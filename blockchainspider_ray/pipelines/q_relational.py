@@ -1,0 +1,2439 @@
+"""Relational query pipelines (split from queries.py).
+
+Cross-family names listed in __missing_globals__ are bound by the
+queries aggregator after all family modules load (no import cycles).
+"""
+
+from __future__ import annotations
+
+from .common import *  # noqa: F401,F403
+
+__missing_globals__ = []
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style pricing summary (reference analogue: per-class CSV agg
+    sinks, pipelines/trans.py; groupby semantics SURVEY.md §2.6)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="cnt"),
+    )
+
+    def _post(b: pa.Table) -> pa.Table:
+        b = _round_col(b, "sum_qty", 2)
+        b = _round_col(b, "sum_price", 2)
+        b = _round_col(b, "avg_disc", 6)
+        return b
+
+    return agg.map_batches(_post, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def q_sort_limit(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return out.map_batches(lambda b: _round_col(b, "o_totalprice", 2), batch_format="pyarrow")
+
+
+def q_join_agg(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → revenue per market segment.
+
+    The small side ships once via ray.put and each batch does a vectorized
+    take — the broadcast-join pattern SURVEY.md §2.5 prescribes for
+    dimension enrichment (reference token-property join, token.py:322-342)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_codes, seg_labels = pd.factorize(cust["c_mktsegment"], sort=True)
+    # dense custkey -> segment-code array: the probe is one np.take per
+    # batch, not a per-row dict.get loop (round-1 VERDICT #5)
+    keys_np = cust["c_custkey"].to_numpy().astype(np.int64)
+    dense = np.full((int(keys_np.max()) + 1) if len(keys_np) else 1, -1, dtype=np.int32)
+    dense[keys_np] = seg_codes.astype(np.int32)
+    lookup_ref = ray.put((dense, np.asarray(list(seg_labels), dtype=object)))
+
+    def join_seg(b: pa.Table, _ref=lookup_ref) -> pa.Table:
+        # plain TASK (no actor pool: pool startup cost ~2s/query — measured
+        # r2) + plasma-shared lookup (ray.get of a local object is a
+        # zero-copy shared-memory read).  Broadcast join AND partial
+        # aggregation in one pass: the groupby shuffle moves
+        # n_batches x n_segments rows, never the order rows (combiner
+        # pattern the 100-TB guidance demands).
+        dense, labels = ray.get(_ref)
+        keys = b.column("o_custkey").to_numpy().astype(np.int64)
+        prices = b.column("o_totalprice").to_numpy()
+        safe = np.clip(keys, 0, len(dense) - 1)
+        codes = np.where((keys >= 0) & (keys < len(dense)), dense[safe], -1)
+        sums = np.bincount(
+            np.maximum(codes, 0), weights=np.where(codes >= 0, prices, 0.0),
+            minlength=len(labels),
+        )
+        counts = np.bincount(
+            np.maximum(codes, 0), weights=(codes >= 0).astype(np.float64),
+            minlength=len(labels),
+        )
+        present = counts > 0
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(labels[np.flatnonzero(present)], pa.string()),
+                "rev_part": pa.array(sums[present], pa.float64()),
+                "cnt_part": pa.array(counts[present].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        join_seg, batch_format="pyarrow"
+    )
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("rev_part", alias_name="revenue"),
+        Sum("cnt_part", alias_name="n_orders"),
+    )
+    return agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow").sort(
+        "c_mktsegment"
+    )
+
+
+def q_events_agg(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "user_id"])
+    base = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    distinct = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    b = base.to_pandas().merge(distinct.to_pandas(), on="event_type")
+    for col, nd in (("sum_value", 2), ("min_value", 2), ("max_value", 2)):
+        b[col] = _r(b[col].astype(float).to_numpy(), nd)
+    return b.sort_values("event_type").reset_index(drop=True)
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Two-snapshot presence diff (the recrawl delta shape: which keys
+    appeared, vanished, or persisted between two crawl windows).  The
+    events range splits at its midpoint; per user the early/late presence
+    bits reduce inside each batch (0/1 max combiner) so the shuffle moves
+    one row per (batch, user), and the status is a post-agg case map."""
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    mm = ev.aggregate(Min("ts"), Max("ts"))
+    to_us = lambda v: int(pd.Timestamp(v).value // 1000)  # noqa: E731
+    mn, mx = to_us(mm["min(ts)"]), to_us(mm["max(ts)"])
+    mid_us = mn + (mx - mn) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        early = pc.cast(pc.less(us, pa.scalar(mid_us, pa.int64())), pa.int64())
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "early": early,
+                "late": pc.subtract(pa.scalar(1, pa.int64()), early),
+            }
+        )
+        # per-batch combiner: one row per user before the shuffle
+        return t.group_by("user_id").aggregate([("early", "max"), ("late", "max")])
+
+    agg = (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("early_max", alias_name="early"), Max("late_max", alias_name="late"))
+    )
+
+    def status(b: pa.Table) -> pa.Table:
+        e = b.column("early").to_numpy()
+        l = b.column("late").to_numpy()
+        s = np.where(e & l, "retained", np.where(l.astype(bool), "added", "removed"))
+        return pa.table(
+            {"user_id": b.column("user_id"), "status": pa.array(s.tolist(), pa.string())}
+        )
+
+    return agg.map_batches(status, batch_format="pyarrow").sort("user_id")
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day window aggregate per event_type (streaming-window
+    operator; the reference's per-key sync windows SURVEY.md §2.10 become
+    time buckets + groupby in BSP form)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(str)
+        return pa.table(
+            {
+                "day": pa.array(days, pa.string()),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(lambda b: _round_col(b, "sum_value", 2), batch_format="pyarrow").sort(
+        ["day", "event_type"]
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event picks the latest order of its user
+    with o_orderdate <= ts (broadcast right side + per-key searchsorted;
+    operator Ray Data lacks, stages/joins.py)."""
+    from ..stages.joins import asof_join_broadcast
+
+    orders = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .to_pandas()
+    )
+    right = pa.table(
+        {
+            "o_custkey": pa.array(orders["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderdate": pa.array(orders["o_orderdate"], pa.timestamp("us")),
+        }
+    )
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    joined = asof_join_broadcast(
+        events,
+        right,
+        left_key="user_id",
+        left_time="ts",
+        right_key="o_custkey",
+        right_time="o_orderdate",
+        right_value_cols=[],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "last_order_date": b.column("o_orderdate"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def q_asof_join_partitioned(sf_dir: str):
+    """Same as-of semantics as q_asof_join but with BOTH sides as
+    Datasets: co-partitioned by key via union + groupby (stages/joins.py
+    asof_join_partitioned) — the two-large-sides scale path where no side
+    is broadcast.  Shares asof_join's oracle SQL (identical result)."""
+    from ..stages.joins import asof_join_partitioned
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    joined = asof_join_partitioned(
+        events,
+        orders,
+        left_key="user_id",
+        left_time="ts",
+        right_key="o_custkey",
+        right_time="o_orderdate",
+        right_value_cols=[],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "last_order_date": b.column("o_orderdate"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("event_id")
+
+
+def q_range_join(sf_dir: str):
+    """Equi-key + time-range join: per order, count its lineitems shipped
+    within [o_orderdate, o_orderdate + 60d) (stages/joins.py broadcast
+    kernel; the reference's closest op is the timestamp-window predicate,
+    trx_trc10.py:134-136)."""
+    from ..stages.joins import range_join_count
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).to_pandas()
+    right = pa.table(
+        {
+            "l_orderkey": pa.array(line["l_orderkey"].to_numpy(), pa.int64()),
+            "l_shipdate": pa.array(line["l_shipdate"], pa.timestamp("us")),
+        }
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    out = range_join_count(
+        orders,
+        right,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        window_days=60,
+    )
+    return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
+
+
+def q_range_join_partitioned(sf_dir: str):
+    """Same range-count semantics as q_range_join but with BOTH sides as
+    Datasets (orders fact x lineitem fact): co-partitioned by orderkey via
+    union + groupby (stages/joins.py range_join_count_partitioned) — the
+    two-large-sides scale path where neither side is broadcast or
+    materialized driver-side.  Shares range_join's oracle semantics."""
+    from ..stages.joins import range_join_count_partitioned
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    out = range_join_count_partitioned(
+        orders,
+        line,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        left_time="o_orderdate",
+        right_time="l_shipdate",
+        window_days=60,
+    )
+    return out.select_columns(["o_orderkey", "n_in_range"]).sort("o_orderkey")
+
+
+def q_hash_join(sf_dir: str):
+    """General partitioned equi-join with BOTH sides as Datasets (orders
+    fact x customer fact) — the join primitive Ray Data lacks, via one
+    hash shuffle (union + groupby + in-group polars join,
+    stages/joins.py hash_join).  Reference analogue: the driver-side dict
+    label joins (spiders/labels/solscan.py), re-expressed distributed."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    out = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+
+    def _post(b: pa.Table) -> pa.Table:
+        b = _round_col(b, "o_totalprice", 2)
+        return _round_col(b, "c_acctbal", 2)
+
+    return out.map_batches(_post, batch_format="pyarrow").sort("o_orderkey")
+
+
+def q_tpch_q3(sf_dir: str):
+    """Composed two-join analytics pipeline (TPC-H Q3 shape, adapted to the
+    synthetic columns): segment-filtered customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems → revenue per order → top 10.  Both joins run as
+    the partitioned hash_join (no broadcast side); the filters are pushed
+    into the parquet reads so only surviving rows enter the shuffles."""
+    from ..stages.joins import hash_join
+
+    cutoff = pc.scalar(pd.Timestamp("1998-06-01").to_datetime64())
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pc.field("c_mktsegment") == "BUILDING"),
+    ).select_columns(["c_custkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < cutoff),
+    )
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff),
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "rev": rev}
+        )
+
+    line = line.map_batches(_rev, batch_format="pyarrow")
+    co = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+    col = hash_join(
+        co.select_columns(["o_orderkey", "o_orderdate"]),
+        line,
+        key="o_orderkey",
+        right_key="l_orderkey",
+        how="inner",
+    )
+    # the revenue sum needs NO third shuffle: hash_join's output blocks are
+    # bucket-complete (every row of an o_orderkey lands in one block), so a
+    # per-block groupby-sum is already the exact global aggregate.
+    # batch_size=None keeps whole blocks as batches (no key splitting).
+    def _local_agg(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(b)
+            .group_by(["o_orderkey", "o_orderdate"])
+            .agg(pl.col("rev").sum().alias("revenue"))
+            .to_arrow()
+        )
+
+    agg = col.map_batches(_local_agg, batch_format="pyarrow", batch_size=None)
+    # round BEFORE the top-k sort so near-tie float noise can't reorder the
+    # cut vs the SQL oracle (both sides rank by the 2-dp value)
+    agg = agg.map_batches(lambda b: _round_col(b, "revenue", 2), batch_format="pyarrow")
+    top = agg.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "o_orderdate", "revenue"])
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows: per user, events sorted by ts split at gaps > 30
+    minutes; one row per session with its event count and bounds.  The
+    stateful-streaming window operator beyond tumbling (q_events_window),
+    expressed as groupby(user).map_groups with an in-group sort — a
+    session's events co-locate by construction."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions_of_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by("ts")
+        uid = int(g.column("user_id")[0].as_py())
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap_us = 30 * 60 * 1_000_000
+        # new session where the gap from the previous event exceeds 30min
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess_id = np.cumsum(new_sess)
+        out_uid, out_sid, out_n, out_start, out_end = [], [], [], [], []
+        for sid in range(1, int(sess_id[-1]) + 1):
+            mask = sess_id == sid
+            out_uid.append(uid)
+            out_sid.append(sid)
+            out_n.append(int(mask.sum()))
+            out_start.append(ts[mask][0])
+            out_end.append(ts[mask][-1])
+        return pa.table(
+            {
+                "user_id": pa.array(out_uid, pa.int64()),
+                "session_id": pa.array(out_sid, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "session_start": pa.array(
+                    np.array(out_start, dtype=np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "session_end": pa.array(
+                    np.array(out_end, dtype=np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions_of_user, batch_format="pyarrow")
+        .sort(["user_id", "session_id"])
+    )
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered semi-join: keep lineitems of high-value orders.
+    The build side reduces to per-batch bitmaps OR-folded into one 128 KB
+    Bloom filter (stages/sketch.py build_bloom — shuffle-free, the
+    broadcast-seen-set shape: at 10^10 keys the filter, not the key set,
+    is what every node can hold).  The probe side drops ~80% of rows
+    BEFORE any shuffle; the few survivors then exact-confirm through the
+    partitioned hash_join, so Bloom false positives never reach the
+    output — the result is exact and the oracle is a plain IN-subquery."""
+    from ..stages.joins import hash_join
+    from ..stages.sketch import BloomFilter, build_bloom
+
+    keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+    ).select_columns(["o_orderkey"])
+    bloom = build_bloom(keys, "o_orderkey", m_bits=1 << 20)
+    bloom_ref = ray.put((bloom.m, bloom.k, bloom.bits))
+
+    class Probe:
+        def __init__(self):
+            m, k, bits = ray.get(bloom_ref)
+            self.f = BloomFilter(m, k, bits=bits)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(self.f.contains(b.column("l_orderkey"))))
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    survivors = line.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    out = hash_join(survivors, keys, key="l_orderkey", right_key="o_orderkey", how="inner")
+    return (
+        out.map_batches(lambda b: _round_col(b, "l_extendedprice", 2), batch_format="pyarrow")
+        .sort(["l_orderkey", "l_linenumber"])
+    )
+
+
+def q_anchor_agg(sf_dir: str):
+    """Per-host anchor-text profile over the extracted link graph — the
+    web-native aggregation search/training pipelines build (anchor text is
+    the classic off-page document description): in-link count, distinct
+    target count, and the K codepoint-smallest anchor texts as a bounded
+    sample.  Scale shape: a popular host has 10^8+ in-links, so nothing
+    ever groups raw anchor rows by host alone.  Counts pre-aggregate per
+    (host, target) inside each batch, shuffle as scalar rows, and fold to
+    per-host sums; the anchor sample keeps only the local top-K per batch
+    before the shuffle, so the merge group holds <= K rows per upstream
+    block, never the in-link set.  The full sorted concat the fixture
+    could afford is deliberately NOT offered — the capped sample is the
+    only output shape that survives a degenerate host (same rule as the
+    LSH bucket cap in stages/dedup.py)."""
+    ds = _docs_html_ds(sf_dir)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        hosts, targets, anchors = [], [], []
+        for h in b.column("html").to_pylist():
+            for href, anchor in _RE_ANCHOR.findall(h):
+                cu = canonicalize_url(href)
+                hosts.append(host_of(cu))
+                targets.append(cu)
+                anchors.append(anchor)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "target": pa.array(targets, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    p = ds.map_batches(pairs, batch_format="pyarrow")
+
+    # counts: (host, target) partial counts per batch -> per-target sums
+    # -> per-host (n_targets, n_anchors); every shuffled row is scalars
+    def local_tc(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(zip(b.column("host").to_pylist(), b.column("target").to_pylist()))
+        return pa.table(
+            {
+                "host": pa.array([k[0] for k in c], pa.string()),
+                "target": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def host_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "t_one": pa.array([1] * b.num_rows, pa.int64()),
+                "a_cnt": b.column("sum(c)").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        p.map_batches(local_tc, batch_format="pyarrow")
+        .groupby(["host", "target"])
+        .sum("c")
+        .map_batches(host_rows, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["t_one", "a_cnt"])
+    )
+
+    # sample: local top-K smallest anchors per (host, batch) -> bounded
+    # per-host merge (<= K rows per upstream block in a group)
+    def local_topk(b: pa.Table) -> pa.Table:
+        buf: dict = {}
+        for h, a in zip(b.column("host").to_pylist(), b.column("anchor").to_pylist()):
+            buf.setdefault(h, []).append(a)
+        hosts, anchors = [], []
+        for h, al in buf.items():
+            for a in sorted(al)[:ANCHOR_SAMPLE_K]:
+                hosts.append(h)
+                anchors.append(a)
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "anchor": pa.array(anchors, pa.string())}
+        )
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        top = sorted(g.column("anchor").to_pylist())[:ANCHOR_SAMPLE_K]
+        return pa.table(
+            {
+                "host": pa.array([g.column("host")[0].as_py()], pa.string()),
+                "anchors_sample": pa.array(["|".join(top)], pa.string()),
+            }
+        )
+
+    sample = (
+        p.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+
+    # zip the two per-host tables (one row per host each) without a
+    # driver-side join: union with null-padding + one bounded groupby fold
+    def pad_counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_targets": b.column("sum(t_one)").cast(pa.int64()),
+                "n_anchors": b.column("sum(a_cnt)").cast(pa.int64()),
+                "anchors_sample": pa.array([None] * b.num_rows, pa.string()),
+            }
+        )
+
+    def pad_sample(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_targets": pa.array([None] * b.num_rows, pa.int64()),
+                "n_anchors": pa.array([None] * b.num_rows, pa.int64()),
+                "anchors_sample": b.column("anchors_sample"),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.array([g.column("host")[0].as_py()], pa.string()),
+                "n_anchors": pa.array(
+                    [pc.max(g.column("n_anchors")).as_py()], pa.int64()
+                ),
+                "n_targets": pa.array(
+                    [pc.max(g.column("n_targets")).as_py()], pa.int64()
+                ),
+                "anchors_sample": pa.array(
+                    [pc.max(g.column("anchors_sample")).as_py()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        counts.map_batches(pad_counts, batch_format="pyarrow")
+        .union(sample.map_batches(pad_sample, batch_format="pyarrow"))
+        .groupby("host")
+        .map_groups(fold, batch_format="pyarrow")
+        .sort("host")
+    )
+
+
+def q_similarity_join(sf_dir: str, t: float = 0.2, n: int = 5):
+    """EXACT set-similarity self-join with prefix filtering (the
+    Vernica/PPJoin MapReduce shape; the exact complement of MinHash-LSH):
+    all doc pairs whose distinct-5-gram-shingle Jaccard >= t, with the
+    exact similarity.  Stage 1: global shingle document frequencies
+    (combiner groupby) define one global rarity order; each doc keeps
+    only its first L = n_grams - ceil(t*n_grams) + 1 prefix shingles
+    under that order — any pair with J >= t provably shares a prefix
+    shingle, so candidates come from a groupby over PREFIX shingles only
+    (rare ones, by construction), never the full posting lists.  Stage 2
+    verifies candidates exactly against the full shingle sets attached
+    via two partitioned hash_joins — no doc-set broadcast.  The rarity
+    dictionary is the only broadcast (df >= 2 entries only; shingles
+    unique to one doc can't create pairs and rank after all shared ones
+    by convention)."""
+    from ..stages.joins import hash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        gs, ds = [], []
+        for d, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(txt)
+            if len(toks) < n:
+                continue
+            for g in set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)):
+                gs.append(g)
+                ds.append(d)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "doc_id": pa.array(ds, pa.int64())}
+        )
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    # global rarity order over SHARED shingles only (df >= 2): the
+    # candidate stage can't pair on a df=1 shingle, and keeping the
+    # broadcast dict to shared shingles bounds it by the collision space
+    df_tbl = grams.groupby("g").count().filter(lambda r: r["count()"] >= 2).to_pandas()
+    df_tbl.columns = ["g", "df"]
+    order = df_tbl.sort_values(["df", "g"]).reset_index(drop=True)
+    rank_of = {g: i for i, g in enumerate(order["g"])}
+    rank_ref = ray.put(rank_of)
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        import math
+
+        rk = ray.get(rank_ref)
+        gs, ds, ns = [], [], []
+        for d, txt in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            toks = _oracle_tokens(txt)
+            if len(toks) < n:
+                continue
+            gset = set(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            L = len(gset) - math.ceil(t * len(gset)) + 1
+            # order: shared shingles by global rarity first; df=1 shingles
+            # (absent from the dict) sort last and can't seed a pair anyway
+            ordered = sorted(gset, key=lambda g: (rk.get(g, 1 << 60), g))[:L]
+            for g in ordered:
+                if g in rk:  # only shared shingles can generate candidates
+                    gs.append(g)
+                    ds.append(d)
+                    ns.append(len(gset))
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "doc_id": pa.array(ds, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        o = np.argsort(ids)
+        ids = ids[o]
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "da": pa.array(ids[a], pa.int64()),
+                "db": pa.array(ids[b], pa.int64()),
+            }
+        )
+
+    cand = (
+        prefixes.groupby("g")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby(["da", "db"])
+        .map_groups(lambda gg: gg.slice(0, 1), batch_format="pyarrow")
+    )
+
+    # verify: attach both docs' full shingle lists via partitioned joins.
+    # List-building is bucketed (64 vectorized polars calls), not one
+    # Python call per doc.
+    def tag_doc_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__b",
+            pc.bit_wise_and(
+                pc.cast(b.column("doc_id").combine_chunks(), pa.int64()),
+                pa.scalar(63, pa.int64()),
+            ),
+        )
+
+    def lists_of_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(g.select(["doc_id", "g"]))
+            .group_by("doc_id")
+            .agg(pl.col("g").alias("grams"))
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.string()))])
+        )
+
+    doclists = (
+        grams.map_batches(tag_doc_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lists_of_bucket, batch_format="pyarrow")
+    )
+    j1 = hash_join(cand, doclists, key="da", right_key="doc_id").map_batches(
+        lambda b: b.rename_columns(["da", "db", "grams_a"]), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, doclists, key="db", right_key="doc_id").map_batches(
+        lambda b: b.rename_columns(["da", "db", "grams_a", "grams_b"]),
+        batch_format="pyarrow",
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        das, dbs, sims = [], [], []
+        for da, db_, ga, gb in zip(
+            b.column("da").to_pylist(),
+            b.column("db").to_pylist(),
+            b.column("grams_a").to_pylist(),
+            b.column("grams_b").to_pylist(),
+        ):
+            sa, sb = set(ga), set(gb)
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= t:
+                das.append(da)
+                dbs.append(db_)
+                sims.append(j)
+        return pa.table(
+            {
+                "da": pa.array(das, pa.int64()),
+                "db": pa.array(dbs, pa.int64()),
+                "jaccard": pa.array(_r(sims, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow").sort(["da", "db"])
+
+
+def q_window_hopping(sf_dir: str):
+    """Hopping (sliding) windows — size 2h, hop 1h — over the event
+    stream: each event lands in exactly two windows; per (window_start,
+    event_type) report count and value sum.  The tumbling complement is
+    q_events_window; here the combiner emits BOTH window assignments per
+    batch pre-aggregated, so the shuffle moves (window, type, partials)
+    rows only."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    HOP = 3_600_000_000  # 1h in us
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        w1 = (ts // HOP) * HOP
+        df = pd.DataFrame(
+            {
+                "window_start": np.concatenate([w1, w1 - HOP]),
+                "event_type": np.tile(b.column("event_type").to_numpy(zero_copy_only=False), 2),
+                "n": 1,
+                "s": np.tile(b.column("value").to_numpy(), 2),
+            }
+        )
+        part = df.groupby(["window_start", "event_type"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = (
+        ev.map_batches(assign, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    b.column("window_start").to_numpy().astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "sum_value": pa.array(_r(b.column("s").to_numpy(), 2), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["window_start", "event_type"]
+    )
+
+
+def q_rollup_agg(sf_dir: str):
+    """Multi-level subtotal aggregate — GROUP BY ROLLUP(l_returnflag,
+    l_linestatus) — the reporting shape behind per-host / per-lang /
+    grand-total corpus dashboards.  Distributed plan: ONE shuffle computes
+    the finest (flag, status) aggregate (a handful of rows); the coarser
+    rollup levels are derived from that finished aggregate driver-side,
+    which is the correct plan at any scale because the finest level is
+    already group-cardinality-sized.  l_quantity is integer-valued so the
+    re-summed subtotals are float-exact; sums rounded 2dp."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = (
+        li.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(), Sum("l_quantity"))
+        .to_pandas()
+        .rename(columns={"count()": "cnt", "sum(l_quantity)": "qty"})
+    )
+    rows = [
+        {
+            "returnflag": r.l_returnflag,
+            "linestatus": r.l_linestatus,
+            "cnt": int(r.cnt),
+            "sum_qty": round(r.qty, 2),
+        }
+        for r in fine.itertuples()
+    ]
+    by_flag = fine.groupby("l_returnflag", as_index=False).agg(
+        cnt=("cnt", "sum"), qty=("qty", "sum")
+    )
+    rows += [
+        {
+            "returnflag": r.l_returnflag,
+            "linestatus": "ALL",
+            "cnt": int(r.cnt),
+            "sum_qty": round(r.qty, 2),
+        }
+        for r in by_flag.itertuples()
+    ]
+    rows.append(
+        {
+            "returnflag": "ALL",
+            "linestatus": "ALL",
+            "cnt": int(fine["cnt"].sum()),
+            "sum_qty": round(fine["qty"].sum(), 2),
+        }
+    )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["returnflag", "linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q18(sf_dir: str, threshold: float = 200.0, k: int = 100):
+    """TPC-H Q18 (large-volume customers): orders whose line quantities sum
+    past a threshold, joined back to customer, top-k by order value.  The
+    scale-correct plan: pass 1 is a combiner groupby (each batch pre-sums
+    its own l_orderkey quantities, the shuffle moves partials); the HAVING
+    survivors are threshold-rare by construction, so they broadcast via
+    ray.put as an isin filter over orders (semi-join, no shuffle), and the
+    customer side is filtered to the survivors' custkeys before a
+    driver-side merge of two already-tiny tables."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return b.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+
+    hot = (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("l_quantity_sum")
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "sum_qty"]),
+            batch_format="pyarrow",
+        )
+        .filter(expr=f"sum_qty > {threshold}")
+        .to_pandas()
+    )
+    qty = dict(zip(hot["l_orderkey"].astype(int), hot["sum_qty"]))
+    qty_ref = ray.put(qty)
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        q = ray.get(qty_ref)
+        mask = pc.is_in(
+            b.column("o_orderkey"), pa.array(list(q.keys()), pa.int64())
+        )
+        return b.filter(mask)
+
+    ords = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(pick_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    custkeys = set(ords["o_custkey"].astype(int))
+    ck_arr = pa.array(sorted(custkeys), pa.int64())
+
+    def pick_cust(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("c_custkey"), ck_arr))
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(pick_cust, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ords.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["o_orderkey"].map(qty).round(2)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+    ).head(k)
+    return out[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def q_burst_windows(sf_dir: str):
+    """Burst detection over the event stream: hourly buckets whose count
+    exceeds mean + 2*stddev for that event_type (rate-anomaly flagging —
+    crawler-trap spikes, abuse bursts).  Two passes over the tiny hourly
+    aggregate: the bucket-count table reduces via combiner groupby; means
+    come from (sum, n) and the variance from centered squares — the same
+    cancellation-free plan as corr_matrix — then the flag filter runs on
+    the finished aggregate.  Population stddev on both sides."""
+    import math
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def buckets(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        t = pa.table({"event_type": b.column("event_type"), "hour": hour})
+        return t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+
+    hourly = (
+        ev.map_batches(buckets, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .sum("count_all")
+        .to_pandas()
+        .rename(columns={"sum(count_all)": "cnt"})
+    )
+    stats = hourly.groupby("event_type")["cnt"].agg(["sum", "count"]).reset_index()
+    stats["mean"] = stats["sum"] / stats["count"]
+    mean = dict(zip(stats["event_type"], stats["mean"]))
+    hourly["dev2"] = (hourly["cnt"] - hourly["event_type"].map(mean)) ** 2
+    var = hourly.groupby("event_type")["dev2"].sum() / stats.set_index("event_type")[
+        "count"
+    ]
+    thresh = {
+        t: mean[t] + 2.0 * math.sqrt(v) for t, v in var.items()
+    }
+    out = hourly[hourly["cnt"] > hourly["event_type"].map(thresh)]
+    return (
+        out[["event_type", "hour", "cnt"]]
+        .astype({"hour": "int64", "cnt": "int64"})
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+def q_window_rolling_avg(sf_dir: str, window: int = 3):
+    """Per-user rolling mean of the last ``window`` event values ordered
+    by (ts, event_id) — the classic ROWS BETWEEN n PRECEDING sliding
+    aggregate.  Users are independent, so groupby(user_id).map_groups
+    computes each user's rolling sums vectorized (cumsum difference); at
+    10^10 events the partition key keeps every window inside one group
+    task.  avg = window_sum / window_len with the sum accumulated in ts
+    order on both sides, rounded 6dp."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def roll(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        v = df["value"].to_numpy()
+        # ordered prefix sums == SQL's ordered-frame accumulation
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(0, np.arange(n) - (window - 1))
+        sums = cs[np.arange(n) + 1] - cs[lo]
+        lens = np.arange(n) + 1 - lo
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "roll_avg": pa.array(np.round(sums / lens, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(roll, batch_format="pyarrow")
+        .sort(["user_id", "event_id"])
+    )
+
+
+def q_skew_join(sf_dir: str):
+    """Hot-key-salted equi-join (stages/joins.py skew_join) — the skewed
+    fact⋈dim shape a plain hash join dies on at 100 TB: here a synthetic
+    hot key (every even event collapses onto key 0 → 50% of the probe
+    side) is detected by an exact combiner count, spread over 8 salts, and
+    only the hot build rows replicate.  The result is aggregated per
+    (key, customer) with integer-cent sums so the float hash is exact.
+    Join output == unsalted join by construction; the oracle is the plain
+    SQL join."""
+    from ..stages.joins import skew_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        uid = b.column("user_id").to_numpy()
+        k = np.where(eid % 2 == 0, 0, uid).astype(np.int64)
+        cents = _r(b.column("value").to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = skew_join(
+        ev.map_batches(keyed, batch_format="pyarrow"),
+        cust,
+        key="k",
+        right_key="c_custkey",
+        hot_share=0.05,
+        num_salts=8,
+    )
+    agg = (
+        out.groupby(["k", "c_name"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    agg["value_sum"] = (agg["cents"] / 100.0).round(2)
+    return (
+        agg[["k", "c_name", "n", "value_sum"]]
+        .astype({"k": "int64", "n": "int64"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def q_df_idf_topk(sf_dir: str, k: int = 100):
+    """Document-frequency / IDF table for the corpus vocabulary — the
+    broadcastable scoring artifact (BM25 / TF-IDF stages ship THIS, not
+    the corpus).  Per-batch distinct (term, doc) pairs pre-shrink the
+    shuffle (a term repeated 50x in a doc ships once); one groupby counts
+    df; top-k by (df desc, term) for determinism; idf = ln(N/df) computed
+    from exact integers on both sides."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def term_doc(b: pa.Table) -> pa.Table:
+        terms, seen = [], set()
+        for did, t in zip(
+            b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+        ):
+            for w in set(_oracle_tokens(t)):
+                if (w, did) not in seen:
+                    seen.add((w, did))
+                    terms.append(w)
+        # per-batch the doc ids are distinct, so (term, doc) distinct ==
+        # per-doc set(); only unique pairs leave the task
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array([1] * len(terms), pa.int64())})
+
+    df_tbl = (
+        docs.map_batches(term_doc, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="df"))
+        # top-k cut runs DISTRIBUTED (sort+limit) — the vocabulary is
+        # ~10^9 distinct tokens at web scale and never fits the driver
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    df_tbl["idf"] = [float(_r(np.log(n_docs / d), 6)) for d in df_tbl["df"]]
+    return df_tbl.astype({"df": "int64"}).reset_index(drop=True)
+
+
+def q_window_distinct_users(sf_dir: str):
+    """Distinct users + event volume per tumbling hour (the rate-limiter /
+    abuse-detection window shape: COUNT(DISTINCT) inside a time window).
+    Distinct is exact without per-window sets: dedupe on (hour, user) with
+    a combiner groupby, then a second combiner collapses each hour to
+    (users=#rows, events=sum).  Only (hour, user) pairs shuffle — bounded
+    by active users per hour, not events."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        hour = df["ts"].dt.strftime("%Y-%m-%d %H:00:00")
+        part = pd.DataFrame({"hour": hour, "user_id": df["user_id"]}).groupby(
+            ["hour", "user_id"], as_index=False
+        ).size().rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    pairs = (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .sum("cnt")
+    )
+
+    def per_hour(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        part = df.groupby("hour", as_index=False).agg(
+            users=("user_id", "size"), events=("sum(cnt)", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        pairs.map_batches(per_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("users", alias_name="users"), Sum("events", alias_name="events"))
+        .sort("hour")
+        .to_pandas()
+    )
+    return out.astype({"users": "int64", "events": "int64"})
+
+
+def q_full_outer_join(sf_dir: str):
+    """Distributed FULL OUTER equi-join — the last relational join type
+    the engine lacked (inner/left/semi/anti/asof/range/skew all exist):
+    reconcile two sparse per-customer order profiles (orderkeys divisible
+    by 7 vs by 11) so customers present in only one side surface with
+    nulls on the other — the reconciliation/diff shape of ledger and
+    delivery audits.  Both sides build combiner-style (per-batch partial
+    counts, groupby-sum moves partials), then ONE bucket-partitioned
+    stages.joins.hash_join(how='full') shuffle joins them — neither side
+    broadcasts, right-only rows keep their coalesced key."""
+    from ..stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def side(mod: int, cname: str):
+        def part(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df = df[df["o_orderkey"] % mod == 0]
+            out = df.groupby("o_custkey", as_index=False).size().rename(
+                columns={"size": cname}
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return (
+            orders.map_batches(part, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .sum(cname)
+            .map_batches(
+                lambda b: b.rename_columns(["o_custkey", cname]),
+                batch_format="pyarrow",
+            )
+        )
+
+    j = hash_join(
+        side(7, "cnt_a"), side(11, "cnt_b"), key="o_custkey", how="full"
+    ).to_pandas()
+    return j.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_snapshot_drift(sf_dir: str):
+    """Structural drift between the two temporal half-snapshots of the
+    link graph (even vs odd event_id): out-degree distributions of the
+    distinct edge sets, compared per degree value with the total-
+    variation distance 0.5 * sum |p0 - p1| — the cheap "did the graph's
+    shape change" monitor that triggers recrawls / model refreshes.
+    Two degree groupbys (tiny), one driver fold over the degree-value
+    union."""
+    d0 = (
+        _distinct_edges_parity(sf_dir, 0)
+        .groupby("src")
+        .count()
+        .to_pandas()
+        .groupby("count()")
+        .size()
+    )
+    d1 = (
+        _distinct_edges_parity(sf_dir, 1)
+        .groupby("src")
+        .count()
+        .to_pandas()
+        .groupby("count()")
+        .size()
+    )
+    degs = sorted(set(d0.index) | set(d1.index))
+    n0, n1 = float(d0.sum()), float(d1.sum())
+    rows = []
+    tv = 0.0
+    for dg in degs:
+        p0 = int(d0.get(dg, 0)) / n0
+        p1 = int(d1.get(dg, 0)) / n1
+        tv += abs(p0 - p1)
+    tv *= 0.5
+    for dg in degs:
+        rows.append(
+            (
+                int(dg),
+                int(d0.get(dg, 0)),
+                int(d1.get(dg, 0)),
+                float(_r(int(d0.get(dg, 0)) / n0, 6)),
+                float(_r(int(d1.get(dg, 0)) / n1, 6)),
+                float(_r(tv, 6)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["outdeg", "n_early", "n_late", "p_early", "p_late", "tv_dist"]
+    ).astype({"outdeg": "int64", "n_early": "int64", "n_late": "int64"})
+
+
+def q_interval_overlap_join(sf_dir: str, topn: int = 5):
+    """Interval-overlap join between the per-user session intervals (the
+    30-minute-gap sessions of q_sessionize) and the ``topn`` busiest
+    clock hours — "how many user sessions touched each traffic spike",
+    the interval x interval workload behind incident forensics and
+    politeness post-mortems.  Shape: sessions come from the same
+    groupby(user).map_groups fold as sessionize; the hour table reduces
+    to dim size through a combiner groupby and only the topn window
+    bounds broadcast back; each session batch counts overlaps against
+    the tiny window matrix vectorized and ships (window, partial-count)
+    rows — neither side ever shuffles against the other (the classic
+    broadcast interval join; the two-large-sides form would bucket both
+    by hour exactly like asof_join_partitioned)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hour_cnt(b: pa.Table) -> pa.Table:
+        hrs = b.column("ts").to_numpy().astype("datetime64[h]")
+        vals, cnts = np.unique(hrs, return_counts=True)
+        return pa.table(
+            {
+                "w": pa.array(vals.astype("datetime64[us]"), pa.timestamp("us")),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hours = (
+        ev.map_batches(hour_cnt, batch_format="pyarrow")
+        .groupby("w")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values(["n", "w"], ascending=[False, True], kind="mergesort")
+        .head(topn)
+        .reset_index(drop=True)
+    )
+    w_us = hours["w"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    w_ref = ray.put(w_us)
+
+    def bounds(group: pa.Table) -> pa.Table:
+        ts = np.sort(group.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        gap_us = 30 * 60 * 1_000_000
+        new_sess = np.ones(len(ts), dtype=bool)
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = ts[new_sess]
+        ends = ts[np.roll(new_sess, -1)]
+        return pa.table(
+            {
+                "st": pa.array(starts, pa.int64()),
+                "en": pa.array(ends, pa.int64()),
+            }
+        )
+
+    sessions = ev.groupby("user_id").map_groups(bounds, batch_format="pyarrow")
+    hour_us = 3_600_000_000
+
+    def overlap(b: pa.Table, _w=w_ref) -> pa.Table:
+        w = ray.get(_w)
+        st = b.column("st").to_numpy()[:, None]
+        en = b.column("en").to_numpy()[:, None]
+        hit = (st < w[None, :] + hour_us) & (en >= w[None, :])
+        return pa.table(
+            {
+                "w_us": pa.array(w, pa.int64()),
+                "c": pa.array(hit.sum(axis=0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cnt = (
+        sessions.map_batches(overlap, batch_format="pyarrow")
+        .groupby("w_us")
+        .sum("c")
+        .to_pandas()
+        .rename(columns={"sum(c)": "n_sessions"})
+    )
+    out = hours.copy()
+    out["w_us"] = w_us
+    out = out.merge(cnt, on="w_us", how="left").fillna({"n_sessions": 0})
+    return pd.DataFrame(
+        {
+            "window_start": out["w"],
+            "n_events": out["n"].astype("int64"),
+            "n_sessions": out["n_sessions"].astype("int64"),
+        }
+    ).sort_values("window_start").reset_index(drop=True)
+
+
+def q_cube_agg(sf_dir: str):
+    """CUBE grouping-sets rollup of event value by (event_type, day-of-
+    week) — all four lattice levels [(type,dow), (type), (dow), ()] from
+    ONE pass, the OLAP companion to q_rollup_agg's single hierarchy.
+    Shape: the corpus reduces once to the fine (type, dow) cells via a
+    per-batch combiner + one groupby; every coarser level is a
+    driver-side fold over the O(types x 7) cell table (never a second
+    corpus scan), summed in deterministic (type, dow) cell order so the
+    2dp-rounded sums match the mirror's direct CUBE.  NULL lattice
+    markers are pinned to '__all__' / -1 on both sides."""
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cells(b: pa.Table) -> pa.Table:
+        days = b.column("ts").to_numpy().astype("datetime64[D]").astype(np.int64)
+        dow = ((days + 4) % 7).astype(np.int64)  # 1970-01-01 = Thursday; 0 = Sunday
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_pylist(),
+                    "dow": dow,
+                    "v": b.column("value").to_numpy(),
+                }
+            )
+            .groupby(["event_type", "dow"], as_index=False)
+            .agg(v=("v", "sum"), n=("v", "size"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    fine = (
+        ev.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "dow"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for _, r in fine.iterrows():
+        rows.append((r["event_type"], int(r["dow"]), float(r["v"]), int(r["n"])))
+    by_type = fine.groupby("event_type", sort=True)
+    for t, g in by_type:
+        rows.append((t, -1, float(g["v"].sum()), int(g["n"].sum())))
+    by_dow = fine.groupby("dow", sort=True)
+    for d, g in by_dow:
+        rows.append(("__all__", int(d), float(g["v"].sum()), int(g["n"].sum())))
+    rows.append(("__all__", -1, float(fine["v"].sum()), int(fine["n"].sum())))
+    out = pd.DataFrame(rows, columns=["event_type", "dow", "sum_value", "n_events"])
+    out["sum_value"] = _r(out["sum_value"], 2)
+    out["dow"] = out["dow"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume): revenue per nation for
+    region ASIA and order year 1996, with the classic c_nationkey =
+    s_nationkey locality predicate.  Join plan: nation/region/supplier are
+    dimension tables (25/5/O(10) rows) and broadcast as plain lookup dicts;
+    the two FACT joins — orders x customer on custkey and lineitem x
+    (orders x customer) on orderkey — run as the partitioned hash_join
+    with date/region filters pushed into the parquet reads.  Revenue is
+    summed in exact integer cents (per-row half-away round of
+    extendedprice * (1 - discount) * 100, identical IEEE expression order
+    on both sides) so no float sum-order boundary exists."""
+    from ..stages.joins import hash_join
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    asia_keys = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].tolist())
+    nk_in = sorted(
+        int(k) for k in nat.loc[nat["n_regionkey"].isin(asia_keys), "n_nationkey"]
+    )
+    nk_name = {int(k): v for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nat = {int(k): int(v) for k, v in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    dims_ref = ray.put((s_nat, nk_name))
+
+    lo = pc.scalar(pd.Timestamp("1996-01-01").to_datetime64())
+    hi = pc.scalar(pd.Timestamp("1997-01-01").to_datetime64())
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nk_in),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).select_columns(["o_orderkey", "o_custkey"])
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    co = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+    col = hash_join(
+        line,
+        co.select_columns(["o_orderkey", "c_nationkey"]),
+        key="l_orderkey",
+        right_key="o_orderkey",
+        how="inner",
+    )
+
+    def local_rev(b: pa.Table) -> pa.Table:
+        s_map, name_map = ray.get(dims_ref)
+        sk = b.column("l_suppkey").to_numpy()
+        cn = b.column("c_nationkey").to_numpy()
+        snk = np.array([s_map.get(int(s), -1) for s in sk], dtype=np.int64)
+        keep = snk == cn
+        if not keep.any():
+            return pa.table(
+                {"n_name": pa.array([], pa.string()), "cents": pa.array([], pa.int64())}
+            )
+        ext = b.column("l_extendedprice").to_numpy()[keep]
+        disc = b.column("l_discount").to_numpy()[keep]
+        cents = _r(ext * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        names = np.array([name_map[int(n)] for n in snk[keep]])
+        uniq, inv = np.unique(names, return_inverse=True)
+        part = np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"n_name": pa.array(uniq, pa.string()), "cents": pa.array(part, pa.int64())}
+        )
+
+    agg = (
+        col.map_batches(local_rev, batch_format="pyarrow")
+        .groupby("n_name")
+        .sum("cents")
+        .to_pandas()
+        .rename(columns={"sum(cents)": "cents"})
+    )
+    agg["revenue"] = _r(agg["cents"].to_numpy(np.float64) / 100.0, 2)
+    return (
+        agg[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q_tpch_q10(sf_dir: str, k: int = 20):
+    """TPC-H Q10 (returned-item reporting): revenue lost to 'R'-flag
+    returns per customer over a one-year order window, top-k customers
+    with their nation.  Shape: both fact filters are pushed into the
+    parquet reads; lineitem ⋈ orders runs as the partitioned hash_join
+    (two large sides, no broadcast); the per-customer revenue pre-folds
+    inside each bucket-complete join block; customer is a second
+    hash_join and the 25-row nation map is the only broadcast."""
+    from ..stages.joins import hash_join
+
+    lo = pc.scalar(pd.Timestamp("1997-01-01").to_datetime64())
+    hi = pc.scalar(pd.Timestamp("1998-01-01").to_datetime64())
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=(pc.field("l_returnflag") == "R"),
+    ).select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"]
+    if line.schema() is None or orders.schema() is None:
+        # a fully-filtered side reports no schema; inner join is empty
+        return pd.DataFrame(columns=cols)
+
+    ol = hash_join(orders, line, key="o_orderkey", right_key="l_orderkey", how="inner")
+
+    def _rev(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        t = pa.table({"o_custkey": b.column("o_custkey"), "rev": rev})
+        return pl.from_arrow(t).group_by("o_custkey").agg(
+            pl.col("rev").sum().alias("rev")
+        ).to_arrow()
+
+    per_cust = (
+        ol.map_batches(_rev, batch_format="pyarrow", batch_size=None)
+        .groupby("o_custkey")
+        .sum("rev")
+        .map_batches(
+            lambda b: b.rename_columns(["c_custkey", "revenue"]),
+            batch_format="pyarrow",
+        )
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    import pyarrow.parquet as _pq
+
+    nat = {
+        int(nk): nm
+        for nk, nm in zip(
+            *[
+                _pq.read_table(f"{sf_dir}/nation.parquet").column(c).to_pylist()
+                for c in ("n_nationkey", "n_name")
+            ]
+        )
+    }
+    joined = hash_join(per_cust, cust, key="c_custkey")
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = [nat[int(x)] for x in b.column("c_nationkey").to_pylist()]
+        b = b.append_column("n_name", pa.array(names, pa.string()))
+        return _round_col(b.drop_columns(["c_nationkey"]), "revenue", 2)
+
+    out = joined.map_batches(attach, batch_format="pyarrow")
+    return out.sort(["revenue", "c_custkey"], descending=[True, False]).limit(
+        k
+    ).select_columns(["c_custkey", "c_name", "c_acctbal", "n_name", "revenue"])
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue-change: sum(l_extendedprice *
+    l_discount) over shipdate in [1996-01-01, 1997-01-01), discount in
+    [0.05, 0.07], quantity < 24 — the pure predicate-pushdown +
+    single-aggregate query every columnar engine benchmarks first.
+    Shape: column-pruned read, vectorized pyarrow.compute filter,
+    per-batch partial sums; two scalars reach the driver."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def part(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        qty = b.column("l_quantity").to_numpy()
+        ep = b.column("l_extendedprice").to_numpy()
+        keep = (
+            (sd >= lo) & (sd < hi) & (disc >= 0.05) & (disc <= 0.07) & (qty < 24.0)
+        )
+        return pa.table(
+            {
+                "rev": pa.array([float((ep[keep] * disc[keep]).sum())], pa.float64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(part, batch_format="pyarrow").sum(["rev", "n"])
+    return pd.DataFrame(
+        {
+            "revenue": [float(_r(float(agg["sum(rev)"]), 2))],
+            "n_lines": pd.array([int(agg["sum(n)"])], dtype="int64"),
+        }
+    )
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping between NATION_18 and NATION_19 (both
+    directions), 1995-1996: revenue = sum(extendedprice * (1-discount))
+    by (supp_nation, cust_nation, year).  Shape: the fact-x-fact half
+    (lineitem x orders on orderkey) goes through the partitioned
+    hash_join (stages/joins.py — both sides sharded by key hash, nothing
+    broadcast); customer->nation and supplier->nation are dim-sized
+    broadcast maps; revenue folds per batch into (nation-pair, year)
+    cells — integer-cent exact."""
+    from ..stages.joins import hash_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def pre(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        ep = b.column("l_extendedprice").to_numpy()[keep]
+        disc = b.column("l_discount").to_numpy()[keep]
+        cents = _r(ep * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        yr = sd[keep].astype("datetime64[Y]").astype(int) + 1970
+        return pa.table(
+            {
+                "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[keep]),
+                "l_suppkey": pa.array(b.column("l_suppkey").to_numpy()[keep]),
+                "yr": pa.array(yr.astype(np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li_f = li.map_batches(pre, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li_f, orders, key="l_orderkey")
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cmap = {
+        int(k): nname[int(v)] for k, v in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    smap = {
+        int(k): nname[int(v)] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])
+    }
+    pair = {"NATION_18", "NATION_19"}
+    maps_ref = ray.put((cmap, smap))
+
+    def cells(b: pa.Table, _m=maps_ref) -> pa.Table:
+        cm, sm = ray.get(_m)
+        df = b.to_pandas()
+        df["supp_nation"] = df["l_suppkey"].map(sm)
+        df["cust_nation"] = df["o_custkey"].map(cm)
+        df = df[
+            (df["supp_nation"].isin(pair))
+            & (df["cust_nation"].isin(pair))
+            & (df["supp_nation"] != df["cust_nation"])
+        ]
+        g = df.groupby(["supp_nation", "cust_nation", "yr"], as_index=False)[
+            "cents"
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "yr"])
+        .sum("cents")
+        .to_pandas()
+    )
+    if out.empty:  # no surviving pair rows: mirror the SQL's empty result
+        return pd.DataFrame(
+            columns=["supp_nation", "cust_nation", "yr", "revenue"]
+        ).astype({"yr": "int64"})
+    out = (
+        out.rename(columns={"sum(cents)": "cents"})
+        .sort_values(["supp_nation", "cust_nation", "yr"])
+        .reset_index(drop=True)
+    )
+    out["revenue"] = _r(out["cents"] / 100.0, 2)
+    out["yr"] = out["yr"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out[["supp_nation", "cust_nation", "yr", "revenue"]]
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promotion-effect: 100 * promo revenue / total revenue
+    over lineitems shipped in 1996H1, where promo = parts with p_type =
+    'PROMO' — the broadcast-dim-join + conditional-aggregate shape.
+    Shape: the part->is-promo map broadcasts (dim-sized); one streaming
+    pass folds (promo_cents, total_cents) partials; integer-cent exact
+    with the percentage computed once on the driver."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo = set(
+        int(k) for k, t in zip(part["p_partkey"], part["p_type"]) if t == "PROMO"
+    )
+    p_ref = ray.put(promo)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-07-01")
+
+    def part_sums(b: pa.Table, _p=p_ref) -> pa.Table:
+        pr = ray.get(_p)
+        sd = b.column("l_shipdate").to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        pk = b.column("l_partkey").to_numpy()[keep]
+        ep = b.column("l_extendedprice").to_numpy()[keep]
+        disc = b.column("l_discount").to_numpy()[keep]
+        cents = _r(ep * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        is_promo = np.array([int(x) in pr for x in pk])
+        return pa.table(
+            {
+                "promo": pa.array([int(cents[is_promo].sum())], pa.int64()),
+                "total": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(part_sums, batch_format="pyarrow").sum(["promo", "total"])
+    promo_c, total_c = int(agg["sum(promo)"]), int(agg["sum(total)"])
+    return pd.DataFrame(
+        {
+            "promo_cents": pd.array([promo_c], dtype="int64"),
+            "total_cents": pd.array([total_c], dtype="int64"),
+            "promo_pct": [
+                float(_r(100.0 * promo_c / total_c, 6)) if total_c else float("nan")
+            ],
+        }
+    )
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution: LEFT join customers
+    to orders, count orders per customer (zero included), then the
+    histogram (orders-per-customer, customers) — the outer-join +
+    double-aggregate shape.  Shape: per-customer counts come from one
+    groupby over orders; zero-order customers = total customers minus
+    customers-with-orders (two scalar aggregates), never a driver-side
+    outer join; the histogram groupby runs on O(customers) count rows
+    reduced to O(distinct counts)."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = (
+        orders.groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["o_custkey", "c"]), batch_format="pyarrow"
+        )
+    )
+    hist = (
+        per_cust.groupby("c")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "custdist"})
+    )
+    n_cust = int(_read(sf_dir, "customer", columns=["c_custkey"]).count())
+    with_orders = int(hist["custdist"].sum())
+    zero = n_cust - with_orders
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c": [0], "custdist": [zero]})], ignore_index=True
+        )
+    hist = hist.sort_values(["custdist", "c"], ascending=[False, False]).reset_index(
+        drop=True
+    )
+    hist["c_count"] = hist["c"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist[["c_count", "custdist"]]
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier(s): per-supplier revenue sum(extendedprice *
+    (1-discount)) over 1996Q1-shipped lineitems, returning every supplier
+    achieving the maximum (the view + scalar-max shape).  Shape: one
+    per-supplier cents combiner groupby (supplier cardinality is dim-
+    sized); the max gate runs on that O(suppliers) table driver-side and
+    joins supplier names from the broadcast dim."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def cents(b: pa.Table) -> pa.Table:
+        sd = b.column("l_shipdate").to_numpy()
+        keep = (sd >= lo) & (sd < hi)
+        ep = b.column("l_extendedprice").to_numpy()[keep]
+        disc = b.column("l_discount").to_numpy()[keep]
+        c = _r(ep * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        df = pd.DataFrame({"s": b.column("l_suppkey").to_numpy()[keep], "c": c})
+        g = df.groupby("s", as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(cents, batch_format="pyarrow")
+        .groupby("s")
+        .sum("c")
+        .to_pandas()
+    )
+    if rev.empty:  # no lineitems in the window: mirror the SQL's empty result
+        return pd.DataFrame(columns=["s_suppkey", "s_name", "total_revenue"]).astype(
+            {"s_suppkey": "int64"}
+        )
+    rev = rev.rename(columns={"sum(c)": "cents"})
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    rev = rev.merge(supp, left_on="s", right_on="s_suppkey")
+    best = int(rev["cents"].max())
+    out = (
+        rev[rev["cents"] == best]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    out["total_revenue"] = _r(out["cents"] / 100.0, 2)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "total_revenue"]]
+
+
+def q_dormant_customers(sf_dir: str):
+    """TPC-H-Q22-shaped dormancy screen: customers whose account balance
+    exceeds the positive-balance average but who placed NO order after
+    1997-01-01 — the scalar-subquery gate + ANTI-join (NOT EXISTS)
+    pattern, counted and summed per nation.  Shape: the average is one
+    scalar aggregate; recent-orderer custkeys reduce to a distinct-key
+    combiner and broadcast as the anti-side (at web scale: the seen-
+    shard anti-join in state/seen.py); one filtered pass folds
+    (nation, count, cents) cells."""
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    from ray.data.aggregate import Count, Sum
+
+    def pos_part(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy()
+        keep = bal > 0.0
+        return pa.table(
+            {
+                "s": pa.array([float(bal[keep].sum())], pa.float64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    t = cust.map_batches(pos_part, batch_format="pyarrow").sum(["s", "n"])
+    avg_bal = float(t["sum(s)"]) / float(t["sum(n)"])
+
+    cutoff = np.datetime64("1999-01-01")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy()
+        keep = od >= cutoff
+        ck = np.unique(b.column("o_custkey").to_numpy()[keep])
+        return pa.table({"k": pa.array(ck.astype(np.int64))})
+
+    active = set(
+        orders.map_batches(recent, batch_format="pyarrow")
+        .groupby("k")
+        .count()
+        .to_pandas()["k"]
+        .astype(int)
+    )
+    a_ref = ray.put(active)
+
+    def cells(b: pa.Table, _a=a_ref) -> pa.Table:
+        act = ray.get(_a)
+        df = b.to_pandas()
+        df = df[df["c_acctbal"] > avg_bal]
+        df = df[~df["c_custkey"].astype(int).isin(act)]
+        df["cents"] = _r(df["c_acctbal"].to_numpy() * 100.0, 0).astype(np.int64)
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n=("c_custkey", "size"), cents=("cents", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["cents"] = g["cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        cust.map_batches(cells, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n"), Sum("cents"))
+        .to_pandas()
+    )
+    if out.empty:  # nobody dormant: mirror the SQL's empty result
+        return pd.DataFrame(columns=["nationkey", "numcust", "totacctbal"]).astype(
+            {"nationkey": "int64", "numcust": "int64"}
+        )
+    out = (
+        out.rename(columns={"sum(n)": "numcust", "sum(cents)": "cents"})
+        .sort_values("c_nationkey")
+        .reset_index(drop=True)
+    )
+    out["totacctbal"] = _r(out["cents"] / 100.0, 2)
+    out["nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    return out[["nationkey", "numcust", "totacctbal"]]
+
+
+def q_late_orders_priority(sf_dir: str):
+    """TPC-H-Q4-shaped order-priority mix: orders placed in 1996H1 where
+    EXISTS a lineitem shipped more than 30 days after the order date
+    ("late-shipped"), counted per priority — the SEMI-join (EXISTS)
+    pattern.  Shape: late orderkeys reduce through a partitioned
+    hash_join of the order window against lineitem (both fact-sized),
+    flagged per pair and folded to one distinct-key set per priority;
+    only O(priorities) cells reach the driver."""
+    from ..stages.joins import hash_join
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-07-01")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def owin(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy()
+        keep = (od >= lo) & (od < hi)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(b.column("o_orderkey").to_numpy()[keep]),
+                "odate_us": pa.array(
+                    od[keep].astype("datetime64[us]").astype("int64")
+                ),
+                "prio": pa.array(
+                    [
+                        p
+                        for p, k in zip(
+                            b.column("o_orderpriority").to_pylist(), keep
+                        )
+                        if k
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    owindow = orders.map_batches(owin, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "sdate_us": pa.array(
+                    b.column("l_shipdate")
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(owindow, li, key="l_orderkey")
+    month_us = 30 * 86_400_000_000
+
+    def late(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["sdate_us"] > df["odate_us"] + month_us]
+        u = df[["l_orderkey", "prio"]].drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    cells = (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby(["l_orderkey", "prio"])
+        .count()
+        .groupby("prio")
+        .count()
+        .to_pandas()
+    )
+    if cells.empty:  # no late-shipped orders in the window
+        return pd.DataFrame(columns=["o_orderpriority", "order_count"]).astype(
+            {"order_count": "int64"}
+        )
+    cells = (
+        cells.rename(columns={"count()": "order_count"})
+        .sort_values("prio")
+        .reset_index(drop=True)
+    )
+    cells["order_count"] = cells["order_count"].astype("int64")
+    return cells.rename(columns={"prio": "o_orderpriority"})
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share: among PROMO-part order volume by
+    ASIA-region customers in 1995-1996, the share supplied by NATION_3
+    per order year — the 6-way star join (lineitem-part-orders-customer-
+    nation-region + supplier-nation).  Shape: lineitem x orders goes
+    through the partitioned hash_join; part/customer/supplier/nation/
+    region reduce to two broadcast maps (promo partkeys, custkey->
+    in-ASIA, suppkey->nation); per-year cents fold integer-exact."""
+    from ..stages.joins import hash_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo = set(int(k) for k, t in zip(part["p_partkey"], part["p_type"]) if t == "PROMO")
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    asia_keys = set(
+        int(k)
+        for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if dict(zip(reg["r_regionkey"], reg["r_name"]))[int(r)] == "ASIA"
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    asia_cust = set(
+        int(k) for k, n in zip(cust["c_custkey"], cust["c_nationkey"]) if int(n) in asia_keys
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    smap = {int(k): nname[int(v)] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
+    maps = ray.put((promo, asia_cust, smap))
+
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1997-01-01")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def owin(b: pa.Table, _m=maps) -> pa.Table:
+        _pr, ac, _sm = ray.get(_m)
+        od = b.column("o_orderdate").to_numpy()
+        ck = b.column("o_custkey").to_numpy()
+        keep = (od >= lo) & (od < hi) & np.array([int(c) in ac for c in ck])
+        yr = od[keep].astype("datetime64[Y]").astype(int) + 1970
+        return pa.table(
+            {
+                "l_orderkey": pa.array(b.column("o_orderkey").to_numpy()[keep]),
+                "yr": pa.array(yr.astype(np.int64)),
+            }
+        )
+
+    owindow = orders.map_batches(owin, batch_format="pyarrow")
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(li, owindow, key="l_orderkey")
+
+    def cells(b: pa.Table, _m=maps) -> pa.Table:
+        pr, _ac, sm = ray.get(_m)
+        df = b.to_pandas()
+        df = df[[int(p) in pr for p in df["l_partkey"]]]
+        if df.empty:
+            return pa.table(
+                {
+                    "yr": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "target": pa.array([], pa.int64()),
+                }
+            )
+        cents = _r(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 100.0,
+            0,
+        ).astype(np.int64)
+        tgt = np.array([sm[int(s)] == "NATION_3" for s in df["l_suppkey"]])
+        g = pd.DataFrame(
+            {"yr": df["yr"].to_numpy(np.int64), "cents": cents, "target": np.where(tgt, cents, 0)}
+        ).groupby("yr", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby("yr")
+        .aggregate(Sum("cents"), Sum("target"))
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(columns=["yr", "mkt_share"]).astype({"yr": "int64"})
+    out = out.rename(columns={"sum(cents)": "cents", "sum(target)": "target"})
+    out["mkt_share"] = _r(out["target"] / out["cents"], 6)
+    out["yr"] = out["yr"].astype("int64")
+    return out.sort_values("yr").reset_index(drop=True)[["yr", "mkt_share"]]
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity revenue: over SMALL-type parts,
+    lineitems with quantity below 20% of that part's average quantity;
+    avg_yearly = sum(extendedprice) / 7 — the correlated-scalar-
+    aggregate shape (per-part average joined back to the fact).  Shape:
+    pass 1 = per-part (sum, n) quantity combiner restricted to SMALL
+    parts (broadcast set); the thresholds broadcast; pass 2 filters and
+    folds cents — no correlated per-row subquery ever runs."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    small = set(int(k) for k, t in zip(part["p_partkey"], part["p_type"]) if t == "SMALL")
+    s_ref = ray.put(small)
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def qsum(b: pa.Table, _s=s_ref) -> pa.Table:
+        sm = ray.get(_s)
+        df = b.to_pandas()
+        df = df[[int(p) in sm for p in df["l_partkey"]]]
+        g = df.groupby("l_partkey", as_index=False).agg(
+            s=("l_quantity", "sum"), n=("l_quantity", "size")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    avgs = (
+        li.map_batches(qsum, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s"), Sum("n"))
+        .to_pandas()
+        .rename(columns={"sum(s)": "s", "sum(n)": "n"})
+    )
+    thr = {
+        int(k): 0.2 * s / n for k, s, n in zip(avgs["l_partkey"], avgs["s"], avgs["n"])
+    }
+    t_ref = ray.put(thr)
+
+    def cents(b: pa.Table, _t=t_ref) -> pa.Table:
+        th = ray.get(_t)
+        df = b.to_pandas()
+        keep = [
+            int(p) in th and float(qn) < th[int(p)]
+            for p, qn in zip(df["l_partkey"], df["l_quantity"])
+        ]
+        df = df[keep]
+        c = _r(df["l_extendedprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "cents": pa.array([int(c.sum())], pa.int64()),
+                "n": pa.array([len(df)], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(cents, batch_format="pyarrow").sum(["cents", "n"])
+    total_c, n_li = int(agg["sum(cents)"]), int(agg["sum(n)"])
+    return pd.DataFrame(
+        {
+            "n_lines": pd.array([n_li], dtype="int64"),
+            "avg_yearly": [float(_r(total_c / 100.0 / 7.0, 2))],
+        }
+    )
+
+
+def q_join_skew_report(sf_dir: str, k: int = 5):
+    """Join-key skew profile of lineitem.l_orderkey (the fact-side fan-out
+    a partitioned join must survive): distinct keys, max and p99 key
+    fan-out, the top-k heaviest keys, and the share of rows owned by the
+    top 1% of keys — the pre-join report that decides whether
+    q_skew_join's salting is needed.  Shape: one per-key count combiner;
+    the fan-out distribution folds to a (size, n_keys) histogram so the
+    driver sees O(distinct sizes), and top-k via per-batch partial
+    top-k."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    per_key = (
+        li.groupby("l_orderkey")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["key", "n"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    hist = (
+        per_key.groupby("n")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_keys"})
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    n_distinct = int(hist["n_keys"].sum())
+    total_rows = int((hist["n"] * hist["n_keys"]).sum())
+    mx = int(hist["n"].max())
+    # p99 fan-out: smallest size with cum keys >= 0.99 * distinct
+    cum = hist["n_keys"].cumsum()
+    p99 = int(hist.loc[cum >= int(np.ceil(0.99 * n_distinct)), "n"].iloc[0])
+    # top 1% keys' row share (by size desc)
+    top_n = max(1, int(np.floor(0.01 * n_distinct)))
+    desc = hist.sort_values("n", ascending=False).reset_index(drop=True)
+    left, rows_top = top_n, 0
+    for _, r_ in desc.iterrows():
+        take = min(left, int(r_["n_keys"]))
+        rows_top += take * int(r_["n"])
+        left -= take
+        if left == 0:
+            break
+    return pd.DataFrame(
+        {
+            "n_distinct": pd.array([n_distinct], dtype="int64"),
+            "total_rows": pd.array([total_rows], dtype="int64"),
+            "max_fanout": pd.array([mx], dtype="int64"),
+            "p99_fanout": pd.array([p99], dtype="int64"),
+            "top1pct_share": [float(_r(rows_top / total_rows, 6))],
+        }
+    )
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H-Q9-shaped product-type profit: per (supplier nation, order
+    year), profit = sum(extendedprice*(1-discount) - 0.5 * retailprice *
+    quantity) over PROMO parts — the Q9 shape with p_retailprice*0.5
+    standing in for the absent partsupp supplycost.  Shape: lineitem x
+    orders (orderkey -> year) through the partitioned hash_join;
+    part price/type and supplier->nation broadcast; integer-cent exact
+    per-cell folds."""
+    from ..stages.joins import hash_join
+
+    part = _read(
+        sf_dir, "part", columns=["p_partkey", "p_type", "p_retailprice"]
+    ).to_pandas()
+    pinfo = {
+        int(k): float(rp)
+        for k, t, rp in zip(part["p_partkey"], part["p_type"], part["p_retailprice"])
+        if t == "PROMO"
+    }
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    smap = {int(k): nname[int(v)] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
+    maps = ray.put((pinfo, smap))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("o_orderkey"),
+                "yr": pa.array(
+                    (
+                        b.column("o_orderdate").to_numpy().astype("datetime64[Y]").astype(int)
+                        + 1970
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(li, orders, key="l_orderkey")
+
+    def cells(b: pa.Table, _m=maps) -> pa.Table:
+        pi, sm = ray.get(_m)
+        df = b.to_pandas()
+        keep = [int(p) in pi for p in df["l_partkey"]]
+        df = df[keep]
+        if df.empty:
+            return pa.table(
+                {
+                    "nation": pa.array([], pa.string()),
+                    "yr": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        rev = _r(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy()) * 100.0,
+            0,
+        ).astype(np.int64)
+        cost = _r(
+            np.array([pi[int(p)] for p in df["l_partkey"]])
+            * df["l_quantity"].to_numpy()
+            * 0.5
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "nation": [sm[int(s)] for s in df["l_suppkey"]],
+                "yr": df["yr"].to_numpy(np.int64),
+                "cents": rev - cost,
+            }
+        ).groupby(["nation", "yr"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        joined.map_batches(cells, batch_format="pyarrow")
+        .groupby(["nation", "yr"])
+        .sum("cents")
+        .to_pandas()
+        .rename(columns={"sum(cents)": "cents"})
+        .sort_values(["nation", "yr"])
+        .reset_index(drop=True)
+    )
+    out["profit"] = _r(out["cents"] / 100.0, 2)
+    out["yr"] = out["yr"].astype("int64")
+    return out[["nation", "yr", "profit"]]
+
+
+def q_tpch_q1(sf_dir: str):
+    """Full TPC-H Q1 pricing summary (shipdate <= 2000-09-02): per
+    (returnflag, linestatus) the quantity/price sums, the discounted and
+    charged revenue (integer-centis per row, so the big sums are exact),
+    the three averages and the row count — the canonical scan-heavy
+    aggregate; q_lineitem_agg is its reduced cousin.  Shape: vectorized
+    predicate + per-batch partial cells, one 4-row groupby."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = np.datetime64("2000-09-02")
+
+    def cells(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"].to_numpy() <= cutoff]
+        ep = df["l_extendedprice"].to_numpy()
+        d = df["l_discount"].to_numpy()
+        t = df["l_tax"].to_numpy()
+        df["disc_c"] = _r(ep * (1.0 - d) * 100.0, 0).astype(np.int64)
+        df["charge_c"] = _r(ep * (1.0 - d) * (1.0 + t) * 100.0, 0).astype(np.int64)
+        df["one"] = np.int64(1)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty=("l_quantity", "sum"),
+            price=("l_extendedprice", "sum"),
+            disc=("l_discount", "sum"),
+            disc_c=("disc_c", "sum"),
+            charge_c=("charge_c", "sum"),
+            n=("one", "sum"),
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        li.map_batches(cells, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty"), Sum("price"), Sum("disc"), Sum("disc_c"), Sum("charge_c"), Sum("n")
+        )
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(qty)": "qty",
+                "sum(price)": "price",
+                "sum(disc)": "disc",
+                "sum(disc_c)": "disc_c",
+                "sum(charge_c)": "charge_c",
+                "sum(n)": "n",
+            }
+        )
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    out["sum_qty"] = _r(out["qty"], 2)
+    out["sum_base_price"] = _r(out["price"], 2)
+    out["sum_disc_price"] = _r(out["disc_c"] / 100.0, 2)
+    out["sum_charge"] = _r(out["charge_c"] / 100.0, 2)
+    out["avg_qty"] = _r(out["qty"] / out["n"], 6)
+    out["avg_price"] = _r(out["price"] / out["n"], 6)
+    out["avg_disc"] = _r(out["disc"] / out["n"], 6)
+    out["count_order"] = out["n"].astype("int64")
+    return out[
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        ]
+    ]
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: three OR branches
+    over (p_brand, p_size range, l_quantity range) joined lineitem x
+    part, summing discounted revenue — the many-branch predicate shape
+    that exercises pushdown planning.  Shape: the part dim broadcasts
+    as (brand, size) maps; one vectorized lineitem pass evaluates all
+    branches; integer-cent fold."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    pinfo = {
+        int(k): (b, int(s))
+        for k, b, s in zip(part["p_partkey"], part["p_brand"], part["p_size"])
+    }
+    p_ref = ray.put(pinfo)
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    brands = sorted({b for b, _s in pinfo.values()})[:3]
+
+    def cells(b: pa.Table, _p=p_ref) -> pa.Table:
+        pi = ray.get(_p)
+        df = b.to_pandas()
+        info = [pi.get(int(p)) for p in df["l_partkey"]]
+        br = np.array([i[0] if i else "" for i in info])
+        sz = np.array([i[1] if i else -1 for i in info])
+        qn = df["l_quantity"].to_numpy(np.float64)
+        b1 = (br == brands[0]) & (sz >= 1) & (sz <= 5) & (qn >= 1) & (qn <= 11)
+        b2 = (br == brands[1]) & (sz >= 1) & (sz <= 10) & (qn >= 10) & (qn <= 20)
+        b3 = (br == brands[2]) & (sz >= 1) & (sz <= 15) & (qn >= 20) & (qn <= 30)
+        keep = b1 | b2 | b3
+        cents = _r(
+            df["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - df["l_discount"].to_numpy()[keep])
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cents": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(cells, batch_format="pyarrow").sum(["cents", "n"])
+    return pd.DataFrame(
+        {
+            "n_lines": pd.array([int(agg["sum(n)"])], dtype="int64"),
+            "revenue": [float(_r(int(agg["sum(cents)"]) / 100.0, 2))],
+        }
+    )
+
+__all__ = [
+    "q_lineitem_agg",
+    "q_sort_limit",
+    "q_join_agg",
+    "q_events_agg",
+    "q_snapshot_delta",
+    "q_events_window",
+    "q_asof_join",
+    "q_asof_join_partitioned",
+    "q_range_join",
+    "q_range_join_partitioned",
+    "q_hash_join",
+    "q_tpch_q3",
+    "q_sessionize",
+    "q_bloom_semijoin",
+    "q_anchor_agg",
+    "q_similarity_join",
+    "q_window_hopping",
+    "q_rollup_agg",
+    "q_tpch_q18",
+    "q_burst_windows",
+    "q_window_rolling_avg",
+    "q_skew_join",
+    "q_df_idf_topk",
+    "q_window_distinct_users",
+    "q_full_outer_join",
+    "q_snapshot_drift",
+    "q_interval_overlap_join",
+    "q_cube_agg",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q14",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_dormant_customers",
+    "q_late_orders_priority",
+    "q_tpch_q8",
+    "q_tpch_q17",
+    "q_join_skew_report",
+    "q_tpch_q9",
+    "q_tpch_q1",
+    "q_tpch_q19",
+]

@@ -1,18 +1,76 @@
+import time
+
 import pytest
 import ray
+
+
+def _ray_start() -> None:
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+
+
+def _clear_shared_actor_caches() -> None:
+    """Process-wide shared actor pools hold handles that die with a Ray
+    session; clear them so the next user respawns instead of probing
+    corpses (each cache also has its own liveness probe — this just makes
+    the restart cheap and unambiguous)."""
+    try:
+        from blockchainspider_ray.stages.fetch import FetchPool
+
+        FetchPool._shared.clear()
+    except Exception:
+        pass
+    try:
+        from blockchainspider_ray.state.rank_pool import RankPool
+
+        RankPool._shared_shards.clear()
+    except Exception:
+        pass
+    try:
+        from blockchainspider_ray.strategies import sharded
+
+        sharded._PUSH_ACTOR_CACHE.clear()
+    except Exception:
+        pass
+    try:
+        from blockchainspider_ray.state.seen import SeenSet
+
+        if hasattr(SeenSet, "_shared_actors"):
+            SeenSet._shared_actors.clear()
+    except Exception:
+        pass
 
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=4,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-        )
+        _ray_start()
     yield
     ray.shutdown()
+
+
+# One long-lived Ray session degrades progressively across the ~1.6k-test
+# suite (object-store/actor accumulation over hundreds of pipelines made a
+# single serial `pytest tests/` >4x slower than sliced invocations —
+# VERDICT r3 #5).  Restarting Ray every few minutes of test time keeps the
+# serial run at sliced-run speed; shared actor caches are cleared so pools
+# respawn cleanly.
+_RESTART_EVERY_S = 240.0
+_last_restart = [time.monotonic()]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray_recycle():
+    if ray.is_initialized() and time.monotonic() - _last_restart[0] > _RESTART_EVERY_S:
+        ray.shutdown()
+        _clear_shared_actor_caches()
+        _ray_start()
+        _last_restart[0] = time.monotonic()
+    yield
 
 
 @pytest.fixture(scope="session")

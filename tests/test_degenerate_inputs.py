@@ -4,6 +4,11 @@ single lang, constant values) without crashing — the shapes a partition
 of real data can legitimately degenerate to (one host, one group, one
 event type)."""
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

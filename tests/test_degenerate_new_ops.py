@@ -5,6 +5,11 @@ rate, full-outer/eccentricity/katz, closeness/kwic/gzip, wasserstein/PR/
 hapax, AUC/novelty, ewma/bloom, leaky-bucket/journeys, SNM, backoff/
 huffman)."""
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

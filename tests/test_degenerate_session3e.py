@@ -7,6 +7,11 @@ events (user 7, event 0/1) and (user 8, event 2) give link-graph edges
 cross-type pair within either user's history.
 """
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

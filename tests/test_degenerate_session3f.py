@@ -8,6 +8,11 @@ tiebreak; the events values (1.0, 1.0, 2.5) give closed-form
 Kruskal-Wallis H = 1.5 and tie-corrected H = 2.0.
 """
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

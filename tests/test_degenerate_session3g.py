@@ -9,6 +9,11 @@ the 7-token vocabulary is far below k=16 so KMV degrades to the exact
 count with rel_error 0 (k=16).
 """
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

@@ -11,6 +11,11 @@ Tiny fixtures with closed-form values:
   (no returns at all) must yield an empty frame, not a crash.
 """
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import math
 
 import pandas as pd

@@ -11,6 +11,11 @@ Tiny fixtures with closed-form values:
   square wave: power(2)=4, power(3)=0.75, power(4)=0, periods >4 absent.
 """
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq

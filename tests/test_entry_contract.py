@@ -1,6 +1,11 @@
 """Drive the driver contract the way the driver does: entry(), every
 queries() callable at sf0.001, oracle_sql key alignment."""
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import sys
 
 import pandas as pd

@@ -1,6 +1,11 @@
 """Every SQL-mirrored query must match its DuckDB oracle at sf0.001 —
 same row count, same (sorted) column names, same values."""
 
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.full  # long sweep: excluded from the fast tier
+
+
 import duckdb
 import pandas as pd
 import pyarrow as pa
