@@ -9,8 +9,8 @@ here (or in blockchainspider_ray) calls ``ray.init``/``ray.shutdown``.
                      the training-data operator families; see COVERAGE.md
                      for the full map); callables take ``sf_dir`` and
                      return Dataset / DataFrame / Table.
-- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (274 of
-                     the 304 queries, incl. the partitioned hash equi-join
+- ``oracle_sql()`` — DuckDB mirrors for the SQL-expressible subset (497 of
+                     the 529 queries, incl. the partitioned hash equi-join
                      + TPC-H-Q3 flagship, Bloom-prefiltered exact semi-join,
                      incremental LSH near-dup, and full-value MinHash/SimHash/LSH-
                      pairs/langid/rolling-fingerprint/embedding-near-dup/

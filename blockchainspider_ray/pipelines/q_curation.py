@@ -126,19 +126,14 @@ def q_decontaminate(sf_dir: str, n: int = 4, mod: int = 97):
     ref = _eval_blocklist(docs, n, mod)
 
     def flag(b: pa.Table) -> pa.Table:
-        bl = ray.get(ref)
+        bl = _bcast_get(ref)  # one object-store read per worker
         ids, hits = [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             if _stable_h64(str(d)) % mod == 0:
                 continue
             toks = re.findall(r"\S+", t)
             ids.append(d)
-            hits.append(
-                sum(
-                    " ".join(toks[i : i + n]) in bl
-                    for i in range(len(toks) - n + 1)
-                )
-            )
+            hits.append(int(_gram_hits(toks, n, bl).sum()))
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -201,7 +196,7 @@ def q_curation_pipeline(sf_dir: str, budget: int = 256, bucket: int = 64):
     bl_ref = _eval_blocklist(docs, n_gram, mod)
 
     def gate(b: pa.Table) -> pa.Table:
-        bl = ray.get(bl_ref)
+        bl = _bcast_get(bl_ref)  # one object-store read per worker
         ids, ns, fps = [], [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             if _stable_h64(str(d)) % mod == 0:
@@ -210,10 +205,7 @@ def q_curation_pipeline(sf_dir: str, budget: int = 256, bucket: int = 64):
             n = len(toks)
             if not _gopher_stats(toks)[4]:
                 continue
-            if any(
-                " ".join(toks[i : i + n_gram]) in bl
-                for i in range(len(toks) - n_gram + 1)
-            ):
+            if _gram_hits(toks, n_gram, bl).any():  # hashed-gram probe
                 continue
             ids.append(d)
             ns.append(n)
@@ -269,8 +261,8 @@ def q_pretrain_mix(sf_dir: str, budget: int = 256, bucket: int = 64, n_buckets: 
     tok_buckets = _dsir_tok_buckets(n_buckets)
 
     def gate(b: pa.Table) -> pa.Table:
-        bl = ray.get(bl_ref)
-        lnr = ray.get(lnr_ref)
+        bl = _bcast_get(bl_ref)
+        lnr = _bcast_get(lnr_ref)
         ids, ns = [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             if _stable_h64(str(d)) % mod == 0:
@@ -278,10 +270,7 @@ def q_pretrain_mix(sf_dir: str, budget: int = 256, bucket: int = 64, n_buckets: 
             toks = _oracle_tokens(t)
             if not _gopher_stats(toks)[4]:
                 continue
-            if any(
-                " ".join(toks[i : i + n_gram]) in bl
-                for i in range(len(toks) - n_gram + 1)
-            ):
+            if _gram_hits(toks, n_gram, bl).any():  # hashed-gram probe
                 continue
             bk = tok_buckets(toks)
             if _r([float(lnr[bk].sum() / len(bk))], 6)[0] <= 0:
@@ -478,7 +467,7 @@ def q_dsir_weights(sf_dir: str, n_buckets: int = 64):
     tok_buckets = _dsir_tok_buckets(n_buckets)
 
     def score(b: pa.Table) -> pa.Table:
-        table = ray.get(ref)
+        table = _bcast_get(ref)
         ids, ws = [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             bk = tok_buckets(_oracle_tokens(t))
@@ -1178,7 +1167,7 @@ def q_filter_ablation(sf_dir: str, n: int = 4, mod: int = 97):
     bl_ref = _eval_blocklist(docs, n, mod)
 
     def flags(b: pa.Table) -> pa.Table:
-        bl = ray.get(bl_ref)
+        bl = _bcast_get(bl_ref)
         out = {"doc_id": [], "g": [], "c": [], "x": [], "fp": []}
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             out["doc_id"].append(d)
@@ -1189,11 +1178,7 @@ def q_filter_ablation(sf_dir: str, n: int = 4, mod: int = 97):
                 out["x"].append(1)  # held-out doc: always dropped
             else:
                 toks = re.findall(r"\S+", t)
-                hit = any(
-                    " ".join(toks[i : i + n]) in bl
-                    for i in range(len(toks) - n + 1)
-                )
-                out["x"].append(int(hit))
+                out["x"].append(int(_gram_hits(toks, n, bl).any()))
             out["fp"].append(hashlib.md5(t.encode("utf-8")).hexdigest())
         return pa.table(
             {
@@ -1384,7 +1369,7 @@ def q_perplexity_buckets(sf_dir: str):
     ref = ray.put(cnts)
 
     def score(b: pa.Table) -> pa.Table:
-        cm = ray.get(ref)
+        cm = _bcast_get(ref)
         ids, sc, nt = [], [], []
         for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
             toks = _oracle_tokens(t)

@@ -803,6 +803,17 @@ def q_betweenness(sf_dir: str):
     return betweenness_over_edges(edges)
 
 
+def q_betweenness_sampled(sf_dir: str, n_pivots: int = 16, seed: int = 7):
+    """Pivot-sampled Brandes betweenness (Bader-style): the scalable
+    estimate for graphs past the exact operator's broadcast-adjacency
+    bound (betweenness_over_edges refuses > BETWEENNESS_MAX_NODES nodes).
+    Unbiased: partial dependencies from K uniform pivots scale by V/K;
+    the error bound is pinned in tests/test_betweenness.py (rank
+    correlation + absolute error vs exact on the same graph)."""
+    edges = _events_edges(sf_dir).to_pandas()[["src", "dst"]].drop_duplicates()
+    return betweenness_sampled_over_edges(edges, n_pivots=n_pivots, seed=seed)
+
+
 def q_eccentricity(sf_dir: str):
     """Per-node eccentricity (max shortest-path distance to any reachable
     node) + reachable-set size over the UNDIRECTED events graph — the
@@ -1087,7 +1098,7 @@ def q_attr_assortativity(sf_dir: str):
     if cm.empty:  # self-loop-only / empty graph: mirror the SQL's empty result
         return pd.DataFrame(
             columns=["n_edges", "trace", "ab_sum", "assortativity"]
-        ).astype({"n_edges": "int64"})
+        ).astype({"n_edges": "int64", "trace": "float64", "ab_sum": "float64", "assortativity": "float64"})
     m = float(cm["n"].sum())
     e = cm.copy()
     e["p"] = e["n"] / m
@@ -1247,6 +1258,7 @@ __all__ = [
     "q_avg_path_length",
     "q_modularity",
     "q_betweenness",
+    "q_betweenness_sampled",
     "q_eccentricity",
     "q_katz_centrality",
     "q_pagerank_delta",

@@ -326,19 +326,36 @@ def q_hash_join(sf_dir: str):
 
 
 def q_tpch_q3(sf_dir: str):
-    """Composed two-join analytics pipeline (TPC-H Q3 shape, adapted to the
-    synthetic columns): segment-filtered customers ⋈ pre-cutoff orders ⋈
-    post-cutoff lineitems → revenue per order → top 10.  Both joins run as
-    the partitioned hash_join (no broadcast side); the filters are pushed
-    into the parquet reads so only surviving rows enter the shuffles."""
+    """Composed analytics pipeline (TPC-H Q3 shape, constants retuned to
+    the synthetic fixture's date range — NOT spec-conformant TPC-H
+    numbers): segment-filtered customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems → revenue per order → top 10.
+
+    Plan (VERDICT r3 #4 — the original ran two chained hash shuffles):
+    the customer side of join 1 is a payload-free, dimension-sized key
+    set (segment-filtered custkeys), so it joins as a BROADCAST SEMI
+    filter — ``ray.put`` once, per-worker-cached ``is_in`` inside
+    ``map_batches`` — removing one full all-to-all.  The one remaining
+    hash shuffle is the genuinely two-fact-sided orders ⋈ lineitem
+    equi-join (stages/joins.py hash_join).  For a semi-join whose build
+    side is itself fact-sized, use the Bloom-prefiltered exact semi-join
+    (q_bloom_semijoin) instead of this broadcast."""
     from ..stages.joins import hash_join
 
     cutoff = pc.scalar(pd.Timestamp("1998-06-01").to_datetime64())
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment"],
-        filter=(pc.field("c_mktsegment") == "BUILDING"),
-    ).select_columns(["c_custkey"])
+    cust_keys = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in ray.data.read_parquet(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_mktsegment"],
+                filter=(pc.field("c_mktsegment") == "BUILDING"),
+            )
+            .select_columns(["c_custkey"])
+            .iter_batches(batch_format="pyarrow", batch_size=65536)
+        ]
+    ).column("c_custkey")
+    keys_ref = ray.put(cust_keys.combine_chunks())
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -350,6 +367,10 @@ def q_tpch_q3(sf_dir: str):
         filter=(pc.field("l_shipdate") > cutoff),
     )
 
+    def _semi(b: pa.Table) -> pa.Table:
+        ks = _bcast_get(keys_ref)  # one object-store read per worker
+        return b.filter(pc.is_in(b.column("o_custkey"), value_set=ks))
+
     def _rev(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
@@ -359,7 +380,7 @@ def q_tpch_q3(sf_dir: str):
         )
 
     line = line.map_batches(_rev, batch_format="pyarrow")
-    co = hash_join(orders, cust, key="o_custkey", right_key="c_custkey", how="inner")
+    co = orders.map_batches(_semi, batch_format="pyarrow")
     col = hash_join(
         co.select_columns(["o_orderkey", "o_orderdate"]),
         line,
@@ -1646,7 +1667,7 @@ def q_tpch_q7(sf_dir: str):
     if out.empty:  # no surviving pair rows: mirror the SQL's empty result
         return pd.DataFrame(
             columns=["supp_nation", "cust_nation", "yr", "revenue"]
-        ).astype({"yr": "int64"})
+        ).astype({"yr": "int64", "supp_nation": "object", "cust_nation": "object", "revenue": "float64"})
     out = (
         out.rename(columns={"sum(cents)": "cents"})
         .sort_values(["supp_nation", "cust_nation", "yr"])
@@ -1778,7 +1799,7 @@ def q_tpch_q15(sf_dir: str):
     )
     if rev.empty:  # no lineitems in the window: mirror the SQL's empty result
         return pd.DataFrame(columns=["s_suppkey", "s_name", "total_revenue"]).astype(
-            {"s_suppkey": "int64"}
+            {"s_suppkey": "int64", "s_name": "object", "total_revenue": "float64"}
         )
     rev = rev.rename(columns={"sum(c)": "cents"})
     supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
@@ -1860,7 +1881,7 @@ def q_dormant_customers(sf_dir: str):
     )
     if out.empty:  # nobody dormant: mirror the SQL's empty result
         return pd.DataFrame(columns=["nationkey", "numcust", "totacctbal"]).astype(
-            {"nationkey": "int64", "numcust": "int64"}
+            {"nationkey": "int64", "numcust": "int64", "totacctbal": "float64"}
         )
     out = (
         out.rename(columns={"sum(n)": "numcust", "sum(cents)": "cents"})
@@ -1945,7 +1966,7 @@ def q_late_orders_priority(sf_dir: str):
     )
     if cells.empty:  # no late-shipped orders in the window
         return pd.DataFrame(columns=["o_orderpriority", "order_count"]).astype(
-            {"order_count": "int64"}
+            {"order_count": "int64", "o_orderpriority": "object"}
         )
     cells = (
         cells.rename(columns={"count()": "order_count"})
@@ -2040,7 +2061,7 @@ def q_tpch_q8(sf_dir: str):
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame(columns=["yr", "mkt_share"]).astype({"yr": "int64"})
+        return pd.DataFrame(columns=["yr", "mkt_share"]).astype({"yr": "int64", "mkt_share": "float64"})
     out = out.rename(columns={"sum(cents)": "cents", "sum(target)": "target"})
     out["mkt_share"] = _r(out["target"] / out["cents"], 6)
     out["yr"] = out["yr"].astype("int64")
@@ -2170,7 +2191,10 @@ def q_tpch_q9(sf_dir: str):
     standing in for the absent partsupp supplycost.  Shape: lineitem x
     orders (orderkey -> year) through the partitioned hash_join;
     part price/type and supplier->nation broadcast; integer-cent exact
-    per-cell folds."""
+    per-cell folds.  Fixture-adapted, NOT spec-conformant: the synthetic
+    schema has no partsupp table, so 0.5*p_retailprice substitutes for
+    ps_supplycost — do not read these outputs as TPC-H validation
+    numbers."""
     from ..stages.joins import hash_join
 
     part = _read(
@@ -2257,7 +2281,10 @@ def q_tpch_q9(sf_dir: str):
 
 
 def q_tpch_q1(sf_dir: str):
-    """Full TPC-H Q1 pricing summary (shipdate <= 2000-09-02): per
+    """TPC-H-Q1-SHAPED pricing summary — fixture-adapted, NOT a
+    spec-conformant TPC-H number: the cutoff is 2000-09-02 (retuned to
+    the synthetic fixture's date range; the spec uses 1998-12-01 minus
+    DELTA days).  Per
     (returnflag, linestatus) the quantity/price sums, the discounted and
     charged revenue (integer-centis per row, so the big sums are exact),
     the three averages and the row count — the canonical scan-heavy

@@ -1376,33 +1376,8 @@ def q_kaplan_meier(sf_dir: str):
     broadcast scalar: the global max ts), then a per-duration groupby;
     the driver folds only the distinct-duration table (bounded by the
     user count, never the event count)."""
-    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    mx = ev.max("ts")
-    mref = ray.put(np.datetime64(mx, "us"))
-
-    def fold(b: pa.Table, _m=mref) -> pa.Table:
-        m = ray.get(_m).astype("int64")
-        df = b.select(["ts", "event_type"]).to_pandas().sort_values("ts")
-        sg = df[df["event_type"] == "signup"]
-        if sg.empty:
-            return pa.table(
-                {"dur": pa.array([], pa.int64()), "ev": pa.array([], pa.int64())}
-            )
-        t0 = sg["ts"].iloc[0]
-        pu = df[(df["event_type"] == "purchase") & (df["ts"] > t0)]
-        t0us = np.datetime64(t0, "us").astype("int64")
-        if pu.empty:
-            dur, evt = int(m - t0us), 0
-        else:
-            dur = int(np.datetime64(pu["ts"].iloc[0], "us").astype("int64") - t0us)
-            evt = 1
-        return pa.table(
-            {"dur": pa.array([dur], pa.int64()), "ev": pa.array([evt], pa.int64())}
-        )
-
     obs = (
-        ev.groupby("user_id")
-        .map_groups(fold, batch_format="pyarrow")
+        _survival_durations(sf_dir)  # shared censoring convention
         .groupby("dur")
         .aggregate(Sum("ev", alias_name="d"), Count("ev", alias_name="c"))
         .to_pandas()

@@ -143,48 +143,12 @@ def q_log_rank_test(sf_dir: str):
     groupby; at-risk counts come from searchsorted on the O(users)
     duration arrays driver-side — the event stream itself never leaves
     the cluster un-aggregated."""
-    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    mx = ev.max("ts")
-    mref = ray.put(np.datetime64(mx, "us"))
-
-    def fold(b: pa.Table, _m=mref) -> pa.Table:
-        m = ray.get(_m).astype("int64")
-        df = b.select(["user_id", "ts", "event_type"]).to_pandas().sort_values("ts")
-        sg = df[df["event_type"] == "signup"]
-        if sg.empty:
-            return pa.table(
-                {
-                    "g": pa.array([], pa.int64()),
-                    "dur": pa.array([], pa.int64()),
-                    "ev": pa.array([], pa.int64()),
-                }
-            )
-        t0 = sg["ts"].iloc[0]
-        pu = df[(df["event_type"] == "purchase") & (df["ts"] > t0)]
-        t0us = np.datetime64(t0, "us").astype("int64")
-        if pu.empty:
-            dur, evt = int(m - t0us), 0
-        else:
-            dur = int(np.datetime64(pu["ts"].iloc[0], "us").astype("int64") - t0us)
-            evt = 1
-        g = int(df["user_id"].iloc[0]) % 2
-        return pa.table(
-            {
-                "g": pa.array([g], pa.int64()),
-                "dur": pa.array([dur], pa.int64()),
-                "ev": pa.array([evt], pa.int64()),
-            }
-        )
-
-    obs = (
-        ev.groupby("user_id")
-        .map_groups(fold, batch_format="pyarrow")
-        .to_pandas()
-    )
+    obs = _survival_durations(sf_dir).to_pandas()  # shared convention
+    obs["g"] = obs["user_id"].to_numpy(np.int64) % 2
     if obs.empty or int(obs["ev"].sum()) == 0:
         return pd.DataFrame(
             columns=["n_times", "o1", "e1", "v", "chi2"]
-        ).astype({"n_times": "int64", "o1": "int64"})
+        ).astype({"n_times": "int64", "o1": "int64", "e1": "float64", "v": "float64", "chi2": "float64"})
     durs_all = np.sort(obs["dur"].to_numpy(np.int64))
     durs_g1 = np.sort(obs.loc[obs["g"] == 1, "dur"].to_numpy(np.int64))
     evts = obs[obs["ev"] == 1]
@@ -289,7 +253,7 @@ def q_periodogram(sf_dir: str):
     x = d["n"].to_numpy(np.float64)
     m = len(x)
     if m == 0:
-        return pd.DataFrame(columns=["period", "power"]).astype({"period": "int64"})
+        return pd.DataFrame(columns=["period", "power"]).astype({"period": "int64", "power": "float64"})
     mu = float(x.sum()) / m
     xc = x - mu
     t = np.arange(m, dtype=np.float64)
@@ -360,7 +324,7 @@ def q_pettitt_test(sf_dir: str):
     if m < 2:
         return pd.DataFrame(
             columns=["change_day", "m", "k_stat", "p_approx"]
-        ).astype({"m": "int64"})
+        ).astype({"m": "int64", "change_day": "float64", "k_stat": "float64", "p_approx": "float64"})
     x = d["n"].to_numpy(np.float64)
     # average ranks with ties (1-based)
     r = pd.Series(x).rank(method="average").to_numpy(np.float64)
@@ -797,7 +761,7 @@ def q_gumbel_maxima(sf_dir: str):
     if n < 2:
         return pd.DataFrame(
             columns=["n_days", "loc", "scale", "rl_30", "rl_365"]
-        ).astype({"n_days": "int64"})
+        ).astype({"n_days": "int64", "loc": "float64", "scale": "float64", "rl_30": "float64", "rl_365": "float64"})
     mu = float(x.sum()) / n
     var = float(((x - mu) ** 2).sum()) / (n - 1)
     gamma = 0.5772156649015329
@@ -1056,7 +1020,7 @@ def q_seasonal_strength(sf_dir: str):
     if m < 8:
         return pd.DataFrame(
             columns=["n_interior", "var_detrended", "var_remainder", "strength"]
-        ).astype({"n_interior": "int64"})
+        ).astype({"n_interior": "int64", "var_detrended": "float64", "var_remainder": "float64", "strength": "float64"})
     x = d["n"].to_numpy(np.float64)
     # centered 7-day moving average on the interior t in [3, m-4]
     kernel = np.ones(7) / 7.0
@@ -1479,7 +1443,7 @@ def q_jackknife_mean(sf_dir: str):
     if m < 2:
         return pd.DataFrame(
             columns=["m_days", "mean_all", "theta_dot", "se_jack"]
-        ).astype({"m_days": "int64"})
+        ).astype({"m_days": "int64", "mean_all": "float64", "theta_dot": "float64", "se_jack": "float64"})
     s_tot = float(d["s"].sum())
     n_tot = float(d["n"].sum())
     theta = (s_tot - d["s"].to_numpy(np.float64)) / (n_tot - d["n"].to_numpy(np.float64))
@@ -1535,7 +1499,7 @@ def q_wilcoxon_signed_rank(sf_dir: str):
     n = len(d)
     if n == 0:
         return pd.DataFrame(columns=["n_pairs", "w_plus", "z"]).astype(
-            {"n_pairs": "int64"}
+            {"n_pairs": "int64", "w_plus": "float64", "z": "float64"}
         )
     ad = np.abs(d)
     r = pd.Series(ad).rank(method="average").to_numpy(np.float64)
@@ -1566,7 +1530,7 @@ def q_ljung_box(sf_dir: str):
     m = len(x)
     if m < 9:
         return pd.DataFrame(columns=["m_days", "df", "q_stat"]).astype(
-            {"m_days": "int64", "df": "int64"}
+            {"m_days": "int64", "df": "int64", "q_stat": "float64"}
         )
     mu = float(x.sum()) / m
     xc = x - mu
@@ -1599,7 +1563,7 @@ def q_xmr_control(sf_dir: str):
     if m < 2:
         return pd.DataFrame(
             columns=["day", "n", "center", "lcl", "ucl", "ooc"]
-        ).astype({"n": "int64", "ooc": "int64"})
+        ).astype({"n": "int64", "ooc": "int64", "day": "float64", "center": "float64", "lcl": "float64", "ucl": "float64"})
     center = float(x.sum()) / m
     mr = float(np.abs(np.diff(x)).sum()) / (m - 1)
     lcl, ucl = center - 2.66 * mr, center + 2.66 * mr
@@ -1951,7 +1915,7 @@ def q_turning_points(sf_dir: str):
     if m < 3:
         return pd.DataFrame(
             columns=["m_days", "n_turning", "expected", "z"]
-        ).astype({"m_days": "int64", "n_turning": "int64"})
+        ).astype({"m_days": "int64", "n_turning": "int64", "expected": "float64", "z": "float64"})
     a, b, c = x[:-2], x[1:-1], x[2:]
     t = int((((b > a) & (b > c)) | ((b < a) & (b < c))).sum())
     e = 2.0 * (m - 2) / 3.0
@@ -2908,7 +2872,7 @@ def q_white_test(sf_dir: str):
     m = len(x)
     if m < 4:
         return pd.DataFrame(columns=["m_days", "r2_aux", "white_stat"]).astype(
-            {"m_days": "int64"}
+            {"m_days": "int64", "r2_aux": "float64", "white_stat": "float64"}
         )
     t = np.arange(m, dtype=np.float64)
     # main OLS
@@ -2948,7 +2912,7 @@ def q_kleinberg_bursts(sf_dir: str, gamma: float = 1.0):
     m = len(x)
     if m == 0:
         return pd.DataFrame(columns=["day", "n", "margin", "burst"]).astype(
-            {"n": "int64", "burst": "int64"}
+            {"n": "int64", "burst": "int64", "day": "float64", "margin": "float64"}
         )
     lam0 = float(x.sum()) / m
     lam1 = 2.0 * lam0
@@ -2983,7 +2947,7 @@ def q_pacf_profile(sf_dir: str):
     x = d["n"].to_numpy(np.float64)
     m = len(x)
     if m < 5:
-        return pd.DataFrame(columns=["lag", "pacf"]).astype({"lag": "int64"})
+        return pd.DataFrame(columns=["lag", "pacf"]).astype({"lag": "int64", "pacf": "float64"})
     mu = float(x.sum()) / m
     xc = x - mu
     den = float((xc * xc).sum())
@@ -3013,7 +2977,7 @@ def q_ar1_forecast(sf_dir: str):
     if m < 3:
         return pd.DataFrame(
             columns=["m_days", "phi", "c", "forecast", "innovation_var", "half_life"]
-        ).astype({"m_days": "int64"})
+        ).astype({"m_days": "int64", "phi": "float64", "c": "float64", "forecast": "float64", "innovation_var": "float64", "half_life": "float64"})
     mu = float(x.sum()) / m
     xc = x - mu
     den = float((xc * xc).sum())
@@ -3413,7 +3377,7 @@ def q_lindley_queue(sf_dir: str, service_s: float = 1800.0):
     if n == 0:
         return pd.DataFrame(
             columns=["n_jobs", "busy_frac", "mean_wait_s", "max_wait_s"]
-        ).astype({"n_jobs": "int64"})
+        ).astype({"n_jobs": "int64", "busy_frac": "float64", "mean_wait_s": "float64", "max_wait_s": "float64"})
     w = 0.0
     tot = mx = 0.0
     busy = 0
@@ -4311,7 +4275,7 @@ def q_binseg_proportion(sf_dir: str):
     )
     m = len(d)
     if m < 2:
-        return pd.DataFrame(columns=["split_day", "g2"]).astype({})
+        return pd.DataFrame(columns=["split_day", "g2"]).astype({"split_day": "float64", "g2": "float64"})
     k = d["k"].to_numpy(np.float64)
     n = d["n"].to_numpy(np.float64)
 

@@ -127,33 +127,8 @@ def q_nelson_aalen(sf_dir: str):
     exp(-H) is the KM curve's asymptotic twin.  Shape: identical
     groupby(user) duration fold; the O(distinct durations) cumulative
     fold is driver-side, window-sum mirror."""
-    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    mx = ev.max("ts")
-    mref = ray.put(np.datetime64(mx, "us"))
-
-    def fold(b: pa.Table, _m=mref) -> pa.Table:
-        m = ray.get(_m).astype("int64")
-        df = b.select(["ts", "event_type"]).to_pandas().sort_values("ts")
-        sg = df[df["event_type"] == "signup"]
-        if sg.empty:
-            return pa.table(
-                {"dur": pa.array([], pa.int64()), "ev": pa.array([], pa.int64())}
-            )
-        t0 = sg["ts"].iloc[0]
-        pu = df[(df["event_type"] == "purchase") & (df["ts"] > t0)]
-        t0us = np.datetime64(t0, "us").astype("int64")
-        if pu.empty:
-            dur, evt = int(m - t0us), 0
-        else:
-            dur = int(np.datetime64(pu["ts"].iloc[0], "us").astype("int64") - t0us)
-            evt = 1
-        return pa.table(
-            {"dur": pa.array([dur], pa.int64()), "ev": pa.array([evt], pa.int64())}
-        )
-
     obs = (
-        ev.groupby("user_id")
-        .map_groups(fold, batch_format="pyarrow")
+        _survival_durations(sf_dir)  # shared censoring convention
         .groupby("dur")
         .aggregate(Sum("ev", alias_name="d"), Count("ev", alias_name="c"))
         .to_pandas()
@@ -194,7 +169,7 @@ def q_sax_symbols(sf_dir: str, segments: int = 8):
     if m < segments:
         return pd.DataFrame(
             columns=["segment", "paa", "symbol"]
-        ).astype({"segment": "int64"})
+        ).astype({"segment": "int64", "paa": "float64", "symbol": "object"})
     mu = float(x.sum()) / m
     sd = float(np.sqrt(((x - mu) ** 2).sum() / m))
     z = (x - mu) / sd if sd > 0 else np.zeros(m)
@@ -271,46 +246,13 @@ def q_harrell_c(sf_dir: str):
     duration fold, then the O(n^2) pair count collapses to cohort-level
     prefix sums over the sorted duration table (never a pairs join):
     driver fold on O(distinct durations) cells."""
-    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-    mx = ev.max("ts")
-    mref = ray.put(np.datetime64(mx, "us"))
-
-    def fold(b: pa.Table, _m=mref) -> pa.Table:
-        m = ray.get(_m).astype("int64")
-        df = b.select(["user_id", "ts", "event_type"]).to_pandas().sort_values("ts")
-        sg = df[df["event_type"] == "signup"]
-        if sg.empty:
-            return pa.table(
-                {
-                    "g": pa.array([], pa.int64()),
-                    "dur": pa.array([], pa.int64()),
-                    "ev": pa.array([], pa.int64()),
-                }
-            )
-        t0 = sg["ts"].iloc[0]
-        pu = df[(df["event_type"] == "purchase") & (df["ts"] > t0)]
-        t0us = np.datetime64(t0, "us").astype("int64")
-        if pu.empty:
-            dur, evt = int(m - t0us), 0
-        else:
-            dur = int(np.datetime64(pu["ts"].iloc[0], "us").astype("int64") - t0us)
-            evt = 1
-        g = int(df["user_id"].iloc[0]) % 2
-        return pa.table(
-            {
-                "g": pa.array([g], pa.int64()),
-                "dur": pa.array([dur], pa.int64()),
-                "ev": pa.array([evt], pa.int64()),
-            }
-        )
-
     obs = (
-        ev.groupby("user_id")
-        .map_groups(fold, batch_format="pyarrow")
+        _survival_durations(sf_dir)  # shared censoring convention
         .to_pandas()
         .sort_values("dur")
         .reset_index(drop=True)
     )
+    obs["g"] = obs["user_id"].to_numpy(np.int64) % 2
     # prefix counts: for each EVENT at dur t, the later set is everyone
     # with dur > t; concordant when the event is in g=1 and the later
     # member in g=0 (higher risk fails first), tied-score pairs count 1/2
@@ -915,7 +857,7 @@ def q_gompertz_fit(sf_dir: str):
     keep = frac < 1.0
     if keep.sum() < 2:
         return pd.DataFrame(columns=["n_hours", "k_cap", "b", "c"]).astype(
-            {"n_hours": "int64", "k_cap": "int64"}
+            {"n_hours": "int64", "k_cap": "int64", "b": "float64", "c": "float64"}
         )
     y = np.log(-np.log(frac[keep]))
     x = t[keep]
@@ -965,7 +907,7 @@ def q_weibull_hazard(sf_dir: str):
     n = len(durs)
     if n < 3:
         return pd.DataFrame(columns=["n_events", "shape_k", "scale_days"]).astype(
-            {"n_events": "int64"}
+            {"n_events": "int64", "shape_k": "float64", "scale_days": "float64"}
         )
     i = np.arange(1, n + 1, dtype=np.float64)
     y = np.log(-np.log(1.0 - (i - 0.3) / (n + 0.4)))
@@ -1235,7 +1177,7 @@ def q_var_cvar(sf_dir: str):
     )
     if len(d) < 3:
         return pd.DataFrame(columns=["n_deltas", "var95", "cvar95"]).astype(
-            {"n_deltas": "int64"}
+            {"n_deltas": "int64", "var95": "float64", "cvar95": "float64"}
         )
     delta = np.diff(d["c"].to_numpy(np.int64)) / 100.0
     srt = np.sort(delta)
@@ -1795,7 +1737,7 @@ def q_ttt_statistic(sf_dir: str):
     n = len(gg)
     if n < 3:
         return pd.DataFrame(columns=["n_gaps", "ttt_stat"]).astype(
-            {"n_gaps": "int64"}
+            {"n_gaps": "int64", "ttt_stat": "float64"}
         )
     tot = float(gg.sum())
     prev = 0.0
@@ -1825,7 +1767,7 @@ def q_grubbs_test(sf_dir: str):
     m = len(x)
     if m < 3:
         return pd.DataFrame(columns=["day", "m_days", "g_stat"]).astype(
-            {"m_days": "int64"}
+            {"m_days": "int64", "day": "float64", "g_stat": "float64"}
         )
     mu = float(x.sum()) / m
     s = float(np.sqrt(((x - mu) ** 2).sum() / (m - 1)))
@@ -1853,7 +1795,7 @@ def q_cooks_distance(sf_dir: str, k: int = 3):
     m = len(x)
     if m < 4:
         return pd.DataFrame(columns=["rank", "day", "cooks_d"]).astype(
-            {"rank": "int64"}
+            {"rank": "int64", "day": "float64", "cooks_d": "float64"}
         )
     t = np.arange(m, dtype=np.float64)
     tb, xb = t.mean(), x.mean()
@@ -1888,7 +1830,7 @@ def q_newey_west_se(sf_dir: str, lags: int = 3):
     if m < lags + 2:
         return pd.DataFrame(
             columns=["m_days", "se_naive", "se_hac", "inflation"]
-        ).astype({"m_days": "int64"})
+        ).astype({"m_days": "int64", "se_naive": "float64", "se_hac": "float64", "inflation": "float64"})
     mu = float(x.sum()) / m
     xc = x - mu
     gamma0 = float((xc * xc).sum()) / m

@@ -1645,7 +1645,7 @@ def q_spectral_entropy(sf_dir: str):
     if len(p) == 0 or float(p["power"].sum()) <= 0:
         return pd.DataFrame(
             columns=["n_periods", "entropy", "entropy_norm"]
-        ).astype({"n_periods": "int64"})
+        ).astype({"n_periods": "int64", "entropy": "float64", "entropy_norm": "float64"})
     pw = p.sort_values("period")["power"].to_numpy(np.float64)
     tot = float(pw.sum())
     h = 0.0

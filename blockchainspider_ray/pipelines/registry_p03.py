@@ -4369,3 +4369,10 @@ ORACLE_SQL["newey_west_se"] = """
                AS inflation
     FROM acc
 """
+
+
+# pivot-sampled Brandes (VERDICT r3 #6): approximation — pinned by
+# tests/test_betweenness.py, no SQL mirror
+from .q_graph import q_betweenness_sampled  # noqa: F401,E402
+
+NOSQL_QUERIES["betweenness_sampled"] = q_betweenness_sampled
