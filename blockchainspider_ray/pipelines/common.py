@@ -666,8 +666,17 @@ def _link_edges(sf_dir: str) -> "ray.data.Dataset":
 
     from ..stages.parse import extract_links_stage
 
-    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
-    key = (sf_dir, job)
+    # session NAME, not job id: in local mode every ray.init() restarts
+    # job numbering at 01000000, so a shutdown+init in one process (the
+    # test suite's periodic Ray recycle) would collide the memo key and
+    # serve object refs whose owner died with the old session
+    sess = None
+    if ray.is_initialized():
+        try:
+            sess = ray._private.worker.global_worker.node.session_name
+        except Exception:
+            sess = ray.get_runtime_context().get_job_id()
+    key = (sf_dir, sess)
     cached = _LINK_EDGES_MEMO.get(key)
     if cached is not None:
         return cached

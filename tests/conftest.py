@@ -43,6 +43,16 @@ def _clear_shared_actor_caches() -> None:
             SeenSet._shared_actors.clear()
     except Exception:
         pass
+    try:
+        # session-scoped memos that may hold Datasets / object refs /
+        # broadcast handles owned by the dying session
+        from blockchainspider_ray.pipelines import common as _qc
+
+        _qc._LINK_EDGES_MEMO.clear()
+        _qc._STAGE_CACHE.clear()
+        _qc._BCAST_CACHE.clear()
+    except Exception:
+        pass
 
 
 @pytest.fixture(scope="session", autouse=True)
