@@ -225,7 +225,10 @@ def curation_bench(store: str) -> dict:
     import ray
 
     t0 = time.perf_counter()
-    units = _parse_units(store, rgs_per_unit=RGS_PER_UNIT or 4)
+    # 8 rg/unit measured best for the curation pass (42k vs 34k docs/s at
+    # 4 — the tokenize-heavy scorer amortizes per-task setup over more
+    # rows; bulk ingest keeps its own r2-calibrated 4)
+    units = _parse_units(store, rgs_per_unit=RGS_PER_UNIT or 8)
 
     def score_unit(batch):
         import os as _os
