@@ -1274,11 +1274,12 @@ class CrawlEngine:
                 self.strategy.prepare_pop(c.pop_k)
             _lap("push")
 
-            if new_found:
-                keep = pc.is_in(texts.column("url"), value_set=pa.array(new_found))
-                self._write_round_outputs(texts.filter(keep), edges)
-            else:
-                self._write_round_outputs(texts.slice(0, 0), edges)
+            if self.config.out_dir:  # don't filter tables nobody writes
+                if new_found:
+                    keep = pc.is_in(texts.column("url"), value_set=pa.array(new_found))
+                    self._write_round_outputs(texts.filter(keep), edges)
+                else:
+                    self._write_round_outputs(texts.slice(0, 0), edges)
             _lap("write")
             m["stage_s"] = stage_s
             m["elapsed_s"] = time.perf_counter() - t0
