@@ -139,7 +139,10 @@ class CrawlConfig:
     # Guarantees preserved: every url fetched at most once, politeness
     # budget enforced per round, final fetch SET identical on exhaustive
     # crawls (tests/test_engine_tabular.py); per-round composition and
-    # therefore max_fetches cutoffs may differ from the strict loop.
+    # therefore max_fetches cutoffs may differ from the strict loop —
+    # when the budget trips, up to pipeline_depth submitted rounds are
+    # still in flight, so max_fetches can overshoot by as much as
+    # pipeline_depth x pop_k fetches.
     # Ignored when checkpointing (a checkpoint must capture whole rounds).
     pipeline: bool = False
     pipeline_min_pop: int = 512
@@ -1079,9 +1082,12 @@ class CrawlEngine:
         while True:
             if c.max_fetches is not None:
                 if pipelined:
-                    # throughput mode: check the exact count only (the
-                    # in-flight round may overshoot the budget by up to
-                    # one partial round — documented in CrawlConfig)
+                    # throughput mode: check the exact count only.  Up to
+                    # pipeline_depth rounds are already in flight when the
+                    # budget trips (their fetches are submitted and cannot
+                    # be recalled), so the overshoot bound is
+                    # pipeline_depth x pop_k fetches, not one partial
+                    # round — documented in CrawlConfig.
                     if self.fetched >= c.max_fetches:
                         flush()
                         break

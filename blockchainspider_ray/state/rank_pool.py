@@ -229,6 +229,17 @@ class RankPool:
             if reuse_actors:
                 shards = RankPool._shared_shards.get(num_shards)
                 if shards is not None:
+                    # retire any previous crawl's push actor first: its
+                    # fire-and-forget claims/applies toward these shards
+                    # have no ordering vs our reset wave (different
+                    # caller) — a stale claim landing post-reset would
+                    # corrupt the fresh crawl's state
+                    try:
+                        from ..strategies.sharded import flush_cached_push_actors
+
+                        flush_cached_push_actors()
+                    except Exception:
+                        pass
                     try:  # liveness probe + state reset in one wave
                         ray.get([s.reset.remote() for s in shards])
                     except Exception:

@@ -49,9 +49,20 @@ class _ChunkQueue:
         return c
 
     def __bool__(self) -> bool:
-        return any(c[2] < len(self._sized(c)[0]) for c in self._chunks)
+        """Non-blocking truthiness: an unresolved ObjectRef chunk counts
+        as non-empty WITHOUT waiting for its producing push task (it may
+        resolve to an empty payload — acceptable false-positive: the next
+        pop drains it as a no-op).  Keeps frontier truthiness probes safe
+        while a pipelined round's push is still in flight."""
+        return any(
+            type(c[0]).__name__ == "ObjectRef" or c[2] < len(c[0])
+            for c in self._chunks
+        )
 
     def __len__(self) -> int:
+        """Exact remaining entries.  BLOCKS on any unresolved ObjectRef
+        chunk (the size is unknowable until the producing push task
+        finishes) — use ``bool()`` for a non-blocking emptiness probe."""
         return sum(len(self._sized(c)[0]) - c[2] for c in self._chunks)
 
     def extend_chunk(self, urls, depths) -> None:

@@ -153,6 +153,23 @@ import ray as _ray
 _PUSH_ACTOR_CACHE: Dict[Any, Any] = {}  # shard-identity -> live push actor
 
 
+def flush_cached_push_actors() -> None:
+    """Barrier every cached push actor's fire-and-forget shard mutations.
+
+    Called by RankPool.__init__'s reuse path BEFORE it resets shared shard
+    actors for a fresh crawl: the previous crawl's push actor may still
+    have unordered claim_many/apply_deltas submissions in flight toward
+    those same shards, and the driver's reset wave is a different caller
+    (no Ray ordering) — an unflushed stale claim landing after reset would
+    mark nodes visited / zero values in the new crawl's state.  arrival()
+    flushes the actor's attached pool."""
+    for actor in list(_PUSH_ACTOR_CACHE.values()):
+        try:
+            _ray.get(actor.arrival.remote())
+        except Exception:
+            pass  # dead actor: reuse probe will respawn shards anyway
+
+
 @_ray.remote(num_cpus=0)
 class _HaircutPushActor:
     """Off-driver home of ShardedHaircut's per-round cascade replay
@@ -175,7 +192,13 @@ class _HaircutPushActor:
 
     def reset_state(self, shard_handles, arrival0: int) -> bool:
         """Re-arm a REUSED actor for a fresh crawl (same process, new or
-        reset shard set) — spawning this actor costs a polars import."""
+        reset shard set) — spawning this actor costs a polars import.
+        Flush the OLD pool first: its fire-and-forget submissions from the
+        previous crawl must land before the new crawl reads/reset state
+        (same race class as flush_cached_push_actors)."""
+        old = getattr(self, "pool", None)
+        if old is not None:
+            old.flush()
         self.pool = RankPool.attached(shard_handles)
         self._arrival = int(arrival0)
         return True
@@ -263,6 +286,11 @@ class ShardedHaircut(FrontierStrategy):
         self._arrival = 0
         self._push_actor = None  # lazy off-driver cascade home (use_ray)
         self._pending_push = None  # in-flight push_round ref (actor mode)
+        # True while the push actor may hold UN-FLUSHED fire-and-forget
+        # shard mutations (its push_round applies/claims) whose push_round
+        # ref the driver already consumed — _barrier_push must still
+        # flush the actor (arrival()) before any driver-side shard read
+        self._actor_dirty = False
         self._prefetch = None
         self._last_k = None  # engine pop_k, remembered for fused push+scan
         self._just_claimed = None  # nodes parked by the latest pop_batch
@@ -317,13 +345,22 @@ class ShardedHaircut(FrontierStrategy):
         """Wait for the in-flight off-driver push (if any), adopt its
         arrival counter, and hard-barrier the actor's fire-and-forget
         applies (arrival() flushes) — after this, driver-side pool reads
-        observe every applied delta."""
+        observe every applied delta.  Also barriers when a fused
+        push_round's ref was already consumed by pop_batch but the
+        actor's own fire-and-forget shard submissions (applies + claims)
+        were never flushed (_actor_dirty): a driver->shard read is a
+        different caller than the actor, so without the flush it has no
+        ordering guarantee vs those in-flight mutations."""
         if self._pending_push is not None:
             res = _ray.get(self._pending_push)
             self._arrival = res[0] if isinstance(res, tuple) else res
             self._pending_push = None
             if self._push_actor is not None:
                 self._arrival = _ray.get(self._push_actor.arrival.remote())
+            self._actor_dirty = False
+        elif getattr(self, "_actor_dirty", False) and self._push_actor is not None:
+            self._arrival = _ray.get(self._push_actor.arrival.remote())
+            self._actor_dirty = False
 
     def _detach_actor(self) -> None:
         """Fold the actor's state back into the driver (mixed
@@ -344,6 +381,7 @@ class ShardedHaircut(FrontierStrategy):
         st = dict(self.__dict__)
         st["_push_actor"] = None
         st["_pending_push"] = None
+        st["_actor_dirty"] = False
         st["_prefetch"] = None
         st["_just_claimed"] = None
         return st
@@ -413,6 +451,10 @@ class ShardedHaircut(FrontierStrategy):
             _, pk, ref = pre
             self._arrival, fused = _ray.get(ref)
             self._pending_push = None  # the fused call WAS the push
+            # the fused call's shard applies + claims are fire-and-forget
+            # INSIDE the actor and not yet flushed — later driver-side
+            # shard reads must barrier through the actor (arrival())
+            self._actor_dirty = True
             nodes, weights = (fused if fused is not None else (None, None))
             if nodes is None or pk < k:
                 # prepared k too small (or scanless push): hard-barrier
@@ -421,6 +463,7 @@ class ShardedHaircut(FrontierStrategy):
                 # claims, rescan fresh
                 if self._push_actor is not None:
                     self._arrival = _ray.get(self._push_actor.arrival.remote())
+                    self._actor_dirty = False
                 if nodes:
                     self.pool.unclaim_many(list(zip(nodes, weights.tolist())))
                 tops = self.pool.top_k(k, self.min_weight, skip_visited=True)
@@ -432,6 +475,7 @@ class ShardedHaircut(FrontierStrategy):
                     # the actor's claims are fire-and-forget)
                     if self._push_actor is not None:
                         self._arrival = _ray.get(self._push_actor.arrival.remote())
+                        self._actor_dirty = False
                     self.pool.unclaim_many(
                         list(zip(nodes[k:], weights[k:].tolist()))
                     )
