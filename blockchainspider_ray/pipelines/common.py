@@ -283,6 +283,22 @@ _STOPWORDS = ("the", "a", "and", "of", "to")
 _KNN_BRUTE_MAX_CORPUS = 1_000_000  # ~0.5 GB at d=64 float64 — broadcast bound
 
 
+def _guard_brute_corpus(n: int, name: str) -> None:
+    """Refuse the exact take_all-the-corpus-to-the-driver + broadcast
+    diagnostics above _KNN_BRUTE_MAX_CORPUS rows.  The embeddings table
+    is corpus-sized (one row per document): at 10^10 docs the driver
+    materialization is an OOM, so every brute-force embedding diagnostic
+    must enforce the same bound embedding_knn does and point at the
+    bucket-partitioned IVF/PQ index (stages/similarity.py), which never
+    holds the whole corpus in one heap."""
+    if n > _KNN_BRUTE_MAX_CORPUS:
+        raise ValueError(
+            f"{name} is an exact driver-materialized diagnostic (corpus "
+            f"{n} rows > {_KNN_BRUTE_MAX_CORPUS}); route large corpora "
+            f"through the IVF/PQ scale path (ann_ivf, stages/similarity.py)"
+        )
+
+
 def _minhash_sig_cte(num_perm: int = 64, k: int = 3) -> str:
     """Shared CTE chain computing the full-value MinHash mirror, ending in
     ``sig(doc_id, perm_id, minhash)``.  The permutation coefficients come
@@ -1994,6 +2010,7 @@ __all__ = [  # explicit so underscore helpers star-export too
     "_GRAM_C",
     "_gram_h64",
     "_gram_hits",
+    "_guard_brute_corpus",
     "_survival_durations",
     "BETWEENNESS_MAX_NODES",
     "betweenness_sampled_over_edges",

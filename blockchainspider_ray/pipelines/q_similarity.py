@@ -446,6 +446,7 @@ def q_label_knn_accuracy(sf_dir: str):
     baseline; at 10^10 vectors the probe side routes through the IVF
     index (stages/similarity.py) instead."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]).materialize()
+    _guard_brute_corpus(emb.count(), "label_knn_accuracy")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)

@@ -1593,6 +1593,7 @@ def q_twonn_dimension(sf_dir: str):
     partials — the same brute-force-as-oracle-baseline shape as
     q_label_knn_accuracy, with the IVF index as the 10^10-vector path."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    _guard_brute_corpus(emb.count(), "twonn_dimension")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)
@@ -1646,6 +1647,7 @@ def q_medoid_per_label(sf_dir: str):
     emb = _read(
         sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
     ).materialize()
+    _guard_brute_corpus(emb.count(), "medoid_per_label")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)
@@ -1691,6 +1693,7 @@ def q_dunn_index(sf_dir: str):
     emb = _read(
         sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]
     ).materialize()
+    _guard_brute_corpus(emb.count(), "dunn_index")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)
@@ -3819,6 +3822,7 @@ def q_lof_outliers(sf_dir: str, k: int = 3, topn: int = 5):
     emits (point, neighbor, dist) triples; k-distances broadcast back
     for the reach-dist pass — three passes, O(n*k) rows ever shuffled."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    _guard_brute_corpus(emb.count(), "lof_outliers")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)
@@ -3871,6 +3875,7 @@ def q_dbscan_cores(sf_dir: str, eps: float = 4.0, min_pts: int = 4):
     neighborhoods per batch, the core-id set broadcasts back for the
     border pass; only three counters fold."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    _guard_brute_corpus(emb.count(), "dbscan_cores")
     rows = sorted(emb.take_all(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], np.float64)
     ids = np.array([r["vec_id"] for r in rows], np.int64)
