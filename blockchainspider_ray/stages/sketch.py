@@ -120,7 +120,9 @@ class BloomFilter:
         self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
 
     def _indices(self, arr: pa.ChunkedArray) -> np.ndarray:
-        h1 = _hash_column(arr)
+        return self._indices_h1(_hash_column(arr))
+
+    def _indices_h1(self, h1: np.ndarray) -> np.ndarray:
         h2 = _splitmix64(h1 ^ _U64(0xA5A5A5A5A5A5A5A5)) | _U64(1)
         with np.errstate(over="ignore"):
             return np.stack(
@@ -132,7 +134,13 @@ class BloomFilter:
         np.bitwise_or.at(self.bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
 
     def contains(self, arr: pa.ChunkedArray) -> np.ndarray:
-        idx = self._indices(arr)
+        return self.contains_h1(_hash_column(arr))
+
+    def contains_h1(self, h1: np.ndarray) -> np.ndarray:
+        """``contains`` over precomputed splitmix64 h1 hashes — callers
+        that also bucket rows by the same hash (stages/joins.py
+        bloom_semi_join) hash each batch exactly once."""
+        idx = self._indices_h1(h1)
         hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
         return hit.all(axis=0)
 

@@ -280,3 +280,51 @@ def test_hash_join_full_outer(ray_session):
     # right-only row keeps its coalesced key with null left payload
     r4 = fj[fj["k"] == 4]
     assert len(r4) == 1 and r4["lv"].isna().all() and r4["rv"].iloc[0] == 30.0
+
+
+def test_bloom_semi_join_exact_int_and_string(ray_session):
+    """bloom_semi_join is an EXACT semi filter: duplicate build keys do
+    not duplicate probe rows, false positives are confirmed away, and
+    string keys route through the np.isin bucket path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from blockchainspider_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    probe_keys = rng.integers(0, 10_000, size=5_000)
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array(probe_keys, pa.int64()),
+                  "v": pa.array(np.arange(5_000), pa.int64())})
+    ).repartition(7)
+    build_keys = np.concatenate([rng.integers(0, 10_000, size=800)] * 2)  # dups
+    build = ray.data.from_arrow(pa.table({"bk": pa.array(build_keys, pa.int64())}))
+    out = bloom_semi_join(
+        probe, build, probe_key="k", build_key="bk",
+        m_bits=1 << 12, num_buckets=8, cache_buckets=3,  # tiny bloom -> many FPs to confirm away
+    ).to_pandas()
+    keep = set(build_keys.tolist())
+    exp = sorted(v for k, v in zip(probe_keys, range(5_000)) if k in keep)
+    assert sorted(out["v"]) == exp  # exact, no dup expansion
+
+    sprobe = ray.data.from_arrow(
+        pa.table({"s": pa.array([f"u{i%50}" for i in range(400)]),
+                  "v": pa.array(list(range(400)), pa.int64())})
+    ).repartition(3)
+    sbuild = ray.data.from_arrow(pa.table({"s": pa.array([f"u{i}" for i in range(0, 50, 5)])}))
+    sout = bloom_semi_join(sprobe, sbuild, probe_key="s", m_bits=1 << 12, num_buckets=4).to_pandas()
+    assert sorted(sout["v"]) == sorted(v for v in range(400) if (v % 50) % 5 == 0)
+
+
+def test_bloom_semi_join_build_cap_refuses(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from blockchainspider_ray.stages.joins import bloom_semi_join
+
+    probe = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    build = ray.data.from_arrow(pa.table({"k": pa.array(list(range(100)), pa.int64())}))
+    with pytest.raises(ValueError, match="hash_join"):
+        bloom_semi_join(probe, build, probe_key="k", build_max_rows=10)
