@@ -93,6 +93,14 @@ def _write_round_refs(
     pq.write_table(t, d / f"round={round_no:04d}.parquet")
 
 
+@ray.remote(num_cpus=0)
+def _count_edge_rows(*tabs) -> int:
+    """Row tally over the round's edge tables (resolved zero-copy from
+    local plasma) — the tabular weight loop's metrics source; the tables
+    themselves go to the push actor, never the driver."""
+    return sum(t.num_rows for t in tabs)
+
+
 @dataclass
 class CrawlConfig:
     strategy: str = "bfs"
@@ -108,6 +116,14 @@ class CrawlConfig:
     max_rounds: int = 1000
     max_fetches: Optional[int] = None
     include_scripts: bool = True
+    # Initial mass for seeds BEYOND seeds[0] on weight strategies (the
+    # strategy's own source always starts at 1.0).  None preserves the
+    # reference's single-source semantics: extra seeds fetch once but
+    # scatter zero weight.  A production-scale weight crawl starts from a
+    # seed LIST (same rationale as the BFS deep-seed scaling job), so the
+    # multi-source generalization gives each seed this starting mass.
+    # Honored only by strategies that declare SEED_MASS_TAG.
+    seed_mass: Optional[float] = None
     seen_shards: int = 4
     seen_capacity: int = 1 << 20
     seen_backend: str = "cuckoo"
@@ -144,6 +160,14 @@ class CrawlConfig:
     # still in flight, so max_fetches can overshoot by as much as
     # pipeline_depth x pop_k fetches.
     # Ignored when checkpointing (a checkpoint must capture whole rounds).
+    # WEIGHT strategies (tabular loop) also honor pipeline=True: the next
+    # pop's scan+claim is submitted AHEAD of the round's cascade (actor
+    # FIFO), so pops read one-round-STALE weights and the driver never
+    # waits on the cascade.  Guarantees: claims stay atomic (no node
+    # fetched twice), and on exhaustive crawls the final fetch SET equals
+    # the strict loop's (weights only accumulate until claimed) — pinned
+    # by tests/test_engine_weight_tabular.py; per-round pop composition
+    # and budget cutoffs differ from strict BSP.
     pipeline: bool = False
     pipeline_min_pop: int = 512
     pipeline_depth: int = 2  # rounds in flight; >1 lets small partial
@@ -175,9 +199,21 @@ class CrawlResult:
         self.rounds = rounds
         self.fetched = fetched
         self.metrics = metrics
-        self.ranks = ranks
+        # dict, or a zero-arg thunk for lazy gather (see `ranks` property)
+        self._ranks = ranks
         self.order_dir = order_dir
         self.order_rows = order_rows
+
+    @property
+    def ranks(self) -> Dict[str, float]:
+        """Final node ranks.  Gathered LAZILY when the engine handed over
+        a thunk: the full rank gather ships every node's score to the
+        driver (~0.3s serial at 10^5 nodes — pure waste for consumers
+        that only read fetched/rounds/metrics, like the bench), so it
+        runs on first access instead of inside the crawl wall."""
+        if callable(self._ranks):
+            self._ranks = self._ranks()
+        return self._ranks
 
     @property
     def crawl_order(self) -> List[dict]:
@@ -308,14 +344,26 @@ class CrawlEngine:
         # FIFO strategies (BFS/Poison): earlier pops outrank later ones
         return -float(self._arrival)
 
+    def _seed_mass_of(self, url: str):
+        """Candidate mass for a pending seed: CrawlConfig.seed_mass on
+        weight strategies that declare SEED_MASS_TAG — except seeds[0],
+        whose mass already sits in the strategy's pool (the source's 1.0;
+        a candidate mass on top would double-count at restore)."""
+        tag = getattr(self.strategy, "SEED_MASS_TAG", None)
+        if tag is None or self.config.seed_mass is None or url == self.seeds[0]:
+            return None
+        return (tag, float(self.config.seed_mass))
+
     def _pop_candidates(self) -> List[Candidate]:
         cands: List[Candidate] = []
         while self._pending_seeds and len(cands) < self.config.pop_k:
             u = self._pending_seeds.pop(0)
-            cands.append(
-                Candidate(url=u, host=host_of(u), priority=float("inf"),
-                          ctx={}, arrival=self._arrival)
-            )
+            c2 = Candidate(url=u, host=host_of(u), priority=float("inf"),
+                           ctx={}, arrival=self._arrival)
+            sm = self._seed_mass_of(u)
+            if sm is not None:
+                c2.mass = sm
+            cands.append(c2)
             self._arrival += 1
         if hasattr(self.strategy, "pop_batch"):
             # sharded strategies: k pops in O(shards) RPCs, mass pre-parked;
@@ -713,15 +761,113 @@ class CrawlEngine:
             ).iter_rows()
         ]
 
+    # weight-strategy frontier frame: priority IS the pop weight; ``mass``
+    # is the parked mass from the claim (NaN = none: seeds / never-claimed);
+    # ``claimed`` = True only for rows claimed by THIS round's pop (their
+    # pool value is provably 0 — the cascade skips their take wave)
+    _W_FRONTIER_SCHEMA = {
+        "url": pl.Utf8,
+        "host": pl.Utf8,
+        "priority": pl.Float64,
+        "arrival": pl.Int64,
+        "mass": pl.Float64,
+        "claimed": pl.Boolean,
+    }
+
+    def _pop_table_weight(self, k: int) -> "pl.DataFrame":
+        """Seeds + strategy.pop_table as one weight frontier frame —
+        the columnar analogue of the weight branch of
+        :meth:`_pop_candidates` (no Candidate objects, no ctx dicts)."""
+        seed_urls: List[str] = []
+        if self._pending_seeds:
+            ns = min(len(self._pending_seeds), k)
+            seed_urls = self._pending_seeds[:ns]
+            self._pending_seeds = self._pending_seeds[ns:]
+        pop_urls: List[str] = []
+        pop_w = np.zeros(0, dtype=np.float64)
+        if len(seed_urls) < k:
+            pop_urls, pop_w = self.strategy.pop_table(k - len(seed_urls))
+        urls = seed_urls + list(pop_urls)
+        n = len(urls)
+        arrival = np.arange(self._arrival, self._arrival + n, dtype=np.int64)
+        self._arrival += n
+        ns = len(seed_urls)
+        seed_mass = np.full(ns, np.nan)
+        if ns:
+            for i, u in enumerate(seed_urls):
+                sm = self._seed_mass_of(u)
+                if sm is not None:
+                    seed_mass[i] = sm[1]
+        priority = np.concatenate(
+            [np.full(ns, np.inf), np.asarray(pop_w, dtype=np.float64)]
+        )
+        mass = np.concatenate([seed_mass, np.asarray(pop_w, dtype=np.float64)])
+        claimed = np.zeros(n, dtype=bool)
+        claimed[ns:] = True  # popped rows were claimed by the pop itself
+        return pl.DataFrame(
+            {
+                "url": urls,
+                "host": hosts_of_array(urls),
+                "priority": priority,
+                "arrival": arrival,
+                "mass": mass,
+                "claimed": claimed,
+            },
+            schema=self._W_FRONTIER_SCHEMA,
+        )
+
+    def _deferred_to_weight_df(self) -> "pl.DataFrame":
+        """Candidate-list deferred state as a weight frontier frame."""
+        cands = self.deferred
+        self.deferred = []
+        mass = []
+        for c2 in cands:
+            mv = getattr(c2, "mass", None)
+            mass.append(float(mv[1]) if mv is not None else float("nan"))
+        return pl.DataFrame(
+            {
+                "url": [c2.url for c2 in cands],
+                "host": [c2.host for c2 in cands],
+                "priority": [c2.priority for c2 in cands],
+                "arrival": [c2.arrival for c2 in cands],
+                "mass": mass,
+                "claimed": [False] * len(cands),
+            },
+            schema=self._W_FRONTIER_SCHEMA,
+        )
+
+    @staticmethod
+    def _w_df_to_candidates(df: "pl.DataFrame") -> List[Candidate]:
+        """Weight frontier frame -> Candidate list (loop-exit hand-off;
+        the deferred set is the small over-budget tail)."""
+        out = []
+        for u, h, p, a, mv in df.select(
+            ["url", "host", "priority", "arrival", "mass"]
+        ).iter_rows():
+            c2 = Candidate(
+                url=u, host=h, priority=p,
+                ctx=({} if p == float("inf") else {"weight": p}), arrival=a,
+            )
+            if mv is not None and mv == mv:
+                c2.mass = ("haircut", mv)
+            out.append(c2)
+        return out
+
     def _admit_df(
         self, frontier: "pl.DataFrame", budget: int
     ) -> Tuple["pl.DataFrame", "pl.DataFrame"]:
         """Vectorized admit_per_host over a frontier frame: rank within
         host by (priority desc, arrival asc); first ``budget`` (or the
         host's robots Crawl-delay cap) admit; both outputs keep frontier
-        order (== arrival order)."""
-        from ..stages.politeness import _budget_expr
+        order (== arrival order).
 
+        The ranking runs as a numpy kernel: per-round frames are small
+        (pop_k rows), where polars' thread-pool fork/join dominates the
+        expression chain this replaced (measured 1.7-3.0 ms/round vs
+        ~0.2 ms — the dominant driver-serial item of the weight crawl,
+        VERDICT r4 #1).  The math is identical: stable
+        (priority desc, frontier order) sequence, running count per host
+        along it, admit while the count is under the host's cap."""
         host_budgets = (
             self._delay_budgets(frontier["host"].unique().to_list())
             if self.config.obey_robots and frontier.height
@@ -729,21 +875,41 @@ class CrawlEngine:
         )
         if (budget <= 0 and not host_budgets) or frontier.height == 0:
             return frontier, frontier.clear()
-        ranked = (
-            frontier.with_row_index("__i")
-            .sort(["priority", "__i"], descending=[True, False])
-            .with_columns(
-                pl.int_range(pl.len()).over("host").alias("__r"),
-                _budget_expr(budget, host_budgets).alias("__cap"),
+        n = frontier.height
+        pri = frontier["priority"].to_numpy()
+        ord_idx = np.lexsort((np.arange(n), -pri))  # priority desc, stable
+        no_cap = np.iinfo(np.int64).max
+        if host_budgets:
+            # robots Crawl-delay caps need the actual host strings
+            uh, codes = np.unique(frontier["host"].to_numpy(), return_inverse=True)
+            cap_of = np.full(len(uh), budget if budget > 0 else no_cap, dtype=np.int64)
+            for i, h in enumerate(uh):
+                hb = host_budgets.get(h)
+                if hb is not None:
+                    cap_of[i] = hb
+        else:
+            # uniform cap: group hosts by 64-bit hash instead of string
+            # compare (np.unique on object strings is the admit stage's
+            # hot spot, ~0.5ms/round).  A collision merges two hosts'
+            # budget counters — i.e. strictly MORE polite, never less —
+            # with ~2^-64 per-pair probability.
+            hh = frontier["host"].hash(seed=0).to_numpy()
+            uh64, codes = np.unique(hh, return_inverse=True)
+            cap_of = np.full(
+                len(uh64), budget if budget > 0 else no_cap, dtype=np.int64
             )
-        )
-        adm = ranked.filter(pl.col("__r") < pl.col("__cap")).sort("__i").drop(
-            ["__i", "__r", "__cap"]
-        )
-        defer = ranked.filter(pl.col("__r") >= pl.col("__cap")).sort("__i").drop(
-            ["__i", "__r", "__cap"]
-        )
-        return adm, defer
+        cs = codes[ord_idx]
+        sidx = np.argsort(cs, kind="stable")
+        srt = cs[sidx]
+        starts = np.flatnonzero(np.r_[True, srt[1:] != srt[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        rank_in_host = np.empty(n, dtype=np.int64)
+        rank_in_host[sidx] = np.arange(n) - np.repeat(starts, counts)
+        admit_ord = rank_in_host < cap_of[cs]
+        mask = np.empty(n, dtype=bool)
+        mask[ord_idx] = admit_ord
+        s = pl.Series(mask)
+        return frontier.filter(s), frontier.filter(~s)
 
     def _resolve_edge_counts(self, block: bool = True) -> None:
         """Fill deferred per-round edge counts.  ``block=False`` resolves
@@ -1128,6 +1294,221 @@ class CrawlEngine:
         self.deferred = self._df_to_candidates(deferred)
         return self._result()
 
+    def _run_tabular_weight(self) -> CrawlResult:
+        """Columnar BSP round loop for batched weight strategies (VERDICT
+        r4 #1: the scalar loop's per-candidate Python control plane —
+        Candidate objects, ctx dicts, (node, mass, ctx) tuple lists — was
+        the residual 22% driver-serial share of the weight crawl).
+
+        - The frontier lives in polars frames end-to-end (pop_table /
+          _admit_df / columnar order emission) — no per-url Python
+          objects on the driver.
+        - The round's edge tables stay in the object store: the push
+          actor pulls the decode bundles' edge refs itself
+          (push_round_refs), so edge rows never touch the driver; the
+          engine's metrics tally rides a zero-cpu count task.
+        - The fused push+scan+claim actor call is submitted right after
+          the fetch wave, BEFORE the driver collects the round's meta —
+          cascade replay overlaps the fetch wall and the driver's
+          order/write bookkeeping.
+
+        Rounds stay strict BSP (a weight pop depends on the previous
+        round's cascade — there is no pipeline relaxation here) and pop
+        order is IDENTICAL to the scalar loop (pinned by
+        tests/test_engine_weight_tabular.py).  Checkpointed crawls keep
+        the scalar loop: the frame/claim state is not checkpoint-form,
+        the same posture as BFS pipelining."""
+        c = self.config
+        pool = self._get_fetch_pool()
+        deferred = self._deferred_to_weight_df()
+        # pipelined mode: the next pop's scan+claim is submitted BEFORE
+        # the round's cascade (strategy.prepare_pop_stale), so pops are
+        # one round STALE — zero cascade wait on the driver.  Exhaustive
+        # fetch-set equality vs strict is pinned by tests; per-round pop
+        # composition differs (the same relaxation class as BFS
+        # pipeline=True).  Checkpointed crawls never take this loop.
+        pipelined = (
+            c.pipeline and hasattr(self.strategy, "prepare_pop_stale")
+        )
+        while self.round_no < c.max_rounds:
+            if c.max_fetches is not None and self.fetched >= c.max_fetches:
+                break
+            t0 = time.perf_counter()
+            m: Dict[str, Any] = {"round": self.round_no}
+            stage_s: Dict[str, float] = {}
+            t_mark = [t0]
+
+            def _lap(stage: str) -> None:
+                now = time.perf_counter()
+                stage_s[stage] = round(now - t_mark[0], 6)
+                t_mark[0] = now
+
+            if hasattr(self.strategy, "last_pop_wait_s"):
+                self.strategy.last_pop_wait_s = 0.0
+            popped = self._pop_table_weight(c.pop_k)
+            if popped.height == 0 and deferred.height == 0 and pipelined:
+                # a stale scan can come up empty while the in-flight
+                # cascade is still adding mass: barrier + fresh pop
+                # before declaring the frontier exhausted
+                popped = self._pop_table_weight(c.pop_k)
+            frontier = pl.concat([deferred, popped]) if deferred.height else popped
+            m["candidates"] = frontier.height
+            _lap("pop")
+            pw = getattr(self.strategy, "last_pop_wait_s", 0.0)
+            if pw:
+                # state-plane wait (fused actor round trip), not driver
+                # compute — reported apart, as in the scalar loop
+                stage_s["pop"] = round(max(stage_s["pop"] - pw, 0.0), 6)
+                stage_s["pop_wait"] = round(pw, 6)
+            if frontier.height == 0:
+                break
+
+            if c.allowed_hosts is not None:
+                frontier = frontier.filter(pl.col("host").is_in(list(c.allowed_hosts)))
+            if c.obey_robots:
+                before = frontier.height
+                ok = [self.robots.allowed(u) for u in frontier["url"].to_list()]
+                frontier = frontier.filter(pl.Series(ok))
+                m["robots_dropped"] = before - frontier.height
+
+            adm, deferred = self._admit_df(frontier, c.host_budget)
+            if deferred.height:
+                # a deferred row's NEXT-round take must collect whatever
+                # the in-between cascades accumulate on it — clear the
+                # claim flag it carried from its pop round
+                deferred = deferred.with_columns(pl.lit(False).alias("claimed"))
+            m["admitted"], m["deferred"] = adm.height, deferred.height
+            _lap("admit")
+
+            seen_wave = (
+                self.seen.filter_new_async(url_hash64(adm["url"])) if adm.height else None
+            )
+            _lap("seen")
+
+            if adm.height == 0:
+                m["fetched"] = 0
+                m["elapsed_s"] = time.perf_counter() - t0
+                self.metrics.append(m)
+                self._end_round(m)
+                self.round_no += 1
+                continue
+
+            urls = adm["url"].to_list()
+            # refs regime only above the balanced-fetch crossover — the
+            # same size gate the BFS tabular loop applies: small rounds
+            # are faster on the fused per-actor fetch (one RPC per
+            # shard), where the edge table is small enough to hand to the
+            # push actor driver-side
+            use_refs = (
+                len(urls) > pool._balance_threshold()
+                and len(urls) <= c.stream_threshold
+            )
+            texts = edges = None
+            flags = adm["claimed"].to_numpy()
+            if use_refs:
+                # min_bundle_cost=2: BSP rounds have no overlapping wave
+                # to absorb a decode straggler, so the round's wall IS
+                # the last bundle — shatter finer than the pipelined-BFS
+                # default (see _pack_bundles)
+                handle = pool.fetch_parse_submit(
+                    urls, include_scripts=c.include_scripts, min_bundle_cost=2.0
+                )
+                _lap("fetch_submit")
+                if pipelined:
+                    # next pop FIRST (actor FIFO puts it before the
+                    # cascade -> stale by one round, zero driver wait),
+                    # then the push without a fused scan
+                    self.strategy.prepare_pop_stale(c.pop_k)
+                    self.strategy.push_round_refs(
+                        urls, adm["mass"].to_numpy(), handle.edge_refs,
+                        scan_k=None, claimed_flags=flags,
+                    )
+                else:
+                    # cascade + next pop in one fused fire-and-forget
+                    # call (consumed by the next round's pop_table)
+                    self.strategy.push_round_refs(
+                        urls, adm["mass"].to_numpy(), handle.edge_refs,
+                        scan_k=c.pop_k, claimed_flags=flags,
+                    )
+                m["edges"] = -1
+                self._pending_edge_counts.append(
+                    (m, _count_edge_rows.remote(*handle.edge_refs))
+                )
+                _lap("push")
+                meta = handle.collect_meta()
+                _lap("fetch_parse")
+            else:
+                meta, texts, edges = self._fetch_and_parse(urls)
+                _lap("fetch_parse")
+                if pipelined:
+                    self.strategy.prepare_pop_stale(c.pop_k)
+                self.strategy._last_k = c.pop_k  # fused scan size
+                self.strategy.push_round_columnar(
+                    (urls, adm["mass"].to_numpy()),
+                    edges.column("src_url").combine_chunks(),
+                    edges.column("dst_url").combine_chunks(),
+                    claimed_flags=flags,
+                )
+                m["edges"] = edges.num_rows
+                _lap("push")
+            new_mask = seen_wave()
+            # the seen RPCs were submitted before the fetch wall; this
+            # collect is state-plane wait, accounted apart from driver
+            # compute (the pop/pop_wait convention)
+            _lap("seen_wait")
+            m["already_seen"] = int((~new_mask).sum())
+            found_s = pl.Series(
+                "___f", pl.from_arrow(meta.column("url").combine_chunks())
+            )
+            if adm["url"].n_unique() == adm.height:
+                # no url admitted twice this round (the common case):
+                # the OR-fold window and the unique pass are identities
+                uniq = adm.with_columns(
+                    pl.Series("new", new_mask),
+                    pl.col("url").is_in(found_s).alias("found"),
+                )
+            else:
+                uniq = (
+                    adm.with_columns(pl.Series("new", new_mask))
+                    .with_columns(
+                        pl.col("new").max().over("url"),
+                        pl.col("url").is_in(found_s).alias("found"),
+                    )
+                    .unique(subset="url", keep="first", maintain_order=True)
+                )
+            order = uniq.filter(pl.col("new")).select(
+                pl.lit(self.round_no, dtype=pl.Int64).alias("round"),
+                pl.col("arrival").alias("pop_index"),
+                "url",
+                "priority",
+                "found",
+            )
+            m["fetched"] = int(order["found"].sum())
+            m["missing"] = adm.height - int(uniq["found"].sum())
+            self._round_order_tbl = order.to_arrow().cast(self._ORDER_SCHEMA)
+            self.fetched += m["fetched"]
+            self._resolve_edge_counts(block=False)
+            if c.out_dir:
+                nf = order.filter(pl.col("found"))["url"].to_list()
+                if use_refs:
+                    self._write_round_outputs_refs(
+                        handle.text_refs, handle.edge_refs, nf
+                    )
+                elif nf:
+                    keep = pc.is_in(texts.column("url"), value_set=pa.array(nf))
+                    self._write_round_outputs(texts.filter(keep), edges)
+                else:
+                    self._write_round_outputs(texts.slice(0, 0), edges)
+            _lap("write")
+            m["stage_s"] = stage_s
+            m["elapsed_s"] = time.perf_counter() - t0
+            self.metrics.append(m)
+            self._end_round(m)
+            self.round_no += 1
+
+        self.deferred = self._w_df_to_candidates(deferred)
+        return self._result()
+
     # -- main loop --------------------------------------------------------
     def run(self) -> CrawlResult:
         if self.strategy is None and not self.resume():
@@ -1143,6 +1524,19 @@ class CrawlEngine:
             and c.pop_k > c.tabular_threshold
         ):
             return self._run_tabular()
+        if (
+            not self._fifo
+            and hasattr(self.strategy, "pop_table")
+            and hasattr(self.strategy, "push_round_refs")
+            and c.pop_k > c.tabular_threshold
+            and self.ckpt is None
+            and ray.is_initialized()
+            and self._get_fetch_pool() is not None
+        ):
+            # batched weight strategies get the columnar BSP loop (same
+            # pop order as the scalar loop; checkpointed crawls keep the
+            # scalar path — see _run_tabular_weight)
+            return self._run_tabular_weight()
         while self.round_no < c.max_rounds:
             if c.max_fetches is not None and self.fetched >= c.max_fetches:
                 break
@@ -1298,7 +1692,12 @@ class CrawlEngine:
     def _result(self) -> CrawlResult:
         self._resolve_edge_counts()  # fill deferred per-round edge counts
         self._drain_writes()  # all round outputs durable before reporting
-        ranks = dict(self.strategy.get_node_rank()) if self.strategy else {}
+        # lazy: the gather barriers the strategy's pending push and ships
+        # every node's score driver-side — deferred to first .ranks read
+        strategy = self.strategy
+        ranks = (
+            (lambda: dict(strategy.get_node_rank())) if strategy is not None else {}
+        )
         order = self.crawl_order
         order_tables = self._order_tables
         order_dir = None

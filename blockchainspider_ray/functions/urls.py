@@ -112,9 +112,12 @@ def hosts_of_array(urls: Sequence[str]) -> List[str]:
     urlsplit-based scalar, so the result is element-wise identical to
     ``[host_of(u) for u in urls]`` (pinned by tests/test_urls.py).
     """
-    if pl is None or len(urls) < 256:
+    if pl is not None and isinstance(urls, pl.Series):
+        s = urls
+    elif pl is None or len(urls) < 256:
         return [host_of(u) for u in urls]
-    s = pl.Series("u", list(urls), dtype=pl.String)
+    else:
+        s = pl.Series("u", list(urls), dtype=pl.String)
     out = s.str.extract(_HOST_FAST_RE, 1).str.to_lowercase()
     if out.null_count():
         vals = out.to_list()

@@ -492,9 +492,13 @@ class FetchHandle:
     the decode tasks finish and returns the concatenated html-free
     (url, warc_ts) meta table; idempotent."""
 
-    __slots__ = ("meta_refs", "text_refs", "edge_refs", "chunk_refs", "count_refs", "_meta")
+    __slots__ = (
+        "meta_refs", "text_refs", "edge_refs", "chunk_refs", "count_refs",
+        "bundle_urls", "_meta",
+    )
 
-    def __init__(self, meta_refs, text_refs, edge_refs, meta, chunk_refs=None, count_refs=None):
+    def __init__(self, meta_refs, text_refs, edge_refs, meta, chunk_refs=None,
+                 count_refs=None, bundle_urls=None):
         self.meta_refs = meta_refs
         self.text_refs = text_refs
         self.edge_refs = edge_refs
@@ -502,6 +506,10 @@ class FetchHandle:
         # frontier chunk refs + edge-count refs, in bundle order
         self.chunk_refs = chunk_refs
         self.count_refs = count_refs
+        # per-bundle url lists (bundle order == edge_refs order) — lets a
+        # consumer map a url to the edge ref that will carry its edges
+        # (the weight crawl's incremental cascade replay)
+        self.bundle_urls = bundle_urls
         self._meta = meta
 
     def collect_meta(self):
@@ -700,7 +708,8 @@ class FetchPool:
         )
 
     def fetch_parse_submit(
-        self, urls: Sequence[str], include_scripts: bool = True, push_spec=None
+        self, urls: Sequence[str], include_scripts: bool = True, push_spec=None,
+        min_bundle_cost: float = 8.0,
     ):
         """Asynchronous balanced fetch+parse: resolve the urls against the
         sharded hash->row-group index (one fast RPC wave), pack the decode
@@ -727,7 +736,7 @@ class FetchPool:
             for a, pu in sorted(per_actor.items())
         ]
         items = [it for ref in ray.get(item_refs) for it in ref]
-        bundles = self._pack_bundles(items)
+        bundles = self._pack_bundles(items, min_cost=min_bundle_cost)
         if not bundles:
             m, t, e = _empty_triple()
             return FetchHandle(None, [ray.put(t)], [ray.put(e)], m)
@@ -747,10 +756,12 @@ class FetchPool:
                 None,
                 chunk_refs=[o[3] for o in outs],
                 count_refs=[o[4] for o in outs],
+                bundle_urls=[[u for _, _, us in b for u in us] for b in bundles],
             )
         triples = [_decode_parse_bundle3.remote(b, include_scripts) for b in bundles]
         return FetchHandle(
-            [t[0] for t in triples], [t[1] for t in triples], [t[2] for t in triples], None
+            [t[0] for t in triples], [t[1] for t in triples], [t[2] for t in triples], None,
+            bundle_urls=[[u for _, _, us in b for u in us] for b in bundles],
         )
 
     def fetch_parse_refs(self, urls: Sequence[str], include_scripts: bool = True):
@@ -767,28 +778,33 @@ class FetchPool:
         return h.collect_meta(), h.text_refs, h.edge_refs
 
     @staticmethod
-    def _pack_bundles(items: List[tuple]) -> List[List[tuple]]:
+    def _pack_bundles(items: List[tuple], min_cost: float = 8.0) -> List[List[tuple]]:
         """Greedy-pack resolved (path, rg, urls) items into cost-balanced
         decode bundles, ~3 per CPU so Ray's scheduler absorbs residual
         imbalance.  Same-file row groups stay together (chunked in rg
         order) so each task issues ONE batched read_row_groups per file;
         chunks then LPT-pack by estimated cost (decode is per-row-group,
-        parse is per-url)."""
+        parse is per-url).
+
+        ``min_cost`` floors the per-bundle cost (~1 unit per rg decode ≈
+        6.5ms).  The default 8 suits the PIPELINED crawl, whose depth-2+
+        waves absorb stragglers and whose rounds otherwise shatter into
+        tiny tasks (measured +13% CPU at 16 vs 4 cpus).  Strict-BSP
+        callers (the weight crawl) pass a smaller floor: with no
+        overlapping wave, the round's wall IS the last bundle, and a
+        ~650-url round packed to 8-cost bundles leaves 12 of 16 cores
+        idle (measured: 4 bundles -> 52ms decode wall at 16 cpus vs 13ms
+        at 2-cost bundles)."""
         import heapq
 
         if not items:
             return []
         cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
-        # floor on bundle cost (~8 rg decodes ≈ 50ms): small/partial rounds
-        # otherwise shatter into per-cpu-multiple tiny tasks whose fixed
-        # per-task overhead inflates total CPU at high core counts
-        # (measured +13% CPU at 16 vs 4 cpus on the pipelined crawl)
-        # 2 bundles/cpu measured best with the pipelined engine (depth-2+
-        # waves already absorb stragglers; 3x shatters rounds into tasks
-        # whose fixed cost inflates total CPU at high core counts)
         per_cpu = int(os.environ.get("BCS_BUNDLES_PER_CPU", "2"))
         rough_total = sum(len([rg]) + 0.02 * len(us) for _, rg, us in items)
-        n_bundles = max(1, min(per_cpu * cpus, len(items), int(rough_total / 8) or 1))
+        n_bundles = max(
+            1, min(per_cpu * cpus, len(items), int(rough_total / min_cost) or 1)
+        )
         # measured at the bench store shape: ~6.5ms per row-group decode vs
         # ~0.12ms per url parse -> decode dominates ~50:1; weighting urls
         # higher lets rg counts per bundle skew 4x and the decode tail

@@ -24,6 +24,9 @@ import ray
 
 from ..functions.urls import url_hash64
 
+_EMPTY_F64 = np.zeros(0, dtype=np.float64)
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
 
 class _RankShardCore:
     """One shard: node -> (value, arrival, visited, drainable)."""
@@ -104,14 +107,15 @@ class _RankShardCore:
                 best = (n, v, a)
         return best
 
-    def top_candidates(self, k: int, min_value: float, skip_visited: bool) -> List[Tuple[Any, float, int]]:
-        """Top-k by (value desc, arrival asc) via O(n) numpy selection —
-        a full Python sort of every node per pop round is the shard's
-        scale ceiling at 10^8+ nodes/shard.  Ties at the k-th value are
-        broken by arrival exactly as the full sort would."""
+    def _top_select(self, k: int, min_value: float, skip_visited: bool):
+        """Shared top-k selection: (nodes, values, arrivals) sorted by
+        (value desc, arrival asc) — O(n) numpy selection (a full Python
+        sort of every node per pop round is the shard's scale ceiling at
+        10^8+ nodes/shard).  Ties at the k-th value break by arrival
+        exactly as the full sort would."""
         n = len(self.value)
         if n == 0 or k <= 0:
-            return []
+            return [], _EMPTY_F64, _EMPTY_I64
         nodes = list(self.value.keys())
         vals = np.fromiter(self.value.values(), dtype=np.float64, count=n)
         mask = vals >= min_value
@@ -121,7 +125,7 @@ class _RankShardCore:
             )
         idx = np.flatnonzero(mask)
         if idx.size == 0:
-            return []
+            return [], _EMPTY_F64, _EMPTY_I64
         arr_get = self.arrival.get
         if idx.size > k:
             sub = vals[idx]
@@ -140,9 +144,17 @@ class _RankShardCore:
             (arr_get(nodes[i], 0) for i in idx), dtype=np.int64, count=idx.size
         )
         order = np.lexsort((sel_arr, -sel_vals))
-        return [
-            (nodes[idx[i]], float(sel_vals[i]), int(sel_arr[i])) for i in order
-        ]
+        return [nodes[i] for i in idx[order]], sel_vals[order], sel_arr[order]
+
+    def top_candidates(self, k: int, min_value: float, skip_visited: bool) -> List[Tuple[Any, float, int]]:
+        sn, sv, sa = self._top_select(k, min_value, skip_visited)
+        return list(zip(sn, sv.tolist(), sa.tolist()))
+
+    def top_candidates_arr(self, k: int, min_value: float, skip_visited: bool):
+        """Columnar top-k: (nodes, values, arrivals) — a k=4096 scan as
+        tuple lists pickles ~3x slower than list + two arrays, and the
+        tuple rebuild/merge on the caller was the fused pop's hot spot."""
+        return self._top_select(k, min_value, skip_visited)
 
     def ranks(self) -> Dict[Any, float]:
         return dict(self.value)
@@ -202,6 +214,9 @@ class RankShard:
 
     def top_candidates(self, k, min_value, skip_visited):
         return self.core.top_candidates(k, min_value, skip_visited)
+
+    def top_candidates_arr(self, k, min_value, skip_visited):
+        return self.core.top_candidates_arr(k, min_value, skip_visited)
 
     def ranks(self):
         return self.core.ranks()
@@ -332,25 +347,39 @@ class RankPool:
     def apply_deltas(self, deltas: List[Tuple[Any, float, int]]) -> None:
         """deltas: [(node, delta, arrival)] — scattered to shards, applied
         concurrently (one batched call per shard)."""
-        per_shard: Dict[int, Tuple[list, list, list]] = {}
-        shards = self._shards_of([node for node, _, _ in deltas])
-        for (node, d, a), sh in zip(deltas, shards):
-            b = per_shard.setdefault(sh, ([], [], []))
-            b[0].append(node)
-            b[1].append(d)
-            b[2].append(a)
-        if self.use_ray:
+        self.apply_deltas_arr(
+            [node for node, _, _ in deltas],
+            np.fromiter((d for _, d, _ in deltas), dtype=np.float64, count=len(deltas)),
+            np.fromiter((a for _, _, a in deltas), dtype=np.int64, count=len(deltas)),
+        )
+
+    def apply_deltas_arr(self, nodes: List[Any], vals: np.ndarray, arrs: np.ndarray) -> None:
+        """Columnar :meth:`apply_deltas`: one vectorized hash + one stable
+        argsort route the whole batch (the per-tuple Python scatter loop
+        was ~13ms per 14k-delta cascade round — half the weight crawl's
+        off-driver push time)."""
+        n = len(nodes)
+        if n == 0:
+            return
+        shards = np.asarray(self._shards_of(nodes), dtype=np.int64)
+        order = np.argsort(shards, kind="stable")
+        srt = shards[order]
+        starts = np.flatnonzero(np.r_[True, srt[1:] != srt[:-1]])
+        bounds = np.r_[starts, n]
+        calls = []
+        for j, st in enumerate(starts):
+            en = bounds[j + 1]
+            sel = order[st:en]
+            sh = int(srt[st])
+            b = ([nodes[i] for i in sel], vals[sel], arrs[sel])
+            if self.use_ray:
+                calls.append(self.shards[sh].apply_deltas.remote(*b))
+            else:
+                self.shards[sh].apply_deltas(*b)
+        if calls:
             # fire-and-forget: per-actor FIFO ordering makes the next read
             # on each shard see these deltas; no driver block needed
-            self._note(
-                [
-                    self.shards[s].apply_deltas.remote(*b)
-                    for s, b in per_shard.items()
-                ]
-            )
-        else:
-            for s, b in per_shard.items():
-                self.shards[s].apply_deltas(*b)
+            self._note(calls)
 
     def take(self, node: Any) -> float:
         return self._call(self._shard_of(node), "take", node)
@@ -488,6 +517,76 @@ class RankPool:
         merged = [t for shard_tops in tops for t in shard_tops]
         merged.sort(key=lambda t: (-t[1], t[2]))
         return merged[:k]
+
+    def top_k_arr(self, k: int, min_value: float, skip_visited: bool):
+        """Columnar global top-k: per-shard array scans merged with one
+        numpy lexsort — no Python tuples anywhere (the k=4096 fused-pop
+        scan spent ~10ms/round building and sorting 8k·tuples).
+
+        Two-phase for large k: phase 1 asks each shard for only
+        k/num_shards + slack candidates (hash sharding balances the true
+        split, so each shard's share of the global top-k concentrates
+        near k/shards); the merge is provably exact for every shard that
+        either returned fewer than its cap (exhausted) or whose LAST
+        candidate orders after the merged k-th (nothing it withheld can
+        beat the cut).  A shard violating that re-scans with full k in
+        phase 2 — rare, and never wrong.  At k=16k this ships ~18k
+        instead of ~131k node strings per scan."""
+        cap = k
+        if self.num_shards > 1 and k >= 1024:
+            cap = k // self.num_shards + 256
+        parts = self._scan_shards(cap, min_value, skip_visited, range(self.num_shards))
+        if cap < k:
+            merged = self._merge_parts(parts, k)
+            if merged is None:
+                return [], _EMPTY_F64, _EMPTY_I64
+            nodes, vals, arrs, full = merged
+            if len(nodes) == k:
+                # exactness check: a shard that maxed its cap AND whose
+                # last candidate beats the merged k-th may hold withheld
+                # candidates above the cut — rescan it with full k
+                cut = (-vals[-1], arrs[-1])
+                redo = [
+                    i
+                    for i, p in enumerate(parts)
+                    if len(p[0]) == cap and (-p[1][-1], p[2][-1]) < cut
+                ]
+            else:
+                # under-filled merge: every capped shard holds withheld
+                # candidates that belong in the result
+                redo = [i for i, p in enumerate(parts) if len(p[0]) == cap]
+            if redo:
+                fresh = self._scan_shards(k, min_value, skip_visited, redo)
+                for i, p in zip(redo, fresh):
+                    parts[i] = p
+                merged = self._merge_parts(parts, k)
+                nodes, vals, arrs, full = merged
+            return nodes, vals, arrs
+        merged = self._merge_parts(parts, k)
+        if merged is None:
+            return [], _EMPTY_F64, _EMPTY_I64
+        return merged[0], merged[1], merged[2]
+
+    def _scan_shards(self, k, min_value, skip_visited, idxs):
+        if self.use_ray:
+            return ray.get(
+                [
+                    self.shards[i].top_candidates_arr.remote(k, min_value, skip_visited)
+                    for i in idxs
+                ]
+            )
+        return [self.shards[i].top_candidates_arr(k, min_value, skip_visited) for i in idxs]
+
+    @staticmethod
+    def _merge_parts(parts, k):
+        live = [p for p in parts if len(p[0])]
+        if not live:
+            return None
+        nodes = [n for p in live for n in p[0]]
+        vals = np.concatenate([p[1] for p in live])
+        arrs = np.concatenate([p[2] for p in live])
+        order = np.lexsort((arrs, -vals))[:k]
+        return [nodes[i] for i in order], vals[order], arrs[order], len(nodes)
 
     def top_k_submit(self, k: int, min_value: float, skip_visited: bool):
         """Submit the per-shard top-k scans WITHOUT collecting — lets the

@@ -51,8 +51,36 @@ def _haircut_round_columnar(
             return pl.Series(name, pl.from_arrow(x))
         return pl.Series(name, list(x))
 
-    uniq = list(dict.fromkeys(n for n, _, _ in items))
-    if skip_take:
+    import numpy as _np
+
+    if isinstance(items, tuple):
+        # columnar control plane (engine tabular weight loop): items is
+        # (nodes, mass_values) — a list + float64 array instead of
+        # per-candidate Python tuples; NaN = no parked mass (seed /
+        # never-claimed)
+        nodes0, mass_np = items
+        nodes0 = list(nodes0)
+        mass_np = _np.asarray(mass_np, dtype=_np.float64)
+    else:
+        nodes0 = [n for n, _, _ in items]
+        mass_np = _np.fromiter(
+            (float("nan") if m is None else float(m[1]) for _, m, _ in items),
+            dtype=_np.float64,
+            count=len(nodes0),
+        )
+    uniq = list(dict.fromkeys(nodes0))
+    if isinstance(skip_take, tuple) and len(skip_take) == 2 and skip_take[0] == "flags":
+        # positional claim flags (engine tabular loop): True = this
+        # position was claimed by the round's own pop (pool value
+        # provably 0), False = deferred/seed rows whose accumulated value
+        # must be taken.  Saves shipping the claimed node set back over
+        # the wire (it IS the nodes list).
+        flags = _np.asarray(skip_take[1], dtype=bool)
+        to_take = [n for n, f in zip(nodes0, flags) if not f]
+        local = dict.fromkeys(uniq, 0.0)
+        if to_take:
+            local.update(pool.take_many(to_take))
+    elif skip_take:
         # nodes the CALLER just claimed this round: their pool value is
         # provably 0 (claim parked it; nothing mutates between pop and
         # push), so the take wave only covers deferred/seed candidates —
@@ -69,58 +97,84 @@ def _haircut_round_columnar(
     deg_of = dict(zip(*e.group_by("src").len().to_dict(as_series=False).values()))
     # per-position event layout (a node admitted twice scatters its
     # full edge set twice, exactly like adjacency.get(url) did)
-    nodes = [n for n, _, _ in items]
-    masses = [m for _, m, _ in items]
-    degs = [deg_of.get(n, 0) or 0 for n in nodes]
-    first_arr: Dict[Any, int] = {}
-    order: List[Any] = []
-
-    def _first(n, ev):
-        if n not in first_arr:
-            first_arr[n] = ev
-            order.append(n)
-
-    # candidate-candidate cascade edges, grouped per src in edge order
+    nodes = nodes0
+    n_pos = len(nodes)
     cand_set = set(local)
+    # candidate-candidate cascade edges, in global edge order
     cc = e.filter(pl.col("dst").is_in(list(cand_set)))
-    cc_of: Dict[Any, List[tuple]] = {}
-    for s_, d_, o_ in zip(cc["src"].to_list(), cc["dst"].to_list(), cc["ord"].to_list()):
-        cc_of.setdefault(s_, []).append((o_, d_))
-    ev = 0
-    w_pos = [0.0] * len(nodes)
-    ev_start = [0] * len(nodes)
-    scatter = [False] * len(nodes)
-    for p, (node, mass, deg) in enumerate(zip(nodes, masses, degs)):
-        if mass is not None:
-            local[node] += mass[1]
-            _first(node, ev)
-            ev += 1
-        if deg == 0:
-            continue
-        scatter[p] = True
-        w = local[node]
-        local[node] = 0.0
-        w_pos[p] = w
-        ev_start[p] = ev
-        for o_, d_ in cc_of.get(node, ()):
-            local[d_] += w / deg
-            _first(d_, ev + o_)
-        ev += deg
+
+    vec = None
+    if len(local) == n_pos:
+        # no node admitted twice (the steady-state round): the whole
+        # candidate replay vectorizes — see _cascade_fused_vectorized
+        vec = _cascade_fused_vectorized(
+            nodes, mass_np, local, deg_of, cc
+        )
+    if vec is not None:
+        (sc_src, sc_wod, sc_ev0, ev,
+         c_nodes, c_vals, c_arrs, tail_nodes, tail_vals) = vec
+    else:
+        # scalar replay (duplicate candidates, or vectorized-path bailout)
+        masses = [None if m != m else ("haircut", float(m)) for m in mass_np]
+        degs = [deg_of.get(n, 0) or 0 for n in nodes]
+        first_arr: Dict[Any, int] = {}
+        order: List[Any] = []
+
+        def _first(n, ev_):
+            if n not in first_arr:
+                first_arr[n] = ev_
+                order.append(n)
+
+        cc_of: Dict[Any, List[tuple]] = {}
+        for s_, d_, o_ in zip(cc["src"].to_list(), cc["dst"].to_list(), cc["ord"].to_list()):
+            cc_of.setdefault(s_, []).append((o_, d_))
+        ev = 0
+        w_pos = [0.0] * n_pos
+        ev_start = [0] * n_pos
+        scatter = [False] * n_pos
+        for p, (node, mass, deg) in enumerate(zip(nodes, masses, degs)):
+            if mass is not None:
+                local[node] += mass[1]
+                _first(node, ev)
+                ev += 1
+            if deg == 0:
+                continue
+            scatter[p] = True
+            w = local[node]
+            local[node] = 0.0
+            w_pos[p] = w
+            ev_start[p] = ev
+            for o_, d_ in cc_of.get(node, ()):
+                local[d_] += w / deg
+                _first(d_, ev + o_)
+            ev += deg
+        sc_src = [n for p, n in enumerate(nodes) if scatter[p]]
+        sc_wod = [w_pos[p] / degs[p] for p in range(n_pos) if scatter[p]]
+        sc_ev0 = [ev_start[p] for p in range(n_pos) if scatter[p]]
+        c_nodes = order
+        c_vals = _np.fromiter(
+            (local[n] for n in order), dtype=_np.float64, count=len(order)
+        )
+        c_arrs = _np.fromiter(
+            (first_arr[n] for n in order), dtype=_np.int64, count=len(order)
+        )
+        tail_nodes = [n for n in uniq if n not in first_arr and local[n]]
+        tail_vals = _np.fromiter(
+            (local[n] for n in tail_nodes), dtype=_np.float64, count=len(tail_nodes)
+        )
     base = arrival0  # one _next_arrival() per event, reserved in bulk
     # vectorized: per-(position, edge) weights to NON-candidate dsts
     pos_df = pl.DataFrame(
-        {
-            "src": [n for p, n in enumerate(nodes) if scatter[p]],
-            "w_over_deg": [
-                w_pos[p] / degs[p] for p in range(len(nodes)) if scatter[p]
-            ],
-            "ev0": [ev_start[p] for p in range(len(nodes)) if scatter[p]],
-        }
+        {"src": sc_src, "w_over_deg": sc_wod, "ev0": sc_ev0}
     )
-    deltas: List[tuple] = []
+    # columnar delta assembly: nodes stay a Python list, weights/arrivals
+    # ride numpy, and the first-touch ordering is one argsort
+    d_nodes: List[Any] = []
+    parts_v: List[_np.ndarray] = []
+    parts_a: List[_np.ndarray] = []
     if pos_df.height and e.height:
         flat = pos_df.join(e, on="src", how="inner").filter(
-            ~pl.col("dst").is_in(list(cand_set))
+            ~pl.col("dst").is_in(pl.Series(list(cand_set)))
         )
         if flat.height:
             agg = (
@@ -128,23 +182,137 @@ def _haircut_round_columnar(
                 .group_by("dst")
                 .agg(pl.col("w_over_deg").sum().alias("delta"), pl.col("ev").min())
             )
-            deltas.extend(
-                (n, d_, base + int(a_))
-                for n, d_, a_ in zip(
-                    agg["dst"].to_list(), agg["delta"].to_list(), agg["ev"].to_list()
-                )
-            )
-    deltas.extend((n, local[n], base + first_arr[n]) for n in order)
-    deltas.sort(key=lambda t: t[2])  # first-touch order, generic parity
+            d_nodes.extend(agg["dst"].to_list())
+            parts_v.append(agg["delta"].to_numpy())
+            parts_a.append(base + agg["ev"].to_numpy().astype(_np.int64))
+    if len(c_nodes):
+        d_nodes.extend(c_nodes)
+        parts_v.append(c_vals)
+        parts_a.append(base + c_arrs)
+    if d_nodes:
+        vals = _np.concatenate(parts_v) if len(parts_v) > 1 else parts_v[0]
+        arrs = _np.concatenate(parts_a) if len(parts_a) > 1 else parts_a[0]
+        srt = _np.argsort(arrs, kind="stable")  # first-touch order, generic parity
+        d_nodes = [d_nodes[i] for i in srt]
+        vals, arrs = vals[srt], arrs[srt]
+    else:
+        vals = _np.zeros(0, dtype=_np.float64)
+        arrs = _np.zeros(0, dtype=_np.int64)
     # candidates taken but never touched again keep their weight
     # (arrival 0 = keep existing arrival; appended last as in the
     # generic tail)
-    for n in uniq:
-        if n not in first_arr and local[n]:
-            deltas.append((n, local[n], 0))
-    if deltas:
-        pool.apply_deltas(deltas)
+    if len(tail_nodes):
+        d_nodes.extend(tail_nodes)
+        vals = _np.concatenate([vals, tail_vals])
+        arrs = _np.concatenate([arrs, _np.zeros(len(tail_nodes), dtype=_np.int64)])
+    if d_nodes:
+        pool.apply_deltas_arr(d_nodes, vals, arrs)
     return base + ev
+
+
+def _cascade_fused_vectorized(nodes, mass_np, local, deg_of, cc):
+    """Fully-vectorized candidate replay for duplicate-free rounds.
+
+    The per-candidate scalar loop is ~8us/candidate of pure Python — the
+    weight crawl's largest CPU-count-invariant cost once everything else
+    is columnar.  The replay decomposes exactly:
+
+    - event layout: each position consumes (has_mass + deg) events, so
+      restore/scatter event indices are one cumsum;
+    - take values: w_p = ((t_p + early-cc-in) + m_p) where early-cc-in
+      sums contributions from positions q < p — a strictly-triangular
+      linear system solved by Jacobi sweeps (exact in <= cc-chain-depth
+      iterations, detected by fixpoint; bails out to the scalar loop if
+      64 sweeps don't converge);
+    - candidate residues: positions with deg>0 keep only late (q >= p)
+      contributions; deg==0 positions keep everything.
+
+    Floating-point EXACTNESS vs the scalar loop: contributions accumulate
+    via np.add.at — which applies additions in operand order — over cc
+    arrays pre-sorted by (source position, edge order) = the scalar
+    loop's chronological order, the base starts from t (then adds early
+    contributions, then m) exactly as local[] evolves, and late
+    contributions accumulate onto 0.0 post-take.  Same adds, same order,
+    same rounding — pinned by the sharded-vs-local and tabular-vs-scalar
+    conformance suites.
+
+    Returns (sc_src, sc_wod, sc_ev0, ev_total, cand_nodes, cand_vals,
+    cand_arrs, tail_nodes, tail_vals) or None to bail out."""
+    import numpy as np
+
+    n = len(nodes)
+    pos_of = {u: p for p, u in enumerate(nodes)}
+    t = np.fromiter((local[u] for u in nodes), dtype=np.float64, count=n)
+    hm = ~np.isnan(mass_np)
+    m = np.where(hm, mass_np, 0.0)
+    deg = np.fromiter((deg_of.get(u, 0) or 0 for u in nodes), dtype=np.int64, count=n)
+    units = hm.astype(np.int64) + np.where(deg > 0, deg, 0)
+    cum = np.concatenate([[0], np.cumsum(units)[:-1]])
+    ev_restore = cum  # valid where hm
+    ev_sc0 = cum + hm  # scatter block start (valid where deg > 0)
+    ev_total = int(units.sum())
+
+    if cc.height:
+        qi = np.fromiter((pos_of[s] for s in cc["src"].to_list()), np.int64, cc.height)
+        pi = np.fromiter((pos_of[d] for d in cc["dst"].to_list()), np.int64, cc.height)
+        ordv = cc["ord"].to_numpy().astype(np.int64)
+        # chronological order = (source position, edge order): the exact
+        # sequence the scalar loop applies contributions in
+        srt = np.lexsort((ordv, qi))
+        qi, pi, ordv = qi[srt], pi[srt], ordv[srt]
+        coef = 1.0 / deg[qi]
+        eev = ev_sc0[qi] + ordv
+        early = qi < pi
+        qe, pe, ce = qi[early], pi[early], coef[early]
+        ql, pl_, cl = qi[~early], pi[~early], coef[~early]
+    else:
+        qe = pe = ce = ql = pl_ = cl = np.zeros(0, dtype=np.int64)
+        pi = eev = np.zeros(0, dtype=np.int64)
+
+    # solve take values: w = ((t + early_in) + m), early_in from final w
+    w = np.where(hm, t + m, t)  # zeroth sweep (no early contributions)
+    if len(qe):
+        converged = False
+        for _ in range(64):
+            acc = t.copy()
+            np.add.at(acc, pe, w[qe] * ce)
+            w_new = np.where(hm, acc + m, acc)
+            if np.array_equal(w_new, w):
+                converged = True
+                break
+            w = w_new
+        if not converged:
+            return None  # pathological cc depth: scalar loop handles it
+    # candidate residues after their own take
+    late_in = np.zeros(n, dtype=np.float64)
+    if len(ql):
+        np.add.at(late_in, pl_, w[ql] * cl)
+    final_local = np.where(deg > 0, late_in, w + late_in)
+    # first-touch event per position: restore event, or earliest cc-in
+    BIG = np.int64(1 << 62)
+    fe = np.full(n, BIG, dtype=np.int64)
+    if len(pi):
+        np.minimum.at(fe, pi, eev)
+    fe = np.where(hm, np.minimum(fe, ev_restore), fe)
+    touched = fe < BIG
+    t_idx = np.flatnonzero(touched)
+    c_nodes = [nodes[i] for i in t_idx]
+    c_vals = final_local[t_idx]
+    c_arrs = fe[t_idx]
+    # untouched candidates keep their weight only when never taken
+    tail_mask = (~touched) & (deg == 0) & (t != 0.0)
+    tl_idx = np.flatnonzero(tail_mask)
+    tail_nodes = [nodes[i] for i in tl_idx]
+    tail_vals = t[tl_idx]
+    sc_mask = deg > 0
+    s_idx = np.flatnonzero(sc_mask)
+    sc_src = [nodes[i] for i in s_idx]
+    sc_wod = w[s_idx] / deg[s_idx]
+    sc_ev0 = ev_sc0[s_idx]
+    return (
+        sc_src, sc_wod, sc_ev0, ev_total,
+        c_nodes, c_vals, c_arrs, tail_nodes, tail_vals,
+    )
 
 
 import ray as _ray
@@ -204,34 +372,73 @@ class _HaircutPushActor:
         return True
 
     def push_round(
-        self, items, src_urls, dst_urls, skip_take=None, scan_k=None, min_weight=None
+        self, items, src_urls, dst_urls, skip_take=None, scan_k=None, min_weight=None,
+        edge_refs=None,
     ):
         """Replay one round's cascade; with ``scan_k`` also run the ENTIRE
         next pop — per-shard top-k scans (FIFO-ordered behind this push's
         applies), global (weight desc, arrival asc) merge, and the claim
         wave — so the driver's whole push+pop round trip is ONE actor
-        call.  Returns (arrival, tops) where tops is the claimed global
-        top-k [(node, weight, arrival)] — each node's parked mass equals
-        its scan weight; (arrival, None) without scan_k."""
+        call.  Returns (arrival, tops[, n_edges]) where tops is the
+        claimed global top-k — each node's parked mass equals its scan
+        weight; (arrival, None) without scan_k.  With ``edge_refs`` the
+        round's edge TABLES are pulled from the object store HERE (the
+        decode bundles' refs, concatenated in bundle order == the driver
+        sync path's concat order) — edge rows never touch the driver, and
+        the return carries n_edges for the engine's metrics."""
+        n_edges = None
+        if edge_refs is not None:
+            import pyarrow as _pa
+
+            tabs = [
+                t for t in _ray.get(list(edge_refs))
+                if t.num_columns and t.num_rows
+            ]
+            if tabs:
+                et = _pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+                src_urls = et.column("src_url").combine_chunks()
+                dst_urls = et.column("dst_url").combine_chunks()
+                n_edges = et.num_rows
+            else:
+                src_urls, dst_urls, n_edges = [], [], 0
+        st = skip_take
+        if st is not None and not (
+            isinstance(st, tuple) and len(st) == 2 and st[0] == "flags"
+        ):
+            st = set(st)
         self._arrival = _haircut_round_columnar(
-            self.pool, self._arrival, items, src_urls, dst_urls,
-            skip_take=set(skip_take) if skip_take else None,
+            self.pool, self._arrival, items, src_urls, dst_urls, skip_take=st
         )
         # NO flush needed: the applies are fire-and-forget, and the scans
         # below are ordered behind them by actor FIFO per shard; the claim
         # fires only after the scan results are back (causal).  Barrier
         # paths that need a hard guarantee call arrival(), which flushes.
         if scan_k is None:
-            return self._arrival, None
-        tops = self.pool.top_k(scan_k, min_weight, skip_visited=True)
-        if tops:
-            # claim fire-and-forget: nothing mutates between the scan and
-            # this claim (the driver is waiting on THIS call), so each
-            # node's parked mass provably equals its scan weight — no
-            # need to wait for, or ship back, the claim results.  Later
-            # readers are FIFO-(next scans)/causally-(driver) ordered.
+            return (
+                (self._arrival, None)
+                if n_edges is None
+                else (self._arrival, None, n_edges)
+            )
+        fused = self._scan_and_claim(scan_k, min_weight)
+        return (
+            (self._arrival, fused)
+            if n_edges is None
+            else (self._arrival, fused, n_edges)
+        )
+
+    def _scan_and_claim(self, scan_k: int, min_weight: float):
+        """Columnar global top-k scan + atomic claim wave — the fused
+        pop's state-plane half.  Per-shard array scans + one lexsort
+        merge (the tuple-list form built and sorted 8k·k Python tuples
+        per round); the claim is fire-and-forget (nothing mutates between
+        the scan and the claim — the actor is single-threaded and later
+        readers are FIFO/causally ordered), so each claimed node's parked
+        mass provably equals its scan weight."""
+        nodes, weights, _arrs = self.pool.top_k_arr(
+            scan_k, min_weight, skip_visited=True
+        )
+        if nodes:
             per_shard: Dict[int, List[Any]] = {}
-            nodes = [n for n, _, _ in tops]
             for n, sh in zip(nodes, self.pool._shards_of(nodes)):
                 per_shard.setdefault(sh, []).append(n)
             self.pool._note(
@@ -240,16 +447,20 @@ class _HaircutPushActor:
                     for s, ns in per_shard.items()
                 ]
             )
-        if not tops:
-            return self._arrival, ([], None)
-        import numpy as _np
+        return (nodes, weights) if nodes else ([], None)
 
-        # compact columnar return: 2048-entry tuple lists pickle ~3x
-        # slower than (list[str], float64 array)
-        return self._arrival, (
-            [n for n, _, _ in tops],
-            _np.fromiter((w for _, w, _ in tops), dtype=_np.float64, count=len(tops)),
-        )
+    def scan_claim(self, scan_k: int, min_weight: float):
+        """Standalone scan+claim for the PIPELINED weight round loop: the
+        driver submits this BEFORE the round's push, so by actor FIFO it
+        reads the PRE-cascade state — the pop it feeds is one round
+        STALE.  Guarantees preserved (CrawlConfig.pipeline docs): every
+        claim is still atomic (visited + mass parked in one wave), no
+        node is ever claimed twice, and on exhaustive crawls the final
+        fetch SET equals the strict loop's (weights only accumulate until
+        claimed, so everything above min_weight is eventually popped);
+        per-round pop COMPOSITION differs from strict BSP.  Returns
+        (arrival, fused) in push_round's fused shape."""
+        return self._arrival, self._scan_and_claim(scan_k, min_weight)
 
     def submit_scans(self, k: int, min_value: float, skip_visited: bool):
         """Per-shard top-k scan refs, submitted AFTER any queued pushes
@@ -267,6 +478,10 @@ class _HaircutPushActor:
 class ShardedHaircut(FrontierStrategy):
     """Reference haircut semantics (strategies/haircut.py here;
     reference strategies/txs/haricut.py:6-54) over a RankPool."""
+
+    # engine hook: extra seeds may carry CrawlConfig.seed_mass as parked
+    # mass with this tag (the multi-source weight-crawl generalization)
+    SEED_MASS_TAG = "haircut"
 
     def __init__(
         self,
@@ -449,7 +664,8 @@ class ShardedHaircut(FrontierStrategy):
             # the in-flight fused push already scanned, merged AND claimed
             # the next top-k — one driver round trip for the whole pop
             _, pk, ref = pre
-            self._arrival, fused = _ray.get(ref)
+            got = _ray.get(ref)  # (arrival, tops[, n_edges])
+            self._arrival, fused = got[0], got[1]
             self._pending_push = None  # the fused call WAS the push
             # the fused call's shard applies + claims are fire-and-forget
             # INSIDE the actor and not yet flushed — later driver-side
@@ -521,6 +737,141 @@ class ShardedHaircut(FrontierStrategy):
         self.last_pop_wait_s = _time.perf_counter() - t0
         return [(n, {"weight": w}, ("haircut", taken[n])) for n, w, _ in tops]
 
+    # -- columnar control plane (engine tabular weight loop) ---------------
+    # VERDICT r4 #1: the scalar round loop moved the 2048-candidate pop and
+    # push through per-candidate Python objects (Candidate instances, ctx
+    # dicts, (node, mass, ctx) tuples) — the residual 22% driver-serial
+    # share.  pop_table/push_round_refs keep the control plane as
+    # (list, float64 array) pairs end-to-end and leave the round's edge
+    # tables in the object store (the push actor ray.gets the decode
+    # bundles' refs itself).
+
+    def pop_table(self, k: int):
+        """Columnar batched pop: ``(urls, weights)`` — weights double as
+        pop priority AND parked mass (the claim parks exactly the scan
+        weight; both the fused and the barriered fallback path guarantee
+        nothing mutates in between).  Also stashes ``last_edge_count``
+        when the consumed fused push carried the round's edge tally."""
+        import time as _time
+
+        self.last_edge_count = None
+        pre = getattr(self, "_prefetch", None)
+        if (
+            isinstance(pre, tuple)
+            and len(pre) == 3
+            and pre[0] in ("actor_fused", "actor_scan")
+            and pre[1] >= k
+        ):
+            stale = pre[0] == "actor_scan"
+            self._prefetch = None
+            t0 = _time.perf_counter()
+            got = _ray.get(pre[2])  # (arrival, tops[, n_edges])
+            fused = got[1]
+            if not stale:
+                self._arrival = got[0]
+                if len(got) > 2:
+                    self.last_edge_count = got[2]
+                self._pending_push = None  # the fused call WAS the push
+            # either way the actor holds un-flushed fire-and-forget
+            # applies/claims — barrier paths must flush through it
+            self._actor_dirty = True
+            nodes, weights = (fused if fused is not None else (None, None))
+            if nodes is not None:
+                if len(nodes) > k:
+                    if self._push_actor is not None:
+                        self._arrival = _ray.get(self._push_actor.arrival.remote())
+                        self._actor_dirty = False
+                    self.pool.unclaim_many(list(zip(nodes[k:], weights[k:].tolist())))
+                    nodes, weights = nodes[:k], weights[:k]
+                # NOTE: no claimed-set build — tabular-loop callers hand
+                # the claim information back positionally (claimed_flags)
+                self._just_claimed = None
+                self.last_pop_wait_s = _time.perf_counter() - t0
+                if weights is None:
+                    import numpy as _np
+
+                    weights = _np.zeros(0, dtype=_np.float64)
+                return list(nodes), weights
+            # scanless fused push: fall through to the generic pop (its
+            # no-prefetch branch barriers the dirty actor first)
+        batch = self.pop_batch(k)  # handles every other prefetch shape
+        import numpy as _np
+
+        urls = [n for n, _, _ in batch]
+        w = _np.fromiter(
+            (m[1] for _, _, m in batch), dtype=_np.float64, count=len(batch)
+        )
+        return urls, w
+
+    def prepare_pop_stale(self, k: int) -> None:
+        """Pipelined-mode pop prefetch (CrawlConfig.pipeline on weight
+        strategies): submit the actor's scan+claim BEFORE the round's
+        push — actor FIFO places it ahead of the cascade, so the next pop
+        reads the PRE-cascade state (one round stale) and costs the
+        driver zero cascade wait.  Exhaustive-crawl fetch-set equality vs
+        the strict loop is pinned by tests (see
+        _HaircutPushActor.scan_claim)."""
+        actor = self._get_push_actor()
+        if actor is None:
+            return  # thread-local pools: pop_table's fallback scans fresh
+        self._actor_dirty = True  # claims in flight until flushed
+        self._prefetch = (
+            "actor_scan", k, actor.scan_claim.remote(k, self.min_weight)
+        )
+
+    def push_round_refs(
+        self, nodes, mass_vals, edge_refs, scan_k=None, claimed_flags=None
+    ) -> None:
+        """Fused columnar push: the admitted candidates go out as
+        ``(list, float64 array)`` (NaN mass = seed / never-claimed) and
+        the round's edge tables stay in the object store — the push actor
+        pulls ``edge_refs`` itself, so edge rows never touch the driver,
+        and with ``scan_k`` the same call runs the next pop's
+        scan+merge+claim (consumed by :meth:`pop_table`).  Falls back to
+        the driver cascade (edges fetched here) when the push actor is
+        disabled."""
+        import numpy as _np
+
+        if claimed_flags is not None:
+            # positional claim flags: no claimed-node SET ships back to
+            # the actor (it IS the nodes list + one bool per row)
+            skip = ("flags", _np.asarray(claimed_flags, dtype=bool))
+            self._just_claimed = None
+        else:
+            claimed = self._just_claimed
+            self._just_claimed = None
+            skip = set(claimed) if claimed else None
+        items = (list(nodes), _np.asarray(mass_vals, dtype=_np.float64))
+        actor = self._get_push_actor()
+        if actor is not None:
+            k = None if getattr(self, "_ckpt_mode", False) else scan_k
+            self._pending_push = actor.push_round.remote(
+                items,
+                None,
+                None,
+                skip,
+                k,
+                self.min_weight if k is not None else None,
+                list(edge_refs),
+            )
+            if k is not None:
+                self._prefetch = ("actor_fused", k, self._pending_push)
+            return
+        import pyarrow as _pa
+
+        tabs = [t for t in _ray.get(list(edge_refs)) if t.num_columns and t.num_rows]
+        if tabs:
+            et = _pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+            src = et.column("src_url").combine_chunks()
+            dst = et.column("dst_url").combine_chunks()
+            self.last_edge_count = et.num_rows
+        else:
+            src, dst = [], []
+            self.last_edge_count = 0
+        self._arrival = _haircut_round_columnar(
+            self.pool, self._arrival, items, src, dst, skip_take=skip
+        )
+
     def push_round(self, items: List[Tuple[Any, Any, Dict, list]]) -> None:
         """One round's pushes in O(shards) RPCs (vs O(candidates x shards)
         for the sequential restore_mass+push loop).  ``items`` is
@@ -575,7 +926,7 @@ class ShardedHaircut(FrontierStrategy):
         if deltas:
             self.pool.apply_deltas(deltas)
 
-    def push_round_columnar(self, items, src_urls, dst_urls) -> None:
+    def push_round_columnar(self, items, src_urls, dst_urls, claimed_flags=None) -> None:
         """:meth:`push_round` for the web link shape (every edge value is
         1.0, so out-sum = out-degree): the engine passes the round's edge
         table columns straight through, never building per-edge dicts.
@@ -588,21 +939,37 @@ class ShardedHaircut(FrontierStrategy):
         exact: the next pop's scans are submitted through the same actor
         (prepare_pop), so they observe every queued push (actor FIFO).
         Pinned by the engine sharded-vs-local conformance suite."""
-        claimed = self._just_claimed
-        self._just_claimed = None
+        import numpy as _np
+
+        if claimed_flags is not None:
+            skip = ("flags", _np.asarray(claimed_flags, dtype=bool))
+            self._just_claimed = None
+        else:
+            claimed = self._just_claimed
+            self._just_claimed = None
+            skip = set(claimed) if claimed else None
         actor = self._get_push_actor()
         if actor is not None:
             def _arr(x):
                 return x.to_arrow() if hasattr(x, "to_arrow") else x
 
             # checkpoint mode: scan/claim must wait for the next pop (see
-            # set_checkpoint_mode) — push only
-            k = None if getattr(self, "_ckpt_mode", False) else self._last_k
+            # set_checkpoint_mode) — push only.  An "actor_scan" prefetch
+            # (pipelined mode) already carries the next pop: don't fuse a
+            # second scan onto this push.
+            pre = self._prefetch
+            stale_pending = isinstance(pre, tuple) and pre and pre[0] == "actor_scan"
+            k = (
+                None
+                if (getattr(self, "_ckpt_mode", False) or stale_pending)
+                else self._last_k
+            )
             self._pending_push = actor.push_round.remote(
-                list(items),
+                # tuple = columnar (nodes, mass) form — ship as-is
+                items if isinstance(items, tuple) else list(items),
                 _arr(src_urls),
                 _arr(dst_urls),
-                list(claimed) if claimed else None,
+                skip if not isinstance(skip, set) else list(skip),
                 k,
                 self.min_weight if k is not None else None,
             )
@@ -611,7 +978,7 @@ class ShardedHaircut(FrontierStrategy):
                 self._prefetch = ("actor_fused", k, self._pending_push)
             return
         self._arrival = _haircut_round_columnar(
-            self.pool, self._arrival, items, src_urls, dst_urls, skip_take=claimed
+            self.pool, self._arrival, items, src_urls, dst_urls, skip_take=skip
         )
 
 
