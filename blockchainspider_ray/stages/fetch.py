@@ -492,13 +492,9 @@ class FetchHandle:
     the decode tasks finish and returns the concatenated html-free
     (url, warc_ts) meta table; idempotent."""
 
-    __slots__ = (
-        "meta_refs", "text_refs", "edge_refs", "chunk_refs", "count_refs",
-        "bundle_urls", "_meta",
-    )
+    __slots__ = ("meta_refs", "text_refs", "edge_refs", "chunk_refs", "count_refs", "_meta")
 
-    def __init__(self, meta_refs, text_refs, edge_refs, meta, chunk_refs=None,
-                 count_refs=None, bundle_urls=None):
+    def __init__(self, meta_refs, text_refs, edge_refs, meta, chunk_refs=None, count_refs=None):
         self.meta_refs = meta_refs
         self.text_refs = text_refs
         self.edge_refs = edge_refs
@@ -506,10 +502,6 @@ class FetchHandle:
         # frontier chunk refs + edge-count refs, in bundle order
         self.chunk_refs = chunk_refs
         self.count_refs = count_refs
-        # per-bundle url lists (bundle order == edge_refs order) — lets a
-        # consumer map a url to the edge ref that will carry its edges
-        # (the weight crawl's incremental cascade replay)
-        self.bundle_urls = bundle_urls
         self._meta = meta
 
     def collect_meta(self):
@@ -756,12 +748,10 @@ class FetchPool:
                 None,
                 chunk_refs=[o[3] for o in outs],
                 count_refs=[o[4] for o in outs],
-                bundle_urls=[[u for _, _, us in b for u in us] for b in bundles],
             )
         triples = [_decode_parse_bundle3.remote(b, include_scripts) for b in bundles]
         return FetchHandle(
-            [t[0] for t in triples], [t[1] for t in triples], [t[2] for t in triples], None,
-            bundle_urls=[[u for _, _, us in b for u in us] for b in bundles],
+            [t[0] for t in triples], [t[1] for t in triples], [t[2] for t in triples], None
         )
 
     def fetch_parse_refs(self, urls: Sequence[str], include_scripts: bool = True):
