@@ -1,14 +1,14 @@
 """Dedup query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['q_levenshtein_verify']
 
 
 def q_dedup_exact(sf_dir: str):
@@ -789,6 +789,7 @@ def q_fuzzy_dedup_clusters(sf_dir: str, sim_threshold: float = 0.8):
     verbatim and runs the same min-label closure as a recursive CTE."""
     from ..stages.dedup import connected_components
 
+    from .q_stats import q_levenshtein_verify  # explicit cross-family dep
     pairs = q_levenshtein_verify(sf_dir)
 
     def cut(b: pa.Table) -> pa.Table:

@@ -1,14 +1,14 @@
 """Sketch query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = []
 
 
 def q_hll_distinct(sf_dir: str):

@@ -1,14 +1,14 @@
 """Stats query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['q_sessionize', 'q_triangle_count', 'q_vocab_topk', 'q_wedge_count']
 
 
 def q_outflow_sum(sf_dir: str):
@@ -2844,6 +2844,7 @@ def q_session_stats(sf_dir: str):
     more combiner, so histogram cells — not sessions — shuffle.  Duration
     summed in exact integer microseconds; the mean divides once at the
     end in the mirror's order."""
+    from .q_relational import q_sessionize  # explicit cross-family dep
     sess = q_sessionize(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -3294,6 +3295,7 @@ def q_clustering_coefficient(sf_dir: str):
     nothing new materializes driver-side."""
     from ..stages.joins import hash_join
 
+    from .q_graph import q_triangle_count, q_wedge_count  # explicit cross-family dep
     wedges = q_wedge_count(sf_dir)
     tris = q_triangle_count(sf_dir)
     if tris.schema() is None:  # triangle-free graph: the empty Dataset has
@@ -3827,6 +3829,7 @@ def q_peak_concurrency(sf_dir: str):
     local peak, first peak ts), and the driver combines 64 bucket
     summaries with exact integer offsets — the same order-preserving
     two-pass as shuffle_rank, specialized to running extrema."""
+    from .q_relational import q_sessionize  # explicit cross-family dep
     sess = q_sessionize(sf_dir)
 
     def deltas(b: pa.Table) -> pa.Table:
@@ -4029,6 +4032,7 @@ def q_term_burstiness(sf_dir: str, k: int = 30):
     docs, so per-doc counts never cross a batch) -> groupby(token).sum.
     N and the sums stay exact integers; both sides evaluate the identical
     float expression, rounded 6dp."""
+    from .q_text import q_vocab_topk  # explicit cross-family dep
     topk = q_vocab_topk(sf_dir, k=k).to_pandas()["token"].tolist()
     top_ref = ray.put(frozenset(topk))
     docs = _read(sf_dir, "documents", columns=["text"])
@@ -4257,6 +4261,7 @@ def q_jaro_winkler_verify(sf_dir: str):
     dim-sized by construction (it verifies the KERNEL); at scale the same
     function runs inside fingerprint-blocked map_groups exactly like the
     levenshtein verify stage."""
+    from .q_text import q_vocab_topk  # explicit cross-family dep
     top = q_vocab_topk(sf_dir, k=100).to_pandas()["token"].tolist()
     pairs = list(zip(top, top[1:])) + [(t, t[::-1]) for t in top[:20]]
     ds = ray.data.from_items([{"tok_a": a, "tok_b": b} for a, b in pairs])

@@ -1,14 +1,14 @@
 """Stats B query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['q_katz_centrality']
 
 
 def q_pr_curve(sf_dir: str, steps: int = 13):
@@ -568,6 +568,7 @@ def q_rank_correlation(sf_dir: str):
         .to_pandas()
         .rename(columns={"src": "node", "count()": "d"})
     )
+    from .q_graph import q_katz_centrality  # explicit cross-family dep
     katz = q_katz_centrality(sf_dir)
     df = katz.merge(deg, on="node", how="left").fillna({"d": 0})
     x = df["d"].astype(int).to_numpy()

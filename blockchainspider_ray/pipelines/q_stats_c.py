@@ -1,14 +1,14 @@
 """Stats C query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['q_funnel_conversion', 'q_langid_confusion']
 
 
 def q_rfm_segments(sf_dir: str):
@@ -277,6 +277,7 @@ def q_mcc_binary(sf_dir: str):
     (tn+fn))).  Shape: reuses q_langid_confusion's combiner plan, so only
     O(langs^2) cells ever reach the driver; the SQL mirror nests the
     full-value langid oracle."""
+    from .q_text import q_langid_confusion  # explicit cross-family dep
     cm = q_langid_confusion(sf_dir).to_pandas()
     tp = int(cm.loc[(cm["lang"] == "en") & (cm["lang_pred"] == "en"), "cnt"].sum())
     fp = int(cm.loc[(cm["lang"] != "en") & (cm["lang_pred"] == "en"), "cnt"].sum())
@@ -3939,6 +3940,7 @@ def q_krippendorff_alpha(sf_dir: str):
     q_langid_kappa, generalizes to missing data and many raters.
     Shape: reuses the confusion-matrix combiner; the O(langs^2) fold is
     driver-side; the SQL nests the langid oracle."""
+    from .q_text import q_langid_confusion  # explicit cross-family dep
     cm = q_langid_confusion(sf_dir).to_pandas()
     n_units = float(cm["cnt"].sum())
     # each unit contributes 2 values; within-unit pair disagreement is
@@ -4147,6 +4149,7 @@ def q_funnel_wilson(sf_dir: str):
     uncertainty-aware funnel readout that keeps product teams from
     chasing noise in the deep steps.  Shape: reuses the per-user funnel
     fold (one groupby(user)); the Wilson algebra runs on 3 rows."""
+    from .q_stats_b import q_funnel_conversion  # explicit cross-family dep
     fc = q_funnel_conversion(sf_dir)
     fc = fc if isinstance(fc, pd.DataFrame) else fc.to_pandas()
     fc = fc.reset_index(drop=True)

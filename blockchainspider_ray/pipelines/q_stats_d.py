@@ -1,14 +1,14 @@
 """Stats D query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['q_kaplan_meier']
 
 
 def q_k_anonymity(sf_dir: str):
@@ -1028,6 +1028,7 @@ def q_rmst(sf_dir: str, tau_days: float = 7.0):
     un-converted within a week") — the modern endpoint reported when
     hazards aren't proportional.  Shape: the KM duration fold; the
     O(event times) step integral runs driver-side, window mirror."""
+    from .q_stats_b import q_kaplan_meier  # explicit cross-family dep
     km = q_kaplan_meier(sf_dir)
     km = km if isinstance(km, pd.DataFrame) else km.to_pandas()
     tau = tau_days * 86_400_000_000

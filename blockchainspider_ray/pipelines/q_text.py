@@ -1,14 +1,14 @@
 """Text query pipelines (split from queries.py).
 
-Cross-family names listed in __missing_globals__ are bound by the
-queries aggregator after all family modules load (no import cycles).
+
+Cross-family dependencies are explicit function-local imports at their
+use sites (no import cycles, no post-load name injection).
 """
 
 from __future__ import annotations
 
 from .common import *  # noqa: F401,F403
 
-__missing_globals__ = ['SQL_QUERIES', 'q_periodogram']
 
 
 def q_extract_text(sf_dir: str):
@@ -971,6 +971,7 @@ def q_langid_kappa(sf_dir: str):
     integer marginals in one driver expression, mirrored operation-for-
     operation: kappa = (N*tr - sum_k row_k*col_k) / (N*N - sum_k
     row_k*col_k)."""
+    from .registry_p01 import SQL_QUERIES  # explicit cross-family dep
     cm = _to_pandas_any(SQL_QUERIES["langid_confusion"](sf_dir))
     N = int(cm["cnt"].sum())
     tr = int(cm.loc[cm["lang"] == cm["lang_pred"], "cnt"].sum())
@@ -1641,6 +1642,7 @@ def q_spectral_entropy(sf_dir: str):
     — near 1 = white-noise-flat spectrum, near 0 = one dominant cycle.
     Shape: identical reduce as periodogram (the O(days) driver series);
     the SQL mirror nests the same trig chain."""
+    from .q_stats_c import q_periodogram  # explicit cross-family dep
     p = q_periodogram(sf_dir)
     if len(p) == 0 or float(p["power"].sum()) <= 0:
         return pd.DataFrame(

@@ -6,8 +6,9 @@ The former 41k-line queries.py monolith now lives in:
   registry_p*.py      ORACLE_SQL / SQL_QUERIES / NOSQL_QUERIES entries
 
 This module re-exports every name (tests and callers keep importing
-`blockchainspider_ray.pipelines.queries`), binds cross-family
-references, and orders the registries core-first for driver sampling."""
+`blockchainspider_ray.pipelines.queries`) and orders the registries
+core-first for driver sampling.  Cross-family references are explicit
+function-local imports at their use sites (no post-load injection)."""
 
 from __future__ import annotations
 
@@ -25,32 +26,12 @@ from .q_sketch import *  # noqa: F401,F403
 from .q_stats_b import *  # noqa: F401,F403
 from .q_stats_c import *  # noqa: F401,F403
 from .q_stats_d import *  # noqa: F401,F403
-from . import q_relational as _mod_q_relational
-from . import q_curation as _mod_q_curation
-from . import q_text as _mod_q_text
-from . import q_crawl as _mod_q_crawl
-from . import q_etl as _mod_q_etl
-from . import q_stats as _mod_q_stats
-from . import q_graph as _mod_q_graph
-from . import q_dedup as _mod_q_dedup
-from . import q_similarity as _mod_q_similarity
-from . import q_sketch as _mod_q_sketch
-from . import q_stats_b as _mod_q_stats_b
-from . import q_stats_c as _mod_q_stats_c
-from . import q_stats_d as _mod_q_stats_d
 from . import registry_p01 as _mod_registry_p01  # noqa: F401  (executes entries)
 from . import registry_p02 as _mod_registry_p02  # noqa: F401  (executes entries)
 from . import registry_p03 as _mod_registry_p03  # noqa: F401  (executes entries)
 from .registry_p01 import NOSQL_QUERIES  # noqa: F401
 from .registry_p01 import ORACLE_SQL  # noqa: F401
 from .registry_p01 import SQL_QUERIES  # noqa: F401
-
-# bind cross-family names into each family module's globals — the
-# function bodies resolve them at call time from their own module
-_NS = globals()
-for _m in (_mod_q_relational, _mod_q_curation, _mod_q_text, _mod_q_crawl, _mod_q_etl, _mod_q_stats, _mod_q_graph, _mod_q_dedup, _mod_q_similarity, _mod_q_sketch, _mod_q_stats_b, _mod_q_stats_c, _mod_q_stats_d):
-    for _name in getattr(_m, "__missing_globals__", ()):
-        setattr(_m, _name, _NS[_name])
 
 # core-first registry ordering (VERDICT r3 #7): any prefix/sample a
 # driver takes covers the SURVEY §2 + curation/dedup/ANN core first
