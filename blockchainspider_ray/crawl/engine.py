@@ -1457,17 +1457,36 @@ class CrawlEngine:
             # compute (the pop/pop_wait convention)
             _lap("seen_wait")
             m["already_seen"] = int((~new_mask).sum())
-            found_s = pl.Series(
-                "___f", pl.from_arrow(meta.column("url").combine_chunks())
-            )
             if adm["url"].n_unique() == adm.height:
-                # no url admitted twice this round (the common case):
-                # the OR-fold window and the unique pass are identities
-                uniq = adm.with_columns(
-                    pl.Series("new", new_mask),
-                    pl.col("url").is_in(found_s).alias("found"),
+                # no url admitted twice this round (the common case): the
+                # OR-fold window and the unique pass are identities, and
+                # the whole bookkeeping runs arrow/numpy (polars ops on
+                # these small frames pay thread-pool fork/join per op)
+                url_arrow = adm["url"].to_arrow()
+                found = pc.is_in(
+                    url_arrow, value_set=meta.column("url").combine_chunks()
+                ).to_numpy(zero_copy_only=False)
+                keep = new_mask
+                keep_pa = pa.array(keep)
+                order_tbl = pa.table(
+                    {
+                        "round": pa.array(
+                            np.full(int(keep.sum()), self.round_no, dtype=np.int64)
+                        ),
+                        "pop_index": pa.array(adm["arrival"].to_numpy()[keep]),
+                        "url": url_arrow.filter(keep_pa).cast(pa.string()),
+                        "priority": pa.array(adm["priority"].to_numpy()[keep]),
+                        "found": pa.array(found[keep]),
+                    },
+                    schema=self._ORDER_SCHEMA,
                 )
+                m["fetched"] = int((new_mask & found).sum())
+                m["missing"] = adm.height - int(found.sum())
+                nf_mask = new_mask & found
             else:
+                found_s = pl.Series(
+                    "___f", pl.from_arrow(meta.column("url").combine_chunks())
+                )
                 uniq = (
                     adm.with_columns(pl.Series("new", new_mask))
                     .with_columns(
@@ -1476,20 +1495,25 @@ class CrawlEngine:
                     )
                     .unique(subset="url", keep="first", maintain_order=True)
                 )
-            order = uniq.filter(pl.col("new")).select(
-                pl.lit(self.round_no, dtype=pl.Int64).alias("round"),
-                pl.col("arrival").alias("pop_index"),
-                "url",
-                "priority",
-                "found",
-            )
-            m["fetched"] = int(order["found"].sum())
-            m["missing"] = adm.height - int(uniq["found"].sum())
-            self._round_order_tbl = order.to_arrow().cast(self._ORDER_SCHEMA)
+                order = uniq.filter(pl.col("new")).select(
+                    pl.lit(self.round_no, dtype=pl.Int64).alias("round"),
+                    pl.col("arrival").alias("pop_index"),
+                    "url",
+                    "priority",
+                    "found",
+                )
+                m["fetched"] = int(order["found"].sum())
+                m["missing"] = adm.height - int(uniq["found"].sum())
+                order_tbl = order.to_arrow().cast(self._ORDER_SCHEMA)
+                nf_mask = None
+            self._round_order_tbl = order_tbl
             self.fetched += m["fetched"]
             self._resolve_edge_counts(block=False)
             if c.out_dir:
-                nf = order.filter(pl.col("found"))["url"].to_list()
+                if nf_mask is not None:
+                    nf = adm["url"].to_arrow().filter(pa.array(nf_mask)).to_pylist()
+                else:
+                    nf = order.filter(pl.col("found"))["url"].to_list()
                 if use_refs:
                     self._write_round_outputs_refs(
                         handle.text_refs, handle.edge_refs, nf
