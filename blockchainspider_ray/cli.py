@@ -61,6 +61,8 @@ def cmd_crawl(args: argparse.Namespace) -> int:
             seen_shards=args.seen_shards,
             checkpoint_dir=args.checkpoint,
             out_dir=args.out,
+            pipeline=args.pipeline,
+            seed_mass=args.seed_mass,
         ),
     )
     if args.resume and engine.resume():
@@ -179,6 +181,18 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--checkpoint", default=None)
     c.add_argument("--resume", action="store_true")
     c.add_argument("--out", default=None)
+    c.add_argument(
+        "--pipeline", action="store_true",
+        help="round-pipelining throughput mode (BFS: overlapping decode "
+        "waves; weight strategies: one-round-stale pop scheduling) — see "
+        "CrawlConfig.pipeline for the preserved guarantees",
+    )
+    c.add_argument(
+        "--seed-mass", type=float, default=None,
+        help="starting mass for seeds beyond the first on weight "
+        "strategies (multi-source crawl); default keeps the reference's "
+        "single-source semantics",
+    )
     c.set_defaults(fn=cmd_crawl)
 
     b = sub.add_parser("bulk-parse", help="fetch+parse a whole page store")
