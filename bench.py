@@ -900,7 +900,10 @@ def cluster_crawl_run(n_nodes: int) -> dict:
                 strategy_kwargs={"depth": 16},
                 pop_k=2048,
                 host_budget=1024,
-                max_fetches=20000,
+                # long enough that a level runs ~10s+: the 2-node level
+                # showed +/-15% episodic noise at 6s jobs (a best-of-3
+                # pair flipped 0.84 <-> 0.75 run to run)
+                max_fetches=40000,
                 max_rounds=120,
                 seen_shards=4,
                 seen_use_ray=True,
