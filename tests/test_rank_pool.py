@@ -384,3 +384,36 @@ def test_sharded_haircut_ray_checkpoint_resume(pages_store, pages_table, tmp_pat
     resumed = run(str(tmp_path / "part"), resume=True)
     assert [r["url"] for r in resumed.crawl_order] == [r["url"] for r in full.crawl_order]
     assert resumed.fetched == full.fetched
+
+
+def test_top_k_arr_two_phase_exact():
+    """The capped two-phase scan (RankPool.top_k_arr) must equal the
+    uncapped merge on adversarial splits: (a) one shard holding almost
+    the entire top-k (cap violated -> targeted rescan), (b) values below
+    min_value shrinking shard returns (under-filled merge -> rescan of
+    capped shards), (c) heavy ties broken by arrival."""
+    import numpy as np
+
+    from blockchainspider_ray.state.rank_pool import RankPool
+
+    rng = np.random.default_rng(3)
+    for case in range(3):
+        pool = RankPool(4, use_ray=False)
+        n = 6000
+        nodes = [f"u{case}_{i}" for i in range(n)]
+        if case == 0:
+            # skew: nodes hashing to shard 0 carry the big values
+            sh = pool._shards_of(nodes)
+            vals = [1000.0 + i if s == 0 else rng.random() for i, s in enumerate(sh)]
+        elif case == 1:
+            vals = rng.random(n).tolist()  # half fall under min_value
+        else:
+            vals = (rng.integers(0, 5, n) / 4.0).tolist()  # heavy ties
+        pool.apply_deltas([(u, v, i) for i, (u, v) in enumerate(zip(nodes, vals))])
+        k = 2048  # >= 1024 so the cap path engages
+        mv = 0.5 if case == 1 else 1e-9
+        got_n, got_v, got_a = pool.top_k_arr(k, mv, skip_visited=True)
+        exp = pool.top_k(k, mv, skip_visited=True)
+        assert got_n == [t[0] for t in exp], case
+        assert np.allclose(got_v, [t[1] for t in exp])
+        assert list(got_a) == [t[2] for t in exp]
