@@ -101,6 +101,19 @@ def parse_solana_block(result: dict, block_height: int) -> Iterator[Tuple[str, d
         },
     )
     for item in result.get("transactions", []):
+        yield from _transaction_items_of(item, block_time, block_height)
+
+
+def _transaction_items_of(
+    item: dict, block_time: int, block_height: int
+) -> Iterator[Tuple[str, dict]]:
+    """Per-transaction item family (SolanaTransactionItem, balance diffs,
+    logs, instruction trace) — the reference's parse_transaction body
+    (spiders/trans/solana/trans.py:73-264), shared verbatim between the
+    block reader (one getBlock result: many transactions) and the
+    BY-SIGNATURE reader (one getTransaction result per signature —
+    parse_solana_transaction)."""
+    if True:
         meta = item.get("meta")
         message = item["transaction"]["message"]
         signature = item["transaction"]["signatures"][0]
@@ -195,6 +208,17 @@ def parse_solana_block(result: dict, block_height: int) -> Iterator[Tuple[str, d
                     yield from _instruction_items(signature, tid, instruction)
 
 
+def parse_solana_transaction(result: dict) -> Iterator[Tuple[str, dict]]:
+    """Item pairs for ONE getTransaction-by-signature result — the
+    reference's key-list regime (spiders/trans/solana/trans.py:73-79:
+    blockTime/slot live on the transaction envelope itself, not a block
+    wrapper).  Same item families as the per-transaction half of
+    :func:`parse_solana_block`, byte-identical payloads."""
+    block_time = result.get("blockTime", -1)
+    block_height = result.get("slot", -1)
+    yield from _transaction_items_of(result, block_time, block_height)
+
+
 _UNION_FIELDS = ["item_type", "block_height", "signature", "trace_id", "program", "dtype"]
 
 
@@ -237,6 +261,24 @@ def solana_blocks_stage(batch: pa.Table) -> pa.Table:
             continue
         pairs = list(parse_solana_block(result, h))
         tables.append(solana_items_table(pairs, h))
+    if not tables:
+        return solana_items_table([], 0).slice(0, 0)
+    return pa.concat_tables(tables)
+
+
+def solana_transactions_stage(batch: pa.Table) -> pa.Table:
+    """map_batches stage for the BY-SIGNATURE reader: (signature,
+    payload_json) rows -> union items table, one getTransaction result
+    per row (the reference SolanaTransactionSpider's key-list regime —
+    it fans one request per signature instead of walking blocks)."""
+    tables = []
+    for payload in batch.column("payload").to_pylist():
+        data = json.loads(payload)
+        result = data.get("result") if "result" in data else data
+        if result is None:
+            continue
+        pairs = list(parse_solana_transaction(result))
+        tables.append(solana_items_table(pairs, result.get("slot", -1)))
     if not tables:
         return solana_items_table([], 0).slice(0, 0)
     return pa.concat_tables(tables)

@@ -225,9 +225,10 @@ def q_solana_block_parse(sf_dir: str, key_mod: "int | None" = None):
     (functions/solana.py).  Rows-only: multilevel ids and JSON fan-out
     have no SQL mirror; hand-derived pins live in tests/test_solana.py.
 
-    ``key_mod`` selects the tx-by-signature regime (q_solana_tx_lookup):
-    the signature key-list predicate is applied BEFORE payload synthesis
-    and parse — the batch analogue of per-signature getTransaction."""
+    ``key_mod`` applies a signature key-list predicate BEFORE payload
+    synthesis and parse (q_solana_tx_lookup now drives the dedicated
+    getTransaction-envelope reader instead; the parameter stays for the
+    filtered-block form)."""
     import json as _json
 
     from ..functions.solana import solana_blocks_stage
@@ -248,6 +249,36 @@ def q_solana_block_parse(sf_dir: str, key_mod: "int | None" = None):
     def synth(b: pa.Table) -> pa.Table:
         heights, payloads = [], []
         for e in b.column("event_id").to_pylist():
+            tx = _synth_solana_tx(e)
+            result = {
+                "blockTime": 1_700_000_000 + e,
+                "blockhash": f"BH{e}",
+                "parentSlot": e - 1,
+                "previousBlockhash": f"BH{e - 1}",
+                "transactions": [tx],
+            }
+            heights.append(e)
+            payloads.append(_json.dumps({"result": result}))
+        return pa.table(
+            {
+                "block_height": pa.array(heights, pa.int64()),
+                "payload": pa.array(payloads, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(synth, batch_format="pyarrow")
+        .map_batches(solana_blocks_stage, batch_format="pyarrow")
+        .sort(["block_height", "item_type", "trace_id", "signature"])
+    )
+
+
+def _synth_solana_tx(e: int) -> dict:
+    """Deterministic per-event getBlock/getTransaction transaction dict —
+    shared by the block reader (q_solana_block_parse wraps it in a block
+    result) and the by-signature reader (q_solana_tx_lookup puts
+    slot/blockTime on the envelope, the getTransaction shape)."""
+    if True:
             tx = {
                 "transaction": {
                     "signatures": [f"SIG{e}"],
@@ -335,27 +366,7 @@ def q_solana_block_parse(sf_dir: str, key_mod: "int | None" = None):
                     ],
                 },
             }
-            result = {
-                "blockTime": 1_700_000_000 + e,
-                "blockhash": f"BH{e}",
-                "parentSlot": e - 1,
-                "previousBlockhash": f"BH{e - 1}",
-                "transactions": [tx],
-            }
-            heights.append(e)
-            payloads.append(_json.dumps({"result": result}))
-        return pa.table(
-            {
-                "block_height": pa.array(heights, pa.int64()),
-                "payload": pa.array(payloads, pa.string()),
-            }
-        )
-
-    return (
-        ds.map_batches(synth, batch_format="pyarrow")
-        .map_batches(solana_blocks_stage, batch_format="pyarrow")
-        .sort(["block_height", "item_type", "trace_id", "signature"])
-    )
+            return tx
 
 
 def q_solana_tx_lookup(sf_dir: str):
@@ -363,10 +374,47 @@ def q_solana_tx_lookup(sf_dir: str):
     trans.py:16-84, SolanaTransactionSpider: user-supplied signature list
     -> per-signature getTransaction -> the same item fan-out as the block
     spider).  The deterministic key-list stand-in is md5(signature) % 37
-    == 0; the predicate is pushed in front of payload synthesis/parse so
-    only requested transactions are ever fetched — rows are a strict
-    subset of q_solana_block_parse, pinned in tests/test_solana.py."""
-    return q_solana_block_parse(sf_dir, key_mod=37)
+    == 0, applied BEFORE payload synthesis (only requested transactions
+    are ever fetched); each selected signature becomes ONE getTransaction
+    envelope (blockTime/slot on the envelope, trans.py:76-80) parsed by
+    functions/solana.parse_solana_transaction — the true key-list regime,
+    no block wrapper anywhere.  Rows are byte-identical to
+    q_solana_block_parse's per-transaction subset (tests/test_solana.py)."""
+    import json as _json
+
+    from ..functions.solana import solana_transactions_stage
+    from ..stages.dedup import _stable_h64
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_pylist()
+        mask = pa.array(
+            [_stable_h64(f"SIG{e}") % 37 == 0 for e in ids], pa.bool_()
+        )
+        return b.filter(mask)
+
+    def synth_tx(b: pa.Table) -> pa.Table:
+        sigs, payloads = [], []
+        for e in b.column("event_id").to_pylist():
+            env = dict(_synth_solana_tx(e))
+            env["slot"] = e
+            env["blockTime"] = 1_700_000_000 + e
+            sigs.append(f"SIG{e}")
+            payloads.append(_json.dumps({"result": env}))
+        return pa.table(
+            {
+                "signature": pa.array(sigs, pa.string()),
+                "payload": pa.array(payloads, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .map_batches(synth_tx, batch_format="pyarrow")
+        .map_batches(solana_transactions_stage, batch_format="pyarrow")
+        .sort(["block_height", "item_type", "trace_id", "signature"])
+    )
 
 
 def q_tron_block_parse(sf_dir: str):

@@ -219,3 +219,47 @@ def test_solana_tx_lookup_is_keyed_subset(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(sub_rows, full_sub)
+
+
+def test_parse_solana_transaction_matches_block_path():
+    """The by-signature reader (getTransaction result: blockTime/slot on
+    the envelope) must yield byte-identical item payloads to the block
+    reader's per-transaction half for the same transaction."""
+    import json
+
+    from blockchainspider_ray.functions.solana import (
+        parse_solana_block,
+        parse_solana_transaction,
+        solana_transactions_stage,
+    )
+
+    block = _block()
+    block_pairs = [
+        p for p in parse_solana_block(block, 42) if p[0] != "SolanaBlockItem"
+    ]
+    tx_pairs = []
+    for tx in block["transactions"]:
+        env = dict(tx)  # getTransaction envelope: slot/blockTime top-level
+        env["slot"] = 42
+        env["blockTime"] = block.get("blockTime", -1)
+        tx_pairs.extend(parse_solana_transaction(env))
+    assert tx_pairs == block_pairs
+
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "signature": pa.array(
+                [t["transaction"]["signatures"][0] for t in block["transactions"]]
+            ),
+            "payload": pa.array(
+                [
+                    json.dumps({**t, "slot": 42, "blockTime": block.get("blockTime", -1)})
+                    for t in block["transactions"]
+                ]
+            ),
+        }
+    )
+    out = solana_transactions_stage(batch)
+    assert out.num_rows == len(block_pairs)
+    assert set(out.column("item_type").to_pylist()) == {c for c, _ in block_pairs}
