@@ -159,3 +159,47 @@ def test_weight_pipelined_exhaustive_set_equals_strict(ray_session, pages_store,
     # through round composition (cascade order), so compare totals
     rs, rp = strict.ranks, piped.ranks
     assert abs(sum(rs.values()) - sum(rp.values())) <= 1e-6 * max(sum(rs.values()), 1.0)
+
+
+@pytest.mark.full
+def test_weight_tabular_production_shape_equals_scalar(ray_session, tmp_path_factory):
+    """Production-shape conformance: a 20k-page store with pop_k=2048
+    rounds engages EVERY fast path at once — the vectorized fused cascade
+    (duplicate-free big rounds), the two-phase capped scan, the refs
+    regime (edge tables to the push actor), positional claim flags, and
+    the numpy admit kernel — and must still match the scalar loop row for
+    row."""
+    import pyarrow.dataset as pads
+
+    from blockchainspider_ray.crawl.engine import CrawlConfig, CrawlEngine
+    from blockchainspider_ray.fixtures import ensure_pages_store
+    from blockchainspider_ray.stages.fetch import PageStore
+
+    d = tmp_path_factory.mktemp("wbig")
+    store = ensure_pages_store(str(d / "store"), n_pages=20000, seed=9,
+                               n_hosts=24, num_partitions=8)
+    urls = pads.dataset(f"{store}/part=0", partitioning=None).to_table(
+        columns=["url"]
+    ).column("url")
+    seeds = [urls[i].as_py() for i in range(0, len(urls), max(1, len(urls) // 12))][:12]
+
+    def run(threshold):
+        cfg = CrawlConfig(
+            strategy="haircut_sharded",
+            strategy_kwargs={"min_weight": 1e-9, "num_shards": 4,
+                             "use_ray": True, "reuse_actors": True},
+            pop_k=2048, host_budget=512, max_fetches=6000, max_rounds=60,
+            seen_use_ray=True, seen_shards=4, fetch_actors=4,
+            tabular_threshold=threshold, seed_mass=1.0,
+        )
+        return CrawlEngine(PageStore(store), seeds=seeds, config=cfg).run()
+
+    tab = run(64)
+    scal = run(10**9)
+    assert tab.fetched == scal.fetched and tab.fetched > 1000
+    assert [(r["url"], r["round"]) for r in tab.crawl_order] == [
+        (r["url"], r["round"]) for r in scal.crawl_order
+    ]
+    rt, rs = tab.ranks, scal.ranks
+    assert set(rt) == set(rs)
+    assert all(abs(rt[u] - rs[u]) <= 1e-9 for u in rt)
