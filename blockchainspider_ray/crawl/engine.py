@@ -787,8 +787,21 @@ class CrawlEngine:
         pop_w = np.zeros(0, dtype=np.float64)
         if len(seed_urls) < k:
             pop_urls, pop_w = self.strategy.pop_table(k - len(seed_urls))
-        urls = seed_urls + list(pop_urls)
-        n = len(urls)
+        if not isinstance(pop_urls, list):
+            # Arrow wire form from the fused pop: zero-copy into the
+            # frame when there are no seeds (every round but the first)
+            pop_s = pl.Series("url", pl.from_arrow(pop_urls))
+            pop_urls = pop_s.to_list() if seed_urls else None
+        else:
+            pop_s = None
+        if seed_urls or pop_s is None:
+            urls = seed_urls + (pop_urls or [])
+            url_col: Any = urls
+            host_col: Any = hosts_of_array(urls)
+        else:
+            url_col = pop_s
+            host_col = hosts_of_array(pop_s)
+        n = len(url_col)
         arrival = np.arange(self._arrival, self._arrival + n, dtype=np.int64)
         self._arrival += n
         ns = len(seed_urls)
@@ -806,8 +819,8 @@ class CrawlEngine:
         claimed[ns:] = True  # popped rows were claimed by the pop itself
         return pl.DataFrame(
             {
-                "url": urls,
-                "host": hosts_of_array(urls),
+                "url": url_col,
+                "host": host_col,
                 "priority": priority,
                 "arrival": arrival,
                 "mass": mass,
